@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * local[32] mirrors the dev box; on a real cluster the same builder is used
+  * minus `.master`, and the shuffle-partition count is raised to ~2-3x the
+  * total executor cores (or left to AQE's coalescing with a high initial
+  * value). Nothing in the engine assumes single-JVM execution.
+  */
+object GraftSession {
+  def create(
+      appName: String = "graft",
+      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+      shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.tune(spark)
+  }
+}

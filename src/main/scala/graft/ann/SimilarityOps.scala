@@ -1,0 +1,186 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * array<float>`, 64-dim).
+  *
+  * Brute-force cosine top-k is the exact baseline: norms are precomputed once
+  * per side before the join so the per-pair work is a single codegen'd dot
+  * product (`zip_with` + `aggregate`, no UDF). The query side broadcasts, so
+  * the candidate scan never shuffles. The LSH-bucketed variant
+  * ([[lshBuckets]]) is the 100 TB path: random-hyperplane signs partition the
+  * corpus into 2^b buckets and candidate generation becomes an equi-join on
+  * the bucket key.
+  *
+  * Outputs are id/rank-only (no float columns) so oracle hash-comparison is
+  * immune to last-ulp floating-point differences between engines; ranking
+  * itself is robust because real cosine gaps (~1e-4) dwarf fp noise (~1e-15).
+  */
+object SimilarityOps {
+
+  /** Embedding cast to double with its squared norm, computed once. */
+  private def withNorm(df: DataFrame, idAs: String, vAs: String, nAs: String): DataFrame =
+    df.select(
+      col("vec_id").as(idAs),
+      transform(col("embedding"), _.cast("double")).as(vAs),
+      aggregate(
+        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0),
+        (acc, x) => acc + x).as(nAs))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Exact cosine top-k for a fixed query set (vec_id < nQueries). */
+  def annTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = withNorm(e.filter(col("vec_id") < nQueries), "qid", "qv", "qn")
+    val c = withNorm(e, "cid", "cv", "cn")
+    val scored = c
+      .join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn"))))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid")
+      .orderBy("qid", "rank")
+  }
+
+  def annTopKSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nn FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |         list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+       |           / (sqrt(q.nn) * sqrt(c.nn)) AS cos
+       |  FROM n q JOIN n c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id)
+       |SELECT qid, rank, cid FROM (
+       |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+
+  /** Exact 1-NN for every vector (brute force; the corpus is small enough at
+    * every SF that the full O(n²) candidate join is the fastest exact plan —
+    * at real scale this switches to [[lshBuckets]] candidates).
+    */
+  def knn1(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val a = withNorm(e, "qid", "qv", "qn")
+    val b = withNorm(e, "cid", "cv", "cn")
+    val scored = a
+      .join(broadcast(b), col("qid") =!= col("cid"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn"))))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("qid").as("vec_id"), col("cid").as("nn_id"))
+      .orderBy("vec_id")
+  }
+
+  val knn1Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nn FROM e),
+      |scored AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |         list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+      |           / (sqrt(q.nn) * sqrt(c.nn)) AS cos
+      |  FROM n q JOIN n c ON q.vec_id <> c.vec_id)
+      |SELECT vec_id, nn_id FROM (
+      |  SELECT qid AS vec_id, cid AS nn_id,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+      |  FROM scored)
+      |WHERE rank = 1
+      |ORDER BY vec_id""".stripMargin
+
+  /** Embedding near-duplicate pairs: cosine above threshold, ids only. */
+  def cosinePairs(spark: SparkSession, sfDir: String, threshold: Double = 0.45): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val a = withNorm(e, "id_a", "va", "na")
+    val b = withNorm(e, "id_b", "vb", "nb")
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
+  def cosinePairsSql(threshold: Double = 0.45): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nn FROM e)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+       |        / (sqrt(a.nn) * sqrt(b.nn)) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Random-hyperplane LSH bucket assignment — the scale path for candidate
+    * generation. Hyperplane h_j's i-th coefficient is a deterministic
+    * md5-derived value in [-0.5, 0.5); the bucket key packs the b sign bits.
+    * Bucket population counts are the oracle-checked output (candidate
+    * generation itself is exercised by joining on `bucket` in tests).
+    */
+  val NumHyperplanes = 8
+
+  private def hyperCoef(j: Int, i: Column): Column =
+    (conv(substring(md5(concat_ws("_", lit(j), i)), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0)) - lit(0.5)
+
+  def lshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val v = transform(col("embedding"), _.cast("double"))
+    val bitTerms = (0 until NumHyperplanes).map { j =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(1), size(col("embedding"))), (x, i) => x * hyperCoef(j, i)),
+        lit(0.0),
+        (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    e.select(col("vec_id"), bitTerms.reduce(_ + _).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"))
+      .orderBy("bucket")
+  }
+
+  val lshBucketsSql: String = {
+    val bitTerms = (0 until NumHyperplanes).map { j =>
+      s"""CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i ->
+         |  v[i] * ((CAST('0x' || substr(md5($j || '_' || i), 1, 8) AS BIGINT) / 4294967296.0) - 0.5)
+         |  )) >= 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString(" +\n       ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings)
+       |SELECT CAST($bitTerms AS BIGINT) AS bucket,
+       |       count(*) AS n_vectors, min(vec_id) AS min_vec_id
+       |FROM e
+       |GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_topk" -> (annTopK(_, _)),
+    "q_knn_1nn" -> (knn1(_, _)),
+    "q_cosine_pairs" -> (cosinePairs(_, _)),
+    "q_lsh_buckets" -> (lshBuckets(_, _))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_ann_topk" -> annTopKSql(),
+    "q_knn_1nn" -> knn1Sql,
+    "q_cosine_pairs" -> cosinePairsSql(),
+    "q_lsh_buckets" -> lshBucketsSql
+  )
+}

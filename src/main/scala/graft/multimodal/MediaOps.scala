@@ -1,0 +1,113 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, and a batched partition-level decode /
+  * feature-extract stage.
+  *
+  * The decode step itself is STUBBED (this container has no image/audio
+  * codecs): [[FakeDecoder.decode]] derives deterministic pseudo-features from
+  * the byte length. Everything around it is the real Spark shape a production
+  * pipeline needs: a typed `Dataset`, `mapPartitions` batching (the Scala
+  * analogue of `mapInPandas` — one iterator per partition, no per-row
+  * overhead), and schema/partitioning that survive a 1000-executor scale-up
+  * (media rows are value-heavy, so the stage is a narrow map with no shuffle).
+  */
+object MediaOps {
+
+  case class MediaRecord(doc_id: Long, media_type: String, content: Array[Byte])
+  case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      duration_s: Double)
+
+  /** Stand-in decoder: replace with a real codec binding in production.
+    * Deterministic on byte length so tests and the oracle can pin it.
+    */
+  object FakeDecoder {
+    def decode(r: MediaRecord): MediaFeatures = {
+      val n = r.content.length.toLong
+      MediaFeatures(
+        r.doc_id,
+        r.media_type,
+        n,
+        width = (64 + n % 640).toInt,
+        height = (64 + n % 480).toInt,
+        duration_s = (n % 3600).toDouble / 10.0)
+    }
+  }
+
+  /** Synthesize a media table from `documents`: UTF-8 bytes as the opaque
+    * payload, media_type cycling by doc_id.
+    */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")), (col("doc_id") % 3 + 1).cast("int"))
+          .as("media_type"),
+        encode(col("text"), "UTF-8").as("content"))
+      .as[MediaRecord]
+  }
+
+  /** The batched decode stage: one decoder instance per partition, iterator
+    * in / iterator out — the `mapInPandas` shape in Scala.
+    */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition setup (a real decoder would open codecs here, once)
+      rows.map(FakeDecoder.decode)
+    }
+  }
+
+  /** Metadata-only path (no decode): byte length + content digest via native
+    * column functions — stays in whole-stage codegen.
+    */
+  def mediaMeta(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir).toDF()
+      .select(
+        col("doc_id"),
+        col("media_type"),
+        length(col("content")).as("n_bytes"),
+        sha2(col("content"), 256).as("digest"))
+      .orderBy("doc_id")
+
+  val mediaMetaSql: String =
+    """SELECT doc_id,
+      |       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+      |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |       sha256(text) AS digest
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Decoded feature table through the mapPartitions stage. */
+  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    decodeFeatures(mediaTable(spark, sfDir)).toDF().orderBy("doc_id")
+
+  val mediaFeaturesSql: String =
+    """SELECT doc_id,
+      |       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       CAST(64 + octet_length(encode(text)) % 640 AS INT) AS width,
+      |       CAST(64 + octet_length(encode(text)) % 480 AS INT) AS height,
+      |       CAST(octet_length(encode(text)) % 3600 AS DOUBLE) / 10.0 AS duration_s
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_meta" -> (mediaMeta(_, _)),
+    "q_media_features" -> (mediaFeatures(_, _))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_media_meta" -> mediaMetaSql,
+    "q_media_features" -> mediaFeaturesSql
+  )
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+import Grid.{dsum, dsumSql}
+
+/** Join / set-op / unpivot surface over the TESTDATA star schema.
+  *
+  * The reference contains no runtime join (SURVEY.md §2.3) — these queries are
+  * the engine's first-class join coverage: broadcast dimension joins, a
+  * shuffled fact-fact star join, semi/anti joins, unpivot (the GREEND
+  * wide→long shape, G1) and multi-level aggregation.
+  *
+  * Scale posture: dimension tables (region/nation/supplier/customer at any SF)
+  * broadcast; the orders⋈lineitem join shuffles on the order key — at 100 TB
+  * both sides would be bucketed by orderkey so the exchange disappears.
+  */
+object Relational {
+
+  /** TPC-H Q3-flavored star join: revenue of BUILDING-segment orders shipped
+    * in a date window, top 10. Exact DECIMAL revenue so the oracle matches
+    * bit-for-bit.
+    */
+  def starJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    val revenue = sum(
+      col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+      .cast(DoubleType)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey")
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(desc("revenue"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  val starJoinSql: String =
+    """SELECT o_orderkey,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Left-semi join (EXISTS): customers having a large order. */
+  def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val big = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 300000.0)
+    c.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no large order. */
+  def antiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val big = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 300000.0)
+    c.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Snowflake dimension chain supplier→nation→region, both joins broadcast. */
+  def dimJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    s.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("sum_acctbal"))
+      .orderBy("r_name")
+  }
+
+  val dimJoinSql: String =
+    s"""SELECT r_name, count(*) AS n_suppliers, ${dsumSql("s_acctbal")} AS sum_acctbal
+       |FROM supplier
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** G1 unpivot: lineitem measure columns wide→long via stack(), then
+    * re-aggregated — the GREEND `timestamp,p0..pN` fan-out shape.
+    */
+  def unpivotMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(
+        expr("""stack(4,
+                'quantity', l_quantity,
+                'extendedprice', l_extendedprice,
+                'discount', l_discount,
+                'tax', l_tax) AS (metric, value)"""))
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("metric")
+
+  val unpivotMetricsSql: String =
+    s"""WITH u AS (
+       |  SELECT 'quantity' AS metric, l_quantity AS value FROM lineitem
+       |  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+       |  UNION ALL SELECT 'discount', l_discount FROM lineitem
+       |  UNION ALL SELECT 'tax', l_tax FROM lineitem)
+       |SELECT metric, count(*) AS n, ${dsumSql("value")} AS sum_value
+       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Grouped statistics incl. distinct aggregation (SURVEY.md §2.4 notes the
+    * reference has none — Spark built-ins cover it).
+    */
+  def groupStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        countDistinct("l_orderkey").as("n_orders"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val groupStatsSql: String =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+       |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       |       ${dsumSql("l_quantity")} AS sum_qty,
+       |       count(DISTINCT l_orderkey) AS n_orders
+       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** ANSI ROLLUP grouping sets (subtotals + grand total). Spark emits NULL for
+    * rolled-up keys; the oracle must order NULLS FIRST to match Spark's
+    * default ascending null ordering.
+    */
+  def rollupSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val rollupSetsSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_star_join" -> (starJoin(_, _)),
+    "q_semi_join" -> (semiJoin(_, _)),
+    "q_anti_join" -> (antiJoin(_, _)),
+    "q_dim_join" -> (dimJoin(_, _)),
+    "q_unpivot_metrics" -> (unpivotMetrics(_, _)),
+    "q_group_stats" -> (groupStats(_, _)),
+    "q_rollup_sets" -> (rollupSets(_, _))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_star_join" -> starJoinSql,
+    "q_semi_join" -> semiJoinSql,
+    "q_anti_join" -> antiJoinSql,
+    "q_dim_join" -> dimJoinSql,
+    "q_unpivot_metrics" -> unpivotMetricsSql,
+    "q_group_stats" -> groupStatsSql,
+    "q_rollup_sets" -> rollupSetsSql
+  )
+}

@@ -1,0 +1,173 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for the training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language-ID and
+  * document fingerprinting. Everything is built from codegen'd
+  * `org.apache.spark.sql.functions` (split / higher-order lambdas / md5) — no
+  * UDFs, so the whole pipeline stays inside whole-stage codegen and scales
+  * linearly with input splits.
+  */
+object TextOps {
+
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Per-document token statistics (whitespace tokenization). */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).as("n_distinct"),
+        length(col("text")).as("n_chars_measured"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(tokens(col("text")))).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  val tokenStatsSql: String =
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+      |       CAST(length(text) AS INT) AS n_chars_measured,
+      |       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Heuristic quality score: type-token ratio, stopword ratio and a combined
+    * score — the length/punct/stopword-ratio family of pretraining quality
+    * filters, as pure column arithmetic.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nDis = size(array_distinct(toks)).cast("double")
+    val nStop = size(filter(toks, t => t === "the" || t === "a")).cast("double")
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        nTok.cast("int").as("n_tokens"),
+        (nDis / nTok).as("ttr"),
+        (nStop / nTok).as("stop_ratio"),
+        ((nDis / nTok) * 0.7 + (lit(1.0) - nStop / nTok) * 0.3).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dis,
+      |         CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS DOUBLE) AS n_stop
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(n_tok AS INT) AS n_tokens,
+      |       n_dis / n_tok AS ttr,
+      |       n_stop / n_tok AS stop_ratio,
+      |       (n_dis / n_tok) * 0.7 + (1.0 - n_stop / n_tok) * 0.3 AS quality
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Marker-token language scorer (n-gram-heuristic stand-in): count hits per
+    * language marker set, argmax with a fixed priority order. Deterministic by
+    * construction; `hit` compares against the table's labeled `lang`.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "de" -> Seq("window", "column"),
+    "es" -> Seq("scan", "sort"),
+    "fr" -> Seq("join", "merge"),
+    "zh" -> Seq("spark", "query")
+  )
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => markers.map(t === _).reduce(_ || _)))
+    }
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id") +: col("lang") +: scores.map { case (l, c) => c.as(s"s_$l") }: _*)
+    // argmax with priority = declaration order (en > de > es > fr > zh on ties)
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.zipWithIndex.init.foldRight(lit(langs.last)) { case ((l, i), elseCol) =>
+      val geAll = langs.drop(i + 1).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(geAll, lit(l)).otherwise(elseCol)
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .withColumn("hit", col("pred_lang") === col("lang"))
+      .select("doc_id", "lang", "pred_lang", "hit")
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    val scoreCols = LangMarkers.map { case (l, ms) =>
+      val cond = ms.map(m => s"t = '$m'").mkString(" OR ")
+      s"CAST(len(list_filter(string_split(text, ' '), t -> $cond)) AS INT) AS s_$l"
+    }.mkString(",\n         ")
+    val langs = LangMarkers.map(_._1)
+    val cases = langs.zipWithIndex.init.map { case (l, i) =>
+      val ge = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $ge THEN '$l'"
+    }.mkString("\n         ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |         $scoreCols
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |       CASE $cases ELSE '${langs.last}' END AS pred_lang,
+       |       CASE $cases ELSE '${langs.last}' END = lang AS hit
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprints: exact content hash plus an order-insensitive
+    * bag-of-words hash (sorted distinct tokens) — the cheap canonical forms
+    * used upstream of dedup.
+    */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("content_fp"),
+        md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")).as("bag_fp"))
+      .orderBy("doc_id")
+
+  val fingerprintsSql: String =
+    """SELECT doc_id,
+      |       md5(text) AS content_fp,
+      |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Corpus profile: per (source, lang) counts and char totals. */
+  def corpusProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        (sum("n_chars") / count(lit(1))).as("avg_chars"))
+      .orderBy("source", "lang")
+
+  val corpusProfileSql: String =
+    """SELECT source, lang, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(sum(n_chars) AS BIGINT) / count(*) AS avg_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_stats" -> (tokenStats(_, _)),
+    "q_quality_score" -> (qualityScore(_, _)),
+    "q_lang_id" -> (langId(_, _)),
+    "q_fingerprints" -> (fingerprints(_, _)),
+    "q_corpus_profile" -> (corpusProfile(_, _))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_token_stats" -> tokenStatsSql,
+    "q_quality_score" -> qualityScoreSql,
+    "q_lang_id" -> langIdSql,
+    "q_fingerprints" -> fingerprintsSql,
+    "q_corpus_profile" -> corpusProfileSql
+  )
+}
