@@ -141,10 +141,10 @@ object SimilarityOps {
 
   def lshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-    val v = transform(col("embedding"), _.cast("double"))
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val bitTerms = (0 until NumHyperplanes).map { j =>
       val proj = aggregate(
-        zip_with(v, sequence(lit(1), size(col("embedding"))), (x, i) => x * hyperCoef(j, i)),
+        zip_with(col("v"), sequence(lit(1), size(col("v"))), (x, i) => x * hyperCoef(j, i)),
         lit(0.0),
         (acc, x) => acc + x)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** The reference's flagship streaming computation — per-appliance duty cycle
+  * over a sliding event-time window — as a Structured Streaming plan
+  * (`/root/reference/stream_processing/duty_cycle_avro.py:72-89`).
+  *
+  * The plan is source-agnostic: it transforms any streaming (or batch)
+  * DataFrame with the PowerReading schema, so production wires it to a Kafka
+  * source (`readStream.format("kafka")` + [[AvroWire.decodeReadings]]) while
+  * tests drive it from `MemoryStream[PowerReading]`. Micro-batch execution
+  * plans partial aggregation before the state-store shuffle, so at cluster
+  * scale each trigger shuffles one row per (window × appliance) per input
+  * partition — not raw readings. State is bounded by the watermark (T1);
+  * with RocksDB state store this holds at 10k+ appliances × 5 live windows.
+  */
+object StreamingDutyCycle {
+
+  /** The reference's wire record (`ingestion/schema.avsc:1-27`), with event
+    * time already decoded from epoch millis to a timestamp.
+    */
+  case class PowerReading(
+      time: Timestamp,
+      house_id: String,
+      appliance_name: String,
+      appliance_id: String,
+      power: Double)
+
+  /** Windowed duty-cycle plan — identical shape for stream and batch inputs.
+    *
+    * Mirrors duty_cycle_avro.py: watermark (`:75`), sliding window + grouped
+    * conditional count (`:76-77`), ratio + window-end projection (`:78-79`).
+    * Defaults are the reference's scaled values: 10 min window / 24x playback
+    * → 25 s window, 5 s slide, 2 s watermark, 5.0 W threshold
+    * (`example config/config.ini:8-12`).
+    */
+  def plan(
+      readings: DataFrame,
+      conf: GridConfig = GridConfig()): DataFrame =
+    readings
+      .withWatermark("time", s"${conf.watermarkSec} seconds")
+      .groupBy(
+        window(col("time"), s"${conf.windowSec} seconds", s"${conf.slideSec} seconds"),
+        col("house_id"),
+        col("appliance_id"))
+      .agg(
+        count("power").as("c_all"),
+        count(when(col("power") > conf.powerThreshold, true)).as("c_duty"))
+      .withColumn("duty_cycle", col("c_duty") / col("c_all"))
+      .withColumn("time_end", col("window.end"))
+      .drop("window", "c_all", "c_duty")
+
+  /** JSON sink projection (`duty_cycle_avro.py:83`): field order pinned to the
+    * reference's struct order for byte-compatible downstream consumers.
+    */
+  def toJsonRecords(dutyCycle: DataFrame): DataFrame =
+    dutyCycle.select(
+      to_json(struct(
+        col("time_end"),
+        col("house_id"),
+        col("appliance_id"),
+        col("duty_cycle"))).as("value"))
+
+  /** Kafka-keyed sink projection (key = house_id, the reference's
+    * co-partitioning scheme, `producer_REDD_avro.py:172-173`). Attach to a
+    * `writeStream.format("kafka")` (connector provided by the deployment) or
+    * any key/value sink.
+    */
+  def toKeyedRecords(dutyCycle: DataFrame): DataFrame =
+    toJsonRecords(dutyCycle.withColumn("key", col("house_id")))
+      .withColumn("key", col("key"))
+
+  /** The second-granularity rollup (A4, `Druid_conf_power_raw_avro:8-26`) as
+    * a streaming aggregate: the durable partial-aggregate table every
+    * dashboard query reads. In production this runs with
+    * `Trigger.ProcessingTime`, writing date/hour-partitioned parquet via
+    * foreachBatch so downstream time predicates prune partitions.
+    */
+  def rollupPlan(readings: DataFrame, watermarkSec: Int = 2): DataFrame =
+    readings
+      .withWatermark("time", s"$watermarkSec seconds")
+      .groupBy(
+        window(col("time"), "1 second"),
+        col("house_id"),
+        col("appliance_id"),
+        col("appliance_name"))
+      .agg(count(lit(1)).as("cnt"), sum("power").as("sum_power"))
+      .withColumn("bucket", col("window.start"))
+      .drop("window")
+}
+
+/** Tunables mirroring `example config/config.ini` with the reference's
+  * playback-speed scaling already applied (integer division, exactly like
+  * `duty_cycle_avro.py:59`: `window_min * 60 // playback`).
+  */
+case class GridConfig(
+    windowMin: Int = 10,
+    playbackSpeed: Int = 24,
+    watermarkSec: Int = 2,
+    powerThreshold: Double = 5.0) {
+  val windowSec: Int = windowMin * 60 / playbackSpeed // 25 s at defaults
+  val slideSec: Int = windowSec / 5 // 5 s, slide = window/5 (duty_cycle_avro.py:76)
+}

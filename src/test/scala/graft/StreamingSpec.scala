@@ -1,0 +1,151 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{AvroWire, GridConfig, StreamingDutyCycle}
+import graft.streaming.StreamingDutyCycle.PowerReading
+
+object StreamingSpec {
+  // top-level so Dataset.map closures don't capture the (non-serializable) suite
+  val genReading: java.lang.Long => PowerReading = i =>
+    PowerReading(
+      new Timestamp((i % 86400) * 1000L),
+      s"1_1_${i % 5}", "lamp", s"1_1_${i % 5}_${i % 50}", (i % 400).toDouble)
+}
+
+class StreamingSpec extends AnyFunSuite with SharedSpark {
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  private def reading(sec: Long, power: Double, app: String = "h0_a0"): PowerReading =
+    PowerReading(ts(sec), "h0", "lamp", app, power)
+
+  test("streaming duty cycle emits closed windows in append mode with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[PowerReading]
+    val query = StreamingDutyCycle
+      .plan(input.toDF(), GridConfig(windowMin = 2, playbackSpeed = 12, watermarkSec = 2))
+      // 2*60/12 = 10 s window, 2 s slide
+      .writeStream
+      .format("memory")
+      .queryName("duty_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // batch 1: readings at t=100..104, above+below the 5.0 threshold
+      input.addData(reading(100, 10.0), reading(102, 1.0), reading(104, 10.0))
+      query.processAllAvailable()
+      // watermark = 104-2 = 102: only window [92,102) may close; windows
+      // containing later readings must still be open
+      assert(spark.table("duty_out").count() <= 1)
+
+      // batch 2: advance event time far beyond the last window end + watermark
+      input.addData(reading(200, 3.0))
+      query.processAllAvailable()
+      input.addData(reading(300, 3.0))
+      query.processAllAvailable()
+
+      val out = spark.table("duty_out")
+        .select("time_end", "appliance_id", "duty_cycle")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getDouble(2)))
+        .toSet
+      // t=100,102,104 fall in sliding 10s/2s windows; window [96,106) holds
+      // all three readings → duty 2/3; window [104,114) only t=104 → 1.0
+      assert(out.contains((106L, 2.0 / 3.0)))
+      assert(out.contains((114L, 1.0)))
+      // all five windows containing t=100 were emitted
+      assert(out.count(_._2 > 0) >= 5)
+    } finally query.stop()
+  }
+
+  test("late data beyond the watermark is dropped from closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[PowerReading]
+    val query = StreamingDutyCycle
+      .plan(input.toDF(), GridConfig(windowMin = 2, playbackSpeed = 12, watermarkSec = 2))
+      .writeStream
+      .format("memory")
+      .queryName("duty_late")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData(reading(100, 10.0))
+      query.processAllAvailable()
+      input.addData(reading(500, 1.0)) // watermark jumps to 498
+      query.processAllAvailable()
+      val afterClose = spark.table("duty_late").count()
+      // a late reading for t=101 — windows are closed, must be ignored
+      input.addData(reading(101, 10.0))
+      query.processAllAvailable()
+      input.addData(reading(900, 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("duty_late")
+        .select("time_end", "duty_cycle").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getDouble(1)))
+      // windows covering t=100 still report a single reading (duty 1.0), the
+      // late t=101 contribution was dropped
+      rows.filter(_._1 <= 110).foreach { case (_, dc) => assert(dc == 1.0) }
+      assert(afterClose > 0)
+    } finally query.stop()
+  }
+
+  test("streaming rollup matches the batch rollup on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[PowerReading]
+    val query = StreamingDutyCycle
+      .rollupPlan(input.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("rollup_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      val readings = Seq(
+        reading(10, 1.0), reading(10, 2.0), reading(11, 3.0),
+        reading(10, 4.0, app = "h0_a1"))
+      input.addData(readings: _*)
+      query.processAllAvailable()
+      input.addData(reading(100, 0.0)) // advance watermark, close buckets
+      query.processAllAvailable()
+      val out = spark.table("rollup_out")
+        .select("bucket", "appliance_id", "cnt", "sum_power")
+        .collect()
+        .map(r => ((r.getTimestamp(0).getTime / 1000, r.getString(1)), (r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(out((10L, "h0_a0")) == ((2L, 3.0)))
+      assert(out((11L, "h0_a0")) == ((1L, 3.0)))
+      assert(out((10L, "h0_a1")) == ((1L, 4.0)))
+    } finally query.stop()
+  }
+
+  test("avro wire round-trips readings exactly") {
+    import spark.implicits._
+    val readings = Seq(
+      PowerReading(ts(1303132964), "1_1_0", "refrigerator", "1_1_0_5", 186.0),
+      PowerReading(ts(1303132967), "2_1_3", "unknown", "2_1_3_8", 0.0))
+    val ds = spark.createDataset(readings)
+    val decoded = AvroWire.decodeReadings(AvroWire.encodeReadings(ds)).collect().toSeq
+    assert(decoded == readings)
+  }
+
+  test("avro wire sustains encode+decode throughput in-JVM") {
+    import spark.implicits._
+    val n = 200000L
+    val ds = spark.range(n).map(StreamingSpec.genReading)
+    val t0 = System.nanoTime()
+    val count = AvroWire.decodeReadings(AvroWire.encodeReadings(ds)).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(count == n)
+    // BASELINE.md: ≥100k msg/s through the pipeline; require it for the
+    // serde round trip (2x the work of one-way decode)
+    assert(n / sec > 100000, f"avro round-trip too slow: ${n / sec}%.0f rows/s")
+  }
+}
