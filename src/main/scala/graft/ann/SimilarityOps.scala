@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
+import graft.functions.VectorFunctions
 
 /** Similarity search over the `embeddings` table (`embedding:
   * array<float>`, 64-dim).
@@ -23,18 +24,16 @@ import graft.Tables
   */
 object SimilarityOps {
 
-  /** Embedding cast to double with its squared norm, computed once. */
-  private def withNorm(df: DataFrame, idAs: String, vAs: String, nAs: String): DataFrame =
-    df.select(
-      col("vec_id").as(idAs),
-      transform(col("embedding"), _.cast("double")).as(vAs),
-      aggregate(
-        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-        lit(0.0),
-        (acc, x) => acc + x).as(nAs))
+  /** Embedding cast to double with its squared norm, computed once via the
+    * codegen'd [[graft.functions.ArrayDotProduct]].
+    */
+  private def withNorm(df: DataFrame, idAs: String, vAs: String, nAs: String): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    df.select(col("vec_id").as(idAs), transform(col("embedding"), _.cast("double")).as(vAs))
+      .withColumn(nAs, expr(s"dot_arrays($vAs, $vAs)"))
+  }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def dot(a: String, b: String): Column = expr(s"dot_arrays($a, $b)")
 
   /** Exact cosine top-k for a fixed query set (vec_id < nQueries). */
   def annTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
@@ -43,7 +42,7 @@ object SimilarityOps {
     val c = withNorm(e, "cid", "cv", "cn")
     val scored = c
       .join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn"))))
+      .withColumn("cos", dot("qv", "cv") / (sqrt(col("qn")) * sqrt(col("cn"))))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -78,7 +77,7 @@ object SimilarityOps {
     val b = withNorm(e, "cid", "cv", "cn")
     val scored = a
       .join(broadcast(b), col("qid") =!= col("cid"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn"))))
+      .withColumn("cos", dot("qv", "cv") / (sqrt(col("qn")) * sqrt(col("cn"))))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -110,7 +109,7 @@ object SimilarityOps {
     val a = withNorm(e, "id_a", "va", "na")
     val b = withNorm(e, "id_b", "vb", "nb")
     a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("cos", dot("va", "vb") / (sqrt(col("na")) * sqrt(col("nb"))))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
@@ -134,22 +133,39 @@ object SimilarityOps {
     * generation itself is exercised by joining on `bucket` in tests).
     */
   val NumHyperplanes = 8
+  val Dim = 64
 
-  private def hyperCoef(j: Int, i: Column): Column =
-    (conv(substring(md5(concat_ws("_", lit(j), i)), 1, 8), 16, 10).cast("double") /
-      lit(4294967296.0)) - lit(0.5)
+  /** Hyperplane coefficient h_j[i] = md5("j_i") first-8-hex / 2^32 − 0.5 —
+    * computed once on the driver (the oracle recomputes the identical value
+    * per row; here it's a literal array, so the per-row work is one codegen'd
+    * dot product per hyperplane).
+    */
+  lazy val hyperplanes: IndexedSeq[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until NumHyperplanes).map { j =>
+      Array.tabulate(Dim) { i0 =>
+        val i = i0 + 1 // 1-based, matching generate_series(1, len)
+        md.reset()
+        val hex = md.digest(s"${j}_$i".getBytes("UTF-8"))
+          .take(4).map(b => f"${b & 0xff}%02x").mkString
+        java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+      }
+    }
+  }
 
   def lshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    val bitTerms = (0 until NumHyperplanes).map { j =>
-      val proj = aggregate(
-        zip_with(col("v"), sequence(lit(1), size(col("v"))), (x, i) => x * hyperCoef(j, i)),
-        lit(0.0),
-        (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    // one literal coef array column per hyperplane, then the packed bucket
+    val withPlanes = (0 until NumHyperplanes).foldLeft(e) { (df, j) =>
+      df.withColumn(s"h_$j", array(hyperplanes(j).map(lit(_)): _*))
     }
-    e.select(col("vec_id"), bitTerms.reduce(_ + _).as("bucket"))
+    val bits = (0 until NumHyperplanes).map { j =>
+      when(expr(s"dot_arrays(v, h_$j)") >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    withPlanes
+      .select(col("vec_id"), bits.reduce(_ + _).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"))
       .orderBy("bucket")
