@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Grid, Relational}
+import graft.operators.{Extended, Grid, Relational}
 import graft.text.TextOps
 import graft.dedup.DedupOps
 import graft.ann.SimilarityOps
@@ -21,6 +21,7 @@ object SparkEntry {
     Seq(
       (Grid.queries, Grid.oracle),
       (Relational.queries, Relational.oracle),
+      (Extended.queries, Extended.oracle),
       (TextOps.queries, TextOps.oracle),
       (DedupOps.queries, DedupOps.oracle),
       (SimilarityOps.queries, SimilarityOps.oracle),

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import Grid.{dsum, dsumSql}
+
+/** Beyond-parity operators rounding out the engine: semi-structured JSON
+  * extraction, skew-safe two-stage aggregation, exact percentiles,
+  * sessionization, and sketch aggregates.
+  */
+object Extended {
+
+  /** JSON payload extraction from the events `props` column — the
+    * semi-structured projection path. Stays codegen'd via get_json_object.
+    */
+  def propsExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"), expr("k div 10").cast("int").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .orderBy("event_type", "k_bucket")
+
+  val propsExtractSql: String =
+    """SELECT event_type,
+      |       CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10 AS INT) AS k_bucket,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Two-stage salted aggregation: the skew-mitigation pattern for hot keys
+    * (house_id has only a handful of values — at 100 TB a single reducer
+    * would take a whole house). Stage 1 aggregates on (key, salt) spreading
+    * each hot key over 16 reducers; stage 2 merges the partials. The result
+    * is provably identical to the direct groupBy — the oracle checks exactly
+    * that.
+    */
+  def saltedPowerByHouse(spark: SparkSession, sfDir: String, saltBuckets: Int = 16): DataFrame =
+    Grid.powerReadings(spark, sfDir)
+      .withColumn("salt", (col("event_id") % saltBuckets).cast("int"))
+      .groupBy("house_id", "salt")
+      .agg(
+        count(lit(1)).as("n_part"),
+        sum(col("power").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("sum_part"))
+      .groupBy("house_id")
+      .agg(
+        sum("n_part").as("n"),
+        sum("sum_part").cast("double").as("sum_power"))
+      .orderBy("house_id")
+
+  val saltedPowerByHouseSql: String =
+    s"""WITH ${Grid.PowerCte}
+       |SELECT house_id, count(*) AS n, ${dsumSql("power")} AS sum_power
+       |FROM power GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Exact percentiles over integer cents: interpolation between integers is
+    * exact in double arithmetic, so Spark's percentile() and DuckDB's
+    * quantile_cont() agree bit-for-bit.
+    */
+  def valuePercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min("cents").as("min_cents"),
+        expr("percentile(cents, 0.5)").as("median_cents"),
+        expr("percentile(cents, 0.95)").as("p95_cents"),
+        max("cents").as("max_cents"))
+      .orderBy("event_type")
+
+  val valuePercentilesSql: String =
+    """WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+      |SELECT event_type, count(*) AS n,
+      |       min(cents) AS min_cents,
+      |       quantile_cont(cents, 0.5) AS median_cents,
+      |       quantile_cont(cents, 0.95) AS p95_cents,
+      |       max(cents) AS max_cents
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Sessionization: a session break is a >1h gap between a user's events;
+    * session ids come from a cumulative sum over an analytic window — the
+    * batch twin of streaming session windows.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val cum = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"))
+      .withColumn("gap_ns", col("ts") - lag("ts", 1).over(byUser))
+      .withColumn("is_break", when(col("gap_ns") > 3600L * 1000000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum("is_break").over(cum))
+      .groupBy("user_id")
+      .agg(
+        (max("session_idx") + 1).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |         epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_ns
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id,
+      |         SUM(CASE WHEN gap_ns > 3600000000000 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM g)
+      |SELECT user_id,
+      |       CAST(max(session_idx) + 1 AS BIGINT) AS n_sessions,
+      |       count(*) AS n_events
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Sketch aggregates (HLL distinct count): algorithm-specific, so no SQL
+    * oracle — the driver records a rows-only check. The exact distinct count
+    * rides along for internal sanity.
+    */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct("user_id", 0.01).as("approx_users"),
+        countDistinct("user_id").as("exact_users"))
+      .orderBy("event_type")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_props_extract" -> (propsExtract(_, _)),
+    "q_salted_agg" -> (saltedPowerByHouse(_, _)),
+    "q_value_percentiles" -> (valuePercentiles(_, _)),
+    "q_sessionize" -> (sessionize(_, _)),
+    "q_approx_distinct" -> (approxDistinct(_, _))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_props_extract" -> propsExtractSql,
+    "q_salted_agg" -> saltedPowerByHouseSql,
+    "q_value_percentiles" -> valuePercentilesSql,
+    "q_sessionize" -> sessionizeSql
+    // q_approx_distinct intentionally omitted (sketch, not SQL-reproducible)
+  )
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Ingest, RollupTable}
+import graft.operators.Grid
+
+class IngestSpec extends AnyFunSuite with SharedSpark {
+
+  private val fixtures = getClass.getResource("/fixtures").getPath
+
+  test("REDD loader: id scheme, labels, millis timestamps") {
+    val df = Ingest.loadRedd(spark, s"$fixtures/REDD").cache()
+    assert(df.count() == 4 + 3 + 2 + 2) // channel files' row counts
+    val r = df.filter(col("appliance_id") === "1_1_1_3").orderBy("timestamp").collect()
+    assert(r.length == 3)
+    assert(r.head.getAs[String]("house_id") == "1_1_1")
+    assert(r.head.getAs[String]("appliance_name") == "oven")
+    assert(r.head.getAs[Long]("timestamp") == 1303132964000L)
+    assert(r(1).getAs[Double]("power") == 1850.25)
+    // house 2 channel 2 labeled dishwasher
+    val d = df.filter(col("appliance_id") === "1_1_2_2").select("appliance_name").distinct().collect()
+    assert(d.map(_.getString(0)).toSeq == Seq("dishwasher"))
+  }
+
+  test("REDD loader: channel without a label falls back to unknown") {
+    // house_1 has labels 1-4 but only channels 1,3 exist; fabricate by
+    // checking the join is left: all rows labeled (1,3 both labeled here)
+    val df = Ingest.loadRedd(spark, s"$fixtures/REDD")
+    assert(df.filter(col("appliance_name").isNull).count() == 0)
+  }
+
+  test("GREEND loader: unpivot, header skip, zero coercion, unknown fallback") {
+    val df = Ingest.loadGreend(spark, s"$fixtures/GREEND").cache()
+    // building0: 4 data rows (1 stray header dropped, 0-byte file skipped)
+    // × 4 channels + building1: 1 row × 2 channels
+    assert(df.count() == 4 * 4 + 1 * 2)
+    // NULL cell coerced to 0.0
+    val nullCell = df.filter(
+      col("appliance_id") === "2_1_0_2" && col("timestamp") === 1382392496204L)
+    assert(nullCell.select("power").head().getDouble(0) == 0.0)
+    // 4th column of building0 has no label → unknown
+    val unk = df.filter(col("appliance_id") === "2_1_0_3")
+      .select("appliance_name").distinct().collect()
+    assert(unk.map(_.getString(0)).toSeq == Seq("unknown"))
+    // labeled column
+    val radio = df.filter(col("appliance_id") === "2_1_0_2")
+      .select("appliance_name").distinct().head().getString(0)
+    assert(radio == "radio")
+    // building1 house id
+    assert(df.filter(col("house_id") === "2_1_1").count() == 2)
+  }
+
+  test("REDD ∥ GREEND union normalizes to one schema with distinct tags") {
+    val redd = Ingest.loadRedd(spark, s"$fixtures/REDD")
+    val greend = Ingest.loadGreend(spark, s"$fixtures/GREEND")
+    val all = redd.unionByName(greend)
+    val tags = all.select(substring(col("house_id"), 1, 1)).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(tags == Set("1", "2"))
+    assert(all.count() == redd.count() + greend.count())
+  }
+
+  test("perturbation stays within the reference's 0.8-1.2 band and is seeded") {
+    val df = Ingest.loadRedd(spark, s"$fixtures/REDD").filter(col("power") > 0)
+    val base = df.select("appliance_id", "timestamp", "power").cache()
+    val p1 = Ingest.perturb(base, seed = 7).select("power").collect().map(_.getDouble(0))
+    val p2 = Ingest.perturb(base, seed = 7).select("power").collect().map(_.getDouble(0))
+    val orig = base.select("power").collect().map(_.getDouble(0))
+    assert(p1.sameElements(p2)) // deterministic under a fixed seed
+    p1.zip(orig).foreach { case (p, o) =>
+      assert(p >= o * 0.8 - 1e-9 && p <= o * 1.2 + 1e-9)
+    }
+  }
+
+  test("replay schedule compresses event time by the playback factor") {
+    val df = Ingest.loadRedd(spark, s"$fixtures/REDD")
+    val sched = Ingest.replaySchedule(df, playbackSpeed = 3, startWallMillis = 1000L)
+    val rows = sched.select("timestamp", "emit_at_ms").orderBy("timestamp").collect()
+    val t0 = rows.head.getLong(0)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 1000L + (r.getLong(0) - t0) / 3)
+    }
+    // day-shifted instance replays one day later in event time
+    val shifted = Ingest.replaySchedule(df, playbackSpeed = 3, instanceIdx = 1, startWallMillis = 1000L)
+      .select("emit_at_ms").orderBy("emit_at_ms").head().getLong(0)
+    assert(shifted == 1000L + 86400000L / 3)
+  }
+
+  test("materialized rollup serves history identically to the raw-path query") {
+    val dir = java.nio.file.Files.createTempDirectory("rollup").toString
+    RollupTable.materialize(spark, sfDir, dir)
+    val fromRollup = RollupTable.historyFromRollup(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(4)))
+    val fromRaw = Grid.historyAvg(spark, sfDir)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(4)))
+    assert(fromRollup.sameElements(fromRaw))
+  }
+
+  test("rollup partition layout prunes to the queried dates") {
+    val dir = java.nio.file.Files.createTempDirectory("rollup2").toString
+    RollupTable.materialize(spark, sfDir, dir)
+    val allFiles = RollupTable.read(spark, dir).inputFiles.length
+    val pruned = RollupTable.read(spark, dir).filter(col("date") === "2024-01-03")
+    assert(pruned.count() > 0)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    // the date predicate must reach the scan as a partition filter...
+    assert(scan.metadata("PartitionFilters").contains("2024-01-03"))
+    // ...and the partition subtree holds strictly fewer files than the table
+    val datePartFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName == "date=2024-01-03")
+      .flatMap(d => d.listFiles().flatMap(_.listFiles()))
+      .count(_.getName.endsWith(".parquet"))
+    assert(datePartFiles > 0 && datePartFiles < allFiles)
+  }
+}
