@@ -111,12 +111,17 @@ object Grid {
     * date/hour so downstream time filters prune partitions.
     * `sum_power` stays DECIMAL here so re-aggregation (A5) remains exact.
     */
-  def rollup1s(spark: SparkSession, sfDir: String): DataFrame =
-    powerReadings(spark, sfDir)
+  def rollup1s(
+      spark: SparkSession,
+      sfDir: String,
+      preFilter: Option[Column] = None): DataFrame = {
+    val readings = powerReadings(spark, sfDir)
+    preFilter.fold(readings)(readings.filter)
       .groupBy(col("epoch_s"), col("house_id"), col("appliance_id"), col("appliance_name"))
       .agg(
         count(lit(1)).as("cnt"),
         sum(col("power").cast(DecimalType(18, 2))).as("sum_power_dec"))
+  }
 
   def qRollup1s(spark: SparkSession, sfDir: String): DataFrame =
     rollup1s(spark, sfDir)
@@ -149,6 +154,19 @@ object Grid {
     }
   }
 
+  /** Epoch-second interval predicate phrased on the RAW `ts` column (ns) so
+    * it reaches the parquet scan as a pushed filter (`PushedFilters:
+    * GreaterThanOrEqual(ts,...)`) and prunes row groups by min/max stats.
+    * A predicate on the derived `epoch_s = ts div 1e9` is equivalent row-wise
+    * (`ts` is a non-negative integer) but only evaluates post-scan.
+    */
+  def tsIntervalPredicate(intervals: Seq[(Long, Long)]): Column =
+    intervals
+      .map { case (s, e) =>
+        col("ts_ns") >= s * 1000000000L && col("ts_ns") < e * 1000000000L
+      }
+      .reduce(_ || _)
+
   /** Average power per appliance across the lookback intervals, computed as
     * sum-of-sums over the rollup (A5) then an algebraic average (A6) — the
     * partial/final split the reference spreads across Druid ingest + broker,
@@ -156,11 +174,7 @@ object Grid {
     * key so Catalyst pushes it below the first aggregate into the scan.
     */
   def historyAvg(spark: SparkSession, sfDir: String): DataFrame = {
-    val inInterval = historyIntervals
-      .map { case (s, e) => col("epoch_s") >= s && col("epoch_s") < e }
-      .reduce(_ || _)
-    rollup1s(spark, sfDir)
-      .filter(inInterval)
+    rollup1s(spark, sfDir, preFilter = Some(tsIntervalPredicate(historyIntervals)))
       .groupBy("house_id", "appliance_id")
       .agg(
         sum("cnt").as("count_w"),
@@ -268,7 +282,7 @@ object Grid {
 
   def recentRange(spark: SparkSession, sfDir: String): DataFrame =
     powerReadings(spark, sfDir)
-      .filter(col("epoch_s") >= NowEpoch - 86400L && col("epoch_s") < NowEpoch)
+      .filter(tsIntervalPredicate(Seq((NowEpoch - 86400L, NowEpoch))))
       .select("event_id", "house_id", "appliance_id", "power")
       .orderBy("event_id")
 
@@ -300,11 +314,8 @@ object Grid {
     * filter) — partition-prunable at scale.
     */
   def intervalUnionFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    val pred = historyIntervals
-      .map { case (s, e) => col("epoch_s") >= s && col("epoch_s") < e }
-      .reduce(_ || _)
     powerReadings(spark, sfDir)
-      .filter(pred)
+      .filter(tsIntervalPredicate(historyIntervals))
       .groupBy("appliance_name")
       .agg(count(lit(1)).as("n"), dsum(col("power")).as("sum_power"))
       .orderBy("appliance_name")
