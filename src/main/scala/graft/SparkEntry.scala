@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Extended, Grid, Relational}
-import graft.text.TextOps
+import graft.text.{CorpusPipeline, TextOps}
 import graft.dedup.DedupOps
 import graft.ann.SimilarityOps
 import graft.multimodal.MediaOps
@@ -23,6 +23,7 @@ object SparkEntry {
       (Relational.queries, Relational.oracle),
       (Extended.queries, Extended.oracle),
       (TextOps.queries, TextOps.oracle),
+      (CorpusPipeline.queries, CorpusPipeline.oracle),
       (DedupOps.queries, DedupOps.oracle),
       (SimilarityOps.queries, SimilarityOps.oracle),
       (MediaOps.queries, MediaOps.oracle)

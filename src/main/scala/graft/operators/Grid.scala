@@ -101,6 +101,34 @@ object Grid {
        |GROUP BY 1, 2, 3
        |ORDER BY window_start, appliance_id""".stripMargin
 
+  /** The same metric through the typed [[graft.functions.DutyCycleAggregator]]
+    * UDAF — identical results, alternative API packaging (SURVEY.md §7.3).
+    */
+  def dutyCycleUdaf(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DutyCycleAgg.register(spark, PowerThreshold)
+    powerReadings(spark, sfDir)
+      .groupBy(
+        window(col("time"), "25 seconds", "5 seconds"),
+        col("house_id"),
+        col("appliance_id"))
+      .agg(expr("duty_cycle_agg(power)").as("duty_cycle"))
+      .withColumn("window_start", col("window.start").cast("long"))
+      .drop("window")
+      .select("window_start", "house_id", "appliance_id", "duty_cycle")
+      .orderBy("window_start", "appliance_id")
+  }
+
+  val dutyCycleUdafSql: String =
+    s"""WITH $PowerCte,
+       |exploded AS (
+       |  SELECT p.*, (p.epoch_s // 5) * 5 - k.i * 5 AS window_start
+       |  FROM power p CROSS JOIN (VALUES (0),(1),(2),(3),(4)) AS k(i))
+       |SELECT window_start, house_id, appliance_id,
+       |       count(CASE WHEN power > $PowerThreshold THEN 1 END) / count(power) AS duty_cycle
+       |FROM exploded
+       |GROUP BY 1, 2, 3
+       |ORDER BY window_start, appliance_id""".stripMargin
+
   // -------------------------------------------------------------------------
   // SECOND rollup — A4, Druid_conf_power_raw_avro:8-26
   // -------------------------------------------------------------------------
@@ -492,6 +520,7 @@ object Grid {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_duty_cycle" -> (dutyCycle(_, _)),
+    "q_duty_cycle_udaf" -> (dutyCycleUdaf(_, _)),
     "q_rollup_1s" -> (qRollup1s(_, _)),
     "q_history_avg" -> (historyAvg(_, _)),
     "q_total_power" -> (totalPower(_, _)),
@@ -512,6 +541,7 @@ object Grid {
 
   def oracle: Map[String, String] = Map(
     "q_duty_cycle" -> dutyCycleSql,
+    "q_duty_cycle_udaf" -> dutyCycleUdafSql,
     "q_rollup_1s" -> rollup1sSql,
     "q_history_avg" -> historyAvgSql,
     "q_total_power" -> totalPowerSql,

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Grid
+
+/** The reference's scheduled history batch job (`batch/druid_batch.py` driven
+  * by `batch/airflow_DAG.py`) as one Spark job: re-aggregate the rollup over
+  * the lookback intervals, stamp the job time, serialize JSON — no Druid HTTP
+  * hop, no pandas client-side loop, no Airflow.
+  *
+  * The clock is injected (SURVEY.md §7.4): callers pass `jobTimeMillis`, so
+  * runs are deterministic and testable.
+  */
+object HistoryJob {
+
+  /** One run of the history query as keyed JSON records. Field order matches
+    * the reference's spliced output (`druid_batch.py:110-113`: row fields then
+    * the appended job timestamp).
+    */
+  def run(spark: SparkSession, sfDir: String, jobTimeMillis: Long): DataFrame =
+    Grid.historyAvg(spark, sfDir)
+      .withColumn("timestamp", lit(jobTimeMillis))
+      .select(
+        col("house_id").as("key"),
+        to_json(struct(
+          col("house_id"),
+          col("appliance_id"),
+          col("avg_power"),
+          col("timestamp"))).as("value"))
+
+  /** The Airflow cadence (`airflow_DAG.py:9-11`: every half-window of scaled
+    * wall time) as a ProcessingTime-triggered stream: a rate source ticks the
+    * schedule, foreachBatch executes one batch run per tick and appends to
+    * `outPath`. `Trigger.AvailableNow` (one tick, then stop) makes it a
+    * cron-style single run.
+    */
+  def scheduled(
+      spark: SparkSession,
+      sfDir: String,
+      outPath: String,
+      cadence: Trigger = Trigger.AvailableNow(),
+      clock: () => Long = () => System.currentTimeMillis()): StreamingQuery =
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", 1)
+      .load()
+      .writeStream
+      .trigger(cadence)
+      .option("checkpointLocation", s"$outPath/_checkpoints")
+      .foreachBatch { (_: DataFrame, batchId: Long) =>
+        run(spark, sfDir, clock())
+          .write.mode("append").json(s"$outPath/batch_$batchId")
+        ()
+      }
+      .start()
+}

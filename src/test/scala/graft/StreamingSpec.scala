@@ -136,6 +136,33 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(decoded == readings)
   }
 
+  test("duty-cycle streaming plan sustains 100k+ rows/s (BASELINE.md ingest target)") {
+    import spark.implicits._
+    // setup (untimed): 1M readings as parquet, the streaming source's input.
+    // MemoryStream would bottleneck on single-threaded driver-side row
+    // encoding in addData — a file source measures the plan, not the driver.
+    val n = 1000000L
+    val dir = java.nio.file.Files.createTempDirectory("duty_bench").toString
+    spark.range(n).map(StreamingSpec.genReading).repartition(16)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val t0 = System.nanoTime()
+    val query = StreamingDutyCycle
+      .plan(stream, GridConfig())
+      .writeStream
+      .format("memory")
+      .queryName("duty_bench")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      query.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(spark.table("duty_bench").count() >= 0) // sink materialized
+      assert(n / sec > 100000, f"duty-cycle stream too slow: ${n / sec}%.0f rows/s")
+    } finally query.stop()
+  }
+
   test("avro wire sustains encode+decode throughput in-JVM") {
     import spark.implicits._
     val n = 200000L
