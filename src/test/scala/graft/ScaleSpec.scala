@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{GridConfig, StreamingDutyCycle}
+import graft.streaming.StreamingDutyCycle.PowerReading
+
+/** Scale-posture mechanics: bucketed co-located joins (no shuffle) and the
+  * RocksDB state store (bounded-memory streaming state at 10k+ appliances).
+  */
+class ScaleSpec extends AnyFunSuite with SharedSpark {
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      joined.collect()
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      // the only exchange allowed is the final single-key aggregation; the
+      // join itself must be co-located via bucket pruning
+      assert(shuffles.size <= 1, s"expected bucketed join without shuffle, got ${shuffles.size} exchanges")
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("SortMergeJoin"))
+      // sanity: same result as the unbucketed join
+      val direct = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bucketed = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(bucketed == direct)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("duty-cycle stream runs identically on the RocksDB state store") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[PowerReading]
+      val query = StreamingDutyCycle
+        .plan(input.toDF(), GridConfig(windowMin = 2, playbackSpeed = 12, watermarkSec = 2))
+        .writeStream
+        .format("memory")
+        .queryName("duty_rocks")
+        .outputMode(OutputMode.Append)
+        .start()
+      try {
+        def r(s: Long, p: Double) =
+          PowerReading(new java.sql.Timestamp(s * 1000), "h0", "lamp", "h0_a0", p)
+        input.addData(r(100, 10.0), r(102, 1.0))
+        query.processAllAvailable()
+        input.addData(r(400, 0.0))
+        query.processAllAvailable()
+        val out = spark.table("duty_rocks")
+          .select("time_end", "duty_cycle").collect()
+          .map(x => (x.getTimestamp(0).getTime / 1000, x.getDouble(1))).toSet
+        // same windows as the HDFS-backed run in StreamingSpec:
+        // [92,102) holds only t=100 (active) → 1.0; [96,106) holds both → 0.5
+        assert(out.contains((102L, 1.0)))
+        assert(out.contains((106L, 0.5)))
+      } finally query.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
