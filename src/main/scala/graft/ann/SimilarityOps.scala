@@ -78,11 +78,13 @@ object SimilarityOps {
     val scored = a
       .join(broadcast(b), col("qid") =!= col("cid"))
       .withColumn("cos", dot("qv", "cv") / (sqrt(col("qn")) * sqrt(col("cn"))))
-    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    // argmax as a hash aggregate (max_by over a lexicographic struct) instead
+    // of a rank window — no per-partition sort of the n² candidate rows. The
+    // -cid component reproduces the window's (cos DESC, cid ASC) tie-break.
     scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") === 1)
-      .select(col("qid").as("vec_id"), col("cid").as("nn_id"))
+      .groupBy("qid")
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("nn_id"))
+      .select(col("qid").as("vec_id"), col("nn_id"))
       .orderBy("vec_id")
   }
 

@@ -164,7 +164,45 @@ object Relational {
        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** As-of join: for every error event, the most recent purchase by the same
+    * user strictly before it. Spark lacks a native as-of join; rather than a
+    * custom SparkPlan, this composes built-ins (preference (a) of the build
+    * rules): tag both sides, one shuffle on the key, then an
+    * ignore-nulls last_value over an exclusive-preceding frame. Wall-clock is
+    * one sort per user partition — the same cost profile as a merge-based
+    * as-of join, with Catalyst handling spill and codegen.
+    */
+  def asofPrevPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("event_id"), col("ts").as("ts_ns"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn(
+        "prev_purchase",
+        last(when(col("event_type") === "purchase", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("prev_purchase"))
+      .orderBy("error_id")
+  }
+
+  val asofPrevPurchaseSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tns, event_type
+      |  FROM events WHERE event_type IN ('purchase', 'error')),
+      |m AS (
+      |  SELECT user_id, event_id, event_type,
+      |         last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY tns, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase
+      |  FROM t)
+      |SELECT user_id, event_id AS error_id, prev_purchase
+      |FROM m WHERE event_type = 'error'
+      |ORDER BY error_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (asofPrevPurchase(_, _)),
     "q_star_join" -> (starJoin(_, _)),
     "q_semi_join" -> (semiJoin(_, _)),
     "q_anti_join" -> (antiJoin(_, _)),
@@ -175,6 +213,7 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_asof_join" -> asofPrevPurchaseSql,
     "q_star_join" -> starJoinSql,
     "q_semi_join" -> semiJoinSql,
     "q_anti_join" -> antiJoinSql,
