@@ -188,7 +188,148 @@ object SimilarityOps {
        |GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  // -------------------------------------------------------------------------
+  // IVF-style partitioning — the second scale path besides LSH buckets
+  // -------------------------------------------------------------------------
+
+  val NumCentroids = 8
+
+  /** Deterministic md5-seeded centroids (a stand-in for k-means training —
+    * at scale these would come from a sampled k-means job; determinism keeps
+    * the oracle exact). centroid k's coefficient i derives from
+    * md5("ivf_k_i") exactly like the LSH hyperplanes.
+    */
+  lazy val centroids: IndexedSeq[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until NumCentroids).map { k =>
+      Array.tabulate(Dim) { i0 =>
+        val i = i0 + 1
+        md.reset()
+        val hex = md.digest(s"ivf_${k}_$i".getBytes("UTF-8"))
+          .take(4).map(b => f"${b & 0xff}%02x").mkString
+        java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+      }
+    }
+  }
+
+  /** Left-to-right self dot — must mirror DuckDB's list_sum order. */
+  private def selfDot(a: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    s
+  }
+
+
+  /** Assign every vector to its nearest centroid (argmin over the monotone
+    * score |c|² − 2·v·c, identical formula both engines). The per-centroid
+    * population is the oracle-checked output; the assignment column is the
+    * candidate-pruning key for IVF search.
+    */
+  def ivfAssignments(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val withC = (0 until NumCentroids).foldLeft(e) { (df, k) =>
+      df.withColumn(s"c_$k", array(centroids(k).map(lit(_)): _*))
+    }
+    val scored = (0 until NumCentroids).foldLeft(withC) { (df, k) =>
+      df.withColumn(s"d_$k", lit(selfDot(centroids(k))) - lit(2.0) * expr(s"dot_arrays(v, c_$k)"))
+    }
+    val ks = 0 until NumCentroids
+    val assign = ks.init.foldRight(lit(ks.last)) { case (k, elseCol) =>
+      val leAll = ks.drop(k + 1).map(o => col(s"d_$k") <= col(s"d_$o")).reduce(_ && _)
+      when(leAll, lit(k)).otherwise(elseCol)
+    }
+    scored.select(col("vec_id"), assign.as("centroid_id"))
+  }
+
+  def ivfBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    ivfAssignments(spark, sfDir)
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"))
+      .orderBy("centroid_id")
+
+  /** Shared oracle CTEs: derived centroids (one row per k, coefficients from
+    * md5 exactly as [[centroids]]) and per-vector assignment via a rank-1
+    * argmin ordered (distance, k) — ties resolve to the lowest k, matching
+    * the Spark CASE chain.
+    */
+  private val assignCtes: String = {
+    val kVals = (0 until NumCentroids).map(k => s"($k)").mkString(", ")
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT t.k,
+       |         list_transform(generate_series(1, ${Dim}), i ->
+       |           (CAST('0x' || substr(md5('ivf_' || t.k || '_' || i), 1, 8) AS BIGINT) / 4294967296.0) - 0.5) AS c
+       |  FROM (VALUES $kVals) AS t(k)),
+       |cents2 AS (
+       |  SELECT k, c, list_sum(list_transform(c, x -> x * x)) AS c2 FROM cents),
+       |dists AS (
+       |  SELECT e.vec_id, e.v, cc.k,
+       |         cc.c2 - 2 * list_sum(list_transform(generate_series(1, ${Dim}), i -> e.v[i] * cc.c[i])) AS d
+       |  FROM e CROSS JOIN cents2 cc),
+       |assigned AS (
+       |  SELECT vec_id, v, k AS centroid_id FROM (
+       |    SELECT vec_id, v, k,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+       |    FROM dists)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  val ivfBucketsSql: String =
+    s"""WITH $assignCtes
+       |SELECT CAST(centroid_id AS INT) AS centroid_id,
+       |       count(*) AS n_vectors, min(vec_id) AS min_vec_id
+       |FROM assigned
+       |GROUP BY 1 ORDER BY centroid_id""".stripMargin
+
+  /** IVF search: top-3 cosine neighbors per query, candidates restricted to
+    * the query's centroid cell (nprobe=1) — the approximate-but-bounded scale
+    * path. Deterministic, so exactly reproducible in the oracle.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val assigns = ivfAssignments(spark, sfDir)
+    val e = withNorm(Tables.embeddings(spark, sfDir), "vec_id", "v", "nn")
+      .join(assigns, "vec_id")
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
+        col("centroid_id").as("qc"))
+    val c = e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nn").as("cn"),
+      col("centroid_id").as("cc"))
+    val scored = c
+      .join(broadcast(q), col("qc") === col("cc") && col("qid") =!= col("cid"))
+      .withColumn("cos", dot("qv", "cv") / (sqrt(col("qn")) * sqrt(col("cn"))))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid")
+      .orderBy("qid", "rank")
+  }
+
+  def ivfTopKSql(nQueries: Int = 10, k: Int = 3): String =
+    s"""WITH $assignCtes,
+       |normed AS (
+       |  SELECT vec_id, v, centroid_id,
+       |         list_sum(list_transform(v, x -> x * x)) AS nn
+       |  FROM assigned),
+       |pairs AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |         list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+       |           / (sqrt(q.nn) * sqrt(c.nn)) AS cos
+       |  FROM normed q JOIN normed c
+       |    ON q.centroid_id = c.centroid_id AND q.vec_id < $nQueries AND q.vec_id <> c.vec_id)
+       |SELECT qid, rank, cid FROM (
+       |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+       |  FROM pairs)
+       |WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ivf_buckets" -> (ivfBuckets(_, _)),
+    "q_ivf_topk" -> (ivfTopK(_, _)),
     "q_ann_topk" -> (annTopK(_, _)),
     "q_knn_1nn" -> (knn1(_, _)),
     "q_cosine_pairs" -> (cosinePairs(_, _)),
@@ -196,6 +337,8 @@ object SimilarityOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_ivf_buckets" -> ivfBucketsSql,
+    "q_ivf_topk" -> ivfTopKSql(),
     "q_ann_topk" -> annTopKSql(),
     "q_knn_1nn" -> knn1Sql,
     "q_cosine_pairs" -> cosinePairsSql(),
