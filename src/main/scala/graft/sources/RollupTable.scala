@@ -18,11 +18,13 @@ import graft.operators.Grid
   */
 object RollupTable {
 
-  /** Build and persist the rollup, partitioned by (date, hour). */
+  /** Build and persist the rollup, partitioned by (date, hour). Keeps BOTH
+    * the exact decimal sum (re-aggregation and the RollupRewrite rule stay
+    * exact) and its double rendering (presentation queries).
+    */
   def materialize(spark: SparkSession, sfDir: String, outPath: String): Unit =
     Grid.rollup1s(spark, sfDir)
       .withColumn("sum_power", col("sum_power_dec").cast(DoubleType))
-      .drop("sum_power_dec")
       .withColumn("date", to_date(timestamp_seconds(col("epoch_s"))))
       .withColumn("hour", (expr("epoch_s div 3600") % 24).cast("int"))
       .repartition(col("date")) // one writer task per partition dir, no tiny files
@@ -51,7 +53,7 @@ object RollupTable {
       .groupBy("house_id", "appliance_id")
       .agg(
         sum("cnt").as("count_w"),
-        sum("sum_power").as("sum_power_w"))
+        sum("sum_power_dec").cast("double").as("sum_power_w"))
       .select(
         col("house_id"),
         col("appliance_id"),
