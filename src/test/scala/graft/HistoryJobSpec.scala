@@ -2,9 +2,41 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.HistoryJob
+import graft.streaming.{HistoryJob, RollupStreamJob, StreamingDutyCycle}
 
 class HistoryJobSpec extends AnyFunSuite with SharedSpark {
+
+  test("streaming rollup job maintains the partitioned table incrementally") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = java.nio.file.Files.createTempDirectory("rsj_src").toString
+    val table = java.nio.file.Files.createTempDirectory("rsj_tbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rsj_ckpt").toString
+    def rd(sec: Long, p: Double) = StreamingDutyCycle.PowerReading(
+      new java.sql.Timestamp(sec * 1000L), "h0", "lamp", "h0_a0", p)
+    spark.createDataset(Seq(rd(10, 1.0), rd(10, 2.0), rd(11, 3.0), rd(5000, 0.0)))
+      .toDF().write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = RollupStreamJob.start(
+      spark.readStream.schema(schema).parquet(src), table, ckpt)
+    q.awaitTermination(60000)
+    // second increment: new data closes more buckets; restart resumes
+    spark.createDataset(Seq(rd(5001, 7.0), rd(9999, 0.0)))
+      .toDF().write.mode("append").parquet(src)
+    val q2 = RollupStreamJob.start(
+      spark.readStream.schema(schema).parquet(src), table, ckpt)
+    q2.awaitTermination(60000)
+    val out = spark.read.parquet(table)
+      .select("epoch_s", "cnt", "sum_power").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(out.contains((10L, 2L, 3.0)))
+    assert(out.contains((11L, 1L, 3.0)))
+    assert(out.contains((5001L, 1L, 7.0)))
+    // partition layout present
+    val dates = new java.io.File(table).listFiles().map(_.getName).filter(_.startsWith("date="))
+    assert(dates.nonEmpty)
+  }
 
   test("history run emits keyed JSON with the reference's field order and injected clock") {
     val jobTime = 1706572800123L
