@@ -129,7 +129,53 @@ object Extended {
         countDistinct("user_id").as("exact_users"))
       .orderBy("event_type")
 
+  /** Pivot (long→wide): per-house power split into one column per event
+    * type — the inverse of the GREEND unpivot. Spark's `.pivot` with
+    * explicit values plans the same conditional aggregation the SQL twin
+    * spells out, and stays a single shuffle.
+    */
+  val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotPower(spark: SparkSession, sfDir: String): DataFrame =
+    Grid.powerReadings(spark, sfDir)
+      .groupBy("house_id")
+      .pivot("appliance_name", PivotTypes)
+      .agg(Grid.dsum(col("power")))
+      .na.fill(0.0, PivotTypes)
+      .orderBy("house_id")
+
+  val pivotPowerSql: String = {
+    val cols = PivotTypes.map { t =>
+      s"COALESCE(CAST(SUM(CASE WHEN appliance_name = '$t' THEN CAST(power AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS $t"
+    }.mkString(",\n       ")
+    s"""WITH ${Grid.PowerCte}
+       |SELECT house_id,
+       |       $cols
+       |FROM power GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Collection aggregation: the distinct appliance set per house as a sorted
+    * array column (collect_set + array_sort — order-independent, so
+    * deterministic under any shuffle schedule).
+    */
+  def applianceSets(spark: SparkSession, sfDir: String): DataFrame =
+    Grid.powerReadings(spark, sfDir)
+      .groupBy("house_id")
+      .agg(
+        array_sort(collect_set(col("appliance_id"))).as("appliances"),
+        countDistinct("appliance_id").as("n_appliances"))
+      .orderBy("house_id")
+
+  val applianceSetsSql: String =
+    s"""WITH ${Grid.PowerCte}
+       |SELECT house_id,
+       |       list_sort(list(DISTINCT appliance_id)) AS appliances,
+       |       count(DISTINCT appliance_id) AS n_appliances
+       |FROM power GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot_power" -> (pivotPower(_, _)),
+    "q_appliance_sets" -> (applianceSets(_, _)),
     "q_props_extract" -> (propsExtract(_, _)),
     "q_salted_agg" -> (saltedPowerByHouse(_, _)),
     "q_value_percentiles" -> (valuePercentiles(_, _)),
@@ -138,6 +184,8 @@ object Extended {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_pivot_power" -> pivotPowerSql,
+    "q_appliance_sets" -> applianceSetsSql,
     "q_props_extract" -> propsExtractSql,
     "q_salted_agg" -> saltedPowerByHouseSql,
     "q_value_percentiles" -> valuePercentilesSql,

@@ -38,10 +38,19 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
                 i = int(np.argmin(eq))
                 return False, f"col {c} row {i}: {av[i]!r} != {bv[i]!r} (maxdiff {np.nanmax(np.abs(av.astype(float)-bv.astype(float)))})"
         else:
+            def cell_eq(x, y):
+                if isinstance(x, (list, np.ndarray)) or isinstance(y, (list, np.ndarray)):
+                    return list(x) == list(y)
+                try:
+                    if pd.isna(x) and pd.isna(y):
+                        return True
+                except (TypeError, ValueError):
+                    pass
+                return x == y
             try:
                 eq = (av == bv) | (pd.isna(av) & pd.isna(bv))
             except Exception:
-                eq = np.array([x == y or (pd.isna(x) and pd.isna(y)) for x, y in zip(av, bv)])
+                eq = np.array([cell_eq(x, y) for x, y in zip(av, bv)])
             if not np.asarray(eq).all():
                 i = int(np.argmin(np.asarray(eq)))
                 return False, f"col {c} row {i}: {av[i]!r} != {bv[i]!r}"
