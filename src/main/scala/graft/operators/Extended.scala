@@ -173,7 +173,113 @@ object Extended {
        |       count(DISTINCT appliance_id) AS n_appliances
        |FROM power GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Rolling 3-reading window frame per appliance: exact decimal sum over the
+    * frame, algebraic average — deterministic regardless of how either engine
+    * evaluates the frame internally (running vs re-scan vs segment tree).
+    */
+  def movingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val frame = Window.partitionBy("appliance_id").orderBy("ts_ns", "event_id")
+      .rowsBetween(-2, Window.currentRow)
+    Grid.powerReadings(spark, sfDir)
+      .select(col("event_id"), col("appliance_id"), col("ts_ns"), col("power"))
+      .withColumn("n_window",
+        count(lit(1)).over(frame))
+      .withColumn("sum_window",
+        sum(col("power").cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(frame)
+          .cast("double"))
+      .withColumn("moving_avg", col("sum_window") / col("n_window"))
+      .select("event_id", "appliance_id", "n_window", "sum_window", "moving_avg")
+      .orderBy("appliance_id", "ts_ns", "event_id")
+  }
+
+  val movingAvgSql: String =
+    s"""WITH ${Grid.PowerCte}
+       |SELECT event_id, appliance_id,
+       |       count(*) OVER w AS n_window,
+       |       CAST(SUM(CAST(power AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_window,
+       |       CAST(SUM(CAST(power AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(*) OVER w AS moving_avg
+       |FROM power
+       |WINDOW w AS (PARTITION BY appliance_id ORDER BY ts_ns, event_id
+       |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       |ORDER BY appliance_id, ts_ns, event_id""".stripMargin
+
+  /** Ranking-function family over exact per-appliance totals. */
+  def rankFunctions(spark: SparkSession, sfDir: String): DataFrame = {
+    val totals = Grid.powerReadings(spark, sfDir)
+      .groupBy("house_id", "appliance_id")
+      .agg(Grid.dsum(col("power")).as("sum_power"))
+    val w = Window.partitionBy("house_id").orderBy(desc("sum_power"), asc("appliance_id"))
+    totals
+      .select(
+        col("house_id"),
+        col("appliance_id"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("house_id", "rnk", "appliance_id")
+  }
+
+  val rankFunctionsSql: String =
+    s"""WITH ${Grid.PowerCte},
+       |totals AS (
+       |  SELECT house_id, appliance_id, ${dsumSql("power")} AS sum_power
+       |  FROM power GROUP BY 1, 2)
+       |SELECT house_id, appliance_id,
+       |       CAST(rank() OVER w AS INT) AS rnk,
+       |       CAST(dense_rank() OVER w AS INT) AS drnk,
+       |       CAST(ntile(4) OVER w AS INT) AS quartile
+       |FROM totals
+       |WINDOW w AS (PARTITION BY house_id ORDER BY sum_power DESC, appliance_id)
+       |ORDER BY house_id, rnk, appliance_id""".stripMargin
+
+  /** Regex extraction on the semi-structured props column (digit capture —
+    * a pattern subset where Java regex and RE2 agree).
+    */
+  def regexExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_id"),
+        regexp_extract(col("props"), "([0-9]+)", 1).as("k_str"))
+      .withColumn("k", col("k_str").cast("int"))
+      .groupBy((col("k") % 7).cast("int").as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .orderBy("k_mod")
+
+  val regexExtractSql: String =
+    """WITH x AS (
+      |  SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k
+      |  FROM events)
+      |SELECT CAST(k % 7 AS INT) AS k_mod, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+      |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Canonical text normalization: lowercase, strip non [a-z0-9 ] chars,
+    * collapse runs of whitespace — the cleanup stage ahead of hashing.
+    * DuckDB's regexp_replace needs the 'g' flag to match Spark's
+    * replace-all default.
+    */
+  def textNormalize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")).as("norm_fp"),
+        length(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")).as("norm_len"))
+      .orderBy("doc_id")
+
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      |       md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_fp,
+      |       CAST(length(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS INT) AS norm_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_moving_avg" -> (movingAvg(_, _)),
+    "q_rank_functions" -> (rankFunctions(_, _)),
+    "q_regex_extract" -> (regexExtract(_, _)),
+    "q_text_normalize" -> (textNormalize(_, _)),
     "q_pivot_power" -> (pivotPower(_, _)),
     "q_appliance_sets" -> (applianceSets(_, _)),
     "q_props_extract" -> (propsExtract(_, _)),
@@ -184,6 +290,10 @@ object Extended {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_moving_avg" -> movingAvgSql,
+    "q_rank_functions" -> rankFunctionsSql,
+    "q_regex_extract" -> regexExtractSql,
+    "q_text_normalize" -> textNormalizeSql,
     "q_pivot_power" -> pivotPowerSql,
     "q_appliance_sets" -> applianceSetsSql,
     "q_props_extract" -> propsExtractSql,

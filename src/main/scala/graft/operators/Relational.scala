@@ -201,7 +201,31 @@ object Relational {
       |FROM m WHERE event_type = 'error'
       |ORDER BY error_id""".stripMargin
 
+  /** Set operations (SURVEY §2.6 notes the reference has none — Spark
+    * built-ins): buyers who also clicked, and buyers who never clicked.
+    */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select("user_id").distinct()
+    val both = users("purchase").intersect(users("click"))
+      .withColumn("relation", lit("purchase_and_click"))
+    val onlyBuy = users("purchase").except(users("click"))
+      .withColumn("relation", lit("purchase_no_click"))
+    both.unionByName(onlyBuy).orderBy("relation", "user_id")
+  }
+
+  val setOpsSql: String =
+    """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+      |u AS (
+      |  SELECT user_id, 'purchase_and_click' AS relation FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM c)
+      |  UNION ALL
+      |  SELECT user_id, 'purchase_no_click' AS relation FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c))
+      |SELECT user_id, relation FROM u ORDER BY relation, user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_set_ops" -> (setOps(_, _)),
     "q_asof_join" -> (asofPrevPurchase(_, _)),
     "q_star_join" -> (starJoin(_, _)),
     "q_semi_join" -> (semiJoin(_, _)),
@@ -213,6 +237,7 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_set_ops" -> setOpsSql,
     "q_asof_join" -> asofPrevPurchaseSql,
     "q_star_join" -> starJoinSql,
     "q_semi_join" -> semiJoinSql,
