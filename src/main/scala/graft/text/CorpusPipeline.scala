@@ -83,11 +83,65 @@ object CorpusPipeline {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Deterministic train/val/test split: content-hash bucket (md5 mod 10 →
+    * 8/1/1) so the assignment is reproducible across runs, engines and
+    * cluster layouts — the standard leak-proof split for training corpora.
+    */
+  def datasetSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = expr(s"CAST(conv(substring(md5(text), 1, 6), 16, 10) AS BIGINT) % 10")
+    Tables.documents(spark, sfDir)
+      .withColumn("split",
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("split", "lang")
+  }
+
+  val datasetSplitSql: String =
+    """WITH b AS (
+      |  SELECT lang, n_chars,
+      |         CAST('0x' || substr(md5(text), 1, 6) AS BIGINT) % 10 AS bucket
+      |  FROM documents)
+      |SELECT CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+      |       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Vocabulary statistics: term frequency, document frequency and a
+    * rational salience score (tf·N/df — ln-free so both engines agree
+    * bitwise), top-20 terms.
+    */
+  def vocabStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count() // tiny driver-side scalar; at scale a broadcast agg
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    terms
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("tf"),
+        countDistinct("doc_id").as("df"))
+      .withColumn("salience", col("tf") * lit(n) / col("df"))
+      .orderBy(desc("tf"), asc("term"))
+      .limit(20)
+  }
+
+  val vocabStatsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |n AS (SELECT count(*) AS total FROM documents)
+      |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df,
+      |       count(*) * (SELECT total FROM n) / count(DISTINCT doc_id) AS salience
+      |FROM t GROUP BY term
+      |ORDER BY tf DESC, term LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_clean_corpus" -> (cleanCorpus(_, _))
+    "q_clean_corpus" -> (cleanCorpus(_, _)),
+    "q_dataset_split" -> (datasetSplit(_, _)),
+    "q_vocab_stats" -> (vocabStats(_, _))
   )
 
   def oracle: Map[String, String] = Map(
-    "q_clean_corpus" -> cleanCorpusSql
+    "q_clean_corpus" -> cleanCorpusSql,
+    "q_dataset_split" -> datasetSplitSql,
+    "q_vocab_stats" -> vocabStatsSql
   )
 }

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -124,6 +125,39 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       assert(out((11L, "h0_a0")) == ((1L, 3.0)))
       assert(out((10L, "h0_a1")) == ((1L, 4.0)))
     } finally query.stop()
+  }
+
+  test("stream-stream interval join correlates readings with alerts (J2 future path)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val readings = MemoryStream[PowerReading]
+    val alerts = MemoryStream[(Timestamp, String)]
+    val r = readings.toDF()
+      .withWatermark("time", "5 seconds")
+    val a = alerts.toDF().toDF("alert_time", "alert_app")
+      .withWatermark("alert_time", "5 seconds")
+    val joined = r.join(
+      a,
+      expr("""appliance_id = alert_app AND
+              time >= alert_time - INTERVAL 10 SECONDS AND
+              time <= alert_time + INTERVAL 10 SECONDS"""))
+      .select("appliance_id", "time", "alert_time", "power")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append).start()
+    try {
+      readings.addData(reading(100, 50.0), reading(130, 20.0), reading(100, 1.0, app = "h0_a9"))
+      alerts.addData((ts(105), "h0_a0"), (ts(400), "h0_a0"))
+      q.processAllAvailable()
+      readings.addData(reading(600, 0.0))
+      alerts.addData((ts(600), "h0_a9"))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join")
+        .select("appliance_id", "time", "power").collect()
+        .map(x => (x.getString(0), x.getTimestamp(1).getTime / 1000, x.getDouble(2)))
+        .toSet
+      // only the reading within ±10 s of an alert for the same appliance joins
+      assert(rows == Set(("h0_a0", 100L, 50.0)))
+    } finally q.stop()
   }
 
   test("avro wire round-trips readings exactly") {
