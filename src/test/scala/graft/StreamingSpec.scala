@@ -160,6 +160,38 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState detects ON sessions and times out dangling runs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[PowerReading]
+    val q = graft.streaming.ApplianceSessions
+      .detect(input.toDS(), threshold = 5.0, gapTimeoutSec = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // ON at 100..104, OFF reading at 106 closes the session
+      input.addData(
+        reading(100, 10.0), reading(102, 12.0), reading(104, 8.0), reading(106, 1.0),
+        // second appliance turns ON and never reports OFF
+        reading(100, 50.0, app = "h0_a7"))
+      query(q)
+      // watermark far ahead: the dangling a7 run must close via timeout
+      input.addData(reading(1000, 0.0, app = "h0_a3"))
+      query(q)
+      input.addData(reading(2000, 0.0, app = "h0_a3"))
+      query(q)
+      val rows = spark.table("sessions")
+        .select("appliance_id", "duration_s", "n_readings", "avg_power").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains(("h0_a0", 4L, 3L, 10.0)))
+      assert(rows.contains(("h0_a7", 0L, 1L, 50.0)))
+    } finally q.stop()
+  }
+
+  private def query(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    q.processAllAvailable()
+
   test("avro wire round-trips readings exactly") {
     import spark.implicits._
     val readings = Seq(
