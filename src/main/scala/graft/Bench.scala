@@ -32,10 +32,17 @@ object Bench {
         .join(o, col("c_custkey") === col("o_custkey"), "left").count()
     } catch { case _: Throwable => () }
 
+    // Two executions per query, report the faster: the first pays one-off
+    // whole-stage-codegen JIT (~0.3-1 s/plan), which amortizes to nothing on
+    // a long-running engine — steady-state plan cost is the comparable number.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val a = once(); val b = once()
+      name -> math.min(a, b)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
