@@ -155,7 +155,9 @@ object Grid {
     rollup1s(spark, sfDir)
       .withColumn("sum_power", col("sum_power_dec").cast(DoubleType))
       .drop("sum_power_dec")
-      .orderBy("epoch_s", "appliance_id")
+      // appliance_name is part of the key: one appliance can emit two event
+      // types in the same second, so (epoch_s, appliance_id) alone ties
+      .orderBy("epoch_s", "appliance_id", "appliance_name")
 
   val rollup1sSql: String =
     s"""WITH $PowerCte
@@ -163,7 +165,7 @@ object Grid {
        |       count(*) AS cnt, ${dsumSql("power")} AS sum_power
        |FROM power
        |GROUP BY 1, 2, 3, 4
-       |ORDER BY epoch_s, appliance_id""".stripMargin
+       |ORDER BY epoch_s, appliance_id, appliance_name""".stripMargin
 
   // -------------------------------------------------------------------------
   // History — time-of-day lookback average (W4 + A5 + A6, druid_batch.py:84-113)
