@@ -224,7 +224,51 @@ object Relational {
       |  SELECT user_id, 'purchase_no_click' AS relation FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c))
       |SELECT user_id, relation FROM u ORDER BY relation, user_id""".stripMargin
 
+  /** Full CUBE over two dimensions (all four grouping sets). */
+  def cubeSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val cubeSetsSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** first_value / last_value over an ordered full-partition frame: each
+    * customer's first and latest order keys.
+    */
+  def firstLastOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_custkey"),
+        first("o_orderkey").over(w).as("first_order"),
+        last("o_orderkey").over(w).as("last_order"),
+        count(lit(1)).over(w).as("n_orders"))
+      .distinct()
+      .orderBy("o_custkey")
+  }
+
+  val firstLastOrdersSql: String =
+    """SELECT DISTINCT o_custkey,
+      |       first_value(o_orderkey) OVER w AS first_order,
+      |       last_value(o_orderkey) OVER w AS last_order,
+      |       count(*) OVER w AS n_orders
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube_sets" -> (cubeSets(_, _)),
+    "q_first_last_orders" -> (firstLastOrders(_, _)),
     "q_set_ops" -> (setOps(_, _)),
     "q_asof_join" -> (asofPrevPurchase(_, _)),
     "q_star_join" -> (starJoin(_, _)),
@@ -237,6 +281,8 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_cube_sets" -> cubeSetsSql,
+    "q_first_last_orders" -> firstLastOrdersSql,
     "q_set_ops" -> setOpsSql,
     "q_asof_join" -> asofPrevPurchaseSql,
     "q_star_join" -> starJoinSql,
