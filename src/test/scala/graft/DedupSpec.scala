@@ -71,10 +71,10 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     plantedPairs.foreach(p => assert(found.contains(p), s"planted pair $p not found by simhash"))
   }
 
-  test("simhash fingerprints fit in 32 bits and are deterministic") {
+  test("simhash fingerprints fit in 56 bits and are deterministic") {
     val fp1 = DedupOps.simhashFingerprints(spark, sfDir).collect()
     val fp2 = DedupOps.simhashFingerprints(spark, sfDir).collect()
     assert(fp1.sameElements(fp2))
-    fp1.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) < (1L << 32)))
+    fp1.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) < (1L << 56)))
   }
 }
