@@ -35,6 +35,36 @@ object SimilarityOps {
 
   private def dot(a: String, b: String): Column = expr(s"dot_arrays($a, $b)")
 
+  /** Grid size for [[gridPairs]]. 8×8 = 64 cells saturates local[32]; on a
+    * real cluster B scales with √cores so per-task memory stays O(n/B).
+    */
+  val GridBlocks = 8
+
+  /** Exact all-pairs comparison as a block-partitioned equi-join — the
+    * "1-Bucket-Theta" pattern (Okcan & Riedewald, "Processing Theta-Joins
+    * using MapReduce", SIGMOD '11). Each side hashes its id onto one of B
+    * blocks and replicates B ways onto the (left-block, right-block) grid, so
+    * the pair space becomes a shuffled hash join on the cell key: no corpus
+    * broadcast, no cartesian/BroadcastNestedLoopJoin node, shuffle volume
+    * O(n·B), per-task memory O(n/B). Exactness is structural (every id pair
+    * lands in exactly one cell), so this is the 100 TB form of brute force —
+    * unlike LSH candidates it never misses a low-similarity true neighbor.
+    */
+  private def gridPairs(left: DataFrame, right: DataFrame, cond: Column): DataFrame = {
+    val blocks = array((0 until GridBlocks).map(lit(_)): _*)
+    val leftId = left.columns.head
+    val rightId = right.columns.head
+    val l = left
+      .withColumn("g_lb", pmod(hash(col(leftId)), lit(GridBlocks)))
+      .withColumn("g_rb", explode(blocks))
+    val r = right
+      .withColumn("g_rb", pmod(hash(col(rightId)), lit(GridBlocks)))
+      .withColumn("g_lb", explode(blocks))
+    l.join(r.hint("SHUFFLE_HASH"), Seq("g_lb", "g_rb"))
+      .where(cond)
+      .drop("g_lb", "g_rb")
+  }
+
   /** Exact cosine top-k for a fixed query set (vec_id < nQueries). */
   def annTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
@@ -67,16 +97,18 @@ object SimilarityOps {
        |WHERE rank <= $k
        |ORDER BY qid, rank""".stripMargin
 
-  /** Exact 1-NN for every vector (brute force; the corpus is small enough at
-    * every SF that the full O(n²) candidate join is the fastest exact plan —
-    * at real scale this switches to [[lshBuckets]] candidates).
+  /** Exact 1-NN for every vector. Exact all-NN is inherently Ω(n²) compare
+    * work, so the scale question is the JOIN SHAPE, not the pair count: the
+    * pair space is laid out on the [[gridPairs]] block grid (shuffled
+    * equi-join, no corpus broadcast), every cell computes a partial argmax
+    * (map-side `max_by`), and the final argmax merges B partials per vector.
+    * Approximate-but-cheap variants are [[ivfTopK]] / [[lshBuckets]].
     */
   def knn1(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
     val a = withNorm(e, "qid", "qv", "qn")
     val b = withNorm(e, "cid", "cv", "cn")
-    val scored = a
-      .join(broadcast(b), col("qid") =!= col("cid"))
+    val scored = gridPairs(a, b, col("qid") =!= col("cid"))
       .withColumn("cos", dot("qv", "cv") / (sqrt(col("qn")) * sqrt(col("cn"))))
     // argmax as a hash aggregate (max_by over a lexicographic struct) instead
     // of a rank window — no per-partition sort of the n² candidate rows. The
@@ -105,12 +137,17 @@ object SimilarityOps {
       |WHERE rank = 1
       |ORDER BY vec_id""".stripMargin
 
-  /** Embedding near-duplicate pairs: cosine above threshold, ids only. */
+  /** Embedding near-duplicate pairs: cosine above threshold, ids only.
+    * Same [[gridPairs]] layout as [[knn1]] — a threshold join must also
+    * consider every pair to be exact, and the grid keeps that distributed
+    * (LSH candidates would trade recall below ~0.6 cosine for speed; that
+    * path exists as [[lshBuckets]]).
+    */
   def cosinePairs(spark: SparkSession, sfDir: String, threshold: Double = 0.45): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
     val a = withNorm(e, "id_a", "va", "na")
     val b = withNorm(e, "id_b", "vb", "nb")
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    gridPairs(a, b, col("id_a") < col("id_b"))
       .withColumn("cos", dot("va", "vb") / (sqrt(col("na")) * sqrt(col("nb"))))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b")

@@ -117,17 +117,32 @@ object Extended {
       |       count(*) AS n_events
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Sketch aggregates (HLL distinct count): algorithm-specific, so no SQL
-    * oracle — the driver records a rows-only check. The exact distinct count
-    * rides along for internal sanity.
+  /** Sketch aggregates (HLL distinct count). The sketch itself is not
+    * SQL-reproducible, so the checkable contract is: the exact distinct count
+    * (oracle-able in any engine) plus `approx_ok` = the HLL estimate landed
+    * within 3× its configured relative standard deviation — a boolean the
+    * oracle asserts as a literal `true`. The sketch still runs in the plan.
     */
+  val ApproxRsd = 0.01
+
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy("event_type")
       .agg(
-        approx_count_distinct("user_id", 0.01).as("approx_users"),
+        approx_count_distinct("user_id", ApproxRsd).as("approx_users"),
         countDistinct("user_id").as("exact_users"))
+      .select(
+        col("event_type"),
+        col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) / col("exact_users")
+          <= 3 * ApproxRsd).as("approx_ok"))
       .orderBy("event_type")
+
+  val approxDistinctSql: String =
+    """SELECT event_type,
+      |       count(DISTINCT user_id) AS exact_users,
+      |       true AS approx_ok
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Pivot (long→wide): per-house power split into one column per event
     * type — the inverse of the GREEND unpivot. Spark's `.pivot` with
@@ -154,22 +169,23 @@ object Extended {
        |FROM power GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
-  /** Collection aggregation: the distinct appliance set per house as a sorted
-    * array column (collect_set + array_sort — order-independent, so
-    * deterministic under any shuffle schedule).
+  /** Collection aggregation: the distinct appliance set per house as a sorted,
+    * comma-joined string (collect_set + array_sort + array_join —
+    * order-independent, so deterministic under any shuffle schedule, and a
+    * scalar string so any downstream consumer can hash it directly).
     */
   def applianceSets(spark: SparkSession, sfDir: String): DataFrame =
     Grid.powerReadings(spark, sfDir)
       .groupBy("house_id")
       .agg(
-        array_sort(collect_set(col("appliance_id"))).as("appliances"),
+        array_join(array_sort(collect_set(col("appliance_id"))), ",").as("appliances"),
         countDistinct("appliance_id").as("n_appliances"))
       .orderBy("house_id")
 
   val applianceSetsSql: String =
     s"""WITH ${Grid.PowerCte}
        |SELECT house_id,
-       |       list_sort(list(DISTINCT appliance_id)) AS appliances,
+       |       array_to_string(list_sort(list(DISTINCT appliance_id)), ',') AS appliances,
        |       count(DISTINCT appliance_id) AS n_appliances
        |FROM power GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -299,7 +315,7 @@ object Extended {
     "q_props_extract" -> propsExtractSql,
     "q_salted_agg" -> saltedPowerByHouseSql,
     "q_value_percentiles" -> valuePercentilesSql,
-    "q_sessionize" -> sessionizeSql
-    // q_approx_distinct intentionally omitted (sketch, not SQL-reproducible)
+    "q_sessionize" -> sessionizeSql,
+    "q_approx_distinct" -> approxDistinctSql
   )
 }

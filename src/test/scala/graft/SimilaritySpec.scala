@@ -36,4 +36,44 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(rows.forall { case (a, b) => a < b })
     assert(rows.distinct.length == rows.length)
   }
+
+  test("grid-join plans broadcast nothing corpus-sized: no BNLJ, no cartesian") {
+    Seq(
+      SimilarityOps.knn1(spark, sfDir),
+      SimilarityOps.cosinePairs(spark, sfDir)
+    ).foreach { df =>
+      df.collect() // force AQE final plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    }
+  }
+
+  test("grid-join results equal driver-side brute force") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expectedNn = vecs.map { case (q, qv) =>
+      q -> vecs.filter(_._1 != q)
+        .map { case (c, cv) => (c, cos(qv, cv)) }
+        .maxBy { case (c, s) => (s, -c) }._1
+    }.toMap
+    val gotNn = SimilarityOps.knn1(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotNn == expectedNn)
+
+    val t = 0.45
+    val expectedPairs = (for {
+      (a, av) <- vecs; (b, bv) <- vecs if a < b && cos(av, bv) >= t
+    } yield (a, b)).toSet
+    val gotPairs = SimilarityOps.cosinePairs(spark, sfDir, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs == expectedPairs)
+  }
 }
