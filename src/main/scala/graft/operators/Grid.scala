@@ -148,13 +148,18 @@ object Grid {
       .groupBy(col("epoch_s"), col("house_id"), col("appliance_id"), col("appliance_name"))
       .agg(
         count(lit(1)).as("cnt"),
+        // count/min/max of the measure ride along so the RollupRewrite rule
+        // can serve count(power) null-safely and min/max(power) exactly
+        count(col("power")).as("cnt_power"),
+        min(col("power")).as("min_power"),
+        max(col("power")).as("max_power"),
         sum(col("power").cast(DecimalType(18, 2))).as("sum_power_dec"))
   }
 
   def qRollup1s(spark: SparkSession, sfDir: String): DataFrame =
     rollup1s(spark, sfDir)
       .withColumn("sum_power", col("sum_power_dec").cast(DoubleType))
-      .drop("sum_power_dec")
+      .drop("sum_power_dec", "cnt_power", "min_power", "max_power")
       // appliance_name is part of the key: one appliance can emit two event
       // types in the same second, so (epoch_s, appliance_id) alone ties
       .orderBy("epoch_s", "appliance_id", "appliance_name")

@@ -1,9 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BinaryComparison, Cast, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not, Or}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -14,92 +14,104 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * hook; a deployment would wire the same rule via
   * `SparkSessionExtensions.injectOptimizerRule`) rewrites
   *
-  *   Aggregate(groupings ⊆ {house_id, appliance_id, appliance_name},
-  *             aggs ∈ {count(*) / count(power), sum(power)},
-  *             Project chain over the raw events parquet relation)
+  *   Aggregate(groupings ⊆ {epoch_s, house_id, appliance_id, appliance_name},
+  *             aggs ∈ {count, sum/min/max(power)},
+  *             Project/Filter chain over the raw events parquet relation)
   *
   * onto the materialized rollup table registered as `powerraw_rollup`
-  * (schema: epoch_s, house_id, appliance_id, appliance_name, cnt,
-  * sum_power_dec): counts become sum(cnt), sum(power) becomes
+  * (schema: epoch_s, house_id, appliance_id, appliance_name, cnt, cnt_power,
+  * min_power, max_power, sum_power_dec): counts become sum(cnt) (null-safe
+  * counts of the measure become sum(cnt_power)), sum(power) becomes
   * sum(sum_power_dec) cast to the original result type — exact, because the
-  * rollup keeps DECIMAL sums. Output attribute ids are preserved so parent
-  * operators are untouched.
+  * rollup keeps DECIMAL sums — and min/max(power) become min/max of the
+  * per-group extrema. Output attribute ids are preserved so parent operators
+  * are untouched.
   *
-  * Scope is deliberately conservative: any filter between the aggregate and
-  * the scan, any unknown aggregate function, or any grouping that is not a
-  * rollup-served column leaves the plan unchanged (correct-but-unoptimized
-  * beats wrong-and-fast). The rewrite fires only when the projected raw view
-  * exposes this engine's PowerReading schema (house_id/appliance_id/power
-  * aliases over the events table).
+  * Correctness gates, both structural (VERDICT r1 / ADVICE r1):
+  *
+  *   - The chain's output columns are validated against CANONICAL DEFINITIONS
+  *     captured at [[RollupRewrite.install]] time from the engine's raw power
+  *     view: every grouping/measure column must resolve, through the chain's
+  *     projections, to an expression structurally identical (same `.sql`
+  *     rendering over the scan's columns) to the canonical one. A user
+  *     projection that merely reuses the names (`value * 2 AS power`) no
+  *     longer matches.
+  *   - Filters are allowed only when every atom of the predicate is a
+  *     function of rollup group keys — equality/range/IN/IsNotNull over a
+  *     served key, or a second-aligned bound on the raw `ts` column, which
+  *     maps exactly onto `epoch_s` (`ts >= s·1e9 ⟺ epoch_s >= s` and
+  *     `ts < e·1e9 ⟺ epoch_s < e` for the non-negative integer `ts` this
+  *     table carries). Group-key-constant predicates select whole rollup
+  *     groups, so every aggregate is preserved exactly; anything else — e.g.
+  *     a predicate on the measure — rejects the rewrite
+  *     (correct-but-unoptimized beats wrong-and-fast).
   */
-class RollupRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+class RollupRewrite(spark: SparkSession, canonicalSql: Map[String, String])
+    extends Rule[LogicalPlan] {
 
-  val RollupViewName = "powerraw_rollup"
-
-  private val servedKeys = Set("house_id", "appliance_id", "appliance_name", "epoch_s")
+  import RollupRewrite.{analyzeChain, RollupViewName, ServedKeys}
 
   private def rollupPlan(): Option[LogicalPlan] =
     try Some(spark.table(RollupViewName).queryExecution.optimizedPlan)
     catch { case _: Exception => None }
 
-  /** Project-only chain ending at the raw events parquet relation whose
-    * surviving output (column pruning may have removed most of it) stays
-    * within the PowerReading schema — i.e. this subtree is (a pruning of)
-    * the engine's raw power view. A Filter anywhere rejects the chain.
-    */
-  private val powerReadingCols =
-    Set("event_id", "ts_ns", "epoch_s", "time", "house_id", "appliance_id", "appliance_name", "power")
-
-  private def isPowerRawChain(p: LogicalPlan): Boolean = {
-    def chain(q: LogicalPlan): Boolean = q match {
-      case l: LogicalRelation =>
-        l.relation match {
-          case fs: HadoopFsRelation =>
-            fs.location.rootPaths.exists(_.toString.endsWith("events.parquet"))
-          case _ => false
-        }
-      case pr: Project => chain(pr.child)
-      case _ => false
-    }
-    chain(p) && p.output.map(_.name).toSet.subsetOf(powerReadingCols)
-  }
-
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(groups, aggExprs, child, _) if isPowerRawChain(child) =>
-      rollupPlan()
-        .flatMap(tryRewrite(groups, aggExprs, _))
-        .getOrElse(agg)
+    case agg @ Aggregate(groups, aggExprs, child, _) =>
+      (for {
+        (defs, conds) <- analyzeChain(child)
+        rollup <- rollupPlan()
+        rewritten <- tryRewrite(groups, aggExprs, defs, conds, rollup)
+      } yield rewritten).getOrElse(agg)
   }
+
+  /** The chain output name's scan-space definition matches the canonical
+    * power-view definition captured at install time.
+    */
+  private def isCanonical(name: String, defs: Map[String, Expression]): Boolean =
+    defs.get(name).exists(d => canonicalSql.get(name).contains(d.sql))
 
   private def tryRewrite(
       groups: Seq[Expression],
       aggExprs: Seq[NamedExpression],
+      defs: Map[String, Expression],
+      conds: Seq[Expression],
       rollup: LogicalPlan): Option[LogicalPlan] = {
     val rollupAttr: Map[String, Attribute] = rollup.output.map(a => a.name -> a).toMap
-    if (!servedKeys.forall(rollupAttr.contains) ||
-      !rollupAttr.contains("cnt") || !rollupAttr.contains("sum_power_dec")) return None
+    val rollupCols = ServedKeys ++ Set("cnt", "cnt_power", "min_power", "max_power", "sum_power_dec")
+    if (!rollupCols.forall(rollupAttr.contains)) return None
 
     val groupOk = groups.forall {
-      case a: AttributeReference => servedKeys.contains(a.name)
+      case a: AttributeReference => ServedKeys.contains(a.name) && isCanonical(a.name, defs)
       case _ => false
     }
     if (!groupOk) return None
 
+    // `power` here means: resolves to the canonical measure definition.
+    def isPower(a: AttributeReference): Boolean =
+      a.name == "power" && isCanonical("power", defs)
+
     def rewriteNamed(ne: NamedExpression): Option[NamedExpression] = ne match {
-      case a: AttributeReference if servedKeys.contains(a.name) =>
+      case a: AttributeReference if ServedKeys.contains(a.name) =>
         Some(Alias(rollupAttr(a.name), a.name)(exprId = a.exprId))
       case al @ Alias(AggregateExpression(f, Complete, false, None, _), name) =>
         val rewritten: Option[Expression] = f match {
-          // count(*) / count(lit) / count(power): the raw view's power is
-          // never null, so every form collapses to sum(cnt)
+          // count of anything provably non-null per raw row → row count
           case Count(args) if args.forall {
-                case _: Literal => true
-                case a: AttributeReference => a.name == "power" || servedKeys.contains(a.name)
+                case l: Literal => l.value != null
+                case a: AttributeReference => !a.nullable &&
+                  (ServedKeys.contains(a.name) && isCanonical(a.name, defs) || isPower(a))
                 case _ => false
               } =>
             Some(Cast(Sum(rollupAttr("cnt")).toAggregateExpression(), al.dataType))
-          case Sum(a: AttributeReference, _) if a.name == "power" =>
+          // count(power) with nullable power → the rollup's null-safe count
+          case Count(Seq(a: AttributeReference)) if isPower(a) =>
+            Some(Cast(Sum(rollupAttr("cnt_power")).toAggregateExpression(), al.dataType))
+          case Sum(a: AttributeReference, _) if isPower(a) =>
             Some(Cast(Sum(rollupAttr("sum_power_dec")).toAggregateExpression(), al.dataType))
+          case Min(a: AttributeReference) if isPower(a) =>
+            Some(Cast(Min(rollupAttr("min_power")).toAggregateExpression(), al.dataType))
+          case Max(a: AttributeReference) if isPower(a) =>
+            Some(Cast(Max(rollupAttr("max_power")).toAggregateExpression(), al.dataType))
           case _ => None
         }
         rewritten.map(e => Alias(e, name)(exprId = al.exprId))
@@ -108,20 +120,166 @@ class RollupRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
     val newAggExprs = aggExprs.map(rewriteNamed)
     if (newAggExprs.exists(_.isEmpty)) return None
+    val mappedConds = conds.map(mapCond(_, rollupAttr))
+    if (mappedConds.exists(_.isEmpty)) return None
     val newGroups = groups.map { case a: AttributeReference => rollupAttr(a.name): Expression }
-    Some(Aggregate(newGroups, newAggExprs.map(_.get), rollup))
+    val child = mappedConds.flatten
+      .reduceOption(And)
+      .map(Filter(_, rollup))
+      .getOrElse(rollup)
+    Some(Aggregate(newGroups, newAggExprs.map(_.get), child))
   }
+
+  /** Map a scan-space predicate onto rollup columns. Every atom must be a
+    * function of rollup group keys; atom equivalences are exact (not mere
+    * implications), so arbitrary And/Or/Not combinations stay exact.
+    */
+  private def mapCond(e: Expression, rollupAttr: Map[String, Attribute]): Option[Expression] =
+    e match {
+      case And(l, r) =>
+        for { a <- mapCond(l, rollupAttr); b <- mapCond(r, rollupAttr) } yield And(a, b)
+      case Or(l, r) =>
+        for { a <- mapCond(l, rollupAttr); b <- mapCond(r, rollupAttr) } yield Or(a, b)
+      case Not(c) => mapCond(c, rollupAttr).map(Not)
+      case _ => mapAtom(e, rollupAttr)
+    }
+
+  private val NanosPerSec = 1000000000L
+
+  /** A second-aligned epoch-ns literal's epoch-s rendering. */
+  private def alignedSec(l: Literal): Option[Literal] = l.value match {
+    case v: java.lang.Long if v >= 0 && v % NanosPerSec == 0 =>
+      Some(Literal(v / NanosPerSec))
+    case _ => None
+  }
+
+  private def servedKeyFor(e: Expression): Option[String] =
+    ServedKeys.find(k => canonicalSql.get(k).contains(e.sql))
+
+  /** The raw scan's `ts` column (epoch ns): `epoch_s` is its second floor, so
+    * `>=`/`<`/`>`/`<=` with second-aligned bounds map exactly.
+    */
+  private def isRawTs(e: Expression): Boolean = e match {
+    case a: AttributeReference => a.name == "ts"
+    case _ => false
+  }
+
+  private def mapAtom(e: Expression, rollupAttr: Map[String, Attribute]): Option[Expression] =
+    e match {
+      case cmp: BinaryComparison =>
+        val (x, lit, flipped) = (cmp.left, cmp.right) match {
+          case (l: Literal, r) => (r, l, true)
+          case (l, r: Literal) => (l, r, false)
+          case _ => return None
+        }
+        servedKeyFor(x) match {
+          case Some(k) =>
+            val a = rollupAttr(k)
+            Some(if (flipped) cmp.withNewChildren(Seq(lit, a)) else cmp.withNewChildren(Seq(a, lit)))
+          case None if isRawTs(x) =>
+            val es = rollupAttr("epoch_s")
+            // normalized to (ts OP lit): only the aligned closed-lower /
+            // open-upper forms map; ts > s·1e9 / ts <= s·1e9 have sub-second
+            // slack that epoch_s cannot express
+            (cmp, flipped) match {
+              case (_: GreaterThanOrEqual, false) | (_: LessThanOrEqual, true) =>
+                alignedSec(lit).map(GreaterThanOrEqual(es, _)) // ts >= s·1e9
+              case (_: LessThan, false) | (_: GreaterThan, true) =>
+                alignedSec(lit).map(LessThan(es, _)) // ts < e·1e9
+              case _ => None
+            }
+          case None => None
+        }
+      case In(x, list) if list.forall(_.isInstanceOf[Literal]) =>
+        servedKeyFor(x).map(k => In(rollupAttr(k), list))
+      case IsNotNull(x) =>
+        // null propagates through the canonical defs: user_id null ⟺ house_id
+        // null (concat), ts null ⟺ epoch_s null (div), event_type null ⟺
+        // appliance_name null (rename) — all group-key functions.
+        x match {
+          case a: AttributeReference if a.name == "user_id" =>
+            Some(IsNotNull(rollupAttr("house_id")))
+          case a: AttributeReference if a.name == "ts" =>
+            Some(IsNotNull(rollupAttr("epoch_s")))
+          case a: AttributeReference if a.name == "event_type" =>
+            Some(IsNotNull(rollupAttr("appliance_name")))
+          case _ => servedKeyFor(x).map(k => IsNotNull(rollupAttr(k)))
+        }
+      case _ => None
+    }
 }
 
 object RollupRewrite {
-  /** Register the rollup view and install the rule (idempotent). */
-  def install(spark: SparkSession, rollupPath: String): Unit = {
-    spark.read.parquet(rollupPath)
-      .createOrReplaceTempView("powerraw_rollup")
-    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[RollupRewrite])) {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ new RollupRewrite(spark)
+
+  val RollupViewName = "powerraw_rollup"
+
+  private[plans] val ServedKeys = Set("house_id", "appliance_id", "appliance_name", "epoch_s")
+
+  /** Measure + keys whose canonical definitions the rule validates. */
+  private val CanonicalCols = ServedKeys + "power"
+
+  /** Walk a Project/Filter chain down to the raw events parquet relation,
+    * composing projections so every output name (and every filter condition
+    * found along the way) is expressed over the SCAN's own columns. Any node
+    * that is not a Project/Filter/events-scan, or any column that does not
+    * resolve, rejects the chain.
+    */
+  private[plans] def analyzeChain(
+      p: LogicalPlan): Option[(Map[String, Expression], Seq[Expression])] = p match {
+    case l: LogicalRelation if isEventsScan(l) =>
+      Some((l.output.map(a => a.name -> (a: Expression)).toMap, Nil))
+    case pr: Project =>
+      analyzeChain(pr.child).flatMap { case (defs, conds) =>
+        val resolved = pr.projectList.map {
+          case a: AttributeReference => defs.get(a.name).map(a.name -> _)
+          case Alias(child, name) => substitute(child, defs).map(name -> _)
+          case _ => None
+        }
+        if (resolved.exists(_.isEmpty)) None
+        else Some((resolved.flatten.toMap, conds))
+      }
+    case f: Filter =>
+      analyzeChain(f.child).flatMap { case (defs, conds) =>
+        substitute(f.condition, defs).map(c => (defs, conds :+ c))
+      }
+    case _ => None
+  }
+
+  private def isEventsScan(l: LogicalRelation): Boolean = l.relation match {
+    case fs: HadoopFsRelation =>
+      fs.location.rootPaths.exists(_.toString.endsWith("events.parquet"))
+    case _ => false
+  }
+
+  private def substitute(e: Expression, defs: Map[String, Expression]): Option[Expression] = {
+    var ok = true
+    val out = e.transformUp {
+      case a: AttributeReference =>
+        defs.get(a.name) match {
+          case Some(d) => d
+          case None => ok = false; a
+        }
     }
+    if (ok) Some(out) else None
+  }
+
+  /** Register the rollup view, capture the canonical raw-view definitions,
+    * and install the rule (idempotent). `canonicalRaw` is the engine's raw
+    * power view over the SAME events source (e.g. `Grid.powerReadings`); its
+    * optimized projection is the structural fingerprint user plans must match.
+    */
+  def install(spark: SparkSession, rollupPath: String, canonicalRaw: DataFrame): Unit = {
+    spark.read.parquet(rollupPath)
+      .createOrReplaceTempView(RollupViewName)
+    val canonicalSql: Map[String, String] =
+      analyzeChain(canonicalRaw.queryExecution.optimizedPlan)
+        .map(_._1.collect { case (n, e) if CanonicalCols(n) => n -> e.sql })
+        .getOrElse(Map.empty)
+    require(CanonicalCols.forall(canonicalSql.contains),
+      s"canonicalRaw must expose ${CanonicalCols.mkString(", ")} over the events scan")
+    uninstall(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ new RollupRewrite(spark, canonicalSql)
   }
 
   def uninstall(spark: SparkSession): Unit =

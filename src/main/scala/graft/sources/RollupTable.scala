@@ -44,9 +44,14 @@ object RollupTable {
     val inInterval = Grid.historyIntervals
       .map { case (s, e) => col("epoch_s") >= s && col("epoch_s") < e }
       .reduce(_ || _)
-    // partition-level predicate so pruning needs no per-row epoch_s scan
+    // partition-level predicate so pruning needs no per-row epoch_s scan.
+    // The `date` partition column was derived under session timezone UTC, so
+    // the predicate must render in UTC too — java.sql.Date#toString uses the
+    // JVM default zone and shifts a day on UTC+12..+14 hosts.
     val dates = Grid.historyIntervals
-      .map { case (s, _) => new java.sql.Date(s * 1000L).toString }
+      .map { case (s, _) =>
+        java.time.Instant.ofEpochSecond(s).atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+      }
     read(spark, path)
       .filter(col("date").isin(dates: _*))
       .filter(inInterval)

@@ -39,26 +39,34 @@ object AvroWire {
       |  ]
       |}""".stripMargin
 
+  /** One-per-partition encoder closure: reader/writer/buffer allocated once,
+    * reused across rows (call inside `mapPartitions`).
+    */
+  def partitionEncoder(): PowerReading => Array[Byte] = {
+    val schema = new Schema.Parser().parse(SchemaJson)
+    val writer = new GenericDatumWriter[GenericRecord](schema)
+    val out = new ByteArrayOutputStream(64)
+    var encoder: BinaryEncoder = null
+    (r: PowerReading) => {
+      out.reset()
+      encoder = EncoderFactory.get().binaryEncoder(out, encoder)
+      val rec = new GenericData.Record(schema)
+      rec.put("house_id", r.house_id)
+      rec.put("appliance_name", r.appliance_name)
+      rec.put("appliance_id", r.appliance_id)
+      rec.put("timestamp", r.time.getTime)
+      rec.put("power", r.power.toFloat)
+      writer.write(rec, encoder)
+      encoder.flush()
+      out.toByteArray
+    }
+  }
+
   def encodeReadings(readings: Dataset[PowerReading]): Dataset[Array[Byte]] = {
     import readings.sparkSession.implicits._
     readings.mapPartitions { rows =>
-      val schema = new Schema.Parser().parse(SchemaJson)
-      val writer = new GenericDatumWriter[GenericRecord](schema)
-      val out = new ByteArrayOutputStream(64)
-      var encoder: BinaryEncoder = null
-      rows.map { r =>
-        out.reset()
-        encoder = EncoderFactory.get().binaryEncoder(out, encoder)
-        val rec = new GenericData.Record(schema)
-        rec.put("house_id", r.house_id)
-        rec.put("appliance_name", r.appliance_name)
-        rec.put("appliance_id", r.appliance_id)
-        rec.put("timestamp", r.time.getTime)
-        rec.put("power", r.power.toFloat)
-        writer.write(rec, encoder)
-        encoder.flush()
-        out.toByteArray
-      }
+      val codec = partitionEncoder()
+      rows.map(codec)
     }
   }
 

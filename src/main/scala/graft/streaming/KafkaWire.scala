@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import StreamingDutyCycle.PowerReading
+
+/** Kafka wiring for the duty-cycle pipeline — the reference's end-to-end job
+  * shape (`/root/reference/stream_processing/duty_cycle_avro.py:63-89`):
+  * `readStream.format("kafka")` → Avro decode → windowed duty cycle →
+  * keyed `writeStream.format("kafka")`.
+  *
+  * The Kafka connector (`spark-sql-kafka-0-10`) is a RUNTIME dependency:
+  * Spark resolves data sources by name at stream start, so everything here
+  * compiles and unit-plans against plain spark-sql. In a deployment with the
+  * connector jar on the classpath these paths run as-is; without it, `load()`
+  * fails fast with Spark's "Failed to find data source: kafka" error (the
+  * spec asserts exactly that), and the plan stages are covered end-to-end
+  * from MemoryStream because every transform is source-agnostic.
+  *
+  * Avro decode prefers the spark-avro module's codegen'd `from_avro` when the
+  * module is present (reflective lookup — also an optional jar) and falls
+  * back to the hand-rolled [[AvroWire]] mapPartitions codec, which is
+  * byte-compatible with the same schema.
+  */
+object KafkaWire {
+
+  /** Connection/topic settings (`example config/config.ini` shape). */
+  case class KafkaConf(
+      bootstrapServers: String = "localhost:9092",
+      inTopic: String = "power_raw",
+      outTopic: String = "duty_cycle",
+      startingOffsets: String = "earliest",
+      // T4: the reference's job tolerates expired offsets on restart
+      failOnDataLoss: Boolean = false)
+
+  /** The raw Kafka source: one row per message with `key`/`value` binary
+    * columns (`duty_cycle_avro.py:63-69`).
+    */
+  def source(spark: SparkSession, conf: KafkaConf): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", conf.bootstrapServers)
+      .option("subscribe", conf.inTopic)
+      .option("startingOffsets", conf.startingOffsets)
+      .option("failOnDataLoss", conf.failOnDataLoss.toString)
+      .load()
+
+  /** Decode a Kafka-shaped frame (binary `value` column) to typed readings.
+    * spark-avro's `from_avro` when usable (the function ships with sql-api,
+    * but only ANALYZES when the avro data source module is also deployed —
+    * probed by building the projection); [[AvroWire]] otherwise.
+    */
+  def decode(kafkaFrame: DataFrame): Dataset[PowerReading] = {
+    import kafkaFrame.sparkSession.implicits._
+    val viaModule = fromAvroColumn(col("value")).flatMap { rec =>
+      try {
+        Some(kafkaFrame
+          .select(rec.as("r"))
+          .select(
+            timestamp_millis(col("r.timestamp")).as("time"),
+            col("r.house_id"),
+            col("r.appliance_name"),
+            col("r.appliance_id"),
+            col("r.power").cast("double").as("power"))
+          .as[PowerReading])
+      } catch {
+        // AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE and kin
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+    }
+    viaModule.getOrElse(
+      AvroWire.decodeReadings(kafkaFrame.select(col("value")).as[Array[Byte]]))
+  }
+
+  /** `org.apache.spark.sql.avro.functions.from_avro(value, schema)` if the
+    * spark-avro module jar is on the classpath (it is optional, like the
+    * connector). Public API, looked up reflectively so this module has no
+    * compile-time dependency on it.
+    */
+  private[graft] def fromAvroColumn(value: Column): Option[Column] =
+    try {
+      val cls = Class.forName("org.apache.spark.sql.avro.functions$")
+      val module = cls.getField("MODULE$").get(null)
+      val m = cls.getMethod("from_avro", classOf[Column], classOf[String])
+      Some(m.invoke(module, value, AvroWire.SchemaJson).asInstanceOf[Column])
+    } catch {
+      case _: ClassNotFoundException | _: NoSuchMethodException => None
+    }
+
+  /** Keyed Avro producer records (S7): key = house_id (the reference
+    * producers' partitioning key, `producer_REDD_avro.py:172-173`), value =
+    * binary Avro of the reading — the shape both a Kafka batch write and
+    * `writeStream.format("kafka")` accept.
+    */
+  def toKeyedAvro(readings: Dataset[PowerReading]): DataFrame = {
+    import readings.sparkSession.implicits._
+    readings
+      .mapPartitions { rows =>
+        val codec = AvroWire.partitionEncoder()
+        rows.map(r => (r.house_id, codec(r)))
+      }
+      .toDF("key", "value")
+  }
+
+  /** The duty-cycle JSON output stream keyed by house_id
+    * (`duty_cycle_avro.py:83-89`), aimed at `conf.outTopic`. Call `.start()`
+    * where the connector is deployed.
+    */
+  def dutyCycleSink(dutyCycle: DataFrame, conf: KafkaConf): DataStreamWriter[Row] =
+    StreamingDutyCycle.toKeyedRecords(dutyCycle)
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", conf.bootstrapServers)
+      .option("topic", conf.outTopic)
+
+  /** The full job: Kafka source → Avro decode → duty cycle → keyed Kafka
+    * sink. Returns the un-started writer so the caller owns checkpointing
+    * and trigger cadence.
+    */
+  def pipeline(
+      spark: SparkSession,
+      conf: KafkaConf = KafkaConf(),
+      grid: GridConfig = GridConfig()): DataStreamWriter[Row] =
+    dutyCycleSink(StreamingDutyCycle.plan(decode(source(spark, conf)).toDF(), grid), conf)
+}

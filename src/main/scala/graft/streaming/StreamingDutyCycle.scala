@@ -66,13 +66,18 @@ object StreamingDutyCycle {
         col("duty_cycle"))).as("value"))
 
   /** Kafka-keyed sink projection (key = house_id, the reference's
-    * co-partitioning scheme, `producer_REDD_avro.py:172-173`). Attach to a
-    * `writeStream.format("kafka")` (connector provided by the deployment) or
-    * any key/value sink.
+    * co-partitioning scheme, `producer_REDD_avro.py:172-173`): the (key,
+    * value) shape `writeStream.format("kafka")` expects — see
+    * [[KafkaWire.dutyCycleSink]] — or any key/value sink.
     */
   def toKeyedRecords(dutyCycle: DataFrame): DataFrame =
-    toJsonRecords(dutyCycle.withColumn("key", col("house_id")))
-      .withColumn("key", col("key"))
+    dutyCycle.select(
+      col("house_id").as("key"),
+      to_json(struct(
+        col("time_end"),
+        col("house_id"),
+        col("appliance_id"),
+        col("duty_cycle"))).as("value"))
 
   /** The second-granularity rollup (A4, `Druid_conf_power_raw_avro:8-26`) as
     * a streaming aggregate: the durable partial-aggregate table every

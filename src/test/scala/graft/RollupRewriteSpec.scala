@@ -17,17 +17,20 @@ class RollupRewriteSpec extends AnyFunSuite with SharedSpark {
 
   private def raw = Grid.powerReadings(spark, sfDir)
 
+  private def install(): Unit = RollupRewrite.install(spark, rollupDir, raw)
+
+  private def routed(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val plan = df.queryExecution.optimizedPlan.toString
+    plan.contains("sum_power_dec") && !plan.contains("user_id")
+  }
+
   test("aggregates over the raw view are routed to the rollup scan") {
-    RollupRewrite.install(spark, rollupDir)
+    install()
     try {
       val q = raw.groupBy("house_id")
         .agg(count(lit(1)).as("n"), sum("power").as("p"))
         .orderBy("house_id")
-      val plan = q.queryExecution.optimizedPlan.toString
-      // routed plans aggregate the rollup's partial-agg columns
-      assert(plan.contains("cnt") && plan.contains("sum_power_dec"),
-        s"expected rollup routing, got:\n$plan")
-      assert(!plan.contains("user_id"), s"raw events scan still present:\n$plan")
+      assert(routed(q), s"expected rollup routing, got:\n${q.queryExecution.optimizedPlan}")
       // results identical to the unrewritten query
       val rewritten = q.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
       RollupRewrite.uninstall(spark)
@@ -42,25 +45,86 @@ class RollupRewriteSpec extends AnyFunSuite with SharedSpark {
     } finally RollupRewrite.uninstall(spark)
   }
 
-  test("queries outside the proven mapping are left untouched") {
-    RollupRewrite.install(spark, rollupDir)
+  test("filtered dashboard tiles route to the rollup (house, IN-set, time range)") {
+    install()
     try {
-      // a filter between aggregate and scan → no rewrite (raw scan remains)
+      // the dashboard's most common shapes: served-key filters + aggregate
+      val tiles = Seq(
+        raw.filter(col("house_id") === "1_1_0")
+          .groupBy("appliance_id").agg(sum("power").as("p"), count(lit(1)).as("n")),
+        raw.filter(col("house_id").isin("1_1_0", "1_1_2") &&
+            col("appliance_name").isin("click", "purchase"))
+          .groupBy("house_id", "appliance_name").agg(count(lit(1)).as("n")),
+        raw.filter(Grid.tsIntervalPredicate(Grid.historyIntervals))
+          .groupBy("appliance_name").agg(count(lit(1)).as("n"), sum("power").as("p")),
+        raw.filter(col("epoch_s") >= 1704067200L && col("epoch_s") < 1704067500L)
+          .groupBy("house_id").agg(max("power").as("mx"), min("power").as("mn")))
+      tiles.foreach { q =>
+        assert(routed(q), s"expected rollup routing, got:\n${q.queryExecution.optimizedPlan}")
+        val viaRollup = q.orderBy(q.columns.map(col): _*).collect().map(_.toSeq)
+        RollupRewrite.uninstall(spark)
+        val direct = q.orderBy(q.columns.map(col): _*).collect().map(_.toSeq)
+        install()
+        assert(viaRollup.length == direct.length, s"row count differs for:\n$q")
+        viaRollup.zip(direct).foreach { case (a, b) =>
+          a.zip(b).foreach {
+            // double sums: rollup path is exact-decimal, direct is raw double
+            // accumulation — identical up to the double sum's own order noise
+            case (x: Double, y: Double) =>
+              assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)), s"$x vs $y in:\n$q")
+            case (x, y) => assert(x == y, s"$x vs $y in:\n$q")
+          }
+        }
+      }
+    } finally RollupRewrite.uninstall(spark)
+  }
+
+  test("queries outside the proven mapping are left untouched") {
+    install()
+    try {
+      // a filter on the measure → no rewrite (raw scan remains)
       val filtered = raw.filter(col("power") > 100)
         .groupBy("house_id").agg(count(lit(1)).as("n"))
       assert(filtered.queryExecution.optimizedPlan.toString.contains("user_id"))
-      // an aggregate the rollup can't serve (max) → no rewrite
-      val maxq = raw.groupBy("house_id").agg(max("power").as("m"))
-      assert(maxq.queryExecution.optimizedPlan.toString.contains("user_id"))
+      // an aggregate the rollup can't serve (exact percentile) → no rewrite
+      val pctq = raw.groupBy("house_id").agg(expr("percentile(power, 0.5)").as("m"))
+      assert(pctq.queryExecution.optimizedPlan.toString.contains("user_id"))
       // grouping by a non-rollup column → no rewrite
       val byEvent = raw.groupBy("event_id").agg(count(lit(1)).as("n"))
       assert(byEvent.queryExecution.optimizedPlan.toString.contains("event_id#"))
       assert(!byEvent.queryExecution.optimizedPlan.toString.contains("cnt"))
+      // a sub-second time bound epoch_s cannot express → no rewrite
+      val subSec = raw.filter(col("ts_ns") >= 1704067200L * 1000000000L + 1L)
+        .groupBy("house_id").agg(count(lit(1)).as("n"))
+      assert(subSec.queryExecution.optimizedPlan.toString.contains("user_id"))
+    } finally RollupRewrite.uninstall(spark)
+  }
+
+  test("same-named projections with different expressions are NOT rewritten") {
+    install()
+    try {
+      // reuses every PowerReading column name but redefines the measure —
+      // the structural check must reject it (name-match alone would silently
+      // halve every sum)
+      val imposter = Tables.events(spark, sfDir)
+        .select(
+          concat(lit("1_1_"), (col("user_id") % 5).cast("string")).as("house_id"),
+          (col("value") * 2).as("power"))
+        .groupBy("house_id").agg(sum("power").as("p"))
+      assert(imposter.queryExecution.optimizedPlan.toString.contains("user_id"),
+        s"imposter projection was rewritten:\n${imposter.queryExecution.optimizedPlan}")
+      // and a redefined group key must also reject
+      val imposterKey = Tables.events(spark, sfDir)
+        .select(
+          concat(lit("1_1_"), (col("user_id") % 7).cast("string")).as("house_id"),
+          col("value").as("power"))
+        .groupBy("house_id").agg(sum("power").as("p"))
+      assert(imposterKey.queryExecution.optimizedPlan.toString.contains("user_id"))
     } finally RollupRewrite.uninstall(spark)
   }
 
   test("rewrite keeps exact sums (decimal-backed rollup)") {
-    RollupRewrite.install(spark, rollupDir)
+    install()
     try {
       val total = raw.agg(sum("power").as("p")).head().getDouble(0)
       val expected = Grid.totalPower(spark, sfDir).head().getDouble(1)

@@ -202,6 +202,40 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(decoded == readings)
   }
 
+  test("keyed sink projection emits (key=house_id, pinned-field-order json)") {
+    import spark.implicits._
+    val dc = Seq((ts(106), "h0", "h0_a0", 0.5), (ts(114), "h1", "h1_a2", 1.0))
+      .toDF("time_end", "house_id", "appliance_id", "duty_cycle")
+    val rows = StreamingDutyCycle.toKeyedRecords(dc).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(rows.keySet == Set("h0", "h1"))
+    // field order pinned: time_end, house_id, appliance_id, duty_cycle
+    assert(rows("h0").matches(
+      """\{"time_end":"[^"]+","house_id":"h0","appliance_id":"h0_a0","duty_cycle":0\.5\}"""))
+  }
+
+  test("kafka decode round-trips the keyed producer records") {
+    import spark.implicits._
+    val readings = Seq(
+      PowerReading(ts(1303132964), "1_1_0", "refrigerator", "1_1_0_5", 186.0),
+      PowerReading(ts(1303132967), "2_1_3", "unknown", "2_1_3_8", 0.0))
+    val wire = graft.streaming.KafkaWire.toKeyedAvro(spark.createDataset(readings))
+    assert(wire.columns.toSeq == Seq("key", "value"))
+    assert(wire.select("key").as[String].collect().toSet == Set("1_1_0", "2_1_3"))
+    // decode() consumes the kafka frame shape (binary `value` column)
+    val decoded = graft.streaming.KafkaWire.decode(wire).collect().toSeq
+    assert(decoded.sortBy(_.house_id) == readings.sortBy(_.house_id))
+  }
+
+  test("kafka source wiring is real code: resolution fails only at load()") {
+    // the connector jar is absent here, so the data source must fail to
+    // RESOLVE — proving the option wiring executes (not documentation)
+    val err = intercept[Exception] {
+      graft.streaming.KafkaWire.source(spark, graft.streaming.KafkaWire.KafkaConf())
+    }
+    assert(err.getMessage.toLowerCase.contains("kafka"), s"unexpected error: $err")
+  }
+
   test("duty-cycle streaming plan sustains 100k+ rows/s (BASELINE.md ingest target)") {
     import spark.implicits._
     // setup (untimed): 1M readings as parquet, the streaming source's input.
