@@ -112,14 +112,18 @@ object CorpusPipeline {
     */
   def vocabStats(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val n = docs.count() // tiny driver-side scalar; at scale a broadcast agg
+    // corpus size as a broadcast 1-row aggregate: stays inside the one plan
+    // (no separate driver action / extra scan-triggering job)
+    val total = docs.agg(count(lit(1)).as("n_total"))
     val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     terms
       .groupBy("term")
       .agg(
         count(lit(1)).as("tf"),
         countDistinct("doc_id").as("df"))
-      .withColumn("salience", col("tf") * lit(n) / col("df"))
+      .crossJoin(broadcast(total))
+      .withColumn("salience", col("tf") * col("n_total") / col("df"))
+      .drop("n_total")
       .orderBy(desc("tf"), asc("term"))
       .limit(20)
   }
