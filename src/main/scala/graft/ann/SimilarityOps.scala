@@ -50,19 +50,25 @@ object SimilarityOps {
     * lands in exactly one cell), so this is the 100 TB form of brute force —
     * unlike LSH candidates it never misses a low-similarity true neighbor.
     */
-  private def gridPairs(left: DataFrame, right: DataFrame, cond: Column): DataFrame = {
+  private val GridLb = "__graft_grid_lb"
+  private val GridRb = "__graft_grid_rb"
+
+  private def gridPairs(
+      left: DataFrame, leftId: String,
+      right: DataFrame, rightId: String,
+      cond: Column): DataFrame = {
+    require(!(left.columns ++ right.columns).exists(c => c == GridLb || c == GridRb),
+      s"gridPairs inputs must not carry the internal $GridLb/$GridRb columns")
     val blocks = array((0 until GridBlocks).map(lit(_)): _*)
-    val leftId = left.columns.head
-    val rightId = right.columns.head
     val l = left
-      .withColumn("g_lb", pmod(hash(col(leftId)), lit(GridBlocks)))
-      .withColumn("g_rb", explode(blocks))
+      .withColumn(GridLb, pmod(hash(col(leftId)), lit(GridBlocks)))
+      .withColumn(GridRb, explode(blocks))
     val r = right
-      .withColumn("g_rb", pmod(hash(col(rightId)), lit(GridBlocks)))
-      .withColumn("g_lb", explode(blocks))
-    l.join(r.hint("SHUFFLE_HASH"), Seq("g_lb", "g_rb"))
+      .withColumn(GridRb, pmod(hash(col(rightId)), lit(GridBlocks)))
+      .withColumn(GridLb, explode(blocks))
+    l.join(r.hint("SHUFFLE_HASH"), Seq(GridLb, GridRb))
       .where(cond)
-      .drop("g_lb", "g_rb")
+      .drop(GridLb, GridRb)
   }
 
   /** Exact cosine top-k for a fixed query set (vec_id < nQueries). */
@@ -108,7 +114,7 @@ object SimilarityOps {
     val e = Tables.embeddings(spark, sfDir)
     val a = withNorm(e, "qid", "qv", "qn")
     val b = withNorm(e, "cid", "cv", "cn")
-    val scored = gridPairs(a, b, col("qid") =!= col("cid"))
+    val scored = gridPairs(a, "qid", b, "cid", col("qid") =!= col("cid"))
       .withColumn("cos", dot("qv", "cv") / (sqrt(col("qn")) * sqrt(col("cn"))))
     // argmax as a hash aggregate (max_by over a lexicographic struct) instead
     // of a rank window — no per-partition sort of the n² candidate rows. The
@@ -147,7 +153,7 @@ object SimilarityOps {
     val e = Tables.embeddings(spark, sfDir)
     val a = withNorm(e, "id_a", "va", "na")
     val b = withNorm(e, "id_b", "vb", "nb")
-    gridPairs(a, b, col("id_a") < col("id_b"))
+    gridPairs(a, "id_a", b, "id_b", col("id_a") < col("id_b"))
       .withColumn("cos", dot("va", "vb") / (sqrt(col("na")) * sqrt(col("nb"))))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b")

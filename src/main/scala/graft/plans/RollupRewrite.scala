@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BinaryComparison, Cast, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not, Or}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BinaryComparison, Cast, Coalesce, Concat, Expression, GreaterThan, GreaterThanOrEqual, In, IntegralDivide, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not, Or, Remainder}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** Rollup-aware aggregate routing (SURVEY.md §4 "materialized
   * pre-aggregation"): Druid answers dashboard aggregates from its ingest-time
@@ -46,7 +47,14 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *     a predicate on the measure — rejects the rewrite
   *     (correct-but-unoptimized beats wrong-and-fast).
   */
-class RollupRewrite(spark: SparkSession, canonicalSql: Map[String, String])
+class RollupRewrite(
+    spark: SparkSession,
+    canonicalSql: Map[String, String],
+    // scan column -> served key, only pairs whose canonical def was PROVEN
+    // null-bijective at install time (ADVICE r2: never assume the view shape)
+    nullBijections: Map[String, String],
+    // true only when epoch_s was proven to be exactly `ts div 1e9` at install
+    tsRangeMappable: Boolean)
     extends Rule[LogicalPlan] {
 
   import RollupRewrite.{analyzeChain, RollupViewName, ServedKeys}
@@ -90,6 +98,11 @@ class RollupRewrite(spark: SparkSession, canonicalSql: Map[String, String])
     def isPower(a: AttributeReference): Boolean =
       a.name == "power" && isCanonical("power", defs)
 
+    // Count over empty input is 0, but Sum is NULL — reachable for a global
+    // aggregate whose filter matches no rollup rows (ADVICE r2, high).
+    def sumAsCount(cnt: Attribute): Expression =
+      Coalesce(Seq(Sum(cnt).toAggregateExpression(), Literal(0L)))
+
     def rewriteNamed(ne: NamedExpression): Option[NamedExpression] = ne match {
       case a: AttributeReference if ServedKeys.contains(a.name) =>
         Some(Alias(rollupAttr(a.name), a.name)(exprId = a.exprId))
@@ -102,10 +115,10 @@ class RollupRewrite(spark: SparkSession, canonicalSql: Map[String, String])
                   (ServedKeys.contains(a.name) && isCanonical(a.name, defs) || isPower(a))
                 case _ => false
               } =>
-            Some(Cast(Sum(rollupAttr("cnt")).toAggregateExpression(), al.dataType))
+            Some(Cast(sumAsCount(rollupAttr("cnt")), al.dataType))
           // count(power) with nullable power → the rollup's null-safe count
           case Count(Seq(a: AttributeReference)) if isPower(a) =>
-            Some(Cast(Sum(rollupAttr("cnt_power")).toAggregateExpression(), al.dataType))
+            Some(Cast(sumAsCount(rollupAttr("cnt_power")), al.dataType))
           case Sum(a: AttributeReference, _) if isPower(a) =>
             Some(Cast(Sum(rollupAttr("sum_power_dec")).toAggregateExpression(), al.dataType))
           case Min(a: AttributeReference) if isPower(a) =>
@@ -176,7 +189,7 @@ class RollupRewrite(spark: SparkSession, canonicalSql: Map[String, String])
           case Some(k) =>
             val a = rollupAttr(k)
             Some(if (flipped) cmp.withNewChildren(Seq(lit, a)) else cmp.withNewChildren(Seq(a, lit)))
-          case None if isRawTs(x) =>
+          case None if tsRangeMappable && isRawTs(x) =>
             val es = rollupAttr("epoch_s")
             // normalized to (ts OP lit): only the aligned closed-lower /
             // open-upper forms map; ts > s·1e9 / ts <= s·1e9 have sub-second
@@ -193,16 +206,13 @@ class RollupRewrite(spark: SparkSession, canonicalSql: Map[String, String])
       case In(x, list) if list.forall(_.isInstanceOf[Literal]) =>
         servedKeyFor(x).map(k => In(rollupAttr(k), list))
       case IsNotNull(x) =>
-        // null propagates through the canonical defs: user_id null ⟺ house_id
-        // null (concat), ts null ⟺ epoch_s null (div), event_type null ⟺
-        // appliance_name null (rename) — all group-key functions.
+        // A scan column maps onto a key only when install() PROVED the key's
+        // canonical def null-bijective in that column (e.g. user_id null ⟺
+        // house_id null through the null-propagating concat). Unproven shapes
+        // fall through to the exact-definition path or reject.
         x match {
-          case a: AttributeReference if a.name == "user_id" =>
-            Some(IsNotNull(rollupAttr("house_id")))
-          case a: AttributeReference if a.name == "ts" =>
-            Some(IsNotNull(rollupAttr("epoch_s")))
-          case a: AttributeReference if a.name == "event_type" =>
-            Some(IsNotNull(rollupAttr("appliance_name")))
+          case a: AttributeReference if nullBijections.contains(a.name) =>
+            Some(IsNotNull(rollupAttr(nullBijections(a.name))))
           case _ => servedKeyFor(x).map(k => IsNotNull(rollupAttr(k)))
         }
       case _ => None
@@ -263,23 +273,81 @@ object RollupRewrite {
     if (ok) Some(out) else None
   }
 
+  /** Candidate IsNotNull source→key pairs; each is enabled only if proven. */
+  private val NullBijectionCandidates =
+    Seq("user_id" -> "house_id", "ts" -> "epoch_s", "event_type" -> "appliance_name")
+
+  /** The served-key canonical defs that are provably null-bijective in their
+    * single source column: def references exactly `src`, null in ⟹ null out
+    * (checked by folding the def with a null literal substituted), and
+    * non-null in ⟹ non-null out (conservative structural walk). Only these
+    * mappings let the rule translate `IsNotNull(src)` filters.
+    */
+  private[plans] def validatedNullBijections(
+      defs: Map[String, Expression]): Map[String, String] =
+    NullBijectionCandidates.filter { case (src, key) =>
+      defs.get(key).exists(d =>
+        d.references.toSeq.map(_.name) == Seq(src) &&
+          nullPropagates(d, src) && nonNullPreserving(d, src))
+    }.toMap
+
+  private def nullPropagates(d: Expression, src: String): Boolean =
+    try {
+      val nulled = d.transformUp {
+        case a: AttributeReference if a.name == src => Literal.create(null, a.dataType)
+      }
+      nulled.deterministic && nulled.foldable && nulled.eval(null) == null
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Given a non-null `src`, is `e` guaranteed non-null? Whitelist of shapes
+    * the canonical views use; anything unrecognized conservatively fails.
+    */
+  private def nonNullPreserving(e: Expression, src: String): Boolean = e match {
+    case a: AttributeReference => a.name == src
+    case l: Literal => l.value != null
+    // numeric→string casts cannot fail; other casts may return null
+    case Cast(child, StringType, _, _) => nonNullPreserving(child, src)
+    case Remainder(l, Literal(d, _), _) if d != null && d != 0 && d != 0L =>
+      nonNullPreserving(l, src)
+    case IntegralDivide(l, Literal(d, _), _) if d != null && d != 0 && d != 0L =>
+      nonNullPreserving(l, src)
+    case Concat(children) => children.forall(nonNullPreserving(_, src))
+    case _ => false
+  }
+
+  /** The ts≥s·1e9 ⟺ epoch_s≥s range mapping is sound only when epoch_s is
+    * EXACTLY the second floor of the scan's long `ts` — proven structurally,
+    * not assumed (ADVICE r2, medium).
+    */
+  private[plans] def tsSecondFloorProven(defs: Map[String, Expression]): Boolean =
+    defs.get("epoch_s").exists {
+      case IntegralDivide(a: AttributeReference, Literal(ns, LongType), _) =>
+        a.name == "ts" && a.dataType == LongType && ns == 1000000000L
+      case _ => false
+    }
+
   /** Register the rollup view, capture the canonical raw-view definitions,
     * and install the rule (idempotent). `canonicalRaw` is the engine's raw
     * power view over the SAME events source (e.g. `Grid.powerReadings`); its
     * optimized projection is the structural fingerprint user plans must match.
+    * Filter-atom special mappings (IsNotNull translation, ts range → epoch_s)
+    * are derived from the captured defs here, never assumed downstream.
     */
   def install(spark: SparkSession, rollupPath: String, canonicalRaw: DataFrame): Unit = {
     spark.read.parquet(rollupPath)
       .createOrReplaceTempView(RollupViewName)
-    val canonicalSql: Map[String, String] =
+    val canonicalDefs: Map[String, Expression] =
       analyzeChain(canonicalRaw.queryExecution.optimizedPlan)
-        .map(_._1.collect { case (n, e) if CanonicalCols(n) => n -> e.sql })
+        .map(_._1.filter { case (n, _) => CanonicalCols(n) })
         .getOrElse(Map.empty)
+    val canonicalSql = canonicalDefs.map { case (n, e) => n -> e.sql }
     require(CanonicalCols.forall(canonicalSql.contains),
       s"canonicalRaw must expose ${CanonicalCols.mkString(", ")} over the events scan")
     uninstall(spark)
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ new RollupRewrite(spark, canonicalSql)
+      spark.experimental.extraOptimizations :+ new RollupRewrite(
+        spark, canonicalSql,
+        validatedNullBijections(canonicalDefs), tsSecondFloorProven(canonicalDefs))
   }
 
   def uninstall(spark: SparkSession): Unit =

@@ -86,7 +86,9 @@ object KafkaWire {
       val m = cls.getMethod("from_avro", classOf[Column], classOf[String])
       Some(m.invoke(module, value, AvroWire.SchemaJson).asInstanceOf[Column])
     } catch {
-      case _: ClassNotFoundException | _: NoSuchMethodException => None
+      // any reflective failure (missing class/method, InvocationTargetException
+      // from from_avro itself, linkage errors) → fall back to AvroWire
+      case scala.util.control.NonFatal(_) => None
     }
 
   /** Keyed Avro producer records (S7): key = house_id (the reference

@@ -123,6 +123,55 @@ class RollupRewriteSpec extends AnyFunSuite with SharedSpark {
     } finally RollupRewrite.uninstall(spark)
   }
 
+  test("global count with a no-match filter returns 0, not NULL (ADVICE r2 high)") {
+    install()
+    try {
+      val q = raw.filter(col("house_id") === "no_such_house")
+        .agg(count(lit(1)).as("n"), count(col("power")).as("np"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("user_id") && plan.contains("cnt"),
+        s"expected rollup routing, got:\n$plan")
+      val row = q.head()
+      assert(!row.isNullAt(0) && row.getLong(0) == 0L, s"count(*) over empty filter: $row")
+      assert(!row.isNullAt(1) && row.getLong(1) == 0L, s"count(power) over empty filter: $row")
+    } finally RollupRewrite.uninstall(spark)
+  }
+
+  test("IsNotNull on a scan column maps only through PROVEN null-bijections") {
+    install()
+    try {
+      // positive: the canonical view's defs are proven bijective, so a filter
+      // on the raw scan's ts/user_id columns routes to the rollup
+      val q = Tables.events(spark, sfDir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(
+          concat(lit("1_1_"), (col("user_id") % 5).cast("string")).as("house_id"),
+          col("value").as("power"))
+        .groupBy("house_id").agg(count(lit(1)).as("n"))
+      assert(!q.queryExecution.optimizedPlan.toString.contains("user_id"),
+        s"proven IsNotNull mapping should route:\n${q.queryExecution.optimizedPlan}")
+    } finally RollupRewrite.uninstall(spark)
+    // negative: a view whose house_id does NOT null-propagate from user_id
+    // (coalesce) must leave IsNotNull(user_id) untranslatable → no rewrite
+    val alt = Tables.events(spark, sfDir).select(
+      expr("ts div 1000000000").as("epoch_s"),
+      coalesce((col("user_id") % 5).cast("string"), lit("x")).as("house_id"),
+      (col("user_id") % 5).cast("string").as("appliance_id"),
+      col("event_type").as("appliance_name"),
+      col("value").as("power"))
+    RollupRewrite.install(spark, rollupDir, alt)
+    try {
+      val q = Tables.events(spark, sfDir)
+        .filter(col("user_id").isNotNull)
+        .select(
+          coalesce((col("user_id") % 5).cast("string"), lit("x")).as("house_id"),
+          col("value").as("power"))
+        .groupBy("house_id").agg(count(lit(1)).as("n"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("user_id"),
+        s"unproven IsNotNull mapping must reject:\n${q.queryExecution.optimizedPlan}")
+    } finally RollupRewrite.uninstall(spark)
+  }
+
   test("rewrite keeps exact sums (decimal-backed rollup)") {
     install()
     try {
