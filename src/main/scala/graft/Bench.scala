@@ -47,7 +47,39 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Scale probe (VERDICT r1 #9): the same shuffle-bound event plans against
+    // a 10×-replicated events table (10× rows AND 10× distinct key space, so
+    // shuffles and aggregation state actually grow). time(10×)/time(1×) well
+    // under 10 on idle cores = the plan scales with partitions, not the
+    // driver; a ratio ≥ 10 would flag a serialization point.
+    val probe = try {
+      val factor = 10
+      import org.apache.spark.sql.functions._
+      val probeDir = java.nio.file.Files.createTempDirectory("graft_scale").toString
+      Tables.events(spark, sfDir)
+        .crossJoin(spark.range(factor).toDF("rep"))
+        .withColumn("user_id", col("user_id") + col("rep") * lit(1000000L))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$probeDir/events.parquet")
+      val probeQueries = Seq("q_duty_cycle", "q_rollup_1s", "q_timeseries_5s")
+      val base = results.toMap
+      val rows = probeQueries.flatMap { name =>
+        SparkEntry.queries.get(name).map { fn =>
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            try { fn(spark, probeDir).count() } catch { case _: Throwable => -1L }
+            (System.nanoTime() - t0) / 1e9
+          }
+          val scaled = math.min(once(), once())
+          val ratio = base.get(name).filter(_ > 0).map(scaled / _).getOrElse(-1.0)
+          s""""$name":{"base":${base.getOrElse(name, -1.0)},"scaled":$scaled,"ratio":$ratio}"""
+        }
+      }
+      s""","scale_probe":{"factor":$factor,"queries":${rows.mkString("{", ",", "}")}}"""
+    } catch { case _: Throwable => "" }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$probe}""")
     spark.stop()
   }
 }
