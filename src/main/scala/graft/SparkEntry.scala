@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Extended, Grid, Relational}
-import graft.text.{CorpusPipeline, TextOps}
+import graft.text.{CorpusPipeline, CurationOps, TextOps}
 import graft.dedup.DedupOps
 import graft.ann.SimilarityOps
 import graft.multimodal.MediaOps
@@ -24,6 +24,7 @@ object SparkEntry {
       (Extended.queries, Extended.oracle),
       (TextOps.queries, TextOps.oracle),
       (CorpusPipeline.queries, CorpusPipeline.oracle),
+      (CurationOps.queries, CurationOps.oracle),
       (DedupOps.queries, DedupOps.oracle),
       (SimilarityOps.queries, SimilarityOps.oracle),
       (MediaOps.queries, MediaOps.oracle)

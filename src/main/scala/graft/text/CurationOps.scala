@@ -1,0 +1,294 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.dedup.DedupOps.{shinglesFromToks, shinglesSql, ShingleK}
+
+/** Data-curation operators a large-scale pretraining pipeline needs beyond
+  * dedup/quality/language-ID: PII scrubbing, repetition analysis
+  * (Gopher-style), cross-document duplication signals (CCNet-style),
+  * benchmark-contamination detection, sequence packing and stratified
+  * sampling. All column-arithmetic / equi-join shaped — no UDFs, no
+  * driver-side loops, nothing all-pairs — so every operator here survives a
+  * 1000-executor scale-up: per-doc ops are narrow maps, cross-doc ops shuffle
+  * on high-cardinality keys (shingle, token), and packing is windowed per
+  * shard (`source`), the unit a real pipeline packs within.
+  */
+object CurationOps {
+
+  // -------------------------------------------------------------------------
+  // PII scrub
+  // -------------------------------------------------------------------------
+
+  /** Java-regex AND RE2-compatible patterns (no lookarounds/backrefs). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "555-[0-9]{3}-[0-9]{4}"
+
+  /** PII detection + redaction counts. The synthetic corpus carries no PII,
+    * so the query plants deterministic emails/phones first (same CASE in the
+    * oracle) — the operator under test is the detect/redact stage: count
+    * matches per pattern and emit the fingerprint of the scrubbed text
+    * (fingerprint, not the text, keeps the compared columns small).
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = when(
+        col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+          lit("@example.com ok")))
+      .otherwise(col("text"))
+    val planted2 = when(
+        col("doc_id") % 4 === 0,
+        concat(planted, lit(" dial 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(planted)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), planted2.as("t"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("t"), lit(EmailPattern)).cast("int").as("n_emails"),
+        regexp_count(col("t"), lit(PhonePattern)).cast("int").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("t"), EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>")).as("scrubbed_fp"))
+      .orderBy("doc_id")
+  }
+
+  val piiScrubSql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 4 = 0 THEN base || ' dial 555-' ||
+       |                lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |              ELSE base END AS t
+       |  FROM (
+       |    SELECT doc_id,
+       |           CASE WHEN doc_id % 3 = 0
+       |                THEN text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com ok'
+       |                ELSE text END AS base
+       |    FROM documents))
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(t, '$EmailPattern')) AS INT) AS n_emails,
+       |       CAST(len(regexp_extract_all(t, '$PhonePattern')) AS INT) AS n_phones,
+       |       md5(regexp_replace(regexp_replace(t, '$EmailPattern', '<EMAIL>', 'g'),
+       |                          '$PhonePattern', '<PHONE>', 'g')) AS scrubbed_fp
+       |FROM planted ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Repetition stats (Gopher-style quality rules)
+  // -------------------------------------------------------------------------
+
+  /** Per-document repetition profile: total/distinct token counts, the top
+    * single-token frequency and the top bigram frequency — integer
+    * numerators of the Gopher repetition filters ("fraction of characters in
+    * the most common n-gram"), kept as exact counts so the oracle hash is
+    * float-free. Both branches are explode → count aggregations with map-side
+    * combine; docs with fewer than 2 tokens are out of domain.
+    */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val toksDf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val tok = toksDf
+      .select(col("doc_id"), explode(col("toks")).as("tk"))
+      .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").cast("int").as("n_tokens"),
+        count(lit(1)).cast("int").as("n_distinct"),
+        max("c").cast("int").as("top_tok_cnt"))
+    // toks[i] is 0-based in Spark, 1-based in DuckDB — ranges shifted to match
+    val bg = toksDf
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))")).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        max("c").cast("int").as("top_bigram_cnt"),
+        count(lit(1)).cast("int").as("n_distinct_bigrams"))
+    tok.join(bg, "doc_id").orderBy("doc_id")
+  }
+
+  val repetitionStatsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |tokc AS (
+      |  SELECT doc_id, tk, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(toks) AS tk FROM t) GROUP BY 1, 2),
+      |tokstats AS (
+      |  SELECT doc_id, CAST(sum(c) AS INT) AS n_tokens,
+      |         CAST(count(*) AS INT) AS n_distinct, CAST(max(c) AS INT) AS top_tok_cnt
+      |  FROM tokc GROUP BY 1),
+      |bgc AS (
+      |  SELECT doc_id, b, count(*) AS c
+      |  FROM (SELECT doc_id,
+      |               unnest(list_transform(generate_series(1, len(toks) - 1),
+      |                                     i -> toks[i] || ' ' || toks[i + 1])) AS b
+      |        FROM t) GROUP BY 1, 2),
+      |bgstats AS (
+      |  SELECT doc_id, CAST(max(c) AS INT) AS top_bigram_cnt,
+      |         CAST(count(*) AS INT) AS n_distinct_bigrams
+      |  FROM bgc GROUP BY 1)
+      |SELECT tokstats.doc_id, n_tokens, n_distinct, top_tok_cnt,
+      |       top_bigram_cnt, n_distinct_bigrams
+      |FROM tokstats JOIN bgstats USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Cross-document duplication signal (CCNet-style)
+  // -------------------------------------------------------------------------
+
+  /** Per-document count of shingles shared with ANY other document — the
+    * cross-doc duplication signal CCNet computes per paragraph. Shingle
+    * document-frequency is one grouped count; the per-doc rollup joins back
+    * on the (high-cardinality) shingle key. Never all-pairs.
+    */
+  def sharedShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleK)
+      .select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s"))
+    val df = sh.groupBy("s").agg(count(lit(1)).as("doc_freq"))
+    sh.join(df, "s")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_shingles"),
+        sum(when(col("doc_freq") >= 2, 1).otherwise(0)).cast("int").as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  val sharedShinglesSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(${shinglesSql("text")}) AS s
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $ShingleK),
+       |df AS (SELECT s, count(*) AS doc_freq FROM sh GROUP BY 1)
+       |SELECT doc_id, CAST(count(*) AS INT) AS n_shingles,
+       |       CAST(sum(CASE WHEN doc_freq >= 2 THEN 1 ELSE 0 END) AS INT) AS n_shared
+       |FROM sh JOIN df USING (s)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Benchmark contamination
+  // -------------------------------------------------------------------------
+
+  val BenchmarkMaxId = 20
+  val ContaminationMinOverlap = 3
+
+  /** Training↔benchmark contamination: corpus documents sharing ≥ k distinct
+    * shingles with any "benchmark" document (stand-in: doc_id < 20 from the
+    * same table — at deployment the benchmark side is the eval suite). The
+    * candidate join is on the shingle key; the benchmark side is tiny and
+    * broadcast, so the corpus side never shuffles.
+    */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleK)
+      .select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s"))
+    val bench = broadcast(
+      sh.filter(col("doc_id") < BenchmarkMaxId)
+        .select(col("doc_id").as("bench_id"), col("s")))
+    sh.filter(col("doc_id") >= BenchmarkMaxId)
+      .join(bench, "s")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).cast("int").as("n_overlap"))
+      .filter(col("n_overlap") >= ContaminationMinOverlap)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  val contaminationSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(${shinglesSql("text")}) AS s
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $ShingleK)
+       |SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, CAST(count(*) AS INT) AS n_overlap
+       |FROM sh c JOIN sh b ON c.s = b.s
+       |WHERE c.doc_id >= $BenchmarkMaxId AND b.doc_id < $BenchmarkMaxId
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $ContaminationMinOverlap
+       |ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Sequence packing
+  // -------------------------------------------------------------------------
+
+  val PackBinTokens = 512
+
+  /** Greedy sequence packing: within each shard (`source`), documents stream
+    * in doc_id order and a doc opens a new bin when the running token total
+    * crosses the bin size — bin = prefix-sum-before ÷ bin-size. The window is
+    * PARTITIONED by shard, so parallelism is per shard exactly like the
+    * packing step of a real pipeline (a global pack would serialize).
+    */
+  def seqPacking(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("bin_id", expr(s"(cum - n) div $PackBinTokens"))
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("bin_tokens"))
+      .orderBy("source", "bin_id")
+  }
+
+  val seqPackingSql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, n,
+       |         sum(n) OVER (PARTITION BY source ORDER BY doc_id
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d)
+       |SELECT source, CAST((cum - n) // $PackBinTokens AS BIGINT) AS bin_id,
+       |       count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS bin_tokens
+       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Stratified sampling
+  // -------------------------------------------------------------------------
+
+  /** Deterministic stratified sampling: per-language keep rates applied by
+    * thresholding an md5-derived uniform per doc — engine-independent,
+    * leak-proof (membership depends only on doc_id), and a narrow map at any
+    * scale. Output is the per-stratum keep ledger.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val rate = when(col("lang") === "en", 50).otherwise(90)
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), when(u < rate, 1).otherwise(0).as("keep"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"), sum("keep").as("n_kept"))
+      .orderBy("lang")
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT lang, count(*) AS n_total,
+      |       CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+      |                          < CASE WHEN lang = 'en' THEN 50 ELSE 90 END
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_scrub" -> (piiScrub(_, _)),
+    "q_repetition_stats" -> (repetitionStats(_, _)),
+    "q_shared_shingles" -> (sharedShingles(_, _)),
+    "q_contamination" -> (contamination(_, _)),
+    "q_seq_packing" -> (seqPacking(_, _)),
+    "q_stratified_sample" -> (stratifiedSample(_, _))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_pii_scrub" -> piiScrubSql,
+    "q_repetition_stats" -> repetitionStatsSql,
+    "q_shared_shingles" -> sharedShinglesSql,
+    "q_contamination" -> contaminationSql,
+    "q_seq_packing" -> seqPackingSql,
+    "q_stratified_sample" -> stratifiedSampleSql
+  )
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.CurationOps
+
+class CurationSpec extends AnyFunSuite with SharedSpark {
+
+  test("pii scrub finds every planted email/phone and redacts them all") {
+    val rows = CurationOps.piiScrub(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (if (id % 3 == 0) 1 else 0), s"email count for doc $id")
+      assert(r.getInt(2) == (if (id % 4 == 0) 1 else 0), s"phone count for doc $id")
+    }
+    // scrubbed text no longer matches either pattern: redacting the already
+    // scrubbed text must be a fixpoint (fp of scrub(scrub(x)) == fp of scrub(x))
+    val t = Tables.documents(spark, sfDir)
+      .select(concat(col("text"), lit(" reach user7@example.com and 555-123-4567")).as("t"))
+      .select(
+        regexp_replace(regexp_replace(col("t"), CurationOps.EmailPattern, "<EMAIL>"),
+          CurationOps.PhonePattern, "<PHONE>").as("s"))
+      .select(
+        regexp_count(col("s"), lit(CurationOps.EmailPattern)).as("e"),
+        regexp_count(col("s"), lit(CurationOps.PhonePattern)).as("p"))
+      .agg(sum("e"), sum("p")).head()
+    assert(t.getLong(0) == 0 && t.getLong(1) == 0)
+  }
+
+  test("repetition stats are internally consistent") {
+    CurationOps.repetitionStats(spark, sfDir).collect().foreach { r =>
+      val (nTok, nDis, topTok) = (r.getInt(1), r.getInt(2), r.getInt(3))
+      val (topBg, nDisBg) = (r.getInt(4), r.getInt(5))
+      assert(nDis <= nTok && topTok >= 1 && topTok <= nTok - nDis + 1)
+      assert(nDisBg <= nTok - 1 && topBg >= 1)
+    }
+  }
+
+  test("shared shingles: planted near-dup docs share most of their shingles") {
+    val rows = CurationOps.sharedShingles(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // TESTDATA plants near-identical doc pairs; those docs must have a high
+    // shared fraction while the corpus median stays lower
+    val fracs = rows.values.map { case (n, s) => s.toDouble / n }.toSeq.sorted
+    assert(fracs.last > 0.8, s"no doc shares >80% shingles — planted dups missed")
+  }
+
+  test("contamination detects an overlap only above the threshold, join-shaped") {
+    val df = CurationOps.contamination(spark, sfDir)
+    df.collect().foreach { r =>
+      assert(r.getLong(0) >= CurationOps.BenchmarkMaxId)
+      assert(r.getLong(1) < CurationOps.BenchmarkMaxId)
+      assert(r.getInt(2) >= CurationOps.ContaminationMinOverlap)
+    }
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"),
+      s"contamination must be an equi-join:\n$physical")
+  }
+
+  test("sequence packing: bins are dense per shard and token-bounded") {
+    val rows = CurationOps.seqPacking(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val maxDocTokens = Tables.documents(spark, sfDir)
+      .select(max(size(split(col("text"), " ")))).head().getInt(0).toLong
+    rows.groupBy(_._1).foreach { case (src, bins) =>
+      val ids = bins.map(_._2).sorted
+      assert(ids.zipWithIndex.forall { case (v, i) => v == i }, s"bins not dense in $src")
+      // a bin closes only when it crosses PackBinTokens, so it can exceed it
+      // by at most one document
+      bins.foreach { case (_, _, _, tokens) =>
+        assert(tokens < CurationOps.PackBinTokens + maxDocTokens, s"oversized bin in $src")
+      }
+    }
+  }
+
+  test("stratified sample keeps strata at their configured rates") {
+    CurationOps.stratifiedSample(spark, sfDir).collect().foreach { r =>
+      val (lang, total, kept) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val rate = if (lang == "en") 0.50 else 0.90
+      assert(kept <= total)
+      // md5-uniform keep decision: observed rate within ±15pp of target
+      assert(math.abs(kept.toDouble / total - rate) < 0.15,
+        s"$lang kept $kept/$total, want ~$rate")
+    }
+  }
+}
