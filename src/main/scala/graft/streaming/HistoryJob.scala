@@ -61,18 +61,48 @@ object HistoryJob {
           col("avg_power"),
           col("timestamp"))).as("value"))
 
+  /** The DAG's operational policy (the reference's Airflow default_args,
+    * `airflow_DAG.py:15-31`: retries=1, retry_delay=5 s, email_on_failure):
+    * run `body`, retry up to `retries` times after `retryDelayMillis`, and on
+    * FINAL failure invoke the alert hook before rethrowing (Airflow then
+    * marks the task failed). The alert transport (the DAG's email) is
+    * deployment wiring — the hook is the engine-side seam for it.
+    */
+  def withRetry[T](
+      retries: Int,
+      retryDelayMillis: Long,
+      onFailure: Throwable => Unit)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case scala.util.control.NonFatal(e) if attempt < retries =>
+          attempt += 1
+          Thread.sleep(retryDelayMillis)
+        case scala.util.control.NonFatal(e) =>
+          try onFailure(e) catch { case scala.util.control.NonFatal(_) => () }
+          throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** The Airflow cadence (`airflow_DAG.py:9-11`: every half-window of scaled
     * wall time) as a ProcessingTime-triggered stream: a rate source ticks the
-    * schedule, foreachBatch executes one batch run per tick and appends to
-    * `outPath`. `Trigger.AvailableNow` (one tick, then stop) makes it a
-    * cron-style single run.
+    * schedule, foreachBatch executes one batch run per tick (with the DAG's
+    * retry-once/alert policy) and appends to `outPath`.
+    * `Trigger.AvailableNow` (one tick, then stop) makes it a cron-style
+    * single run.
     */
   def scheduled(
       spark: SparkSession,
       sfDir: String,
       outPath: String,
       cadence: Trigger = Trigger.AvailableNow(),
-      clock: () => Long = () => System.currentTimeMillis()): StreamingQuery =
+      clock: () => Long = () => System.currentTimeMillis(),
+      retries: Int = 1,
+      retryDelayMillis: Long = 5000L,
+      alert: (Long, Throwable) => Unit = (_, _) => ()): StreamingQuery =
     spark.readStream
       .format("rate")
       .option("rowsPerSecond", 1)
@@ -81,8 +111,10 @@ object HistoryJob {
       .trigger(cadence)
       .option("checkpointLocation", s"$outPath/_checkpoints")
       .foreachBatch { (_: DataFrame, batchId: Long) =>
-        run(spark, sfDir, clock())
-          .write.mode("append").json(s"$outPath/batch_$batchId")
+        withRetry(retries, retryDelayMillis, alert(batchId, _)) {
+          run(spark, sfDir, clock())
+            .write.mode("append").json(s"$outPath/batch_$batchId")
+        }
         ()
       }
       .start()

@@ -54,6 +54,28 @@ class HistoryJobSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("retry policy: one retry recovers a flaky run, final failure alerts once") {
+    // flaky: first attempt throws, retry succeeds — no alert
+    var attempts = 0
+    var alerts = List.empty[String]
+    val out = HistoryJob.withRetry(retries = 1, retryDelayMillis = 1L,
+      onFailure = e => alerts ::= e.getMessage) {
+      attempts += 1
+      if (attempts < 2) sys.error("transient") else "ok"
+    }
+    assert(out == "ok" && attempts == 2 && alerts.isEmpty)
+    // persistent: retries exhausted — alert fires once, exception propagates
+    var attempts2 = 0
+    val thrown = intercept[RuntimeException] {
+      HistoryJob.withRetry(retries = 1, retryDelayMillis = 1L,
+        onFailure = e => alerts ::= e.getMessage) {
+        attempts2 += 1
+        sys.error("permanent")
+      }
+    }
+    assert(thrown.getMessage == "permanent" && attempts2 == 2 && alerts == List("permanent"))
+  }
+
   test("scheduled run executes under AvailableNow and writes one batch") {
     val out = java.nio.file.Files.createTempDirectory("history").toString
     val q = HistoryJob.scheduled(spark, sfDir, out, clock = () => 42L)
