@@ -41,6 +41,44 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  // Near-dup clusters: docs grouped by their dup-stripped base text. In this
+  // fixture the clusters ARE the hottest shingles (no cross-cluster
+  // boilerplate), so they exercise the cap's guarantee boundary exactly.
+  lazy val plantedClusters: Seq[Set[Long]] = {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.groupBy { case (_, t) => t.split(" ").filter(_ != "dup").mkString(" ") }
+      .values.map(_.map(_._1).toSet).filter(_.size > 1).toSeq
+  }
+
+  test("hot-shingle-capped jaccard keeps every pair in clusters within the cap") {
+    val found = DedupOps.jaccardCappedPairs(spark, sfDir)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // the operator's guarantee: a cluster of k ≤ cap docs shares shingles at
+    // df ≈ k ≤ cap, so all its pairs survive the cap and score high
+    val withinCap = plantedClusters.filter(_.size <= DedupOps.HotShingleCap)
+    assert(withinCap.nonEmpty)
+    for (c <- withinCap; a <- c; b <- c if a < b) {
+      assert(found.contains((a, b)), s"pair ($a,$b) in cluster of ${c.size} lost by the cap")
+      assert(found((a, b)) > 0.6)
+    }
+    // the documented trade: a cluster LARGER than the cap pushes its shared
+    // shingles over the cap, so at least one of its pairs is dropped —
+    // demonstrating the cap really prunes hot keys
+    val overCap = plantedClusters.filter(_.size > DedupOps.HotShingleCap)
+    assert(overCap.nonEmpty, "fixture has no over-cap cluster — prune check vacuous")
+    val overPairs = for (c <- overCap; a <- c; b <- c if a < b) yield (a, b)
+    assert(overPairs.exists(p => !found.contains(p)),
+      "an over-cap cluster survived intact — the cap pruned nothing")
+    // tightening the cap only removes pairs (monotone)
+    val tight = DedupOps.jaccardCappedPairs(spark, sfDir, cap = 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(found.keySet), "cap tightening must only remove pairs")
+  }
+
   test("minhash LSH recovers the planted pairs with high estimated similarity") {
     val found = DedupOps.minhashLshPairs(spark, sfDir)
       .select("id_a", "id_b", "est_sim").collect()
