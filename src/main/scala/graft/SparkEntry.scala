@@ -7,6 +7,7 @@ import graft.text.{CorpusPipeline, CurationOps, TextOps}
 import graft.dedup.DedupOps
 import graft.ann.SimilarityOps
 import graft.multimodal.MediaOps
+import graft.sources.ZOrderLayout
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,7 +28,8 @@ object SparkEntry {
       (CurationOps.queries, CurationOps.oracle),
       (DedupOps.queries, DedupOps.oracle),
       (SimilarityOps.queries, SimilarityOps.oracle),
-      (MediaOps.queries, MediaOps.oracle)
+      (MediaOps.queries, MediaOps.oracle),
+      (ZOrderLayout.queries, ZOrderLayout.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

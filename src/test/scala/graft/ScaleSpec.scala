@@ -14,6 +14,32 @@ import graft.streaming.StreamingDutyCycle.PowerReading
   */
 class ScaleSpec extends AnyFunSuite with SharedSpark {
 
+  test("z-order layout tightens per-file bounding boxes vs arrival order") {
+    import graft.sources.ZOrderLayout
+    val ev = Tables.events(spark, sfDir).select(
+      col("user_id").cast("long").as("u"),
+      shiftright((expr("ts div 1000000000") - ZOrderLayout.Epoch0).cast("long"),
+        ZOrderLayout.TimeShift).as("t16"))
+    val nFiles = 8
+    def totalBoxArea(path: String): Long = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(
+          (max("u") - min("u") + 1).as("du"),
+          (max("t16") - min("t16") + 1).as("dt"))
+      assert(perFile.count() == nFiles.toLong)
+      perFile.agg(sum(col("du") * col("dt"))).first().getLong(0)
+    }
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    ev.repartition(nFiles).write.parquet(s"$base/naive")
+    ZOrderLayout.layout(ev, col("u"), col("t16"), nFiles).write.parquet(s"$base/zorder")
+    val naive = totalBoxArea(s"$base/naive")
+    val z = totalBoxArea(s"$base/zorder")
+    // arrival-order files each span ~the full (u, t) rectangle; z-ordered
+    // files cover disjoint curve segments — at least 4x tighter here
+    assert(z * 4 <= naive, s"z-order boxes ($z) not tighter than naive ($naive)")
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val o = Tables.orders(spark, sfDir)
     val l = Tables.lineitem(spark, sfDir)
