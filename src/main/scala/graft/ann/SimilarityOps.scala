@@ -328,6 +328,44 @@ object SimilarityOps {
        |FROM assigned
        |GROUP BY 1 ORDER BY centroid_id""".stripMargin
 
+  /** One k-means (Lloyd) training iteration over the embedding corpus: assign
+    * every vector to its nearest centroid, then aggregate the per-cluster
+    * update numerators — population and the component-wise vector sum (mean =
+    * sum ÷ n). This is the job that TRAINS [[centroids]] at scale: each
+    * iteration is one assignment map + one grouped sum with map-side combine,
+    * shuffling 8 partial sum-vectors per partition — never the corpus. The
+    * oracle-checked output carries the first 4 components per cluster,
+    * decimal-summed so both engines agree bit-for-bit (float addition is
+    * non-associative; Spark's partial-aggregate merge order isn't DuckDB's
+    * sequential order — the [[graft.operators.Grid.dsum]] rule, at the 1e-6
+    * scale centroid coordinates need).
+    */
+  val KmeansEmitDims = 4
+
+  def kmeansStep(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val assigns = ivfAssignments(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    def dsum6(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+    val sums = (1 to KmeansEmitDims).map(i => dsum6(element_at(col("v"), i)).as(s"s_$i"))
+    e.join(assigns, "vec_id")
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .orderBy("centroid_id")
+  }
+
+  val kmeansStepSql: String = {
+    val sums = (1 to KmeansEmitDims)
+      .map(i => s"CAST(SUM(CAST(v[$i] AS DECIMAL(18,6))) AS DOUBLE) AS s_$i")
+      .mkString(",\n       ")
+    s"""WITH $assignCtes
+       |SELECT CAST(centroid_id AS INT) AS centroid_id, count(*) AS n,
+       |       $sums
+       |FROM assigned
+       |GROUP BY 1 ORDER BY centroid_id""".stripMargin
+  }
+
   /** IVF search: top-3 cosine neighbors per query, candidates restricted to
     * the query's centroid cell (nprobe=1) — the approximate-but-bounded scale
     * path. Deterministic, so exactly reproducible in the oracle.
@@ -373,6 +411,7 @@ object SimilarityOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivf_buckets" -> (ivfBuckets(_, _)),
     "q_ivf_topk" -> (ivfTopK(_, _)),
+    "q_kmeans_step" -> (kmeansStep(_, _)),
     "q_ann_topk" -> (annTopK(_, _)),
     "q_knn_1nn" -> (knn1(_, _)),
     "q_cosine_pairs" -> (cosinePairs(_, _)),
@@ -382,6 +421,7 @@ object SimilarityOps {
   def oracle: Map[String, String] = Map(
     "q_ivf_buckets" -> ivfBucketsSql,
     "q_ivf_topk" -> ivfTopKSql(),
+    "q_kmeans_step" -> kmeansStepSql,
     "q_ann_topk" -> annTopKSql(),
     "q_knn_1nn" -> knn1Sql,
     "q_cosine_pairs" -> cosinePairsSql(),

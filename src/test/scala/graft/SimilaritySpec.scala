@@ -23,6 +23,40 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     (0L until 5L).foreach(q => assert(ann(q) == knn(q)))
   }
 
+  test("kmeans step: updated centroids do not worsen within-cluster SS") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .join(SimilarityOps.ivfAssignments(spark, sfDir), "vec_id")
+      .select("centroid_id", "v").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    def wcss(cents: Map[Int, Array[Double]]): Double =
+      e.map { case (k, v) =>
+        val c = cents(k)
+        v.indices.map(i => (v(i) - c(i)) * (v(i) - c(i))).sum
+      }.sum
+    val seed = (0 until SimilarityOps.NumCentroids)
+      .map(k => k -> SimilarityOps.centroids(k)).toMap
+    // full-dimension Lloyd update computed from the same assignment
+    val updated = e.groupBy(_._1).map { case (k, vs) =>
+      val dim = vs.head._2.length
+      val mean = Array.tabulate(dim)(i => vs.map(_._2(i)).sum / vs.size)
+      k -> mean
+    }
+    // clusters can be empty in theory; keep the seed centroid there
+    val next = seed ++ updated
+    assert(wcss(next) <= wcss(seed) + 1e-9,
+      "a Lloyd update must not increase within-cluster sum of squares")
+    // the query's decimal sums agree with the driver-side numerators
+    val q = SimilarityOps.kmeansStep(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    updated.foreach { case (k, mean) =>
+      val (n, s1) = q(k)
+      assert(n == e.count(_._1 == k).toLong)
+      assert(math.abs(s1 - mean(0) * n) < 1e-3, s"cluster $k dim-1 sum off")
+    }
+  }
+
   test("lsh buckets partition the corpus completely") {
     val total = Tables.embeddings(spark, sfDir).count()
     val bucketed = SimilarityOps.lshBuckets(spark, sfDir)
