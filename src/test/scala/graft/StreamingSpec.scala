@@ -97,6 +97,36 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally query.stop()
   }
 
+  test("streaming dedup drops in-horizon duplicates and keeps first-seen docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.Doc
+    def doc(sec: Long, id: Long, content: String): Doc =
+      Doc(new Timestamp(sec * 1000), id, content)
+    val input = MemoryStream[Doc]
+    val query = StreamingDedup.plan(input.toDF(), horizonSec = 10)
+      .writeStream
+      .format("memory")
+      .queryName("dedup_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // same content arrives 3x within the horizon, under different doc ids
+      input.addData(doc(100, 1, "alpha"), doc(101, 2, "alpha"), doc(102, 3, "beta"))
+      query.processAllAvailable()
+      input.addData(doc(103, 4, "alpha"), doc(104, 5, "beta"), doc(105, 6, "gamma"))
+      query.processAllAvailable()
+      val kept = spark.table("dedup_out").select("docId", "content").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(kept == Set((1L, "alpha"), (3L, "beta"), (6L, "gamma")),
+        s"expected first-seen docs only, got $kept")
+      // state is keyed by hash and bounded by the watermark horizon
+      val progress = query.lastProgress
+      assert(progress.stateOperators.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming rollup matches the batch rollup on the same data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
