@@ -146,12 +146,14 @@ object CurationOps {
     * on the (high-cardinality) shingle key. Never all-pairs.
     */
   def sharedShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    // doc_freq as a window count over the shingle key: the shingle relation
+    // (tokenize→shingle→explode) computes ONCE, where the former grouped
+    // count joined back re-ran the whole lineage (4 parquet scans → 1)
     val sh = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= ShingleK)
       .select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s"))
-    val df = sh.groupBy("s").agg(count(lit(1)).as("doc_freq"))
-    sh.join(df, "s")
+    sh.withColumn("doc_freq", count(lit(1)).over(Window.partitionBy("s")))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).cast("int").as("n_shingles"),

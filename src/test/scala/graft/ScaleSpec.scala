@@ -14,6 +14,20 @@ import graft.streaming.StreamingDutyCycle.PowerReading
   */
 class ScaleSpec extends AnyFunSuite with SharedSpark {
 
+  test("shingle-family plans compute the shingle lineage once, not per consumer") {
+    // the r2 plans re-ran tokenize→shingle→explode for every aggregate joined
+    // back (up to 9 parquet scans per query); the window-count shape caps the
+    // scan count at the self-join's two sides
+    def scans(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // finalize the adaptive plan
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Scan parquet"))
+    }
+    assert(scans(graft.text.CurationOps.sharedShingles(spark, sfDir)) <= 2)
+    assert(scans(graft.dedup.DedupOps.ngramJaccardPairs(spark, sfDir)) <= 3)
+    assert(scans(graft.dedup.DedupOps.jaccardCappedPairs(spark, sfDir)) <= 3)
+  }
+
   test("z-order layout tightens per-file bounding boxes vs arrival order") {
     import graft.sources.ZOrderLayout
     val ev = Tables.events(spark, sfDir).select(
