@@ -366,6 +366,71 @@ object SimilarityOps {
        |GROUP BY 1 ORDER BY centroid_id""".stripMargin
   }
 
+  /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus (here: the deterministic IVF assignment), then inside
+    * each cluster drop every vector that has a LOWER-id vector within cosine
+    * `threshold` — pairwise comparison never crosses cluster boundaries, so
+    * the quadratic term is bounded by the largest cell, not the corpus. At
+    * 100 TB the centroid count grows with the corpus (the paper runs 50 k
+    * clusters) keeping cells O(n/k); a skewed mega-cell would further
+    * sub-partition on the [[gridPairs]] grid. The output is the per-cluster
+    * keep ledger with an md5 roll-up of the dropped-id set, which pins exact
+    * membership cross-engine without a row per vector.
+    */
+  def semDedup(spark: SparkSession, sfDir: String, threshold: Double = 0.45): DataFrame = {
+    val assigns = ivfAssignments(spark, sfDir)
+    val e = withNorm(Tables.embeddings(spark, sfDir), "vec_id", "v", "nn")
+      .join(assigns, "vec_id")
+    val a = e.select(col("centroid_id"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nn").as("na"))
+    val b = e.select(col("centroid_id"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nn").as("nb"))
+    val drops = a
+      .join(b, Seq("centroid_id"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", expr("dot_arrays(va, vb)") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cos") >= threshold)
+      .select(col("centroid_id"), col("id_b").as("dropped"))
+      .distinct()
+      .groupBy("centroid_id")
+      .agg(
+        count(lit(1)).as("n_dropped"),
+        md5(concat_ws(",", sort_array(collect_list(col("dropped"))))).as("dropped_fp"))
+    assigns
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_total"))
+      .join(drops, Seq("centroid_id"), "left")
+      .select(
+        col("centroid_id"),
+        col("n_total"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("dropped_fp"), md5(lit(""))).as("dropped_fp"))
+      .orderBy("centroid_id")
+  }
+
+  def semDedupSql(threshold: Double = 0.45): String =
+    s"""WITH $assignCtes,
+       |normed AS (
+       |  SELECT vec_id, v, centroid_id,
+       |         list_sum(list_transform(v, x -> x * x)) AS nn
+       |  FROM assigned),
+       |drops AS (
+       |  SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_dropped,
+       |         md5(array_to_string(list_sort(list(dropped)), ',')) AS dropped_fp
+       |  FROM (
+       |    SELECT DISTINCT a.centroid_id, b.vec_id AS dropped
+       |    FROM normed a JOIN normed b
+       |      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |    WHERE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+       |            / (sqrt(a.nn) * sqrt(b.nn)) >= $threshold)
+       |  GROUP BY 1)
+       |SELECT CAST(t.centroid_id AS INT) AS centroid_id,
+       |       CAST(count(*) AS BIGINT) AS n_total,
+       |       coalesce(any_value(d.n_dropped), 0) AS n_dropped,
+       |       coalesce(any_value(d.dropped_fp), md5('')) AS dropped_fp
+       |FROM assigned t LEFT JOIN drops d ON t.centroid_id = d.centroid_id
+       |GROUP BY 1 ORDER BY centroid_id""".stripMargin
+
   /** IVF search: top-3 cosine neighbors per query, candidates restricted to
     * the query's centroid cell (nprobe=1) — the approximate-but-bounded scale
     * path. Deterministic, so exactly reproducible in the oracle.
@@ -412,6 +477,7 @@ object SimilarityOps {
     "q_ivf_buckets" -> (ivfBuckets(_, _)),
     "q_ivf_topk" -> (ivfTopK(_, _)),
     "q_kmeans_step" -> (kmeansStep(_, _)),
+    "q_semdedup" -> (semDedup(_, _)),
     "q_ann_topk" -> (annTopK(_, _)),
     "q_knn_1nn" -> (knn1(_, _)),
     "q_cosine_pairs" -> (cosinePairs(_, _)),
@@ -422,6 +488,7 @@ object SimilarityOps {
     "q_ivf_buckets" -> ivfBucketsSql,
     "q_ivf_topk" -> ivfTopKSql(),
     "q_kmeans_step" -> kmeansStepSql,
+    "q_semdedup" -> semDedupSql(),
     "q_ann_topk" -> annTopKSql(),
     "q_knn_1nn" -> knn1Sql,
     "q_cosine_pairs" -> cosinePairsSql(),

@@ -57,6 +57,23 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("semdedup drops exactly the in-cell vectors with a lower-id near-dup") {
+    import org.apache.spark.sql.functions._
+    val cells = SimilarityOps.ivfAssignments(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // expected drops from the independent exact pair list, cell-restricted
+    val expected = SimilarityOps.cosinePairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => cells(a) == cells(b) }
+      .map(_._2).toSet
+    val ledger = SimilarityOps.semDedup(spark, sfDir).collect()
+    val totalDropped = ledger.map(_.getLong(2)).sum
+    assert(totalDropped == expected.size.toLong,
+      s"ledger drops $totalDropped, exact pair list implies ${expected.size}")
+    assert(totalDropped > 0, "fixture should contain at least one in-cell near-dup")
+    assert(ledger.map(_.getLong(1)).sum == cells.size.toLong)
+  }
+
   test("lsh buckets partition the corpus completely") {
     val total = Tables.embeddings(spark, sfDir).count()
     val bucketed = SimilarityOps.lshBuckets(spark, sfDir)
