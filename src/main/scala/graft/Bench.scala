@@ -62,7 +62,20 @@ object Bench {
         .withColumn("user_id", col("user_id") + col("rep") * lit(1000000L))
         .drop("rep")
         .write.mode("overwrite").parquet(s"$probeDir/events.parquet")
-      val probeQueries = Seq("q_duty_cycle", "q_rollup_1s", "q_timeseries_5s")
+      // 10× documents with per-replica token prefixes: vocabularies are
+      // disjoint across replicas, so the shingle df distribution (and thus
+      // the candidate-join fanout per key) matches the original corpus —
+      // an honest 10× for the near-dup family, not a 10×-hot-key pathology.
+      Tables.documents(spark, sfDir)
+        .crossJoin(spark.range(factor).toDF("rep"))
+        .withColumn("doc_id", col("doc_id") + col("rep") * lit(10000000L))
+        .withColumn("text",
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(col("rep").cast("string"), lit("_$1"))))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
+      val probeQueries = Seq("q_duty_cycle", "q_rollup_1s", "q_timeseries_5s",
+        "q_shared_shingles", "q_ngram_jaccard_pairs")
       val base = results.toMap
       val rows = probeQueries.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
