@@ -79,6 +79,27 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(tight.subsetOf(found.keySet), "cap tightening must only remove pairs")
   }
 
+  test("near-dup clusters are the transitive closure of the pair graph") {
+    val ledger = DedupOps.nearDupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every planted cluster (all of whose docs can shingle) lands in ONE
+    // reported cluster whose id is the min member and size covers it
+    val longEnough = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.size(
+        split(col("text"), " ")) >= DedupOps.ShingleK)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    plantedClusters.map(_.intersect(longEnough)).filter(_.size > 1).foreach { c =>
+      val id = c.min
+      assert(ledger.contains(id), s"cluster anchored at $id missing from ledger")
+      assert(ledger(id) >= c.size, s"cluster at $id smaller than planted ${c.size}")
+    }
+    // edges and clusters are consistent: member count equals the number of
+    // distinct nodes in the pair graph
+    val pairNodes = DedupOps.ngramJaccardPairs(spark, sfDir).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(ledger.values.sum == pairNodes.size.toLong)
+  }
+
   test("minhash LSH recovers the planted pairs with high estimated similarity") {
     val found = DedupOps.minhashLshPairs(spark, sfDir)
       .select("id_a", "id_b", "est_sim").collect()
