@@ -250,6 +250,48 @@ object CurationOps {
        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Data-mixture weights (domain balancing)
+  // -------------------------------------------------------------------------
+
+  /** Per-domain (`source`) sampling weights that rebalance the corpus to a
+    * uniform token mixture — the reweighting ledger a pretraining run feeds
+    * its sampler (weight = target share ÷ actual share). One grouped count
+    * plus a broadcast 1-row total (no driver action, no second scan —
+    * the corpus-wide total rides a crossJoin of a 1-row aggregate). Weights
+    * are emitted in parts-per-million via integer division, so both engines
+    * produce bit-identical values with no float rounding in the compare.
+    */
+  def mixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
+    val tot = per.agg(
+      sum("n_tokens").as("t_total"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("weight_ppm",
+        expr("(t_total * 1000000L) div (n_sources * n_tokens)"))
+      .select("source", "n_docs", "n_tokens", "weight_ppm")
+      .orderBy("source")
+  }
+
+  val mixtureWeightsSql: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total,
+      |         count(*) AS n_sources
+      |  FROM per)
+      |SELECT source, n_docs, n_tokens,
+      |       (t_total * 1000000) // (n_sources * n_tokens) AS weight_ppm
+      |FROM per CROSS JOIN tot
+      |ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Stratified sampling
   // -------------------------------------------------------------------------
 
@@ -282,7 +324,8 @@ object CurationOps {
     "q_shared_shingles" -> (sharedShingles(_, _)),
     "q_contamination" -> (contamination(_, _)),
     "q_seq_packing" -> (seqPacking(_, _)),
-    "q_stratified_sample" -> (stratifiedSample(_, _))
+    "q_stratified_sample" -> (stratifiedSample(_, _)),
+    "q_mixture_weights" -> (mixtureWeights(_, _))
   )
 
   def oracle: Map[String, String] = Map(
@@ -291,6 +334,7 @@ object CurationOps {
     "q_shared_shingles" -> sharedShinglesSql,
     "q_contamination" -> contaminationSql,
     "q_seq_packing" -> seqPackingSql,
-    "q_stratified_sample" -> stratifiedSampleSql
+    "q_stratified_sample" -> stratifiedSampleSql,
+    "q_mixture_weights" -> mixtureWeightsSql
   )
 }

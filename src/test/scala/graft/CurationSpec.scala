@@ -77,6 +77,25 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("mixture weights rebalance every domain to the uniform token share") {
+    val rows = CurationOps.mixtureWeights(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length > 1)
+    val total = rows.map(_._3).sum
+    val share = total.toDouble / rows.length
+    rows.foreach { case (src, _, nTok, ppm) =>
+      // weighted token mass of each domain hits the uniform share
+      // (up to integer-division truncation of the ppm weight)
+      val weighted = ppm * nTok / 1e6
+      assert(math.abs(weighted - share) / share < 0.001, s"domain $src off: $weighted vs $share")
+    }
+    // smaller domains must get larger weights (strict monotonicity)
+    val byTok = rows.sortBy(_._3)
+    byTok.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 >= b._4, s"weight not monotone: $a vs $b")
+    }
+  }
+
   test("stratified sample keeps strata at their configured rates") {
     CurationOps.stratifiedSample(spark, sfDir).collect().foreach { r =>
       val (lang, total, kept) = (r.getString(0), r.getLong(1), r.getLong(2))
