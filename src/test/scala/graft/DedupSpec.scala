@@ -100,6 +100,16 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(ledger.values.sum == pairNodes.size.toLong)
   }
 
+  test("exact-substring windows recover planted pairs (shared aligned prefixes)") {
+    val found = DedupOps.substrDupPairs(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // planted dups share the whole base text as a prefix → many aligned windows
+    plantedPairs.foreach { p =>
+      assert(found.contains(p), s"planted pair $p has no shared character window")
+      assert(found(p) >= 1, s"pair $p shares too few windows: ${found(p)}")
+    }
+  }
+
   test("minhash LSH recovers the planted pairs with high estimated similarity") {
     val found = DedupOps.minhashLshPairs(spark, sfDir)
       .select("id_a", "id_b", "est_sim").collect()
