@@ -88,6 +88,17 @@ object GridProps extends Properties("grid") {
       long.count() == df.count() * 3
     }
 
+  property("z-order interleave is a bijection on 16-bit coordinate pairs") =
+    forAll(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)) { (a, b) =>
+      val z = Seq((a, b)).toDF("a", "b")
+        .select(graft.sources.ZOrderLayout.zvalue(col("a"), col("b")).as("z"))
+        .head().getLong(0)
+      // invert by gathering even/odd bits
+      def gather(x: Long, off: Int): Long =
+        (0 until 16).map(i => ((x >> (2 * i + off)) & 1L) << i).sum
+      gather(z, 0) == a && gather(z, 1) == b && z >= 0 && z < (1L << 32)
+    }
+
   property("sliding window multiplicity is window/slide for every reading") =
     forAll(genBatch) { rs =>
       val df = rs.toDF("sec", "app", "power")
