@@ -28,6 +28,52 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     assert(scans(graft.dedup.DedupOps.jaccardCappedPairs(spark, sfDir)) <= 3)
   }
 
+  test("rollup partition filters prune via dynamic partition pruning") {
+    import graft.sources.RollupTable
+    val dir = java.nio.file.Files.createTempDirectory("dpp_rollup").toString
+    RollupTable.materialize(spark, sfDir, dir)
+    val rollup = RollupTable.read(spark, dir)
+    // a filtered dim joined on the PARTITION column: the partition set is
+    // only known at runtime, so Catalyst must inject a dynamicpruning
+    // subquery into the scan (Druid's segment pruning, done by Spark DPP).
+    // The dim must be a SCAN with a surviving Filter node — a local Seq
+    // would be constant-folded by ConvertToLocalRelation, erasing the
+    // "selective predicate" DPP looks for.
+    val keepDate = rollup.select(min("date")).head().getDate(0)
+    rollup.select(col("date").as("d")).distinct()
+      .withColumn("tag", when(col("d") === keepDate, "keep").otherwise("skip"))
+      .write.parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("tag") === "keep")
+    val joined = rollup.join(dim, col("date") === col("d")).groupBy("house_id").count()
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      "expected a dynamic partition pruning subquery in the rollup scan")
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // load FIRST: Tables.read re-applies tune(), which would reset the
+    // broadcast threshold set below (plan-time conf is what the rule reads)
+    val o = Tables.orders(spark, sfDir).filter(col("o_custkey") === 7)
+    val l = Tables.lineitem(spark, sfDir)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      // local fixtures are below the 10 GB production default; lower the
+      // probe-side floor so the rewrite fires as it would at 100 TB
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey")).groupBy("o_orderstatus").count()
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("bloomfilter") || plan.contains("bloom_filter") ||
+        plan.contains("might_contain"),
+        "expected a runtime bloom filter on the probe side")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("z-order layout tightens per-file bounding boxes vs arrival order") {
     import graft.sources.ZOrderLayout
     val ev = Tables.events(spark, sfDir).select(
