@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The curation pipeline under Structured Streaming: the same per-document
+  * column arithmetic the batch operators use ([[graft.text.TextOps]]),
+  * composed into a continuous ingest plan — quality gate → in-horizon exact
+  * dedup → per-window corpus ledger. This is the streaming twin of
+  * [[graft.text.CorpusPipeline]]: a training-data firehose is curated AS IT
+  * ARRIVES, and the nightly batch pass only handles what the horizon cannot
+  * (long-range duplicates, corpus-wide statistics).
+  *
+  * Plan shape: the scoring stage is a narrow map (no state), dedup keeps
+  * O(32 B) per distinct hash inside the watermark horizon, and the ledger is
+  * a standard watermarked windowed aggregate — two chained stateful
+  * operators, both bounded, both emitting in append mode on window close.
+  */
+object StreamingCuration {
+
+  import StreamingDedup.Doc
+
+  /** Gopher-style per-doc quality: type-token ratio and stopword density —
+    * identical to the batch `TextOps.qualityScore` formula.
+    */
+  def quality(content: Column): Column = {
+    val toks = split(content, " ")
+    val nTok = size(toks).cast("double")
+    val nDis = size(array_distinct(toks)).cast("double")
+    val nStop = size(filter(toks, t => t === "the" || t === "a")).cast("double")
+    (nDis / nTok) * 0.7 + (lit(1.0) - nStop / nTok) * 0.3
+  }
+
+  def plan(
+      docs: DataFrame,
+      horizonSec: Int = 10,
+      minQuality: Double = 0.5,
+      windowSec: Int = 10): DataFrame =
+    docs
+      .withColumn("quality", quality(col("content")))
+      .withColumn("n_tokens", size(split(col("content"), " ")).cast("long"))
+      .filter(col("quality") >= minQuality)
+      .withColumn("content_hash", md5(col("content")))
+      .withWatermark("ts", s"$horizonSec seconds")
+      .dropDuplicatesWithinWatermark("content_hash")
+      .groupBy(window(col("ts"), s"$windowSec seconds"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        avg("quality").as("avg_quality"))
+      .select(
+        col("window.start").as("w_start"),
+        col("n_docs"), col("n_tokens"), col("avg_quality"))
+
+  // Doc is defined on StreamingDedup; re-exported for callers of this plan
+  type IngestDoc = Doc
+}

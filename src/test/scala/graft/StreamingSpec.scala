@@ -127,6 +127,41 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally query.stop()
   }
 
+  test("streaming curation gates quality, dedups in-horizon, and ledgers windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{StreamingCuration, StreamingDedup}
+    import graft.streaming.StreamingDedup.Doc
+    def doc(sec: Long, id: Long, content: String): Doc =
+      Doc(new Timestamp(sec * 1000), id, content)
+    val input = MemoryStream[Doc]
+    val query = StreamingCuration.plan(input.toDF(), horizonSec = 5, windowSec = 10)
+      .writeStream
+      .format("memory")
+      .queryName("curation_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      val good = "the quick brown fox jumps over a lazy dog tonight" // 10 toks, high ttr
+      val junk = "a a a a a a a a a a" // ttr 0.1, all stopwords -> gated
+      input.addData(
+        doc(100, 1, good), doc(102, 2, junk),
+        doc(104, 3, good), // in-horizon duplicate of doc 1 -> dropped
+        doc(105, 4, "some fresh distinct tokens arrive here quite nicely today"))
+      query.processAllAvailable()
+      // advance event time past window end (110) + horizon (5)
+      input.addData(doc(200, 9, "closing tick for the open window emission"))
+      query.processAllAvailable()
+      input.addData(doc(300, 10, "another tick far beyond every prior watermark"))
+      query.processAllAvailable()
+      val out = spark.table("curation_out")
+        .select("w_start", "n_docs", "n_tokens").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1), r.getLong(2)))
+      // window [100,110): junk gated, duplicate dropped -> docs 1 and 4 remain
+      assert(out.contains((100L, 2L, 19L)), s"unexpected ledger: ${out.toSeq}")
+    } finally query.stop()
+  }
+
   test("streaming rollup matches the batch rollup on the same data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
