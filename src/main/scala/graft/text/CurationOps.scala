@@ -292,6 +292,31 @@ object CurationOps {
       |ORDER BY source""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Deterministic global shuffle (training-order randomization)
+  // -------------------------------------------------------------------------
+
+  /** Training-order randomization: a total order by md5(doc_id) — effectively
+    * a seeded permutation that any engine reproduces (no `rand()`, which is
+    * neither engine-portable nor retry-stable on a cluster; a task retry
+    * re-rolling rand() silently reorders an epoch). At 100 TB this is the
+    * write-side sort of the shuffled epoch: `repartitionByRange` on the hash
+    * + in-partition sort, exactly the [[graft.sources.ZOrderLayout.layout]]
+    * shape with the hash as the clustering key. The oracle-checked output
+    * pins the head of the permutation.
+    */
+  def globalShuffle(spark: SparkSession, sfDir: String, n: Int = 20): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("shuffle_key"))
+      .orderBy("shuffle_key")
+      .limit(n)
+
+  def globalShuffleSql(n: Int = 20): String =
+    s"""SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+       |FROM documents
+       |ORDER BY shuffle_key
+       |LIMIT $n""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Stratified sampling
   // -------------------------------------------------------------------------
 
@@ -325,7 +350,8 @@ object CurationOps {
     "q_contamination" -> (contamination(_, _)),
     "q_seq_packing" -> (seqPacking(_, _)),
     "q_stratified_sample" -> (stratifiedSample(_, _)),
-    "q_mixture_weights" -> (mixtureWeights(_, _))
+    "q_mixture_weights" -> (mixtureWeights(_, _)),
+    "q_global_shuffle" -> (globalShuffle(_, _))
   )
 
   def oracle: Map[String, String] = Map(
@@ -335,6 +361,7 @@ object CurationOps {
     "q_contamination" -> contaminationSql,
     "q_seq_packing" -> seqPackingSql,
     "q_stratified_sample" -> stratifiedSampleSql,
-    "q_mixture_weights" -> mixtureWeightsSql
+    "q_mixture_weights" -> mixtureWeightsSql,
+    "q_global_shuffle" -> globalShuffleSql()
   )
 }
