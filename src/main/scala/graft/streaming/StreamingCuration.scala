@@ -54,4 +54,35 @@ object StreamingCuration {
 
   // Doc is defined on StreamingDedup; re-exported for callers of this plan
   type IngestDoc = Doc
+
+  /** Streaming contamination check — the stream-STATIC join mode: incoming
+    * documents join against the static benchmark shingle set (tiny,
+    * broadcast; the batch twin is [[graft.text.CurationOps.contamination]]).
+    * A doc sharing ≥ `minOverlap` shingles with any benchmark doc is flagged
+    * before it ever lands in the corpus. The static side is planned once and
+    * broadcast to every micro-batch; the stream side is a narrow
+    * explode→join→agg with no state beyond the in-flight batch.
+    */
+  def contaminationPlan(
+      docs: DataFrame,
+      benchShingles: DataFrame, // (bench_id, s) static
+      minOverlap: Int = 3,
+      shingleK: Int = 5,
+      horizonSec: Int = 10): DataFrame = {
+    val toks = split(col("content"), " ")
+    val sh = docs
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= shingleK)
+      .select(col("ts"), col("docId"),
+        explode(graft.dedup.DedupOps.shinglesFromToks(col("toks"))).as("s"))
+    // a document's shingles share its single event time, so the tumbling
+    // window closes with the doc and the watermark bounds aggregation state
+    // (a bare groupBy(docId) would hold state for every doc ever seen)
+    sh.withWatermark("ts", s"$horizonSec seconds")
+      .join(broadcast(benchShingles), "s")
+      .groupBy(window(col("ts"), s"$horizonSec seconds"), col("docId"), col("bench_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .select("docId", "bench_id", "n_overlap")
+  }
 }

@@ -162,6 +162,34 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally query.stop()
   }
 
+  test("stream-static contamination flags docs overlapping the benchmark set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingCuration
+    import graft.streaming.StreamingDedup.Doc
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val benchShingles = Seq(0L -> bench).toDF("bench_id", "content")
+      .select(col("bench_id"), explode(graft.dedup.DedupOps.shinglesFromToks(
+        split(col("content"), " "))).as("s"))
+    val input = MemoryStream[Doc]
+    val query = StreamingCuration.contaminationPlan(input.toDF(), benchShingles)
+      .writeStream.format("memory").queryName("contam_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Doc(new Timestamp(100000L), 1L, bench + " leaked into training"), // heavy overlap
+        Doc(new Timestamp(101000L), 2L, "totally unrelated words appear in this clean document"))
+      query.processAllAvailable()
+      input.addData(Doc(new Timestamp(300000L), 9L, "tick far ahead closes the open windows"))
+      query.processAllAvailable()
+      val out = spark.table("contam_out").select("docId", "bench_id", "n_overlap")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(out.map(t => (t._1, t._2)).toSet == Set((1L, 0L)), s"got ${out.toSeq}")
+      assert(out.head._3 >= 3)
+    } finally query.stop()
+  }
+
   test("streaming rollup matches the batch rollup on the same data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
