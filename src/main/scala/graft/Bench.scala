@@ -79,16 +79,24 @@ object Bench {
       val base = results.toMap
       val rows = probeQueries.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
+          // a query failing against the probe tables must read as a sentinel,
+          // not as its (tiny) time-to-throw masquerading as a great ratio
           def once(): Double = {
             val t0 = System.nanoTime()
-            try { fn(spark, probeDir).count() } catch { case _: Throwable => -1L }
-            (System.nanoTime() - t0) / 1e9
+            try { fn(spark, probeDir).count(); (System.nanoTime() - t0) / 1e9 }
+            catch { case _: Throwable => -1.0 }
           }
-          val scaled = math.min(once(), once())
-          val ratio = base.get(name).filter(_ > 0).map(scaled / _).getOrElse(-1.0)
+          val (a, b) = (once(), once())
+          val scaled = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+          val ratio =
+            if (scaled < 0) -1.0
+            else base.get(name).filter(_ > 0).map(scaled / _).getOrElse(-1.0)
           s""""$name":{"base":${base.getOrElse(name, -1.0)},"scaled":$scaled,"ratio":$ratio}"""
         }
       }
+      // the replicated tables are ~11x the sf corpus; don't leak them in /tmp
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(probeDir)).deleteRecursively()
       s""","scale_probe":{"factor":$factor,"queries":${rows.mkString("{", ",", "}")}}"""
     } catch { case _: Throwable => "" }
 

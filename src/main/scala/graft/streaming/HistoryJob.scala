@@ -112,8 +112,11 @@ object HistoryJob {
       .option("checkpointLocation", s"$outPath/_checkpoints")
       .foreachBatch { (_: DataFrame, batchId: Long) =>
         withRetry(retries, retryDelayMillis, alert(batchId, _)) {
+          // overwrite, not append: each batch owns its directory, and a retry
+          // after a partial first attempt must replace any part-files that
+          // already committed — append would duplicate them silently
           run(spark, sfDir, clock())
-            .write.mode("append").json(s"$outPath/batch_$batchId")
+            .write.mode("overwrite").json(s"$outPath/batch_$batchId")
         }
         ()
       }

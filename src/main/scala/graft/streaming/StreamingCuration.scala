@@ -20,16 +20,10 @@ object StreamingCuration {
 
   import StreamingDedup.Doc
 
-  /** Gopher-style per-doc quality: type-token ratio and stopword density —
-    * identical to the batch `TextOps.qualityScore` formula.
+  /** Gopher-style per-doc quality — THE batch formula, by construction:
+    * [[graft.text.TextOps.qualityCol]] is the single shared definition.
     */
-  def quality(content: Column): Column = {
-    val toks = split(content, " ")
-    val nTok = size(toks).cast("double")
-    val nDis = size(array_distinct(toks)).cast("double")
-    val nStop = size(filter(toks, t => t === "the" || t === "a")).cast("double")
-    (nDis / nTok) * 0.7 + (lit(1.0) - nStop / nTok) * 0.3
-  }
+  def quality(content: Column): Column = graft.text.TextOps.qualityCol(content)
 
   def plan(
       docs: DataFrame,
@@ -74,7 +68,7 @@ object StreamingCuration {
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= shingleK)
       .select(col("ts"), col("docId"),
-        explode(graft.dedup.DedupOps.shinglesFromToks(col("toks"))).as("s"))
+        explode(graft.dedup.DedupOps.shinglesFromToks(col("toks"), shingleK)).as("s"))
     // a document's shingles share its single event time, so the tumbling
     // window closes with the doc and the watermark bounds aggregation state
     // (a bare groupBy(docId) would hold state for every doc ever seen)

@@ -16,6 +16,19 @@ object TextOps {
 
   def tokens(c: Column): Column = split(c, " ")
 
+  /** The quality formula as a reusable Column — type-token ratio blended with
+    * inverse stopword density. Single definition shared by the batch
+    * [[qualityScore]] and the streaming gate
+    * ([[graft.streaming.StreamingCuration]]) so the two can never drift.
+    */
+  def qualityCol(content: Column): Column = {
+    val toks = tokens(content)
+    val nTok = size(toks).cast("double")
+    val nDis = size(array_distinct(toks)).cast("double")
+    val nStop = size(filter(toks, t => t === "the" || t === "a")).cast("double")
+    (nDis / nTok) * 0.7 + (lit(1.0) - nStop / nTok) * 0.3
+  }
+
   /** Per-document token statistics (whitespace tokenization). */
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -51,7 +64,7 @@ object TextOps {
         nTok.cast("int").as("n_tokens"),
         (nDis / nTok).as("ttr"),
         (nStop / nTok).as("stop_ratio"),
-        ((nDis / nTok) * 0.7 + (lit(1.0) - nStop / nTok) * 0.3).as("quality"))
+        qualityCol(col("text")).as("quality"))
       .orderBy("doc_id")
   }
 

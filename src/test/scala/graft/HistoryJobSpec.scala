@@ -76,6 +76,17 @@ class HistoryJobSpec extends AnyFunSuite with SharedSpark {
     assert(thrown.getMessage == "permanent" && attempts2 == 2 && alerts == List("permanent"))
   }
 
+  test("batch write is idempotent under retry: no duplicated rows after re-run") {
+    // simulate attempt 1 leaving committed part-files, then a full retry
+    val out = java.nio.file.Files.createTempDirectory("history_retry").toString
+    val df = HistoryJob.run(spark, sfDir, 42L)
+    df.write.mode("overwrite").json(s"$out/batch_0")
+    val once = spark.read.json(s"$out/batch_0").count()
+    df.write.mode("overwrite").json(s"$out/batch_0") // the retry
+    assert(spark.read.json(s"$out/batch_0").count() == once,
+      "retrying the batch write must not duplicate rows")
+  }
+
   test("scheduled run executes under AvailableNow and writes one batch") {
     val out = java.nio.file.Files.createTempDirectory("history").toString
     val q = HistoryJob.scheduled(spark, sfDir, out, clock = () => 42L)
