@@ -431,6 +431,59 @@ object SimilarityOps {
        |FROM assigned t LEFT JOIN drops d ON t.centroid_id = d.centroid_id
        |GROUP BY 1 ORDER BY centroid_id""".stripMargin
 
+  /** int8 scalar quantization (SQ8) of the embedding column — the storage
+    * format a 100 TB vector corpus actually persists (4 bytes/dim float →
+    * 1 byte/dim code + one scale, a 4× index shrink; PQ/SQ is standard in
+    * FAISS-style serving). Per vector: symmetric scale = max |v_i| / 127,
+    * codes = floor(v_i / scale) (floor, not round — round-half behavior
+    * differs across engines, floor is identical), reconstruction error =
+    * Σ (v_i − code_i·scale)², decimal-rendered. Pure column arithmetic, a
+    * narrow map at any scale; the code vector is pinned cross-engine by an
+    * md5 roll-up.
+    */
+  def quantizeSq8(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("scale",
+        expr("aggregate(v, cast(0.0 as double), (m, x) -> greatest(m, abs(x)))") / 127.0)
+      .withColumn("codes", expr("transform(v, x -> cast(floor(x / scale) as long))"))
+    // error terms go through DECIMAL per element BEFORE summation: the two
+    // engines' float-sum orders aren't pinned, decimal addition is exact
+    e.select(
+      col("vec_id"),
+      md5(expr("array_join(transform(codes, c -> cast(c as string)), ',')")).as("codes_fp"),
+      // no 6→4 rescale at the end: DuckDB truncates a decimal downscale
+      // where Spark rounds half-up — the exact (18,6) sum renders to the
+      // same double in both engines
+      expr(
+        """aggregate(zip_with(v, codes, (x, c) ->
+          |    cast((x - c * scale) * (x - c * scale) as decimal(18,6))),
+          |  cast(0 as decimal(18,6)),
+          |  (acc, d) -> cast(acc + d as decimal(18,6)))""".stripMargin)
+        .cast("double")
+        .as("recon_err"))
+      .orderBy("vec_id")
+  }
+
+  val quantizeSq8Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |scaled AS (
+       |  SELECT vec_id, v,
+       |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       |  FROM e),
+       |coded AS (
+       |  SELECT vec_id, v, scale,
+       |         list_transform(v, x -> CAST(floor(x / scale) AS BIGINT)) AS codes
+       |  FROM scaled)
+       |SELECT vec_id,
+       |       md5(array_to_string(codes, ',')) AS codes_fp,
+       |       CAST(list_sum(list_transform(generate_series(1, len(v)),
+       |              i -> CAST((v[i] - codes[i] * scale) * (v[i] - codes[i] * scale) AS DECIMAL(18,6)))) AS DOUBLE) AS recon_err
+       |FROM coded
+       |ORDER BY vec_id""".stripMargin
+
   /** IVF search: top-3 cosine neighbors per query, candidates restricted to
     * the query's centroid cell (nprobe=1) — the approximate-but-bounded scale
     * path. Deterministic, so exactly reproducible in the oracle.
@@ -478,6 +531,7 @@ object SimilarityOps {
     "q_ivf_topk" -> (ivfTopK(_, _)),
     "q_kmeans_step" -> (kmeansStep(_, _)),
     "q_semdedup" -> (semDedup(_, _)),
+    "q_quantize_sq8" -> (quantizeSq8(_, _)),
     "q_ann_topk" -> (annTopK(_, _)),
     "q_knn_1nn" -> (knn1(_, _)),
     "q_cosine_pairs" -> (cosinePairs(_, _)),
@@ -489,6 +543,7 @@ object SimilarityOps {
     "q_ivf_topk" -> ivfTopKSql(),
     "q_kmeans_step" -> kmeansStepSql,
     "q_semdedup" -> semDedupSql(),
+    "q_quantize_sq8" -> quantizeSq8Sql,
     "q_ann_topk" -> annTopKSql(),
     "q_knn_1nn" -> knn1Sql,
     "q_cosine_pairs" -> cosinePairsSql(),

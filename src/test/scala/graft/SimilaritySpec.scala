@@ -74,6 +74,31 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(ledger.map(_.getLong(1)).sum == cells.size.toLong)
   }
 
+  test("sq8 quantization: codes fit int8 and error is bounded by dim x scale^2") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("scale",
+        expr("aggregate(v, cast(0.0 as double), (m, x) -> greatest(m, abs(x)))") / 127.0)
+      .withColumn("codes", expr("transform(v, x -> cast(floor(x / scale) as long))"))
+      .withColumn("dim", size(col("v")))
+    val stats = e.select(
+      expr("aggregate(codes, cast(127L as long), (m, c) -> least(m, c))").as("cmin"),
+      expr("aggregate(codes, cast(-128L as long), (m, c) -> greatest(m, c))").as("cmax"),
+      (col("dim") * col("scale") * col("scale")).as("bound"))
+      .collect()
+    stats.foreach { r =>
+      assert(r.getLong(0) >= -128 && r.getLong(1) <= 127, "codes out of int8 range")
+    }
+    val errs = SimilarityOps.quantizeSq8(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bounds = e.select(col("vec_id"), (col("dim") * col("scale") * col("scale")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    errs.foreach { case (id, err) =>
+      assert(err >= 0 && err <= bounds(id) + 1e-9, s"vec $id error $err exceeds ${bounds(id)}")
+    }
+  }
+
   test("lsh buckets partition the corpus completely") {
     val total = Tables.embeddings(spark, sfDir).count()
     val bucketed = SimilarityOps.lshBuckets(spark, sfDir)
