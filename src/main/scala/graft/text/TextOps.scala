@@ -168,7 +168,40 @@ object TextOps {
       |       CAST(sum(n_chars) AS BIGINT) / count(*) AS avg_chars
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Retrieval-shaped scoring for curation: rank documents against a fixed
+    * term set by (distinct terms matched, total term frequency) — the
+    * integer-exact core of BM25-style relevance (the log-idf weighting is
+    * deliberately absent: libm `log` isn't bit-pinned across engines, and
+    * the INTEGER pair ordering is). Plan shape is the inverted-index build:
+    * explode to postings, filter to the query terms (pushed to a tiny subset
+    * immediately), one grouped count per doc — at 100 TB the posting filter
+    * makes this a sparse scan, never a full-corpus aggregate.
+    */
+  val QueryTerms: Seq[String] = Seq("table", "join", "window", "stream", "hash")
+
+  def termMatchRank(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .filter(col("t").isin(QueryTerms: _*))
+      .groupBy("doc_id")
+      .agg(
+        countDistinct("t").as("n_matched"),
+        count(lit(1)).as("total_tf"))
+      .orderBy(desc("n_matched"), desc("total_tf"), asc("doc_id"))
+      .limit(k)
+
+  def termMatchRankSql(k: Int = 20): String = {
+    val inList = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""SELECT doc_id, count(DISTINCT t) AS n_matched, count(*) AS total_tf
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |WHERE t IN ($inList)
+       |GROUP BY doc_id
+       |ORDER BY n_matched DESC, total_tf DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_term_match_rank" -> (termMatchRank(_, _)),
     "q_token_stats" -> (tokenStats(_, _)),
     "q_quality_score" -> (qualityScore(_, _)),
     "q_lang_id" -> (langId(_, _)),
@@ -177,6 +210,7 @@ object TextOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_term_match_rank" -> termMatchRankSql(),
     "q_token_stats" -> tokenStatsSql,
     "q_quality_score" -> qualityScoreSql,
     "q_lang_id" -> langIdSql,
