@@ -431,6 +431,36 @@ object SimilarityOps {
        |FROM assigned t LEFT JOIN drops d ON t.centroid_id = d.centroid_id
        |GROUP BY 1 ORDER BY centroid_id""".stripMargin
 
+  /** Class-balance ledger over the labeled embedding corpus — the input a
+    * supervised fine-tuning pipeline feeds its class-balanced sampler, plus
+    * the per-class centroid numerators (class prototypes, the seed of
+    * nearest-class-mean classifiers and per-class outlier pruning). Same
+    * decimal-sum discipline as [[kmeansStep]]; one grouped aggregate with
+    * map-side combine, shuffling one partial row per (partition, label).
+    */
+  def labelStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def dsum6(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+    val sums = (1 to KmeansEmitDims).map(i =>
+      dsum6(element_at(col("v"), i)).as(s"s_$i"))
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), transform(col("embedding"), _.cast("double")).as("v"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .orderBy("label")
+  }
+
+  val labelStatsSql: String = {
+    val sums = (1 to KmeansEmitDims)
+      .map(i => s"CAST(SUM(CAST(v[$i] AS DECIMAL(18,6))) AS DOUBLE) AS s_$i")
+      .mkString(",\n       ")
+    s"""SELECT label, count(*) AS n,
+       |       $sums
+       |FROM (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings)
+       |GROUP BY label ORDER BY label""".stripMargin
+  }
+
   /** int8 scalar quantization (SQ8) of the embedding column — the storage
     * format a 100 TB vector corpus actually persists (4 bytes/dim float →
     * 1 byte/dim code + one scale, a 4× index shrink; PQ/SQ is standard in
@@ -532,6 +562,7 @@ object SimilarityOps {
     "q_kmeans_step" -> (kmeansStep(_, _)),
     "q_semdedup" -> (semDedup(_, _)),
     "q_quantize_sq8" -> (quantizeSq8(_, _)),
+    "q_label_stats" -> (labelStats(_, _)),
     "q_ann_topk" -> (annTopK(_, _)),
     "q_knn_1nn" -> (knn1(_, _)),
     "q_cosine_pairs" -> (cosinePairs(_, _)),
@@ -544,6 +575,7 @@ object SimilarityOps {
     "q_kmeans_step" -> kmeansStepSql,
     "q_semdedup" -> semDedupSql(),
     "q_quantize_sq8" -> quantizeSq8Sql,
+    "q_label_stats" -> labelStatsSql,
     "q_ann_topk" -> annTopKSql(),
     "q_knn_1nn" -> knn1Sql,
     "q_cosine_pairs" -> cosinePairsSql(),
