@@ -49,6 +49,35 @@ object TextOps {
       |       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** GPT-2-style pre-tokenizer pattern, RE2-compatible (no lookarounds, so
+    * Spark's Java regex and DuckDB's RE2 match identically): an optional
+    * leading space glued to a letter run, digit run, or punctuation run —
+    * the segmentation BPE merges start from. Trailing-space handling (the
+    * lookahead in the original GPT-2 pattern) is dropped; this corpus is
+    * single-spaced so the class split is what matters.
+    */
+  val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  /** Token-budget estimation under a BPE-ish pre-tokenizer vs whitespace —
+    * the counts a pipeline uses to cost a corpus in model tokens (whitespace
+    * undercounts code/punctuation-heavy text badly). Mixed-class tokens
+    * ("user7@example.com") split into several pre-tokens, so bpe ≥ ws on
+    * exactly the docs where whitespace counting lies.
+    */
+  def bpeTokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("ws_tokens"),
+        regexp_count(col("text"), lit(BpePattern)).cast("int").as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  val bpeTokenCountSql: String =
+    s"""SELECT doc_id,
+       |       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+       |       CAST(len(regexp_extract_all(text, '$BpePattern')) AS INT) AS bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Heuristic quality score: type-token ratio, stopword ratio and a combined
     * score — the length/punct/stopword-ratio family of pretraining quality
     * filters, as pure column arithmetic.
@@ -202,6 +231,7 @@ object TextOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_term_match_rank" -> (termMatchRank(_, _)),
+    "q_bpe_token_count" -> (bpeTokenCount(_, _)),
     "q_token_stats" -> (tokenStats(_, _)),
     "q_quality_score" -> (qualityScore(_, _)),
     "q_lang_id" -> (langId(_, _)),
@@ -211,6 +241,7 @@ object TextOps {
 
   def oracle: Map[String, String] = Map(
     "q_term_match_rank" -> termMatchRankSql(),
+    "q_bpe_token_count" -> bpeTokenCountSql,
     "q_token_stats" -> tokenStatsSql,
     "q_quality_score" -> qualityScoreSql,
     "q_lang_id" -> langIdSql,
