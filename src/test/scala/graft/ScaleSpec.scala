@@ -14,6 +14,27 @@ import graft.streaming.StreamingDutyCycle.PowerReading
   */
 class ScaleSpec extends AnyFunSuite with SharedSpark {
 
+  test("no query in the whole catalog plans a cartesian or corpus-sized BNLJ") {
+    // crossJoin of a broadcast 1-row aggregate (the driver-less scalar
+    // pattern) and bounded literal grids are legitimate; a BNLJ over two
+    // unbounded relations or a CartesianProduct node is never acceptable
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      df.collect() // finalize the adaptive plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+      // BNLJ is acceptable only when the build side is bounded by
+      // construction: the 1-row-scalar crossJoin shape, or the explicitly
+      // bounded broadcast of a fixed query set (q_ann_topk broadcasts the
+      // vec_id < nQueries side — constant-sized at any corpus scale)
+      val boundedBnlj = Set("q_ann_topk")
+      if (plan.contains("BroadcastNestedLoopJoin") && !boundedBnlj(name)) {
+        assert(plan.contains("HashAggregate(keys=[], "),
+          s"$name BNLJs a non-scalar build side:\n$plan")
+      }
+    }
+  }
+
   test("shingle-family plans compute the shingle lineage once, not per consumer") {
     // the r2 plans re-ran tokenize→shingle→explode for every aggregate joined
     // back (up to 9 parquet scans per query); the window-count shape caps the
