@@ -556,7 +556,56 @@ object SimilarityOps {
        |WHERE rank <= $k
        |ORDER BY qid, rank""".stripMargin
 
+  /** Recall@k of the IVF (nprobe=1) search against the exact brute-force
+    * baseline — the measurement every ANN deployment runs before trusting an
+    * approximate index. Per query id: hits = |IVF top-k ∩ exact top-k|,
+    * integer-exact in both engines (rank lists are deterministic), so the
+    * oracle pins the recall ledger bit-for-bit. The join is per-(qid, cid)
+    * over two k-row-per-query relations — negligible at any scale next to
+    * the searches themselves.
+    */
+  def ivfRecall(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val exact = annTopK(spark, sfDir, nQueries, k).select(col("qid"), col("cid"))
+    val approx = ivfTopK(spark, sfDir, nQueries, k)
+      .select(col("qid").as("aqid"), col("cid").as("acid"))
+    exact
+      .join(approx, col("qid") === col("aqid") && col("cid") === col("acid"), "left")
+      .groupBy("qid")
+      .agg(
+        count(lit(1)).as("k_exact"),
+        count(col("acid")).as("hits"))
+      .orderBy("qid")
+  }
+
+  def ivfRecallSql(nQueries: Int = 10, k: Int = 3): String =
+    s"""WITH $assignCtes,
+       |normed AS (
+       |  SELECT vec_id, v, centroid_id,
+       |         list_sum(list_transform(v, x -> x * x)) AS nn
+       |  FROM assigned),
+       |exact AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+       |               / (sqrt(q.nn) * sqrt(c.nn)) DESC, c.vec_id) AS rank
+       |    FROM normed q JOIN normed c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id)
+       |  WHERE rank <= $k),
+       |approx AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+       |               / (sqrt(q.nn) * sqrt(c.nn)) DESC, c.vec_id) AS rank
+       |    FROM normed q JOIN normed c
+       |      ON q.centroid_id = c.centroid_id AND q.vec_id < $nQueries AND q.vec_id <> c.vec_id)
+       |  WHERE rank <= $k)
+       |SELECT e.qid AS qid, count(*) AS k_exact, count(a.cid) AS hits
+       |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+       |GROUP BY 1 ORDER BY e.qid""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ivf_recall" -> (ivfRecall(_, _)),
     "q_ivf_buckets" -> (ivfBuckets(_, _)),
     "q_ivf_topk" -> (ivfTopK(_, _)),
     "q_kmeans_step" -> (kmeansStep(_, _)),
@@ -570,6 +619,7 @@ object SimilarityOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_ivf_recall" -> ivfRecallSql(),
     "q_ivf_buckets" -> ivfBucketsSql,
     "q_ivf_topk" -> ivfTopKSql(),
     "q_kmeans_step" -> kmeansStepSql,
