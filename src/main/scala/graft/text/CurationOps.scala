@@ -292,6 +292,121 @@ object CurationOps {
       |ORDER BY source""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Incremental corpus delta (new batch vs historical corpus)
+  // -------------------------------------------------------------------------
+
+  val DeltaSplitId = 400L
+
+  /** Incremental ingest dedup: the daily-crawl pattern where a NEW batch
+    * (here: doc_id ≥ split, standing in for today's partition) is admitted
+    * only if it is neither an exact copy (anti-join on content hash) nor a
+    * near-duplicate (shared-shingle candidate join) of the HISTORICAL corpus.
+    * Emits the admission ledger per new doc. Both checks are equi-joins
+    * keyed on hash/shingle — the historical side at 100 TB is the big one,
+    * and neither check scans it beyond the hash/shingle indexes a real
+    * deployment materializes (here: the shuffled join builds them on the
+    * fly).
+    */
+  def corpusDelta(spark: SparkSession, sfDir: String, split: Long = DeltaSplitId,
+      minOverlap: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val hist = docs.filter(col("doc_id") < split)
+    val fresh = docs.filter(col("doc_id") >= split)
+    val exactDup = fresh.alias("f")
+      .join(hist.alias("h"), md5(col("f.text")) === md5(col("h.text")), "left_semi")
+      .select(col("doc_id"))
+    def sh(df: DataFrame) = df
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleK)
+      .select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s"))
+    val nearDup = sh(fresh).alias("f")
+      .join(sh(hist).select(col("s")).alias("h"), "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col("doc_id"))
+    fresh.select("doc_id")
+      .join(exactDup.withColumn("is_exact_dup", lit(1)), Seq("doc_id"), "left")
+      .join(nearDup.withColumn("is_near_dup", lit(1)), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("is_exact_dup"), lit(0)).as("is_exact_dup"),
+        coalesce(col("is_near_dup"), lit(0)).as("is_near_dup"))
+      .withColumn("admitted",
+        when(col("is_exact_dup") === 0 && col("is_near_dup") === 0, 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
+  def corpusDeltaSql(split: Long = DeltaSplitId, minOverlap: Int = 3): String =
+    s"""WITH hist AS (SELECT * FROM documents WHERE doc_id < $split),
+       |fresh AS (SELECT * FROM documents WHERE doc_id >= $split),
+       |exact_dup AS (
+       |  SELECT DISTINCT f.doc_id FROM fresh f JOIN hist h ON md5(f.text) = md5(h.text)),
+       |fsh AS (
+       |  SELECT doc_id, unnest(${shinglesSql("text")}) AS s
+       |  FROM fresh WHERE len(string_split(text, ' ')) >= $ShingleK),
+       |hsh AS (
+       |  SELECT doc_id, unnest(${shinglesSql("text")}) AS s
+       |  FROM hist WHERE len(string_split(text, ' ')) >= $ShingleK),
+       |near_dup AS (
+       |  SELECT f.doc_id FROM fsh f JOIN hsh h ON f.s = h.s
+       |  GROUP BY 1 HAVING count(*) >= $minOverlap)
+       |SELECT fresh.doc_id,
+       |       CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS is_exact_dup,
+       |       CASE WHEN n.doc_id IS NULL THEN 0 ELSE 1 END AS is_near_dup,
+       |       CASE WHEN e.doc_id IS NULL AND n.doc_id IS NULL THEN 1 ELSE 0 END AS admitted
+       |FROM fresh
+       |LEFT JOIN exact_dup e ON fresh.doc_id = e.doc_id
+       |LEFT JOIN near_dup n ON fresh.doc_id = n.doc_id
+       |ORDER BY fresh.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Vocabulary drift (corpus monitoring)
+  // -------------------------------------------------------------------------
+
+  /** Vocabulary drift between two corpus halves (older vs newer doc ids —
+    * the proxy for yesterday-vs-today partitions): per-token total-variation
+    * contribution as the INTEGER |c1·N2 − c2·N1| (the TV distance numerator
+    * scaled by N1·N2 — exact, no float division), emitting the top drifting
+    * tokens. This is the monitoring signal a pipeline alarms on when a crawl
+    * source shifts. One grouped count per half over the token explode; the
+    * scale-up cost is the token shuffle, same as every counting operator
+    * here.
+    */
+  def vocabDrift(spark: SparkSession, sfDir: String, split: Long = DeltaSplitId,
+      topK: Int = 25): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+    val counts = tok
+      .groupBy("t")
+      .agg(
+        sum(when(col("doc_id") < split, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("doc_id") >= split, 1L).otherwise(0L)).as("c2"))
+    val tot = counts.agg(
+      sum("c1").as("n1"), sum("c2").as("n2"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("drift_num", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+      .select("t", "c1", "c2", "drift_num")
+      .orderBy(desc("drift_num"), asc("t"))
+      .limit(topK)
+  }
+
+  def vocabDriftSql(split: Long = DeltaSplitId, topK: Int = 25): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |counts AS (
+       |  SELECT t,
+       |         CAST(sum(CASE WHEN doc_id < $split THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |         CAST(sum(CASE WHEN doc_id >= $split THEN 1 ELSE 0 END) AS BIGINT) AS c2
+       |  FROM tok GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM counts)
+       |SELECT t, c1, c2, abs(c1 * n2 - c2 * n1) AS drift_num
+       |FROM counts CROSS JOIN tot
+       |ORDER BY drift_num DESC, t
+       |LIMIT $topK""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Deterministic global shuffle (training-order randomization)
   // -------------------------------------------------------------------------
 
@@ -351,7 +466,9 @@ object CurationOps {
     "q_seq_packing" -> (seqPacking(_, _)),
     "q_stratified_sample" -> (stratifiedSample(_, _)),
     "q_mixture_weights" -> (mixtureWeights(_, _)),
-    "q_global_shuffle" -> (globalShuffle(_, _))
+    "q_global_shuffle" -> (globalShuffle(_, _)),
+    "q_corpus_delta" -> (corpusDelta(_, _)),
+    "q_vocab_drift" -> (vocabDrift(_, _))
   )
 
   def oracle: Map[String, String] = Map(
@@ -362,6 +479,8 @@ object CurationOps {
     "q_seq_packing" -> seqPackingSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_mixture_weights" -> mixtureWeightsSql,
-    "q_global_shuffle" -> globalShuffleSql()
+    "q_global_shuffle" -> globalShuffleSql(),
+    "q_corpus_delta" -> corpusDeltaSql(),
+    "q_vocab_drift" -> vocabDriftSql()
   )
 }

@@ -96,6 +96,37 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("corpus delta admits fresh docs and blocks cross-split near-dups") {
+    val rows = CurationOps.corpusDelta(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, (ex, near, adm)) =>
+      assert(adm == (if (ex == 0 && near == 0) 1 else 0), s"ledger inconsistent for $id")
+    }
+    // planted near-dups whose base sits in the historical half must be
+    // blocked as near-dups; fully fresh docs must be admitted
+    val split = CurationOps.DeltaSplitId
+    val nearExpected = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, t) => id >= split && t.split(" ").contains("dup") }
+      .map(_._1)
+    // (dup docs whose base is ALSO in the fresh half still share shingles
+    // with it — near-dup detection is against hist only, so only assert on
+    // docs whose stripped base exists below the split)
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val histTexts = texts.filter(_._1 < split).values.toSet
+    nearExpected.foreach { id =>
+      val base = texts(id).split(" ").filter(_ != "dup").mkString(" ")
+      if (histTexts.contains(base)) {
+        assert(rows(id)._2 == 1, s"near-dup $id (historical base) not blocked")
+        assert(rows(id)._3 == 0)
+      }
+    }
+    assert(rows.values.count(_._3 == 1) > 0, "no doc admitted — ledger degenerate")
+  }
+
   test("stratified sample keeps strata at their configured rates") {
     CurationOps.stratifiedSample(spark, sfDir).collect().foreach { r =>
       val (lang, total, kept) = (r.getString(0), r.getLong(1), r.getLong(2))
