@@ -27,7 +27,7 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
       // construction: the 1-row-scalar crossJoin shape, or the explicitly
       // bounded broadcast of a fixed query set (q_ann_topk broadcasts the
       // vec_id < nQueries side — constant-sized at any corpus scale)
-      val boundedBnlj = Set("q_ann_topk")
+      val boundedBnlj = Set("q_ann_topk", "q_ivf_recall") // both broadcast the fixed query set
       if (plan.contains("BroadcastNestedLoopJoin") && !boundedBnlj(name)) {
         assert(plan.contains("HashAggregate(keys=[], "),
           s"$name BNLJs a non-scalar build side:\n$plan")
