@@ -366,6 +366,60 @@ object SimilarityOps {
        |GROUP BY 1 ORDER BY centroid_id""".stripMargin
   }
 
+  /** Per-cell embedding outliers: inside each IVF cell, the vectors farthest
+    * from their assigned centroid — the embedding-space analog of the
+    * distance-based pruning step in curation pipelines (mislabeled or
+    * off-distribution points sit at cell edges). Squared distance decomposes
+    * as |v|² + (|c|² − 2·v·c); the parenthesized term is exactly the
+    * assignment score, so the whole query is the assignment plan plus one
+    * windowed rank per cell — no join, no second corpus pass. At 100 TB the
+    * window partitions by cell over the already-shuffled assignment, and the
+    * per-cell top-k never materializes more than k rows per cell past the
+    * rank filter.
+    */
+  def embedOutliers(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val withC = (0 until NumCentroids).foldLeft(e) { (df, c) =>
+      df.withColumn(s"c_$c", array(centroids(c).map(lit(_)): _*))
+    }
+    val scored = (0 until NumCentroids).foldLeft(withC) { (df, c) =>
+      df.withColumn(s"d_$c", lit(selfDot(centroids(c))) - lit(2.0) * expr(s"dot_arrays(v, c_$c)"))
+    }
+    val ks = 0 until NumCentroids
+    val assign = ks.init.foldRight(lit(ks.last)) { case (c, elseCol) =>
+      val leAll = ks.drop(c + 1).map(o => col(s"d_$c") <= col(s"d_$o")).reduce(_ && _)
+      when(leAll, lit(c)).otherwise(elseCol)
+    }
+    val w = Window.partitionBy("centroid_id").orderBy(desc("sqdist"), asc("vec_id"))
+    scored
+      .select(
+        col("vec_id"),
+        assign.as("centroid_id"),
+        (expr("dot_arrays(v, v)") + least(ks.map(c => col(s"d_$c")): _*)).as("sqdist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("centroid_id", "rank", "vec_id")
+      .orderBy("centroid_id", "rank")
+  }
+
+  def embedOutliersSql(k: Int = 3): String =
+    s"""WITH $assignCtes,
+       |sq AS (
+       |  SELECT a.vec_id, a.centroid_id,
+       |         list_sum(list_transform(a.v, x -> x * x)) + d.d AS sqdist
+       |  FROM assigned a JOIN dists d
+       |    ON a.vec_id = d.vec_id AND a.centroid_id = d.k)
+       |SELECT CAST(centroid_id AS INT) AS centroid_id,
+       |       CAST(rank AS INT) AS rank, vec_id
+       |FROM (
+       |  SELECT vec_id, centroid_id,
+       |         row_number() OVER (PARTITION BY centroid_id ORDER BY sqdist DESC, vec_id) AS rank
+       |  FROM sq)
+       |WHERE rank <= $k
+       |ORDER BY centroid_id, rank""".stripMargin
+
   /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the corpus (here: the deterministic IVF assignment), then inside
     * each cluster drop every vector that has a LOWER-id vector within cosine
@@ -610,6 +664,7 @@ object SimilarityOps {
     "q_ivf_topk" -> (ivfTopK(_, _)),
     "q_kmeans_step" -> (kmeansStep(_, _)),
     "q_semdedup" -> (semDedup(_, _)),
+    "q_embed_outliers" -> (embedOutliers(_, _)),
     "q_quantize_sq8" -> (quantizeSq8(_, _)),
     "q_label_stats" -> (labelStats(_, _)),
     "q_ann_topk" -> (annTopK(_, _)),
@@ -624,6 +679,7 @@ object SimilarityOps {
     "q_ivf_topk" -> ivfTopKSql(),
     "q_kmeans_step" -> kmeansStepSql,
     "q_semdedup" -> semDedupSql(),
+    "q_embed_outliers" -> embedOutliersSql(),
     "q_quantize_sq8" -> quantizeSq8Sql,
     "q_label_stats" -> labelStatsSql,
     "q_ann_topk" -> annTopKSql(),

@@ -197,6 +197,85 @@ object TextOps {
       |       CAST(sum(n_chars) AS BIGINT) / count(*) AS avg_chars
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** One merge iteration of BPE vocabulary induction, distributed: the
+    * symbol-pair statistics a tokenizer trainer computes over the whole
+    * corpus before each merge. Plan shape is the one that makes BPE training
+    * feasible at 100 TB: collapse the corpus to a (distinct word, frequency)
+    * table first — pair counting then runs over DISTINCT words only (a few
+    * million rows regardless of corpus size), weighted by word frequency, so
+    * the expensive per-character explode never touches the raw corpus twice.
+    * Output: top-k adjacent character pairs by corpus frequency — the pair
+    * the next merge would fuse, plus its runners-up.
+    */
+  def bpeMergeStep(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+      .select(
+        col("freq"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
+      .groupBy("pair")
+      .agg(sum("freq").as("pair_count"))
+      .orderBy(desc("pair_count"), asc("pair"))
+      .limit(k)
+
+  def bpeMergeStepSql(k: Int = 20): String =
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 2
+       |  GROUP BY w),
+       |pairs AS (
+       |  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+       |                               i -> substr(w, i, 2))) AS pair,
+       |         freq
+       |  FROM words)
+       |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+       |FROM pairs
+       |GROUP BY pair
+       |ORDER BY pair_count DESC, pair
+       |LIMIT $k""".stripMargin
+
+  /** CCNet-style rarity scoring: how common is this document's vocabulary in
+    * the corpus? Token document-frequencies are computed once (distinct
+    * (doc, token) explode → grouped count — never a per-token id list), then
+    * joined back to each document's token stream and averaged. Documents of
+    * rare vocabulary (low mean df) are the tail a curation pipeline either
+    * up-samples (diversity) or drops (noise); the integer sum and count are
+    * engine-exact, and their IEEE double quotient is bit-identical in both
+    * engines. The join back is shuffle-on-token — at 100 TB the df side is
+    * vocabulary-sized (millions), broadcast-able after the grouped count.
+    */
+  def tokenRarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val df = toks.groupBy("t").agg(countDistinct("doc_id").as("df"))
+    toks
+      .join(df, "t")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum("df").as("sum_df"))
+      .withColumn("mean_df", col("sum_df").cast("double") / col("n_tok"))
+      .select("doc_id", "n_tok", "sum_df", "mean_df")
+      .orderBy("doc_id")
+  }
+
+  val tokenRaritySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |dfreq AS (
+      |  SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY t)
+      |SELECT doc_id,
+      |       count(*) AS n_tok,
+      |       CAST(sum(df) AS BIGINT) AS sum_df,
+      |       CAST(sum(df) AS DOUBLE) / count(*) AS mean_df
+      |FROM toks JOIN dfreq USING (t)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Retrieval-shaped scoring for curation: rank documents against a fixed
     * term set by (distinct terms matched, total term frequency) — the
     * integer-exact core of BM25-style relevance (the log-idf weighting is
@@ -231,6 +310,8 @@ object TextOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_term_match_rank" -> (termMatchRank(_, _)),
+    "q_bpe_merge_step" -> (bpeMergeStep(_, _)),
+    "q_token_rarity" -> (tokenRarity(_, _)),
     "q_bpe_token_count" -> (bpeTokenCount(_, _)),
     "q_token_stats" -> (tokenStats(_, _)),
     "q_quality_score" -> (qualityScore(_, _)),
@@ -241,6 +322,8 @@ object TextOps {
 
   def oracle: Map[String, String] = Map(
     "q_term_match_rank" -> termMatchRankSql(),
+    "q_bpe_merge_step" -> bpeMergeStepSql(),
+    "q_token_rarity" -> tokenRaritySql,
     "q_bpe_token_count" -> bpeTokenCountSql,
     "q_token_stats" -> tokenStatsSql,
     "q_quality_score" -> qualityScoreSql,

@@ -74,6 +74,30 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(ledger.map(_.getLong(1)).sum == cells.size.toLong)
   }
 
+  test("embed outliers are each cell's true distance maxima under the assignment metric") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def sq(v: Array[Double], c: Array[Double]): Double = {
+      var vv = 0.0; var vc = 0.0; var cc = 0.0; var i = 0
+      while (i < v.length) { vv += v(i) * v(i); vc += v(i) * c(i); cc += c(i) * c(i); i += 1 }
+      vv + (cc - 2.0 * vc)
+    }
+    val assign = SimilarityOps.ivfAssignments(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val byCell = assign.groupBy(_._2)
+    val got = SimilarityOps.embedOutliers(spark, sfDir, k = 3).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    got.groupBy(_._1).foreach { case (cell, rs) =>
+      val expected = byCell(cell).map(_._1)
+        .sortBy(id => (-sq(vecs(id), SimilarityOps.centroids(cell)), id))
+        .take(3)
+      assert(rs.sortBy(_._2).map(_._3).toSeq == expected.toSeq, s"cell $cell")
+    }
+    assert(got.groupBy(_._1).keySet == byCell.keySet)
+  }
+
   test("sq8 quantization: codes fit int8 and error is bounded by dim x scale^2") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sfDir)

@@ -54,6 +54,40 @@ class TextAndMediaSpec extends AnyFunSuite with SharedSpark {
     assert(fps(1L)._2 != fps(3L)._2)
   }
 
+  test("bpe merge step equals a driver-side weighted pair count") {
+    val texts = Tables.documents(spark, sfDir).select("text")
+      .collect().map(_.getString(0))
+    val wordFreq = texts.flatMap(_.split(" ")).filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.length.toLong)
+    val pairCounts = scala.collection.mutable.Map.empty[String, Long]
+    wordFreq.foreach { case (w, f) =>
+      w.sliding(2).foreach(p => pairCounts(p) = pairCounts.getOrElse(p, 0L) + f)
+    }
+    val expected = pairCounts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    val got = graft.text.TextOps.bpeMergeStep(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == expected)
+  }
+
+  test("token rarity: mean df is the df-weighted token average, bounded by corpus size") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val df = docs.flatMap { case (id, t) => t.split(" ").distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nDocs = docs.length
+    val rows = graft.text.TextOps.tokenRarity(spark, sfDir).collect()
+    assert(rows.length == nDocs)
+    rows.take(25).foreach { r =>
+      val text = docs.toMap.apply(r.getLong(0))
+      val toks = text.split(" ")
+      val sumDf = toks.map(df).sum
+      assert(r.getLong(1) == toks.length)
+      assert(r.getLong(2) == sumDf)
+      assert(r.getDouble(3) == sumDf.toDouble / toks.length)
+      assert(r.getDouble(3) <= nDocs.toDouble)
+    }
+  }
+
   test("media decode stage is deterministic and schema-complete") {
     val a = MediaOps.mediaFeatures(spark, sfDir).collect()
     val b = MediaOps.mediaFeatures(spark, sfDir).collect()
