@@ -144,6 +144,42 @@ object Extended {
       |       true AS approx_ok
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Quantile sketch with a rank-error contract, same shape as
+    * [[approxDistinct]]: the exact interpolated median is oracle-able (the
+    * formula [[valuePercentiles]] proved engine-exact), and `approx_ok`
+    * asserts the KLL-style `approx_percentile` estimate landed inside the
+    * exact p45–p55 band — a ±0.05 rank-error bound, orders of magnitude
+    * looser than the sketch's configured 1/accuracy guarantee. At 100 TB the
+    * sketch is the only viable path (exact quantiles need a global sort);
+    * here it runs in-plan while the exact values anchor the check.
+    */
+  val QuantileAccuracy = 10000
+
+  def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(cents, 0.5)").as("exact_median"),
+        expr(s"approx_percentile(cents, 0.5, $QuantileAccuracy)").as("approx_median"),
+        expr("percentile(cents, 0.45)").as("p45"),
+        expr("percentile(cents, 0.55)").as("p55"))
+      .select(
+        col("event_type"),
+        col("n"),
+        col("exact_median"),
+        (col("approx_median") >= col("p45") && col("approx_median") <= col("p55"))
+          .as("approx_ok"))
+      .orderBy("event_type")
+
+  val approxQuantilesSql: String =
+    """WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+      |SELECT event_type, count(*) AS n,
+      |       quantile_cont(cents, 0.5) AS exact_median,
+      |       true AS approx_ok
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Pivot (long→wide): per-house power split into one column per event
     * type — the inverse of the GREEND unpivot. Spark's `.pivot` with
     * explicit values plans the same conditional aggregation the SQL twin
@@ -302,7 +338,8 @@ object Extended {
     "q_salted_agg" -> (saltedPowerByHouse(_, _)),
     "q_value_percentiles" -> (valuePercentiles(_, _)),
     "q_sessionize" -> (sessionize(_, _)),
-    "q_approx_distinct" -> (approxDistinct(_, _))
+    "q_approx_distinct" -> (approxDistinct(_, _)),
+    "q_approx_quantiles" -> (approxQuantiles(_, _))
   )
 
   def oracle: Map[String, String] = Map(
@@ -316,6 +353,7 @@ object Extended {
     "q_salted_agg" -> saltedPowerByHouseSql,
     "q_value_percentiles" -> valuePercentilesSql,
     "q_sessionize" -> sessionizeSql,
-    "q_approx_distinct" -> approxDistinctSql
+    "q_approx_distinct" -> approxDistinctSql,
+    "q_approx_quantiles" -> approxQuantilesSql
   )
 }

@@ -52,6 +52,47 @@ object Relational {
       |GROUP BY o_orderkey
       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
 
+  /** Full outer join: year-over-year customer activity (churn analysis).
+    * Each side is a pre-aggregated per-customer order count — a customer
+    * ordering in only one of the two years survives as an unmatched row, so
+    * all three null regions of the full outer are exercised and checked. At
+    * scale both sides shuffle on the same key and the aggregates are
+    * count-rows-per-key (bounded), so the join never carries raw orders.
+    */
+  def fullOuterChurn(spark: SparkSession, sfDir: String): DataFrame = {
+    def yearly(y: Int) = Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === y)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as(s"n_$y"))
+    yearly(1995).withColumnRenamed("o_custkey", "ck_a")
+      .join(yearly(1996).withColumnRenamed("o_custkey", "ck_b"),
+        col("ck_a") === col("ck_b"), "full_outer")
+      .select(
+        coalesce(col("ck_a"), col("ck_b")).as("custkey"),
+        coalesce(col("n_1995"), lit(0L)).as("n_1995"),
+        coalesce(col("n_1996"), lit(0L)).as("n_1996"),
+        when(col("ck_a").isNull, "gained")
+          .when(col("ck_b").isNull, "churned")
+          .otherwise("retained").as("status"))
+      .orderBy("custkey")
+  }
+
+  val fullOuterChurnSql: String =
+    """WITH a AS (
+      |  SELECT o_custkey, count(*) AS n_1995 FROM orders
+      |  WHERE year(o_orderdate) = 1995 GROUP BY 1),
+      |b AS (
+      |  SELECT o_custkey, count(*) AS n_1996 FROM orders
+      |  WHERE year(o_orderdate) = 1996 GROUP BY 1)
+      |SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+      |       coalesce(n_1995, 0) AS n_1995,
+      |       coalesce(n_1996, 0) AS n_1996,
+      |       CASE WHEN a.o_custkey IS NULL THEN 'gained'
+      |            WHEN b.o_custkey IS NULL THEN 'churned'
+      |            ELSE 'retained' END AS status
+      |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+      |ORDER BY custkey""".stripMargin
+
   /** Left-semi join (EXISTS): customers having a large order. */
   def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
@@ -273,6 +314,7 @@ object Relational {
     "q_asof_join" -> (asofPrevPurchase(_, _)),
     "q_star_join" -> (starJoin(_, _)),
     "q_semi_join" -> (semiJoin(_, _)),
+    "q_full_outer" -> (fullOuterChurn(_, _)),
     "q_anti_join" -> (antiJoin(_, _)),
     "q_dim_join" -> (dimJoin(_, _)),
     "q_unpivot_metrics" -> (unpivotMetrics(_, _)),
@@ -287,6 +329,7 @@ object Relational {
     "q_asof_join" -> asofPrevPurchaseSql,
     "q_star_join" -> starJoinSql,
     "q_semi_join" -> semiJoinSql,
+    "q_full_outer" -> fullOuterChurnSql,
     "q_anti_join" -> antiJoinSql,
     "q_dim_join" -> dimJoinSql,
     "q_unpivot_metrics" -> unpivotMetricsSql,

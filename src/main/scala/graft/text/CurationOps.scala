@@ -458,6 +458,50 @@ object CurationOps {
       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // Importance sampling by quality
+  // -------------------------------------------------------------------------
+
+  /** Quality-weighted importance sampling (the RHO-style "sample good data
+    * harder" selection step): each document is kept with probability equal to
+    * its quality score, decided by thresholding the same md5-derived uniform
+    * [[stratifiedSample]] uses — deterministic, engine-independent, and a
+    * narrow map at any scale. The ledger pins membership with an
+    * order-independent bounded checksum (sum of a per-doc 32-bit hash over
+    * the kept set) instead of an id list, so no group ever materializes
+    * corpus-sized state.
+    */
+  def importanceSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    val ck = conv(substring(md5(concat(lit("is_"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val keep = (u < TextOps.qualityCol(col("text"))).cast("long")
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), keep.as("keep"), ck.as("ck"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum("keep").as("n_kept"),
+        sum(col("keep") * col("ck")).as("kept_checksum"))
+      .orderBy("lang")
+  }
+
+  val importanceSampleSql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0 AS u,
+      |         CAST('0x' || substr(md5('is_' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS ck,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |           / len(string_split(text, ' ')) * 0.7 +
+      |         (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS DOUBLE)
+      |           / len(string_split(text, ' '))) * 0.3 AS quality
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_total,
+      |       CAST(sum(CASE WHEN u < quality THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN u < quality THEN ck ELSE 0 END) AS BIGINT) AS kept_checksum
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pii_scrub" -> (piiScrub(_, _)),
     "q_repetition_stats" -> (repetitionStats(_, _)),
@@ -465,6 +509,7 @@ object CurationOps {
     "q_contamination" -> (contamination(_, _)),
     "q_seq_packing" -> (seqPacking(_, _)),
     "q_stratified_sample" -> (stratifiedSample(_, _)),
+    "q_importance_sample" -> (importanceSample(_, _)),
     "q_mixture_weights" -> (mixtureWeights(_, _)),
     "q_global_shuffle" -> (globalShuffle(_, _)),
     "q_corpus_delta" -> (corpusDelta(_, _)),
@@ -478,6 +523,7 @@ object CurationOps {
     "q_contamination" -> contaminationSql,
     "q_seq_packing" -> seqPackingSql,
     "q_stratified_sample" -> stratifiedSampleSql,
+    "q_importance_sample" -> importanceSampleSql,
     "q_mixture_weights" -> mixtureWeightsSql,
     "q_global_shuffle" -> globalShuffleSql(),
     "q_corpus_delta" -> corpusDeltaSql(),

@@ -127,6 +127,32 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(rows.values.count(_._3 == 1) > 0, "no doc admitted — ledger degenerate")
   }
 
+  test("importance sample keep decisions match a driver-side recompute") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+    def md5hex8(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val expected = docs.groupBy(_.getString(1)).view.mapValues { rs =>
+      val decisions = rs.map { r =>
+        val id = r.getLong(0); val toks = r.getString(2).split(" ")
+        val q = toks.distinct.length.toDouble / toks.length * 0.7 +
+          (1.0 - toks.count(t => t == "the" || t == "a").toDouble / toks.length) * 0.3
+        val keep = md5hex8(id.toString).toDouble / 4294967296.0 < q
+        (keep, if (keep) md5hex8(s"is_$id") else 0L)
+      }
+      (rs.length.toLong, decisions.count(_._1).toLong, decisions.map(_._2).sum)
+    }.toMap
+    val got = CurationOps.importanceSample(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(v => v._2 > 0 && v._2 < v._1),
+      "sample should be non-degenerate (some kept, some dropped)")
+  }
+
   test("stratified sample keeps strata at their configured rates") {
     CurationOps.stratifiedSample(spark, sfDir).collect().foreach { r =>
       val (lang, total, kept) = (r.getString(0), r.getLong(1), r.getLong(2))
