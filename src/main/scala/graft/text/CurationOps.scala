@@ -459,6 +459,59 @@ object CurationOps {
       |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Sliding-window chunking
+  // -------------------------------------------------------------------------
+
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  /** Fixed-size token-window chunking with stride overlap — the segmentation
+    * step ahead of embedding generation or context-window packing. Chunk
+    * starts are `1, 1+stride, 1+2·stride, …` up to the document's token
+    * count (tail chunks run short; the 16-token overlap preserves context
+    * across cuts). One `sequence`→`explode`→`slice` pass per document — a
+    * narrow map whose fanout is ~n_tokens/stride, no shuffle until the final
+    * presentation sort — so chunking 100 TB is scan-bound. Chunk text is
+    * emitted as an md5 fingerprint: the compared surface stays 3 scalars per
+    * chunk regardless of chunk size.
+    */
+  def chunkDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(sequence(lit(1), size(toks), lit(ChunkStride))).as("start"))
+      .select(
+        col("doc_id"),
+        ((col("start") - 1) / ChunkStride).cast("int").as("chunk_idx"),
+        slice(TextOps.tokens(col("text")), col("start"), lit(ChunkSize)).as("chunk"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val chunkDocsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |starts AS (
+       |  SELECT doc_id, toks, unnest(generate_series(1, len(toks), $ChunkStride)) AS start
+       |  FROM t),
+       |chunks AS (
+       |  SELECT doc_id,
+       |         CAST((start - 1) // $ChunkStride AS INT) AS chunk_idx,
+       |         list_slice(toks, start, start + ${ChunkSize - 1}) AS chunk
+       |  FROM starts)
+       |SELECT doc_id, chunk_idx,
+       |       CAST(len(chunk) AS INT) AS n_chunk_tokens,
+       |       md5(array_to_string(chunk, ' ')) AS chunk_fp
+       |FROM chunks
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Importance sampling by quality
   // -------------------------------------------------------------------------
 
@@ -510,6 +563,7 @@ object CurationOps {
     "q_seq_packing" -> (seqPacking(_, _)),
     "q_stratified_sample" -> (stratifiedSample(_, _)),
     "q_importance_sample" -> (importanceSample(_, _)),
+    "q_chunking" -> (chunkDocs(_, _)),
     "q_mixture_weights" -> (mixtureWeights(_, _)),
     "q_global_shuffle" -> (globalShuffle(_, _)),
     "q_corpus_delta" -> (corpusDelta(_, _)),
@@ -524,6 +578,7 @@ object CurationOps {
     "q_seq_packing" -> seqPackingSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_importance_sample" -> importanceSampleSql,
+    "q_chunking" -> chunkDocsSql,
     "q_mixture_weights" -> mixtureWeightsSql,
     "q_global_shuffle" -> globalShuffleSql(),
     "q_corpus_delta" -> corpusDeltaSql(),

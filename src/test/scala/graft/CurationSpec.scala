@@ -127,6 +127,35 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(rows.values.count(_._3 == 1) > 0, "no doc admitted — ledger degenerate")
   }
 
+  test("chunking covers every token with stride-aligned overlapping windows") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = CurationOps.chunkDocs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.view.filterKeys(_ < 30).foreach { case (id, rs) =>
+      val toks = docs(id).split(" ", -1)
+      val expStarts = 1 to toks.length by CurationOps.ChunkStride
+      assert(rs.map(_._2).sorted.toSeq == expStarts.indices.toSeq, s"doc $id chunk idxs")
+      rs.foreach { case (_, idx, n, fp) =>
+        val slice = toks.slice(idx * CurationOps.ChunkStride,
+          idx * CurationOps.ChunkStride + CurationOps.ChunkSize)
+        assert(n == slice.length, s"doc $id chunk $idx size")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val expFp = md.digest(slice.mkString(" ").getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+        assert(fp == expFp, s"doc $id chunk $idx fingerprint")
+      }
+      // every token position is inside at least one chunk
+      val covered = rs.flatMap { case (_, idx, n, _) =>
+        (idx * CurationOps.ChunkStride) until (idx * CurationOps.ChunkStride + n)
+      }.toSet
+      assert(covered == toks.indices.toSet, s"doc $id coverage")
+    }
+  }
+
   test("importance sample keep decisions match a driver-side recompute") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sfDir)
