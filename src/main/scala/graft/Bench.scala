@@ -74,8 +74,20 @@ object Bench {
             concat(col("rep").cast("string"), lit("_$1"))))
         .drop("rep")
         .write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
+      // 10× embeddings with shifted ids: the vector distribution (and thus
+      // IVF cell shape) is preserved while every cell's population grows
+      // 10× — honest linear growth for cell-restricted search and the
+      // per-cell outlier window. (The quadratic-within-cell ops like
+      // semdedup are deliberately absent: their scale story is growing the
+      // centroid count with the corpus, not a fixed-k 10× cell.)
+      Tables.embeddings(spark, sfDir)
+        .crossJoin(spark.range(factor).toDF("rep"))
+        .withColumn("vec_id", col("vec_id") + col("rep") * lit(10000000L))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$probeDir/embeddings.parquet")
       val probeQueries = Seq("q_duty_cycle", "q_rollup_1s", "q_timeseries_5s",
-        "q_shared_shingles", "q_ngram_jaccard_pairs")
+        "q_shared_shingles", "q_ngram_jaccard_pairs",
+        "q_ann_topk", "q_ivf_topk", "q_embed_outliers")
       val base = results.toMap
       val rows = probeQueries.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
