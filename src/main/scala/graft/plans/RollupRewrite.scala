@@ -1,12 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BinaryComparison, Cast, Coalesce, Concat, Expression, GreaterThan, GreaterThanOrEqual, In, IntegralDivide, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not, Or, Remainder}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BinaryComparison, Cast, Coalesce, Concat, Divide, Expression, GreaterThan, GreaterThanOrEqual, If, In, IntegralDivide, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not, Or, Remainder}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Rollup-aware aggregate routing (SURVEY.md §4 "materialized
   * pre-aggregation"): Druid answers dashboard aggregates from its ingest-time
@@ -125,6 +125,19 @@ class RollupRewrite(
             Some(Cast(Min(rollupAttr("min_power")).toAggregateExpression(), al.dataType))
           case Max(a: AttributeReference) if isPower(a) =>
             Some(Cast(Max(rollupAttr("max_power")).toAggregateExpression(), al.dataType))
+          // avg(power) = sum(power)/count(power): the rollup's decimal sum
+          // over its null-safe count. Division is guarded — count(power)=0
+          // (all-null group, or a global aggregate whose filter matched no
+          // rollup rows) must yield NULL like Average, never a division
+          // error or 0/0.
+          case Average(a: AttributeReference, _) if isPower(a) =>
+            val s = Sum(rollupAttr("sum_power_dec")).toAggregateExpression()
+            val c = Sum(rollupAttr("cnt_power")).toAggregateExpression()
+            val div = Divide(Cast(s, DoubleType), Cast(c, DoubleType))
+            Some(Cast(
+              If(GreaterThan(Coalesce(Seq(c, Literal(0L))), Literal(0L)),
+                div, Literal.create(null, DoubleType)),
+              al.dataType))
           case _ => None
         }
         rewritten.map(e => Alias(e, name)(exprId = al.exprId))

@@ -123,6 +123,33 @@ class RollupRewriteSpec extends AnyFunSuite with SharedSpark {
     } finally RollupRewrite.uninstall(spark)
   }
 
+  test("avg(power) routes to the rollup as decimal-sum over null-safe count") {
+    install()
+    try {
+      val q = raw.groupBy("appliance_name")
+        .agg(avg("power").as("p_avg"), count(lit(1)).as("n"))
+        .orderBy("appliance_name")
+      assert(routed(q), s"expected rollup routing, got:\n${q.queryExecution.optimizedPlan}")
+      val rewritten = q.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      RollupRewrite.uninstall(spark)
+      val direct = raw.groupBy("appliance_name")
+        .agg(avg("power").as("p_avg"), count(lit(1)).as("n"))
+        .orderBy("appliance_name")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      assert(rewritten.map(t => (t._1, t._3)).sameElements(direct.map(t => (t._1, t._3))))
+      rewritten.zip(direct).foreach { case (a, b) =>
+        assert(math.abs(a._2 - b._2) < 1e-9 * math.max(1.0, math.abs(b._2)), s"${a._1}")
+      }
+      // empty-match global average must be NULL (Average semantics), not an
+      // error and not 0
+      install()
+      val empty = raw.filter(col("house_id") === "no_such_house")
+        .agg(avg("power").as("p_avg"))
+      assert(!empty.queryExecution.optimizedPlan.toString.contains("user_id"))
+      assert(empty.head().isNullAt(0), "avg over zero rollup rows must be NULL")
+    } finally RollupRewrite.uninstall(spark)
+  }
+
   test("global count with a no-match filter returns 0, not NULL (ADVICE r2 high)") {
     install()
     try {
