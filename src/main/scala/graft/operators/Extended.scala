@@ -255,6 +255,36 @@ object Extended {
        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
        |ORDER BY appliance_id, ts_ns, event_id""".stripMargin
 
+  /** Time-RANGE window frame: per-event trailing 5-second aggregate over the
+    * VALUE of the ordering column, not a row count — the frame every reading
+    * in the same nanosecond shares identically (peer rows), which makes the
+    * result deterministic under ties where a ROWS frame would not be. The
+    * physical plan is the same single sort per appliance partition as the
+    * ROWS-frame [[movingAvg]]; only the frame-boundary bookkeeping differs.
+    */
+  def rangeMovingAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val frame = Window.partitionBy("appliance_id").orderBy("ts_ns")
+      .rangeBetween(-5000000000L, Window.currentRow)
+    Grid.powerReadings(spark, sfDir)
+      .select(col("event_id"), col("appliance_id"), col("ts_ns"), col("power"))
+      .withColumn("n_5s", count(lit(1)).over(frame))
+      .withColumn("sum_5s",
+        sum(col("power").cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(frame)
+          .cast("double"))
+      .select("event_id", "appliance_id", "n_5s", "sum_5s")
+      .orderBy("appliance_id", "ts_ns", "event_id")
+  }
+
+  val rangeMovingAggSql: String =
+    s"""WITH ${Grid.PowerCte}
+       |SELECT event_id, appliance_id,
+       |       count(*) OVER w AS n_5s,
+       |       CAST(SUM(CAST(power AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_5s
+       |FROM power
+       |WINDOW w AS (PARTITION BY appliance_id ORDER BY ts_ns
+       |             RANGE BETWEEN 5000000000 PRECEDING AND CURRENT ROW)
+       |ORDER BY appliance_id, ts_ns, event_id""".stripMargin
+
   /** Ranking-function family over exact per-appliance totals. */
   def rankFunctions(spark: SparkSession, sfDir: String): DataFrame = {
     val totals = Grid.powerReadings(spark, sfDir)
@@ -339,7 +369,8 @@ object Extended {
     "q_value_percentiles" -> (valuePercentiles(_, _)),
     "q_sessionize" -> (sessionize(_, _)),
     "q_approx_distinct" -> (approxDistinct(_, _)),
-    "q_approx_quantiles" -> (approxQuantiles(_, _))
+    "q_approx_quantiles" -> (approxQuantiles(_, _)),
+    "q_range_frame" -> (rangeMovingAgg(_, _))
   )
 
   def oracle: Map[String, String] = Map(
@@ -354,6 +385,7 @@ object Extended {
     "q_value_percentiles" -> valuePercentilesSql,
     "q_sessionize" -> sessionizeSql,
     "q_approx_distinct" -> approxDistinctSql,
-    "q_approx_quantiles" -> approxQuantilesSql
+    "q_approx_quantiles" -> approxQuantilesSql,
+    "q_range_frame" -> rangeMovingAggSql
   )
 }

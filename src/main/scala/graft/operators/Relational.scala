@@ -205,6 +205,35 @@ object Relational {
        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** Explicit GROUPING SETS — the general form ROLLUP/CUBE special-case:
+    * per-status totals, per-priority totals, and the grand total in ONE pass
+    * (Spark expands the sets into a single Expand+Aggregate, so the input
+    * scans once however many sets are requested). `grouping()` flags
+    * disambiguate a NULL group key from a rolled-up one.
+    */
+  def groupingSetsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val groupingSetsAggSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       |       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       |       count(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   /** As-of join: for every error event, the most recent purchase by the same
     * user strictly before it. Spark lacks a native as-of join; rather than a
     * custom SparkPlan, this composes built-ins (preference (a) of the build
@@ -319,7 +348,8 @@ object Relational {
     "q_dim_join" -> (dimJoin(_, _)),
     "q_unpivot_metrics" -> (unpivotMetrics(_, _)),
     "q_group_stats" -> (groupStats(_, _)),
-    "q_rollup_sets" -> (rollupSets(_, _))
+    "q_rollup_sets" -> (rollupSets(_, _)),
+    "q_grouping_sets" -> (groupingSetsAgg(_, _))
   )
 
   def oracle: Map[String, String] = Map(
@@ -334,6 +364,7 @@ object Relational {
     "q_dim_join" -> dimJoinSql,
     "q_unpivot_metrics" -> unpivotMetricsSql,
     "q_group_stats" -> groupStatsSql,
-    "q_rollup_sets" -> rollupSetsSql
+    "q_rollup_sets" -> rollupSetsSql,
+    "q_grouping_sets" -> groupingSetsAggSql
   )
 }

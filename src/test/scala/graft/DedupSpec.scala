@@ -52,6 +52,32 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
       .values.map(_.map(_._1).toSet).filter(_.size > 1).toSeq
   }
 
+  test("edit distance on candidate pairs matches a driver-side DP and stays normalized") {
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = d(0); d(0) = i
+        for (j <- 1 to b.length) {
+          val t = d(j)
+          d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(b.length)
+    }
+    val rows = DedupOps.editDistancePairs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (texts(r.getLong(0)), texts(r.getLong(1)))
+      assert(r.getInt(2) == lev(a, b), s"pair ${r.getLong(0)},${r.getLong(1)}")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    assert(rows.exists(_.getInt(2) > 0), "planted near-dups should differ by edits")
+  }
+
   test("hot-shingle-capped jaccard keeps every pair in clusters within the cap") {
     val found = DedupOps.jaccardCappedPairs(spark, sfDir)
       .select("id_a", "id_b", "jaccard").collect()

@@ -30,6 +30,42 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
       "fixture should exercise both unmatched sides")
   }
 
+  test("grouping sets emit per-status, per-priority and grand-total groups from one input pass") {
+    val rows = Relational.groupingSetsAgg(spark, sfDir).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getInt(2), r.getInt(3), r.getLong(4)))
+    val total = Tables.orders(spark, sfDir).count()
+    // grouping flag = 1 exactly when the column is rolled up (NULL here:
+    // o_orderstatus/o_orderpriority are non-null in TPC-H data)
+    rows.foreach { case (s, p, gs, gp, _) =>
+      assert((s.isEmpty) == (gs == 1) && (p.isEmpty) == (gp == 1), s"($s,$p,$gs,$gp)")
+      assert(gs == 1 || gp == 1, "every set rolls up at least one column")
+    }
+    val statusRows = rows.filter(r => r._1.nonEmpty)
+    val prioRows = rows.filter(r => r._2.nonEmpty)
+    val grand = rows.filter(r => r._1.isEmpty && r._2.isEmpty)
+    assert(statusRows.map(_._5).sum == total)
+    assert(prioRows.map(_._5).sum == total)
+    assert(grand.map(_._5).toSeq == Seq(total))
+  }
+
+  test("range frame counts exactly the events in the trailing 5s value window") {
+    import org.apache.spark.sql.functions.col
+    val sample = graft.operators.Grid.powerReadings(spark, sfDir)
+      .select(col("event_id").cast("string"), col("appliance_id").cast("string"), col("ts_ns"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byApp = sample.groupBy(_._2)
+    val got = graft.operators.Extended.rangeMovingAgg(spark, sfDir)
+      .select(col("event_id").cast("string"), col("n_5s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byApp.view.take(3).foreach { case (_, evs) =>
+      evs.foreach { case (id, _, t) =>
+        val expected = evs.count { case (_, _, u) => u >= t - 5000000000L && u <= t }
+        assert(got(id) == expected.toLong, s"event $id")
+      }
+    }
+  }
+
   test("approx quantile sketch lands inside the exact p45-p55 band everywhere") {
     val rows = Extended.approxQuantiles(spark, sfDir).collect()
     assert(rows.nonEmpty)
