@@ -18,6 +18,10 @@ object GraftSession {
       .builder()
       .master(master)
       .appName(appName)
+      // the engine's own surface (dot_arrays, rollup routing) arrives the
+      // way any Spark library's does: through SparkSessionExtensions. A
+      // cluster deployment passes the same conf to spark-submit.
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -339,12 +339,34 @@ object RollupRewrite {
       case _ => false
     }
 
+  /** Sessions whose rollup rule is live, for the extension-injected delegate
+    * ([[graft.GraftExtensions]]). Weak keys: a dropped session must not be
+    * pinned by its installed rule.
+    */
+  private val installed =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, RollupRewrite]())
+
+  private[graft] def installedFor(spark: SparkSession): Option[RollupRewrite] =
+    Option(installed.get(spark))
+
+  /** The session was built with `spark.sql.extensions=graft.GraftExtensions`,
+    * so the delegate rule is already in its optimizer batch list.
+    */
+  private def extensionConfigured(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.sql.extensions")
+      .exists(_.split(",").map(_.trim).contains("graft.GraftExtensions"))
+
   /** Register the rollup view, capture the canonical raw-view definitions,
     * and install the rule (idempotent). `canonicalRaw` is the engine's raw
     * power view over the SAME events source (e.g. `Grid.powerReadings`); its
     * optimized projection is the structural fingerprint user plans must match.
     * Filter-atom special mappings (IsNotNull translation, ts range → epoch_s)
     * are derived from the captured defs here, never assumed downstream.
+    *
+    * In a session bootstrapped through [[graft.GraftExtensions]] the rule
+    * activates via the injected delegate; otherwise it lands on the public
+    * `spark.experimental.extraOptimizations` hook.
     */
   def install(spark: SparkSession, rollupPath: String, canonicalRaw: DataFrame): Unit = {
     spark.read.parquet(rollupPath)
@@ -357,13 +379,19 @@ object RollupRewrite {
     require(CanonicalCols.forall(canonicalSql.contains),
       s"canonicalRaw must expose ${CanonicalCols.mkString(", ")} over the events scan")
     uninstall(spark)
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ new RollupRewrite(
-        spark, canonicalSql,
-        validatedNullBijections(canonicalDefs), tsSecondFloorProven(canonicalDefs))
+    val rule = new RollupRewrite(
+      spark, canonicalSql,
+      validatedNullBijections(canonicalDefs), tsSecondFloorProven(canonicalDefs))
+    installed.put(spark, rule)
+    if (!extensionConfigured(spark)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+    }
   }
 
-  def uninstall(spark: SparkSession): Unit =
+  def uninstall(spark: SparkSession): Unit = {
+    installed.remove(spark)
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[RollupRewrite])
+  }
 }

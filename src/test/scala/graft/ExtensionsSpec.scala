@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Grid
+import graft.plans.RollupRewrite
+import graft.sources.RollupTable
+
+/** The deployment wiring: every `GraftSession.create` session is bootstrapped
+  * with `spark.sql.extensions=graft.GraftExtensions`, so the engine surface
+  * (native `dot_arrays`, the rollup-routing rule) exists in any session —
+  * including `newSession()` children, which share no temp-function state —
+  * with no runtime registration calls.
+  */
+class ExtensionsSpec extends AnyFunSuite with SharedSpark {
+
+  test("engine sessions carry the extension conf") {
+    assert(spark.conf.get("spark.sql.extensions") == "graft.GraftExtensions")
+  }
+
+  test("dot_arrays resolves in a fresh child session (injected, not temp-registered)") {
+    // newSession() gets a fresh temp-function registry: anything resolvable
+    // there came from the extension's injectFunction, not from a runtime
+    // VectorFunctions.register call some other suite made.
+    val s2 = spark.newSession()
+    val d = s2.sql("SELECT dot_arrays(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(d == 11.0)
+  }
+
+  test("rollup routing activates through the injected delegate, not the experimental hook") {
+    val s2 = spark.newSession()
+    Tables.tune(s2)
+    val dir = java.nio.file.Files.createTempDirectory("ext_rollup").toString
+    try {
+      RollupTable.materialize(s2, sfDir, dir)
+      RollupRewrite.install(s2, dir, Grid.powerReadings(s2, sfDir))
+      assert(s2.experimental.extraOptimizations.isEmpty,
+        "extension-configured session must not fall back to the experimental hook")
+      val q = Grid.powerReadings(s2, sfDir)
+        .groupBy("house_id").agg(count(lit(1)).as("n")).orderBy("house_id")
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("cnt") && !plan.contains("user_id"),
+        s"expected rollup routing via the injected rule, got:\n$plan")
+      val routed = q.collect().map(_.toSeq).toSeq
+      RollupRewrite.uninstall(s2)
+      val direct = Grid.powerReadings(s2, sfDir)
+        .groupBy("house_id").agg(count(lit(1)).as("n")).orderBy("house_id")
+        .collect().map(_.toSeq).toSeq
+      assert(routed == direct)
+      // uninstalled: the delegate goes back to a no-op
+      val after = Grid.powerReadings(s2, sfDir)
+        .groupBy("house_id").agg(count(lit(1)).as("n"))
+      assert(after.queryExecution.optimizedPlan.toString.contains("user_id"))
+    } finally {
+      RollupRewrite.uninstall(s2)
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+}

@@ -35,6 +35,23 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("per-key top-k plans prune map-side via WindowGroupLimit (rank pushdown)") {
+    // Catalyst's InferWindowGroupLimit turns Filter(rank <= k over w) into a
+    // Partial WindowGroupLimit BELOW the shuffle: each input partition keeps
+    // only its local top-k before exchanging — at 100 TB the shuffle carries
+    // k rows per (partition, key), not the corpus. A regression to a plain
+    // sort+filter window would silently shuffle everything; pin the shape.
+    Seq(
+      graft.operators.Grid.topkPerHouse(spark, sfDir),
+      graft.ann.SimilarityOps.annTopK(spark, sfDir, nQueries = 4, k = 3)
+    ).foreach { df =>
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+        s"expected partial WindowGroupLimit pruning:\n$plan")
+    }
+  }
+
   test("shingle-family plans compute the shingle lineage once, not per consumer") {
     // the r2 plans re-ran tokenize→shingle→explode for every aggregate joined
     // back (up to 9 parquet scans per query); the window-count shape caps the
