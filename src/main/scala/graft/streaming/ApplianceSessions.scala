@@ -35,6 +35,33 @@ object ApplianceSessions {
       n_readings: Long,
       avg_power: Double)
 
+  /** The same gap-bounded grouping as Spark's NATIVE session windows:
+    * `session_window(time, gap)` merges readings into variable-length
+    * windows that extend while events arrive within `gap` of the previous
+    * one and close at the watermark. This is the built-in path for the
+    * plain "aggregate per activity burst" shape — [[detect]] remains the
+    * richer state machine (threshold crossings, in-flight energy stats)
+    * that session_window cannot express. Both shuffle once on the grouping
+    * key; session merging happens inside the state store.
+    */
+  def sessionWindowAgg(
+      readings: Dataset[PowerReading],
+      gap: String = "60 seconds"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    readings
+      .withWatermark("time", "2 seconds")
+      .groupBy(col("appliance_id"), session_window(col("time"), gap))
+      .agg(
+        count(lit(1)).as("n_readings"),
+        sum("power").as("energy_sum"))
+      .select(
+        col("appliance_id"),
+        col("session_window.start").as("start"),
+        col("session_window.end").as("end"),
+        col("n_readings"),
+        col("energy_sum"))
+  }
+
   def detect(
       readings: Dataset[PowerReading],
       threshold: Double = 5.0,

@@ -282,6 +282,34 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("native session_window merges bursts and splits on gap > 60s") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[PowerReading]
+    val q = graft.streaming.ApplianceSessions
+      .sessionWindowAgg(input.toDS(), gap = "60 seconds")
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // burst 1: 100,130,150 (gaps < 60s → one session), burst 2: 300
+      input.addData(reading(100, 10.0), reading(130, 12.0), reading(150, 8.0))
+      query(q)
+      input.addData(reading(300, 4.0))
+      query(q)
+      // advance the watermark far enough to close both sessions
+      input.addData(reading(1000, 0.0, app = "h0_a3"))
+      query(q)
+      input.addData(reading(2000, 0.0, app = "h0_a3"))
+      query(q)
+      val rows = spark.table("native_sessions")
+        .filter($"appliance_id" === "h0_a0")
+        .select("n_readings", "energy_sum")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows == Set((3L, 30.0), (1L, 4.0)),
+        s"expected one merged burst and one singleton, got $rows")
+    } finally q.stop()
+  }
+
   private def query(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     q.processAllAvailable()
 
