@@ -101,13 +101,99 @@ object MediaOps {
       |       CAST(octet_length(encode(text)) % 3600 AS DOUBLE) / 10.0 AS duration_s
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Resize planning: aspect-preserving fit of each decoded frame into a
+    * `box`×`box` target (the long side lands exactly on `box`), in pure
+    * integer arithmetic so both engines agree bit-for-bit. In production the
+    * dimension plan computed here drives the batched resize kernel inside
+    * the same [[decodeFeatures]] mapPartitions stage; the plan itself is
+    * column arithmetic and stays in whole-stage codegen.
+    */
+  val ResizeBox = 224
+
+  def mediaResize(spark: SparkSession, sfDir: String): DataFrame =
+    decodeFeatures(mediaTable(spark, sfDir)).toDF()
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"))
+      .withColumn("long_side", greatest(col("width"), col("height")))
+      .withColumn("out_w", expr(s"CAST((width * $ResizeBox) div long_side AS INT)"))
+      .withColumn("out_h", expr(s"CAST((height * $ResizeBox) div long_side AS INT)"))
+      .withColumn("out_bytes", col("out_w") * col("out_h") * 3)
+      .select("doc_id", "media_type", "width", "height", "out_w", "out_h", "out_bytes")
+      .orderBy("doc_id")
+
+  val mediaResizeSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+       |         CAST(64 + octet_length(encode(text)) % 640 AS INT) AS width,
+       |         CAST(64 + octet_length(encode(text)) % 480 AS INT) AS height
+       |  FROM documents),
+       |g AS (SELECT *, greatest(width, height) AS long_side FROM f)
+       |SELECT doc_id, media_type, width, height,
+       |       CAST((width * $ResizeBox) // long_side AS INT) AS out_w,
+       |       CAST((height * $ResizeBox) // long_side AS INT) AS out_h,
+       |       CAST((width * $ResizeBox) // long_side AS INT)
+       |         * CAST((height * $ResizeBox) // long_side AS INT) * 3 AS out_bytes
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  /** Frame sampling for video payloads: up to `maxFrames` stride-spaced
+    * frames per clip (the uniform-sampling policy video training pipelines
+    * use before batched frame decode). The frame count derives from the
+    * decoded duration (fps × seconds); each sampled frame gets a
+    * deterministic fingerprint in place of decoded pixels. One
+    * filter→explode pass, fanout ≤ maxFrames per video row — the frame
+    * table a production pipeline would feed to the decode stage.
+    */
+  val FrameFps = 10
+  val MaxFrames = 8
+
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir).toDF()
+      .filter(col("media_type") === "video")
+      .select(
+        col("doc_id"),
+        (length(col("content")) % 3600).cast("int").as("n_frames"),
+        sha2(col("content"), 256).as("digest"))
+      .filter(col("n_frames") > 0)
+      .withColumn("stride", expr(s"CAST((n_frames + ${MaxFrames - 1}) div $MaxFrames AS INT)"))
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        explode(expr("sequence(0, n_frames - 1, stride)")).as("frame_idx"),
+        col("digest"))
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        col("frame_idx"),
+        (col("frame_idx").cast("double") / FrameFps).as("frame_ts"),
+        md5(concat(col("digest"), lit("_"), col("frame_idx").cast("string"))).as("frame_fp"))
+      .orderBy("doc_id", "frame_idx")
+
+  val frameSampleSql: String =
+    s"""WITH v AS (
+       |  SELECT doc_id,
+       |         CAST(octet_length(encode(text)) % 3600 AS INT) AS n_frames,
+       |         sha256(text) AS digest
+       |  FROM documents
+       |  WHERE CAST(doc_id % 3 AS INT) + 1 = 3
+       |    AND octet_length(encode(text)) % 3600 > 0),
+       |s AS (SELECT *, CAST((n_frames + ${MaxFrames - 1}) // $MaxFrames AS INT) AS stride FROM v)
+       |SELECT doc_id, n_frames,
+       |       CAST(unnest(generate_series(0, n_frames - 1, stride)) AS INT) AS frame_idx,
+       |       CAST(unnest(generate_series(0, n_frames - 1, stride)) AS DOUBLE) / $FrameFps AS frame_ts,
+       |       md5(digest || '_' || CAST(unnest(generate_series(0, n_frames - 1, stride)) AS VARCHAR)) AS frame_fp
+       |FROM s ORDER BY doc_id, frame_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta" -> (mediaMeta(_, _)),
-    "q_media_features" -> (mediaFeatures(_, _))
+    "q_media_features" -> (mediaFeatures(_, _)),
+    "q_media_resize" -> (mediaResize(_, _)),
+    "q_frame_sample" -> (frameSample(_, _))
   )
 
   def oracle: Map[String, String] = Map(
     "q_media_meta" -> mediaMetaSql,
-    "q_media_features" -> mediaFeaturesSql
+    "q_media_features" -> mediaFeaturesSql,
+    "q_media_resize" -> mediaResizeSql,
+    "q_frame_sample" -> frameSampleSql
   )
 }

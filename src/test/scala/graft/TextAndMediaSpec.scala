@@ -100,6 +100,34 @@ class TextAndMediaSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("resize plan fits the long side exactly to the box, preserving aspect") {
+    MediaOps.mediaResize(spark, sfDir).collect().foreach { r =>
+      val (w, h, ow, oh) = (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
+      assert(math.max(ow, oh) == MediaOps.ResizeBox, s"long side must hit the box: $r")
+      assert(ow <= MediaOps.ResizeBox && oh <= MediaOps.ResizeBox)
+      // integer-floor aspect preservation: out ratio within one unit step
+      assert(math.abs(ow.toDouble / oh - w.toDouble / h) <=
+        (1.0 / oh) * (w.toDouble / h + 1), s"aspect drift: $r")
+      assert(r.getInt(6) == ow * oh * 3)
+    }
+  }
+
+  test("frame sampling keeps at most MaxFrames stride-spaced in-range frames per video") {
+    val rows = MediaOps.frameSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, fs) =>
+      val n = fs.head._2
+      assert(fs.length <= MediaOps.MaxFrames, s"doc $id sampled ${fs.length}")
+      val idxs = fs.map(_._3).sorted
+      assert(idxs.head == 0 && idxs.last < n, s"doc $id range")
+      val stride = (n + MediaOps.MaxFrames - 1) / MediaOps.MaxFrames
+      assert(idxs.toSeq == (0 until n by stride).toSeq, s"doc $id stride")
+    }
+    // only video rows (doc_id % 3 == 2) produce frames
+    assert(rows.forall(_._1 % 3 == 2))
+  }
+
   test("media table partitioning survives the decode stage (narrow map, no shuffle)") {
     val media = MediaOps.mediaTable(spark, sfDir)
     val decoded = MediaOps.decodeFeatures(media)
