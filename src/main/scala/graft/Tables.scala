@@ -48,4 +48,18 @@ object Tables {
   // LLM-pipeline tables
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  val AllTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings")
+
+  /** Register every table as a temp view plus the engine's canonical `power`
+    * view, so a session is fully queryable through `spark.sql` — the pure-SQL
+    * surface (with `dot_arrays` injected by [[GraftSession]]'s extensions,
+    * the whole oracle dialect minus DuckDB-isms runs as-is).
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    AllTables.foreach(t => read(spark, sfDir, t).createOrReplaceTempView(t))
+    graft.operators.Grid.powerReadings(spark, sfDir).createOrReplaceTempView("power")
+  }
 }

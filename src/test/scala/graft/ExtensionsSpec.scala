@@ -29,6 +29,23 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
     assert(d == 11.0)
   }
 
+  test("registerViews makes the whole table set queryable through pure SQL") {
+    val s2 = spark.newSession()
+    Tables.tune(s2)
+    Tables.registerViews(s2, sfDir)
+    val n = s2.sql(
+      """SELECT count(*) FROM power p
+        |JOIN (SELECT house_id, count(*) AS n FROM power GROUP BY 1) t
+        |  ON p.house_id = t.house_id""".stripMargin).head().getLong(0)
+    assert(n > 0)
+    val topCos = s2.sql(
+      """SELECT a.vec_id, b.vec_id,
+        |       dot_arrays(CAST(a.embedding AS ARRAY<DOUBLE>), CAST(b.embedding AS ARRAY<DOUBLE>)) AS dot
+        |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin)
+      .head().getDouble(2)
+    assert(!topCos.isNaN)
+  }
+
   test("rollup routing activates through the injected delegate, not the experimental hook") {
     val s2 = spark.newSession()
     Tables.tune(s2)
