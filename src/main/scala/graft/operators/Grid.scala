@@ -309,6 +309,73 @@ object Grid {
        |FROM power WHERE house_id = '1_1_0'
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Time-series gap filling: resample one house's appliances onto a dense
+    * 1-second grid and forward-fill the seconds with no readings — the
+    * regularization step between an event stream and any fixed-step consumer
+    * (Druid serves its rollup sparse; a forecasting or display layer needs
+    * the dense series). The window start is a driver-less scalar (1-row min
+    * aggregate, broadcast crossJoin); the grid is appliances × sequence()
+    * (bounded: windowSec rows per appliance); the fill is one
+    * last-non-null window per appliance — a single sort per partition, after
+    * one shuffle on the appliance key. Per-second values are decimal-exact
+    * rollup sums, so the filled series is engine-exact including NULLs
+    * before an appliance's first reading.
+    */
+  def gapFill(
+      spark: SparkSession,
+      sfDir: String,
+      maxUser: Int = 50,
+      windowSec: Int = 600): DataFrame = {
+    val f = powerReadings(spark, sfDir)
+      .filter(col("house_id") === "1_1_0" &&
+        element_at(split(col("appliance_id"), "_"), 4).cast("int") < maxUser)
+    val st = f.agg(min("epoch_s").as("start_s"))
+    val r = f.join(broadcast(st))
+      .filter(col("epoch_s") >= col("start_s") &&
+        col("epoch_s") < col("start_s") + windowSec)
+      .groupBy(col("appliance_id"), col("epoch_s").as("s"))
+      .agg(dsum(col("power")).as("p"))
+    val grid = f.select("appliance_id").distinct()
+      .join(broadcast(st))
+      .select(
+        col("appliance_id"),
+        explode(sequence(col("start_s"), col("start_s") + windowSec - 1)).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("appliance_id").orderBy("s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    grid.join(r, Seq("appliance_id", "s"), "left")
+      .select(
+        col("appliance_id"),
+        col("s"),
+        col("p").isNull.as("filled"),
+        last(col("p"), ignoreNulls = true).over(w).as("power_1s"))
+      .orderBy("appliance_id", "s")
+  }
+
+  def gapFillSql(maxUser: Int = 50, windowSec: Int = 600): String =
+    s"""WITH $PowerCte,
+       |f AS (
+       |  SELECT * FROM power
+       |  WHERE house_id = '1_1_0'
+       |    AND CAST(string_split(appliance_id, '_')[4] AS INT) < $maxUser),
+       |st AS (SELECT min(epoch_s) AS start_s FROM f),
+       |r AS (
+       |  SELECT appliance_id, epoch_s AS s, ${dsumSql("power")} AS p
+       |  FROM f, st
+       |  WHERE epoch_s >= start_s AND epoch_s < start_s + $windowSec
+       |  GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT appliance_id, unnest(generate_series(start_s, start_s + ${windowSec - 1})) AS s
+       |  FROM (SELECT DISTINCT appliance_id FROM f), st)
+       |SELECT g.appliance_id, CAST(g.s AS BIGINT) AS s,
+       |       r.p IS NULL AS filled,
+       |       last_value(r.p IGNORE NULLS) OVER (
+       |         PARTITION BY g.appliance_id ORDER BY g.s
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS power_1s
+       |FROM grid g LEFT JOIN r ON g.appliance_id = r.appliance_id AND g.s = r.s
+       |ORDER BY g.appliance_id, g.s""".stripMargin
+
   /** P11: relative time-range filter with a fixed "now" (last 24h before
     * 2024-01-30T00:00:00Z). At scale this predicate prunes date/hour
     * partitions of the rollup table.
@@ -536,6 +603,7 @@ object Grid {
     "q_top10_appliances" -> (top10Appliances(_, _)),
     "q_timeseries_5s" -> (timeseries5s(_, _)),
     "q_timeseries_1s_house" -> (timeseries1sHouse(_, _)),
+    "q_gap_fill" -> (gapFill(_, _)),
     "q_recent_range" -> (recentRange(_, _)),
     "q_house_in_filter" -> (houseInFilter(_, _)),
     "q_interval_union_filter" -> (intervalUnionFilter(_, _)),
@@ -556,6 +624,7 @@ object Grid {
     "q_power_by_house" -> powerByDimSql("house_id"),
     "q_top10_appliances" -> top10AppliancesSql,
     "q_timeseries_5s" -> timeseries5sSql,
+    "q_gap_fill" -> gapFillSql(),
     "q_timeseries_1s_house" -> timeseries1sHouseSql,
     "q_recent_range" -> recentRangeSql,
     "q_house_in_filter" -> houseInFilterSql,

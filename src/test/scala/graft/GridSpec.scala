@@ -83,4 +83,31 @@ class GridSpec extends AnyFunSuite with SharedSpark {
     assert(counts.nonEmpty)
     counts.foreach(r => assert(r.getLong(1) <= 3))
   }
+
+  test("gap fill emits a dense per-appliance grid with forward-filled values") {
+    val rows = Grid.gapFill(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (app, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // dense, contiguous grid
+      assert(sorted.length == 600, s"$app grid size ${sorted.length}")
+      assert(sorted.map(_._2).toSeq == (sorted.head._2 until sorted.head._2 + 600).toSeq)
+      // forward fill: a filled second carries the previous value (or NULL
+      // before the first reading); an observed second is non-null
+      sorted.sliding(2).foreach {
+        case Array((_, s, true, v), _*) if s == sorted.head._2 =>
+          assert(v.isEmpty, s"$app leading filled second must be NULL")
+        case Array((_, _, _, prev), (_, _, true, v)) =>
+          assert(v == prev, s"$app filled second must copy previous value")
+        case Array((_, _, _, _), (_, _, false, v)) =>
+          assert(v.nonEmpty)
+        case _ => ()
+      }
+    }
+    // the fixture as a whole exercises both paths (a single appliance may
+    // legitimately be all-filled if it has no readings inside the window)
+    assert(rows.exists(_._3) && rows.exists(!_._3))
+  }
 }
