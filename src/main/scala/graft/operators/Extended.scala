@@ -255,6 +255,42 @@ object Extended {
        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
        |ORDER BY appliance_id, ts_ns, event_id""".stripMargin
 
+  /** Rule-based anomaly detection: flag readings above the appliance's own
+    * p99 — the per-entity adaptive threshold a grid-monitoring layer derives
+    * from history (a fixed global threshold misfires across appliance
+    * classes). The percentile computes as a whole-partition window aggregate
+    * over the integer cents domain (interpolation of exact ints is the same
+    * IEEE double in both engines), so the flags — int-vs-double compares —
+    * are engine-exact, never a float-tolerance judgment. One shuffle on the
+    * appliance key, one sort, flags and ledger in the same pass.
+    */
+  def anomalyFlags(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("appliance_id")
+    Grid.powerReadings(spark, sfDir)
+      .select(col("appliance_id"), round(col("power") * 100).cast("long").as("cents"))
+      .withColumn("p99", expr("percentile(cents, 0.99)").over(w))
+      .groupBy("appliance_id")
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("p99")).as("p99_cents"),
+        sum(when(col("cents") > col("p99"), 1L).otherwise(0L)).as("n_anomalies"),
+        max("cents").as("max_cents"))
+      .orderBy("appliance_id")
+  }
+
+  val anomalyFlagsSql: String =
+    s"""WITH ${Grid.PowerCte},
+       |c AS (
+       |  SELECT appliance_id, CAST(round(power * 100) AS BIGINT) AS cents,
+       |         quantile_cont(CAST(round(power * 100) AS BIGINT), 0.99)
+       |           OVER (PARTITION BY appliance_id) AS p99
+       |  FROM power)
+       |SELECT appliance_id, count(*) AS n,
+       |       any_value(p99) AS p99_cents,
+       |       CAST(sum(CASE WHEN cents > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       |       max(cents) AS max_cents
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Time-RANGE window frame: per-event trailing 5-second aggregate over the
     * VALUE of the ordering column, not a row count — the frame every reading
     * in the same nanosecond shares identically (peer rows), which makes the
@@ -370,7 +406,8 @@ object Extended {
     "q_sessionize" -> (sessionize(_, _)),
     "q_approx_distinct" -> (approxDistinct(_, _)),
     "q_approx_quantiles" -> (approxQuantiles(_, _)),
-    "q_range_frame" -> (rangeMovingAgg(_, _))
+    "q_range_frame" -> (rangeMovingAgg(_, _)),
+    "q_anomaly_flags" -> (anomalyFlags(_, _))
   )
 
   def oracle: Map[String, String] = Map(
@@ -386,6 +423,7 @@ object Extended {
     "q_sessionize" -> sessionizeSql,
     "q_approx_distinct" -> approxDistinctSql,
     "q_approx_quantiles" -> approxQuantilesSql,
-    "q_range_frame" -> rangeMovingAggSql
+    "q_range_frame" -> rangeMovingAggSql,
+    "q_anomaly_flags" -> anomalyFlagsSql
   )
 }

@@ -66,6 +66,20 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("anomaly flags fire on at most ~1% of readings, against each appliance's own p99") {
+    val rows = Extended.anomalyFlags(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (app, n, p99, anomalies, maxCents) =>
+      // strictly-above-p99 flags at most ~1% of the mass (interpolated
+      // percentile: exact rate depends on ties, never exceeds 1% + 1 row)
+      assert(anomalies <= n / 100 + 1, s"$app flags $anomalies of $n")
+      assert(p99 <= maxCents.toDouble, app)
+      assert((maxCents > p99) == (anomalies > 0), s"$app max-vs-p99 consistency")
+    }
+    assert(rows.exists(_._4 > 0), "fixture should contain some anomalies")
+  }
+
   test("approx quantile sketch lands inside the exact p45-p55 band everywhere") {
     val rows = Extended.approxQuantiles(spark, sfDir).collect()
     assert(rows.nonEmpty)
