@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Extended, Grid, Relational}
+import graft.operators.{Behavioral, Extended, GraphOps, Grid, Relational}
 import graft.text.{CorpusPipeline, CurationOps, TextOps}
 import graft.dedup.DedupOps
 import graft.ann.SimilarityOps
@@ -23,6 +23,8 @@ object SparkEntry {
       (Grid.queries, Grid.oracle),
       (Relational.queries, Relational.oracle),
       (Extended.queries, Extended.oracle),
+      (Behavioral.queries, Behavioral.oracle),
+      (GraphOps.queries, GraphOps.oracle),
       (TextOps.queries, TextOps.oracle),
       (CorpusPipeline.queries, CorpusPipeline.oracle),
       (CurationOps.queries, CurationOps.oracle),

@@ -658,7 +658,106 @@ object SimilarityOps {
        |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
        |GROUP BY 1 ORDER BY e.qid""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // Hybrid retrieval: reciprocal-rank fusion of a term ranker and a vector
+  // ranker
+  // -------------------------------------------------------------------------
+
+  /** RRF constant (Cormack, Clarke & Büttcher, "Reciprocal Rank Fusion
+    * outperforms Condorcet and individual rank learning methods", SIGIR '09
+    * use k=60).
+    */
+  val RrfK = 60
+
+  /** Per-ranker candidate pool depth. */
+  val RrfPoolK = 50
+
+  /** Hybrid search over the aligned corpora (doc_id ≡ vec_id): the term-match
+    * ranker's top-[[RrfPoolK]] and the embedding-cosine ranker's
+    * top-[[RrfPoolK]] (query = vector 0) fused by reciprocal-rank fusion,
+    * `score = Σ 1/(60 + rank)`, emitted ppm-scaled so both engines agree
+    * bit-for-bit. Scale shape: each ranker ends in a TakeOrdered (top-k
+    * without a global sort); the fusion full-outer-joins two K-row frames —
+    * constant-sized at any corpus scale. The single query vector broadcasts
+    * (bounded, like q_ann_topk's fixed query set).
+    */
+  def hybridRrf(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    import graft.text.TextOps
+    // term ranker: match count then tf, ties to the smaller id
+    val tPool = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .filter(col("t").isin(TextOps.QueryTerms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct("t").as("n_matched"), count(lit(1)).as("total_tf"))
+      .orderBy(desc("n_matched"), desc("total_tf"), asc("doc_id"))
+      .limit(RrfPoolK)
+      .withColumn("t_rank", row_number().over(
+        Window.orderBy(desc("n_matched"), desc("total_tf"), asc("doc_id"))))
+      .select(col("doc_id").as("tid"), col("t_rank"))
+    // vector ranker: cosine to the fixed query vector (vec_id 0)
+    val e = Tables.embeddings(spark, sfDir)
+    val q = withNorm(e.filter(col("vec_id") === 0), "qid", "qv", "qn")
+    val c = withNorm(e.filter(col("vec_id") =!= 0), "cid", "cv", "cn")
+    val vPool = c
+      .join(broadcast(q))
+      .withColumn("cos", dot("qv", "cv") / (sqrt(col("qn")) * sqrt(col("cn"))))
+      .orderBy(desc("cos"), asc("cid"))
+      .limit(RrfPoolK)
+      .withColumn("v_rank", row_number().over(Window.orderBy(desc("cos"), asc("cid"))))
+      .select(col("cid").as("vid"), col("v_rank"))
+    tPool
+      .join(vPool, col("tid") === col("vid"), "full_outer")
+      .select(
+        coalesce(col("tid"), col("vid")).as("id"),
+        (coalesce(expr(s"1000000 div ($RrfK + t_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + v_rank)"), lit(0L))).as("rrf_ppm"))
+      .orderBy(desc("rrf_ppm"), asc("id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(desc("rrf_ppm"), asc("id"))))
+      .select(col("rank"), col("id"), col("rrf_ppm"))
+  }
+
+  def hybridRrfSql(k: Int = 20): String = {
+    val inList = graft.text.TextOps.QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tpool AS (
+       |  SELECT doc_id AS tid,
+       |         CAST(row_number() OVER (ORDER BY n_matched DESC, total_tf DESC, doc_id)
+       |              AS INT) AS t_rank
+       |  FROM (
+       |    SELECT doc_id, count(DISTINCT t) AS n_matched, count(*) AS total_tf
+       |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |    WHERE t IN ($inList)
+       |    GROUP BY doc_id
+       |    ORDER BY n_matched DESC, total_tf DESC, doc_id
+       |    LIMIT $RrfPoolK)),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nn FROM e),
+       |vpool AS (
+       |  SELECT cid AS vid,
+       |         CAST(row_number() OVER (ORDER BY cos DESC, cid) AS INT) AS v_rank
+       |  FROM (
+       |    SELECT c.vec_id AS cid,
+       |           list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+       |             / (sqrt(q.nn) * sqrt(c.nn)) AS cos
+       |    FROM n q JOIN n c ON q.vec_id = 0 AND c.vec_id <> 0
+       |    ORDER BY cos DESC, cid
+       |    LIMIT $RrfPoolK))
+       |SELECT CAST(row_number() OVER (ORDER BY rrf_ppm DESC, id) AS INT) AS rank,
+       |       id, rrf_ppm
+       |FROM (
+       |  SELECT coalesce(tid, vid) AS id,
+       |         CAST(coalesce(1000000 // ($RrfK + t_rank), 0) +
+       |              coalesce(1000000 // ($RrfK + v_rank), 0) AS BIGINT) AS rrf_ppm
+       |  FROM tpool FULL OUTER JOIN vpool ON tid = vid
+       |  ORDER BY rrf_ppm DESC, id
+       |  LIMIT $k)
+       |ORDER BY rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hybrid_rrf" -> (hybridRrf(_, _)),
     "q_ivf_recall" -> (ivfRecall(_, _)),
     "q_ivf_buckets" -> (ivfBuckets(_, _)),
     "q_ivf_topk" -> (ivfTopK(_, _)),
@@ -674,6 +773,7 @@ object SimilarityOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_hybrid_rrf" -> hybridRrfSql(),
     "q_ivf_recall" -> ivfRecallSql(),
     "q_ivf_buckets" -> ivfBucketsSql,
     "q_ivf_topk" -> ivfTopKSql(),

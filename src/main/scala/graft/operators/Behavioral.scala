@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Behavioral analytics over the event stream: ordered funnels and cohort
+  * retention. The reference's dashboard answers "what happened per
+  * house/appliance over time"; the same event table in a product-analytics
+  * deployment gets asked "who progressed through signup→click→purchase" and
+  * "how many users come back N days after their first event". Both are
+  * classic large-scale analytics shapes:
+  *
+  *   - The funnel is a chain of per-user MIN aggregates, each stage joined to
+  *     the previous stage's timestamp — every join and aggregate shuffles on
+  *     `user_id`, so the stages co-partition and AQE collapses the
+  *     progressively-shrinking stage frames to broadcasts at runtime. No
+  *     window over the whole event history, no per-user event list in memory.
+  *   - Retention is one grouped aggregate over (cohort_day, day_offset) after
+  *     a user-level MIN — two shuffles total, both on high-cardinality keys.
+  *
+  * Conversion ratios are emitted as integer parts-per-million (`x * 1e6 div
+  * y`) so both engines produce bit-identical values (the oracle-determinism
+  * contract in STATE.md).
+  */
+object Behavioral {
+
+  private val NsPerDay = 86400L * 1000000000L
+
+  /** Per-stage conversion window: the next stage must land within 24 h of
+    * the previous one (an unbounded funnel converts everyone on a month of
+    * synthetic traffic and checks nothing).
+    */
+  val FunnelWindowNs: Long = 24L * 3600 * 1000000000L
+
+  /** Ordered three-stage funnel: first `signup`, then the first `click`
+    * strictly after it within [[FunnelWindowNs]], then the first `purchase`
+    * strictly after that within the same window.
+    * One row: stage reach counts + end-to-end conversion in ppm.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).select("user_id", "event_type", "ts")
+    val s = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .join(s, "user_id")
+      .filter(col("ts") > col("signup_ts") &&
+        col("ts") - col("signup_ts") <= FunnelWindowNs)
+      .groupBy("user_id").agg(min("ts").as("click_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("click_ts") &&
+        col("ts") - col("click_ts") <= FunnelWindowNs)
+      .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+    s.join(c.select(col("user_id"), col("click_ts")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), col("purchase_ts")), Seq("user_id"), "left")
+      .agg(
+        count(col("signup_ts")).as("n_signup"),
+        count(col("click_ts")).as("n_click"),
+        count(col("purchase_ts")).as("n_purchase"))
+      .select(
+        col("n_signup"), col("n_click"), col("n_purchase"),
+        expr("(n_purchase * 1000000) div n_signup").as("conv_ppm"))
+  }
+
+  val funnelSql: String =
+    s"""WITH s AS (
+      |  SELECT user_id, min(ts) AS signup_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS click_ts
+      |  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.signup_ts
+      |   AND epoch_ns(e.ts) - epoch_ns(s.signup_ts) <= $FunnelWindowNs
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS purchase_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.click_ts
+      |   AND epoch_ns(e.ts) - epoch_ns(c.click_ts) <= $FunnelWindowNs
+      |  WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT count(s.signup_ts) AS n_signup,
+      |       count(c.click_ts) AS n_click,
+      |       count(p.purchase_ts) AS n_purchase,
+      |       count(p.purchase_ts) * 1000000 // count(s.signup_ts) AS conv_ppm
+      |FROM s
+      |LEFT JOIN c ON s.user_id = c.user_id
+      |LEFT JOIN p ON s.user_id = p.user_id""".stripMargin
+
+  /** Day-grain cohort retention: users grouped by the day of their first
+    * event; for each (cohort day, day offset) the number of distinct users
+    * active that many days later. The classic retention-triangle input.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"ts div ${NsPerDay}L").as("day"))
+    val cohort = d.groupBy("user_id").agg(min("day").as("cohort_day"))
+    d.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val cohortRetentionSql: String =
+    s"""WITH d AS (
+       |  SELECT user_id, epoch_ns(ts) // ${NsPerDay} AS day FROM events),
+       |cohort AS (
+       |  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+       |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+       |       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+       |FROM d JOIN cohort c ON d.user_id = c.user_id
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> (funnel(_, _)),
+    "q_cohort_retention" -> (cohortRetention(_, _))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_funnel" -> funnelSql,
+    "q_cohort_retention" -> cohortRetentionSql
+  )
+}

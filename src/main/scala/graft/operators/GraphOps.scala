@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextOps.tokens
+
+/** Link-analysis over a corpus-derived graph: one PageRank power-iteration
+  * step (Page et al., "The PageRank Citation Ranking", 1999) on the directed
+  * token-adjacency graph (an edge per consecutive token pair, weighted by
+  * occurrence count). A web-crawl curation pipeline runs exactly this shape
+  * over the hyperlink graph to score source quality; the token graph stands
+  * in because the corpus tables carry no links.
+  *
+  * Scale shape: edge extraction is a narrow per-document transform
+  * (`transform(sequence(...))`, no join back to positions); edge weights and
+  * out-degrees are grouped sums on the edge/source key; the contribution join
+  * is an equi-join on `src` between two vocabulary-sized relations — at
+  * 100 TB the grouped edge list is orders of magnitude smaller than the
+  * corpus, and the degree side broadcasts. One iteration is the unit a
+  * production loop repeats; iterating is a driver-side loop over this plan
+  * with a localCheckpoint per round (the [[graft.dedup.DedupOps]] connected-
+  * components pattern).
+  *
+  * Arithmetic is integer-scaled (ppm): starting rank 1.0, the damped update
+  * `r' = 0.15 + 0.85 * Σ_in w(u,v)/outdeg(u)` is computed as
+  * `150000 + 850 * Σ (w·1e6 div outdeg) div 1000` — floor division both
+  * engines, bit-identical (the STATE.md determinism contract).
+  */
+object GraphOps {
+
+  /** Weighted directed bigram edges: (src, dst, w). */
+  private def edges(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(tokens(col("text")).as("t"))
+      // sequence(1, 0) would run DESCENDING in Spark; single-token docs must
+      // be dropped before the transform, matching DuckDB's empty series
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS src, element_at(t, i + 1) AS dst))")).as("e"))
+      .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
+      .agg(count(lit(1)).as("w"))
+
+  /** One damped PageRank step from uniform rank 1.0, ppm-scaled. */
+  def pagerankStep(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = edges(spark, sfDir)
+    val outdeg = e.groupBy(col("src").as("u")).agg(sum("w").as("outdeg"))
+    e.join(outdeg, e("src") === outdeg("u"))
+      .select(col("dst"), expr("(w * 1000000) div outdeg").as("contrib_ppm"))
+      .groupBy(col("dst").as("word"))
+      .agg(sum("contrib_ppm").as("in_ppm"))
+      .select(
+        col("word"),
+        expr("CAST(150000 + (850 * in_ppm) div 1000 AS BIGINT)").as("rank_ppm"))
+      .orderBy(desc("rank_ppm"), asc("word"))
+  }
+
+  val pagerankStepSql: String =
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS t FROM documents),
+      |bigrams AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+      |                               i -> t[i] || ' ' || t[i + 1])) AS b
+      |  FROM toks),
+      |e AS (
+      |  SELECT string_split(b, ' ')[1] AS src, string_split(b, ' ')[2] AS dst,
+      |         count(*) AS w
+      |  FROM bigrams GROUP BY 1, 2),
+      |outdeg AS (
+      |  SELECT src AS u, sum(w) AS outdeg FROM e GROUP BY 1),
+      |contrib AS (
+      |  SELECT e.dst, (e.w * 1000000) // o.outdeg AS contrib_ppm
+      |  FROM e JOIN outdeg o ON e.src = o.u)
+      |SELECT dst AS word,
+      |       CAST(150000 + (850 * sum(contrib_ppm)) // 1000 AS BIGINT) AS rank_ppm
+      |FROM contrib
+      |GROUP BY 1
+      |ORDER BY rank_ppm DESC, word""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank_step" -> (pagerankStep(_, _))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_pagerank_step" -> pagerankStepSql
+  )
+}

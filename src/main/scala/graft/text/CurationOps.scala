@@ -555,6 +555,119 @@ object CurationOps {
       |       CAST(sum(CASE WHEN u < quality THEN ck ELSE 0 END) AS BIGINT) AS kept_checksum
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // Tokenizer vocabulary coverage (OOV rate)
+  // -------------------------------------------------------------------------
+
+  /** Size of the "learned" vocabulary: top tokens by corpus frequency. */
+  val OovVocabSize = 10
+
+  /** Out-of-vocabulary rate per document against a frequency-learned
+    * vocabulary — the tokenizer-coverage check run before committing a corpus
+    * to a trained tokenizer. Two aggregates: the vocabulary (top-V tokens by
+    * corpus frequency — vocabulary-sized, broadcast after the grouped count)
+    * and the per-document OOV tally from a left join of the exploded token
+    * stream against it. Rates are ppm integers (determinism contract).
+    */
+  def oovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("t"))
+      .limit(OovVocabSize)
+      .select(col("t").as("v"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), toks("t") === vocab("v"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("(n_oov * 1000000) div n_tokens").as("oov_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val oovRateSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |vocab AS (
+       |  SELECT t AS v, 1 AS in_vocab FROM toks
+       |  GROUP BY t ORDER BY count(*) DESC, t LIMIT $OovVocabSize)
+       |SELECT doc_id,
+       |       count(*) AS n_tokens,
+       |       count(CASE WHEN in_vocab IS NULL THEN 1 END) AS n_oov,
+       |       count(CASE WHEN in_vocab IS NULL THEN 1 END) * 1000000 // count(*) AS oov_ppm
+       |FROM toks LEFT JOIN vocab ON toks.t = vocab.v
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Intra-document duplicate-chunk removal
+  // -------------------------------------------------------------------------
+
+  /** Non-overlapping window size for intra-doc dedup (tokens). */
+  val LineChunk = 10
+
+  /** Intra-document repetition REMOVAL (the transform counterpart of
+    * [[repetitionStats]]' measurements): the document is cut into
+    * non-overlapping [[LineChunk]]-token windows — the stand-in for lines in
+    * this newline-free corpus — duplicate windows after the first occurrence
+    * are dropped, and the survivors are reassembled in order. Emits counts
+    * plus the fingerprint of the deduplicated text, not the text itself. The
+    * whole operator is per-document (explode → window over (doc, chunk) →
+    * re-aggregate), so it shuffles on `doc_id`-derived keys only and scales
+    * as a narrow pipeline.
+    */
+  def dedupLines(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val firstSeen = Window.partitionBy("doc_id", "chunk").orderBy("chunk_idx")
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(sequence(lit(1), size(toks), lit(LineChunk))).as("start"))
+      .select(
+        col("doc_id"),
+        ((col("start") - 1) / LineChunk).cast("int").as("chunk_idx"),
+        array_join(slice(TextOps.tokens(col("text")), col("start"), lit(LineChunk)), " ")
+          .as("chunk"))
+      .withColumn("occ", row_number().over(firstSeen))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("occ") === 1, 1)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("occ") === 1,
+              struct(col("chunk_idx"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ")).as("dedup_fp"))
+      .orderBy("doc_id")
+  }
+
+  val dedupLinesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |chunks AS (
+       |  SELECT doc_id,
+       |         CAST((start - 1) // $LineChunk AS INT) AS chunk_idx,
+       |         array_to_string(list_slice(toks, start, start + ${LineChunk - 1}), ' ') AS chunk
+       |  FROM (SELECT doc_id, toks,
+       |               unnest(generate_series(1, len(toks), $LineChunk)) AS start
+       |        FROM t)),
+       |occ AS (
+       |  SELECT doc_id, chunk_idx, chunk,
+       |         row_number() OVER (PARTITION BY doc_id, chunk ORDER BY chunk_idx) AS occ
+       |  FROM chunks)
+       |SELECT doc_id,
+       |       count(*) AS n_chunks,
+       |       count(CASE WHEN occ = 1 THEN 1 END) AS n_kept,
+       |       md5(string_agg(CASE WHEN occ = 1 THEN chunk END, ' ' ORDER BY chunk_idx))
+       |         AS dedup_fp
+       |FROM occ
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pii_scrub" -> (piiScrub(_, _)),
     "q_repetition_stats" -> (repetitionStats(_, _)),
@@ -567,7 +680,9 @@ object CurationOps {
     "q_mixture_weights" -> (mixtureWeights(_, _)),
     "q_global_shuffle" -> (globalShuffle(_, _)),
     "q_corpus_delta" -> (corpusDelta(_, _)),
-    "q_vocab_drift" -> (vocabDrift(_, _))
+    "q_vocab_drift" -> (vocabDrift(_, _)),
+    "q_oov_rate" -> (oovRate(_, _)),
+    "q_dedup_lines" -> (dedupLines(_, _))
   )
 
   def oracle: Map[String, String] = Map(
@@ -582,6 +697,8 @@ object CurationOps {
     "q_mixture_weights" -> mixtureWeightsSql,
     "q_global_shuffle" -> globalShuffleSql(),
     "q_corpus_delta" -> corpusDeltaSql(),
-    "q_vocab_drift" -> vocabDriftSql()
+    "q_vocab_drift" -> vocabDriftSql(),
+    "q_oov_rate" -> oovRateSql,
+    "q_dedup_lines" -> dedupLinesSql
   )
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Behavioral, GraphOps}
+
+class BehavioralSpec extends AnyFunSuite with SharedSpark {
+
+  test("funnel stages are ordered and monotonically shrinking") {
+    val r = Behavioral.funnel(spark, sfDir).head()
+    val (nS, nC, nP) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nS > 0, "no signups in the corpus")
+    assert(nS >= nC && nC >= nP, s"funnel grows downstream: $nS -> $nC -> $nP")
+    assert(r.getLong(3) == nP * 1000000L / nS)
+    // the window binds: an unbounded funnel on this corpus converts everyone,
+    // the 24 h one must lose users at each stage
+    assert(nC < nS, "conversion window is not binding — funnel checks nothing")
+  }
+
+  test("cohort retention: offsets are non-negative and day-0 covers each cohort") {
+    val rows = Behavioral.cohortRetention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) >= 0, s"negative day offset: $r"))
+    // day 0 of each cohort has at least as many users as any later offset
+    // (a user active at offset k was by definition active at offset 0)
+    val byCohort = rows.groupBy(_.getLong(0))
+    byCohort.foreach { case (day, rs) =>
+      val day0 = rs.find(_.getLong(1) == 0L)
+      assert(day0.isDefined, s"cohort $day has no day-0 row")
+      val max = rs.map(_.getLong(2)).max
+      assert(day0.get.getLong(2) == max, s"cohort $day: day-0 is not the peak")
+    }
+  }
+
+  test("pagerank step conserves damped mass up to floor-division loss") {
+    val rows = GraphOps.pagerankStep(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) >= 150000L, s"rank below teleport floor: $r"))
+    // Σ contrib over all edges of one source is ≤ 1e6 (floor loss only), so
+    // Σ ranks ≤ n_nodes_with_outdeg * 850000 + n_ranked * 150000
+    val nSources = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct("w")).head().getLong(0)
+    val total = rows.map(_.getLong(1) - 150000L).sum
+    assert(total <= nSources * 850000L, "in-flow exceeds damped out-flow")
+    assert(total >= (nSources - rows.length) * 850000L * 0 + 1, "no mass propagated")
+  }
+}

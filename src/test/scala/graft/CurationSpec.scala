@@ -192,4 +192,43 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
         s"$lang kept $kept/$total, want ~$rate")
     }
   }
+  test("oov rate: vocab tokens are the corpus-frequent ones; counts consistent") {
+    val rows = CurationOps.oovRate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nOov, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nOov <= nTok && ppm == nOov * 1000000L / nTok, s"inconsistent row $r")
+    }
+    // total OOV mass must be the corpus total minus the top-V token mass
+    val freq = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1))
+    val inVocabMass = freq.sortBy { case (t, c) => (-c, t) }
+      .take(CurationOps.OovVocabSize).map(_._2).sum
+    val totalMass = freq.map(_._2).sum
+    assert(rows.map(_.getLong(2)).sum == totalMass - inVocabMass)
+  }
+
+  test("dedup lines drops exactly the repeated chunks and keeps order") {
+    val rows = CurationOps.dedupLines(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"kept more than present: $r")
+      assert(r.getLong(2) >= 1)
+    }
+    // spot-check one doc against a driver-side reference implementation
+    val doc = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === 1L).head().getAs[String]("text")
+    val chunks = doc.split(" ").grouped(CurationOps.LineChunk).map(_.mkString(" ")).toSeq
+    val kept = chunks.foldLeft(Vector.empty[String]) {
+      (acc, c) => if (acc.contains(c)) acc else acc :+ c
+    }
+    val got = rows.find(_.getLong(0) == 1L).get
+    assert(got.getLong(1) == chunks.length && got.getLong(2) == kept.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(kept.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got.getString(3) == md)
+  }
+
 }

@@ -172,4 +172,23 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(fp1.sameElements(fp2))
     fp1.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) < (1L << 56)))
   }
+  test("cluster best picks the max-quality member of each near-dup cluster") {
+    val labels = graft.dedup.DedupOps.ngramJaccardPairs(spark, sfDir)
+      .select("id_a", "id_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val quality = graft.text.TextOps.qualityScore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val best = DedupOps.clusterBest(spark, sfDir).collect()
+    assert(best.nonEmpty)
+    val clusters = DedupOps.nearDupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    best.foreach { r =>
+      val (cid, n, rep) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(clusters(cid) == n, s"cluster $cid size drifted")
+      assert(labels.contains(rep), s"rep $rep is not a near-dup member")
+      assert(quality(rep) >= quality(cid) - 1e-12,
+        s"rep $rep has lower quality than the min-id member $cid")
+    }
+  }
+
 }

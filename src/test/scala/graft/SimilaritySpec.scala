@@ -176,4 +176,17 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotPairs == expectedPairs)
   }
+  test("hybrid rrf fuses both rankers and orders by the fused score") {
+    val rows = SimilarityOps.hybridRrf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // ranks are 1..n dense, scores non-increasing
+    rows.zipWithIndex.foreach { case (r, i) => assert(r.getInt(0) == i + 1) }
+    val scores = rows.map(_.getLong(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // a doc in both pools outranks one in a single pool at similar depth:
+    // the top fused score must be at least the best single-ranker score
+    assert(scores.head >= 1000000L / (SimilarityOps.RrfK + 1),
+      "top fused score below a rank-1 single-ranker score")
+  }
+
 }
