@@ -79,11 +79,73 @@ object GraphOps {
       |GROUP BY 1
       |ORDER BY rank_ppm DESC, word""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // Corpus bigram-LM document scoring
+  // -------------------------------------------------------------------------
+
+  /** Document fluency under the corpus's own bigram language model — the
+    * KenLM-perplexity-style filter (CCNet, Wenzek et al. 2020) with the LM
+    * trained on the corpus itself. Per bigram occurrence the MLE conditional
+    * `p(dst|src) = count(src,dst) / count(src,·)`; the per-document score is
+    * the arithmetic mean over its bigram occurrences, ppm-scaled with floor
+    * division at each step so both engines agree bit-for-bit (no log — the
+    * monotone mean-probability form keeps the arithmetic integer).
+    *
+    * Scale shape: the "model" (grouped bigram counts + out-degrees) is
+    * vocabulary-bounded and broadcasts; the document side is a narrow
+    * explode → two broadcast joins → per-doc sum. Training and scoring are
+    * the same two aggregates a real count-LM pipeline runs.
+    */
+  def bigramLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docBigrams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS src, element_at(t, i + 1) AS dst))")).as("e"))
+      .select(col("doc_id"), col("e.src").as("src"), col("e.dst").as("dst"))
+    val model = edges(spark, sfDir)
+    val outdeg = model.groupBy(col("src").as("u")).agg(sum("w").as("outdeg"))
+    val scored = model.join(outdeg, model("src") === outdeg("u"))
+      .select(col("src"), col("dst"), expr("(w * 1000000) div outdeg").as("p_ppm"))
+    docBigrams
+      .join(broadcast(scored), Seq("src", "dst"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_ppm").as("total_ppm"))
+      .select(
+        col("doc_id"), col("n_bigrams"),
+        expr("total_ppm div n_bigrams").as("avg_cond_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val bigramLmScoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |occ AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(generate_series(1, len(t) - 1),
+      |                               i -> t[i] || ' ' || t[i + 1])) AS b
+      |  FROM toks),
+      |e AS (SELECT b, count(*) AS w FROM occ GROUP BY 1),
+      |outdeg AS (
+      |  SELECT string_split(b, ' ')[1] AS u, sum(w) AS outdeg FROM e GROUP BY 1),
+      |model AS (
+      |  SELECT e.b, (e.w * 1000000) // o.outdeg AS p_ppm
+      |  FROM e JOIN outdeg o ON string_split(e.b, ' ')[1] = o.u)
+      |SELECT occ.doc_id,
+      |       count(*) AS n_bigrams,
+      |       CAST(sum(m.p_ppm) // count(*) AS BIGINT) AS avg_cond_ppm
+      |FROM occ JOIN model m ON occ.b = m.b
+      |GROUP BY 1
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank_step" -> (pagerankStep(_, _))
+    "q_pagerank_step" -> (pagerankStep(_, _)),
+    "q_bigram_lm" -> (bigramLmScore(_, _))
   )
 
   def oracle: Map[String, String] = Map(
-    "q_pagerank_step" -> pagerankStepSql
+    "q_pagerank_step" -> pagerankStepSql,
+    "q_bigram_lm" -> bigramLmScoreSql
   )
 }

@@ -336,7 +336,68 @@ object Relational {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // SCD type-2 dimension merge (CDC upsert)
+  // -------------------------------------------------------------------------
+
+  /** Deterministic change batch synthesized from the dimension itself:
+    * every 7th customer gets a balance adjustment.
+    */
+  private val ScdUpdateMod = 7
+
+  /** Slowly-changing-dimension type-2 merge — the warehouse upsert: apply a
+    * change batch to a versioned dimension, closing the current version of
+    * each changed key (valid_to = batch epoch) and appending the new version
+    * (valid_from = batch epoch, open-ended). Spark has no MERGE INTO on plain
+    * parquet, so the operator is the canonical plan shape a lakehouse MERGE
+    * lowers to: one left join of the dimension against the (much smaller,
+    * broadcast) change batch deciding close/keep, plus a union of the
+    * appended versions. Everything shuffles at most once on the dimension
+    * key; balances ride as DECIMAL(18,2) for engine-exact comparison.
+    */
+  def scd2Merge(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Tables.customer(spark, sfDir)
+      .select(
+        col("c_custkey").as("custkey"),
+        col("c_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
+    val updates = dim
+      .filter(col("custkey") % ScdUpdateMod === 0)
+      .select(col("custkey"), (col("acctbal") + lit(100)).cast(DecimalType(18, 2)).as("acctbal"))
+    val joined = dim.join(broadcast(updates.select(col("custkey").as("u_key"))),
+      col("custkey") === col("u_key"), "left")
+    // final balances leave as DOUBLE: exact at scale 2, and both engines'
+    // parquet/pandas decimal renderings diverge (STATE.md decimal contract)
+    val closedOrOpen = joined.select(
+      col("custkey"),
+      col("acctbal").cast(DoubleType).as("acctbal"),
+      lit(0L).as("valid_from"),
+      when(col("u_key").isNotNull, lit(1L)).as("valid_to"))
+    val appended = updates.select(
+      col("custkey"), col("acctbal").cast(DoubleType).as("acctbal"),
+      lit(1L).as("valid_from"),
+      lit(null).cast("long").as("valid_to"))
+    closedOrOpen.union(appended)
+      .orderBy(col("custkey"), col("valid_from"))
+  }
+
+  val scd2MergeSql: String =
+    s"""WITH dim AS (
+       |  SELECT c_custkey AS custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+       |  FROM customer),
+       |updates AS (
+       |  SELECT custkey, CAST(acctbal + 100 AS DECIMAL(18,2)) AS acctbal
+       |  FROM dim WHERE custkey % $ScdUpdateMod = 0)
+       |SELECT d.custkey, CAST(d.acctbal AS DOUBLE) AS acctbal,
+       |       CAST(0 AS BIGINT) AS valid_from,
+       |       CASE WHEN u.custkey IS NOT NULL THEN CAST(1 AS BIGINT) END AS valid_to
+       |FROM dim d LEFT JOIN updates u ON d.custkey = u.custkey
+       |UNION ALL
+       |SELECT custkey, CAST(acctbal AS DOUBLE), CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+       |FROM updates
+       |ORDER BY custkey, valid_from""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_merge" -> (scd2Merge(_, _)),
     "q_cube_sets" -> (cubeSets(_, _)),
     "q_first_last_orders" -> (firstLastOrders(_, _)),
     "q_set_ops" -> (setOps(_, _)),
@@ -353,6 +414,7 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_scd2_merge" -> scd2MergeSql,
     "q_cube_sets" -> cubeSetsSql,
     "q_first_last_orders" -> firstLastOrdersSql,
     "q_set_ops" -> setOpsSql,

@@ -46,4 +46,17 @@ class BehavioralSpec extends AnyFunSuite with SharedSpark {
     assert(total <= nSources * 850000L, "in-flow exceeds damped out-flow")
     assert(total >= (nSources - rows.length) * 850000L * 0 + 1, "no mass propagated")
   }
+  test("bigram lm score: fluent (repetitive) docs outscore the corpus median") {
+    val rows = GraphOps.bigramLmScore(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1)
+      val avg = r.getLong(2)
+      assert(avg >= 0 && avg <= 1000000L, s"conditional prob out of range: $r")
+    }
+    // every bigram's MLE conditional is ≤ 1, so the mean is too; and a corpus
+    // where every doc shares the vocabulary must have nonzero scores
+    assert(rows.map(_.getLong(2)).max > 0)
+  }
+
 }

@@ -88,4 +88,21 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
       assert(r.getLong(1) > 0)
     }
   }
+  test("scd2 merge closes exactly the updated keys and appends their new version") {
+    val rows = Relational.scd2Merge(spark, sfDir).collect()
+    val byKey = rows.groupBy(_.getLong(0))
+    byKey.foreach { case (k, vs) =>
+      if (k % 7 == 0) {
+        assert(vs.length == 2, s"updated key $k must have 2 versions")
+        val closed = vs.find(_.getLong(2) == 0L).get
+        val open = vs.find(_.getLong(2) == 1L).get
+        assert(!closed.isNullAt(3) && closed.getLong(3) == 1L, s"old version of $k not closed")
+        assert(open.isNullAt(3), s"new version of $k not open-ended")
+        assert(open.getDouble(1) == closed.getDouble(1) + 100.0)
+      } else {
+        assert(vs.length == 1 && vs.head.isNullAt(3), s"untouched key $k must stay open")
+      }
+    }
+  }
+
 }
