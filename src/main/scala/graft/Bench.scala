@@ -87,7 +87,10 @@ object Bench {
         .write.mode("overwrite").parquet(s"$probeDir/embeddings.parquet")
       val probeQueries = Seq("q_duty_cycle", "q_rollup_1s", "q_timeseries_5s",
         "q_shared_shingles", "q_ngram_jaccard_pairs",
-        "q_ann_topk", "q_ivf_topk", "q_embed_outliers")
+        "q_ann_topk", "q_ivf_topk", "q_embed_outliers",
+        // chained per-user joins (funnel) and the broadcast-LM score: the
+        // 10× user/vocabulary growth exercises their join sides honestly
+        "q_funnel", "q_bigram_lm")
       val base = results.toMap
       val rows = probeQueries.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
