@@ -668,7 +668,107 @@ object CurationOps {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // Per-source quota capping
+  // -------------------------------------------------------------------------
+
+  /** Max documents admitted per source. */
+  val SourceCap = 15
+
+  /** Domain quota capping: no source may contribute more than [[SourceCap]]
+    * documents, the selection within a source decided by a deterministic
+    * md5-uniform draw (not doc order — recency or id order would bias the
+    * sample). The window is partitioned by `source`, so Spark's
+    * WindowGroupLimit pushes the rank limit ahead of the full sort at scale;
+    * membership is pinned by the order-independent bounded checksum, never an
+    * id list.
+    */
+  def sourceCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = conv(substring(md5(concat(lit("cap_"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("source").orderBy(col("u"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), u.as("u"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("rn") <= SourceCap, 1)).as("n_kept"),
+        sum(when(col("rn") <= SourceCap, col("u"))).as("kept_checksum"))
+      .orderBy("source")
+  }
+
+  val sourceCapSql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |         CAST('0x' || substr(md5('cap_' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS u
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, u,
+       |         row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+       |  FROM d)
+       |SELECT source, count(*) AS n_total,
+       |       count(CASE WHEN rn <= $SourceCap THEN 1 END) AS n_kept,
+       |       CAST(sum(CASE WHEN rn <= $SourceCap THEN u END) AS BIGINT) AS kept_checksum
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Token-budget-constrained selection
+  // -------------------------------------------------------------------------
+
+  /** Token budget per source. */
+  val TokenBudget = 2000L
+
+  /** Best-first selection under a token budget: within each source, documents
+    * are taken in quality order (ties to the smaller id) until the running
+    * token total would exceed [[TokenBudget]] — the data-selection step of a
+    * budgeted pretraining mix. The cumulative sum is a per-source window
+    * (never global), so the operator distributes by source; counts and token
+    * totals are integers, quality only ORDERS (the shared engine-exact
+    * formula), so the oracle hash is float-free.
+    */
+  def budgetSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(desc("quality"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(
+        col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        TextOps.qualityCol(col("text")).as("quality"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("cum_tokens") <= TokenBudget, 1)).as("n_kept"),
+        sum(when(col("cum_tokens") <= TokenBudget, col("n_tokens"))).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  val budgetSelectSql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |           / len(string_split(text, ' ')) * 0.7 +
+       |         (1.0 - CAST(len(list_filter(string_split(text, ' '),
+       |                                     t -> t = 'the' OR t = 'a')) AS DOUBLE)
+       |           / len(string_split(text, ' '))) * 0.3 AS quality
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+       |                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM d)
+       |SELECT source, count(*) AS n_docs,
+       |       count(CASE WHEN cum_tokens <= $TokenBudget THEN 1 END) AS n_kept,
+       |       CAST(sum(CASE WHEN cum_tokens <= $TokenBudget THEN n_tokens END) AS BIGINT)
+       |         AS kept_tokens
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_cap" -> (sourceCap(_, _)),
+    "q_budget_select" -> (budgetSelect(_, _)),
     "q_pii_scrub" -> (piiScrub(_, _)),
     "q_repetition_stats" -> (repetitionStats(_, _)),
     "q_shared_shingles" -> (sharedShingles(_, _)),
@@ -686,6 +786,8 @@ object CurationOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_source_cap" -> sourceCapSql,
+    "q_budget_select" -> budgetSelectSql,
     "q_pii_scrub" -> piiScrubSql,
     "q_repetition_stats" -> repetitionStatsSql,
     "q_shared_shingles" -> sharedShinglesSql,

@@ -231,4 +231,38 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(got.getString(3) == md)
   }
 
+  test("source cap never admits more than the quota and binds on big sources") {
+    val rows = CurationOps.sourceCap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= CurationOps.SourceCap, s"quota violated: $r")
+      assert(r.getLong(2) == math.min(r.getLong(1), CurationOps.SourceCap))
+    }
+  }
+
+  test("budget select is the greedy quality-first prefix under the token budget") {
+    val rows = CurationOps.budgetSelect(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) <= CurationOps.TokenBudget, s"budget blown: $r"))
+    // reference greedy on the driver for one source
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("source") === "src0")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ")
+        val nDis = toks.distinct.length.toDouble
+        val nStop = toks.count(t => t == "the" || t == "a").toDouble
+        val q = nDis / toks.length * 0.7 + (1.0 - nStop / toks.length) * 0.3
+        (r.getLong(0), toks.length.toLong, q)
+      }
+      .sortBy { case (id, _, q) => (-q, id) }
+    var cum = 0L; var kept = 0L; var keptToks = 0L
+    docs.foreach { case (_, n, _) =>
+      cum += n
+      if (cum <= CurationOps.TokenBudget) { kept += 1; keptToks += n }
+    }
+    val got = rows.find(_.getString(0) == "src0").get
+    assert(got.getLong(2) == kept && got.getLong(3) == keptToks)
+  }
+
 }
