@@ -111,13 +111,64 @@ object Behavioral {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  /** RFM segmentation: per-user Recency (days since last event, vs the
+    * corpus's last day), Frequency (event count) and Monetary (decimal-exact
+    * value total), each quartiled with ntile(4). The expensive part — the
+    * event scan — is one grouped aggregate; the ntile windows run over the
+    * per-USER frame, orders of magnitude smaller than the event log (the
+    * standard RFM shape; a per-segment ntile would remove even that global
+    * sort if user cardinality ever rivaled event cardinality). Monetary is
+    * emitted as integer cents; ntile ties are broken by user id so both
+    * engines bucket identically.
+    */
+  def rfm(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val perUser = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"ts div ${NsPerDay}L").as("day"), col("value"))
+      .groupBy("user_id")
+      .agg(
+        max("day").as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast(DecimalType(18, 2))).as("mon"))
+    perUser
+      .withColumn("recency_days", expr("max(last_day) over ()") - col("last_day"))
+      .select(
+        col("user_id"), col("recency_days"), col("frequency"),
+        (col("mon") * 100).cast("long").as("monetary_cents"),
+        ntile(4).over(Window.orderBy(asc("recency_days"), asc("user_id"))).as("r_score"),
+        ntile(4).over(Window.orderBy(desc("frequency"), asc("user_id"))).as("f_score"),
+        ntile(4).over(Window.orderBy(desc("mon"), asc("user_id"))).as("m_score"))
+      .orderBy("user_id")
+  }
+
+  val rfmSql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |         max(epoch_ns(ts) // ${NsPerDay}) AS last_day,
+       |         count(*) AS frequency,
+       |         sum(CAST(value AS DECIMAL(18,2))) AS mon
+       |  FROM events GROUP BY 1),
+       |r AS (
+       |  SELECT user_id, max(last_day) OVER () - last_day AS recency_days,
+       |         frequency, mon
+       |  FROM pu)
+       |SELECT user_id, recency_days, frequency,
+       |       CAST(mon * 100 AS BIGINT) AS monetary_cents,
+       |       CAST(ntile(4) OVER (ORDER BY recency_days, user_id) AS INT) AS r_score,
+       |       CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_score,
+       |       CAST(ntile(4) OVER (ORDER BY mon DESC, user_id) AS INT) AS m_score
+       |FROM r ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (funnel(_, _)),
-    "q_cohort_retention" -> (cohortRetention(_, _))
+    "q_cohort_retention" -> (cohortRetention(_, _)),
+    "q_rfm" -> (rfm(_, _))
   )
 
   def oracle: Map[String, String] = Map(
     "q_funnel" -> funnelSql,
-    "q_cohort_retention" -> cohortRetentionSql
+    "q_cohort_retention" -> cohortRetentionSql,
+    "q_rfm" -> rfmSql
   )
 }

@@ -59,4 +59,21 @@ class BehavioralSpec extends AnyFunSuite with SharedSpark {
     assert(rows.map(_.getLong(2)).max > 0)
   }
 
+  test("rfm quartiles are balanced and consistent with the raw measures") {
+    val rows = Behavioral.rfm(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    for (c <- Seq(4, 5, 6)) {
+      val sizes = rows.groupBy(_.getInt(c)).map { case (b, rs) => b -> rs.length }
+      assert(sizes.keySet.subsetOf(Set(1, 2, 3, 4)), s"bad bucket ids: $sizes")
+      // ntile buckets differ by at most 1 in size
+      assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced quartiles: $sizes")
+    }
+    // within r_score, a bucket-1 user is at least as recent as a bucket-4 user
+    val byR = rows.groupBy(_.getInt(4))
+    if (byR.contains(1) && byR.contains(4)) {
+      assert(byR(1).map(_.getLong(1)).max <= byR(4).map(_.getLong(1)).min)
+    }
+  }
+
 }
