@@ -160,15 +160,90 @@ object Behavioral {
        |       CAST(ntile(4) OVER (ORDER BY mon DESC, user_id) AS INT) AS m_score
        |FROM r ORDER BY user_id""".stripMargin
 
+  /** First-order Markov transition matrix over each user's event sequence:
+    * counts and MLE probabilities (ppm) of `from_type → to_type` steps. The
+    * sequence order is (ts, event_id) — the id tiebreak makes simultaneous
+    * events deterministic in both engines. One window (lead) partitioned by
+    * user + one grouped count; the per-from normalization is a window sum
+    * over the TYPE-cardinality relation, not the event log.
+    */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val perFrom = Window.partitionBy("from_type")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead("event_type", 1).over(seq))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_ppm", expr("(n * 1000000) div sum(n) over (partition by from_type)"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type AS from_type, to_type, count(*) AS n
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |       CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+      |FROM t ORDER BY from_type, to_type""".stripMargin
+
+  /** Daily active users plus the 7-day rolling distinct-user count. The
+    * rolling distinct is NOT a sliding re-scan: each distinct (day, user)
+    * fact is exploded onto the ≤ 7 window-end days it serves (bounded
+    * fanout), then one grouped distinct per window-end day — the standard
+    * scale-out form of sliding countDistinct.
+    */
+  def dauRolling(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = Tables.events(spark, sfDir)
+      .select(expr(s"ts div ${NsPerDay}L").as("day"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val maxDay = du.agg(max("day").as("max_day"))
+    val wau = du
+      .crossJoin(broadcast(maxDay))
+      .select(
+        explode(sequence(col("day"), least(col("day") + 6, col("max_day")))).as("wday"),
+        col("user_id"))
+      .groupBy(col("wday").as("day"))
+      .agg(countDistinct("user_id").as("wau_7d"))
+    dau.join(wau, "day").orderBy("day")
+  }
+
+  val dauRollingSql: String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT epoch_ns(ts) // ${NsPerDay} AS day, user_id FROM events),
+       |dau AS (
+       |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM du GROUP BY 1),
+       |m AS (SELECT max(day) AS max_day FROM du),
+       |wau AS (
+       |  SELECT wday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau_7d
+       |  FROM (
+       |    SELECT unnest(generate_series(day, least(day + 6, m.max_day))) AS wday, user_id
+       |    FROM du, m)
+       |  GROUP BY 1)
+       |SELECT dau.day AS day, dau.dau, wau.wau_7d
+       |FROM dau JOIN wau ON dau.day = wau.day
+       |ORDER BY dau.day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (funnel(_, _)),
     "q_cohort_retention" -> (cohortRetention(_, _)),
-    "q_rfm" -> (rfm(_, _))
+    "q_rfm" -> (rfm(_, _)),
+    "q_event_transitions" -> (eventTransitions(_, _)),
+    "q_dau_rolling" -> (dauRolling(_, _))
   )
 
   def oracle: Map[String, String] = Map(
     "q_funnel" -> funnelSql,
     "q_cohort_retention" -> cohortRetentionSql,
-    "q_rfm" -> rfmSql
+    "q_rfm" -> rfmSql,
+    "q_event_transitions" -> eventTransitionsSql,
+    "q_dau_rolling" -> dauRollingSql
   )
 }

@@ -766,7 +766,49 @@ object CurationOps {
        |         AS kept_tokens
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // N-gram novelty scoring
+  // -------------------------------------------------------------------------
+
+  /** Per-document n-gram novelty against everything that came before it in
+    * ingestion (doc_id) order: the fraction of the document's shingles whose
+    * FIRST corpus occurrence is this document. High-novelty docs add new
+    * content; near-zero novelty marks recombinations of already-seen text —
+    * the streaming-ingest complement of pairwise near-dup detection. One
+    * window (min doc per shingle) over the shingle-keyed shuffle, same scale
+    * shape as the CCNet shared-shingle signal; ratios are ppm integers.
+    */
+  def noveltyScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleK)
+      .select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s"))
+    sh.withColumn("first_doc", min("doc_id").over(Window.partitionBy("s")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .select(
+        col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("(n_novel * 1000000) div n_shingles").as("novelty_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val noveltyScoreSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(${shinglesSql("text")}) AS s
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $ShingleK),
+       |f AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY s) AS first_doc FROM sh)
+       |SELECT doc_id,
+       |       count(*) AS n_shingles,
+       |       count(CASE WHEN first_doc = doc_id THEN 1 END) AS n_novel,
+       |       count(CASE WHEN first_doc = doc_id THEN 1 END) * 1000000 // count(*)
+       |         AS novelty_ppm
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_novelty" -> (noveltyScore(_, _)),
     "q_source_cap" -> (sourceCap(_, _)),
     "q_budget_select" -> (budgetSelect(_, _)),
     "q_pii_scrub" -> (piiScrub(_, _)),
@@ -786,6 +828,7 @@ object CurationOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_novelty" -> noveltyScoreSql,
     "q_source_cap" -> sourceCapSql,
     "q_budget_select" -> budgetSelectSql,
     "q_pii_scrub" -> piiScrubSql,

@@ -76,4 +76,32 @@ class BehavioralSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("event transitions: per-from probabilities sum to ~1e6 and counts to steps") {
+    val rows = Behavioral.eventTransitions(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byFrom = rows.groupBy(_.getString(0))
+    byFrom.foreach { case (f, rs) =>
+      val pSum = rs.map(_.getLong(3)).sum
+      // floor division loses < 1 ppm per to-type
+      assert(pSum <= 1000000L && pSum > 1000000L - rs.length,
+        s"from=$f probabilities sum to $pSum")
+    }
+    val nSteps = rows.map(_.getLong(2)).sum
+    val nEvents = Tables.events(spark, sfDir).count()
+    val nUsers = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(nSteps == nEvents - nUsers, "every non-last event contributes one step")
+  }
+
+  test("dau rolling: wau bounded by the sum and max of its daily parts") {
+    val rows = Behavioral.dauRolling(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val dau = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (day, wau) = (r.getLong(0), r.getLong(2))
+      val window = (day - 6 to day).flatMap(dau.get)
+      assert(wau >= window.max, s"day $day wau $wau below max daily")
+      assert(wau <= window.sum, s"day $day wau $wau above sum of dailies")
+    }
+  }
+
 }

@@ -265,4 +265,18 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(got.getLong(2) == kept && got.getLong(3) == keptToks)
   }
 
+  test("novelty: doc 0 is fully novel and totals match the distinct shingle count") {
+    val rows = CurationOps.noveltyScore(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getLong(2) == first.getLong(1), "the earliest doc must be 100% novel")
+    // every shingle is novel in exactly one doc: sum(n_novel) == distinct shingles
+    val distinctShingles = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= graft.dedup.DedupOps.ShingleK)
+      .select(explode(graft.dedup.DedupOps.shinglesFromToks(col("toks"))).as("s"))
+      .distinct().count()
+    assert(rows.map(_.getLong(2)).sum == distinctShingles)
+  }
+
 }
