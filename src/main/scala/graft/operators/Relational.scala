@@ -396,7 +396,54 @@ object Relational {
        |FROM updates
        |ORDER BY custkey, valid_from""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // Interval-overlap join (keyed)
+  // -------------------------------------------------------------------------
+
+  /** Overlapping-interval pairs, keyed: each order's fulfillment span is
+    * [o_orderdate, max(l_shipdate)]; two orders of the SAME customer overlap
+    * when each starts before the other ends. The join is an equi-join on the
+    * customer key with the overlap predicate as a residual — per-key fanout
+    * is bounded by orders-per-customer, so the pair space never goes
+    * quadratic in the table. (An UNKEYED interval join would use the
+    * [[graft.ann.SimilarityOps]] block-grid pattern on interval buckets.)
+    */
+  def orderOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val spans = Tables.orders(spark, sfDir)
+      .join(
+        Tables.lineitem(spark, sfDir)
+          .groupBy("l_orderkey").agg(max("l_shipdate").as("ship_end")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(
+        col("o_custkey").as("custkey"), col("o_orderkey").as("okey"),
+        col("o_orderdate").as("start"), col("ship_end").as("end"))
+    val a = spans.as("a")
+    val b = spans.as("b")
+    a.join(b,
+        col("a.custkey") === col("b.custkey") &&
+          col("a.okey") < col("b.okey") &&
+          col("a.start") <= col("b.end") && col("b.start") <= col("a.end"))
+      .groupBy(col("a.custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_overlap_pairs"))
+      .orderBy("custkey")
+  }
+
+  val orderOverlapSql: String =
+    """WITH spans AS (
+      |  SELECT o.o_custkey AS custkey, o.o_orderkey AS okey,
+      |         o.o_orderdate AS s, m.ship_end AS e
+      |  FROM orders o
+      |  JOIN (SELECT l_orderkey, max(l_shipdate) AS ship_end
+      |        FROM lineitem GROUP BY 1) m
+      |    ON o.o_orderkey = m.l_orderkey)
+      |SELECT a.custkey, count(*) AS n_overlap_pairs
+      |FROM spans a JOIN spans b
+      |  ON a.custkey = b.custkey AND a.okey < b.okey
+      | AND a.s <= b.e AND b.s <= a.e
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_order_overlap" -> (orderOverlap(_, _)),
     "q_scd2_merge" -> (scd2Merge(_, _)),
     "q_cube_sets" -> (cubeSets(_, _)),
     "q_first_last_orders" -> (firstLastOrders(_, _)),
@@ -414,6 +461,7 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_order_overlap" -> orderOverlapSql,
     "q_scd2_merge" -> scd2MergeSql,
     "q_cube_sets" -> cubeSetsSql,
     "q_first_last_orders" -> firstLastOrdersSql,

@@ -105,4 +105,27 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("order overlap matches a driver-side reference for one customer") {
+    val rows = Relational.orderOverlap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val spans = Tables.orders(spark, sfDir)
+      .join(
+        Tables.lineitem(spark, sfDir)
+          .groupBy("l_orderkey").agg(max("l_shipdate").as("e")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").as("s"), col("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2), r.getAs[java.time.LocalDateTime](3)))
+    val byCust = spans.groupBy(_._1)
+    val expected = byCust.view.mapValues { ss =>
+      (for {
+        a <- ss; b <- ss
+        if a._2 < b._2 && !a._3.isAfter(b._4) && !b._3.isAfter(a._4)
+      } yield 1).size.toLong
+    }.toMap.filter(_._2 > 0)
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
 }
