@@ -33,6 +33,42 @@ object RollupTable {
       .partitionBy("date", "hour")
       .parquet(outPath)
 
+  /** Incremental maintenance: rebuild ONLY the hour segments at/after
+    * `sinceEpochS` (hour-aligned, enforced — a mid-hour cut would replace a
+    * full segment with a partial one). Partition-level upsert via dynamic
+    * `partitionOverwriteMode`: the write replaces exactly the (date, hour)
+    * directories present in the increment and leaves every earlier segment's
+    * files untouched — idempotent on re-run (same input → same partitions →
+    * same content), and safe against the double-counting a blind append
+    * would cause. This is the batch form of the compaction/catch-up job a
+    * 100 TB deployment runs beside the streaming writer; the raw-side
+    * `epoch_s` filter is phrased on the scan so only the new raw partitions
+    * are read.
+    */
+  def materializeIncrement(
+      spark: SparkSession, sfDir: String, outPath: String, sinceEpochS: Long): Unit = {
+    require(sinceEpochS % 3600 == 0,
+      s"increment boundary must be hour-aligned, got $sinceEpochS")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      Grid.rollup1s(spark, sfDir)
+        .filter(col("epoch_s") >= sinceEpochS)
+        .withColumn("sum_power", col("sum_power_dec").cast(DoubleType))
+        .withColumn("date", to_date(timestamp_seconds(col("epoch_s"))))
+        .withColumn("hour", (expr("epoch_s div 3600") % 24).cast("int"))
+        .repartition(col("date"))
+        .write
+        .mode("overwrite")
+        .partitionBy("date", "hour")
+        .parquet(outPath)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

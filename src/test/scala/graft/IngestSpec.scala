@@ -116,4 +116,50 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
       .count(_.getName.endsWith(".parquet"))
     assert(datePartFiles > 0 && datePartFiles < allFiles)
   }
+  test("incremental rollup replaces only the new hour segments, idempotently") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("rollup_inc").toString
+    RollupTable.materialize(spark, sfDir, dir)
+    val full = RollupTable.read(spark, dir)
+    val hours = full.select((col("epoch_s") - col("epoch_s") % 3600).as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    assert(hours.length >= 2, "need at least two hour segments for the test")
+    val since = hours.last // rebuild only the final hour
+    def listing(): Map[String, Long] =
+      Files.walk(Paths.get(dir)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    def content(): Array[(Long, String, Long)] =
+      RollupTable.read(spark, dir)
+        .select(col("epoch_s"), col("appliance_id"), col("cnt"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val before = listing()
+    val fullContent = content()
+    Thread.sleep(1100) // mtime granularity
+    RollupTable.materializeIncrement(spark, sfDir, dir, since)
+    val after = listing()
+    // earlier segments: identical files, untouched mtimes
+    before.foreach { case (p, t) =>
+      val isFinalHour = inFinalHour(p, since)
+      if (!isFinalHour) assert(after.get(p).contains(t), s"pre-boundary file rewritten: $p")
+    }
+    // table content unchanged by the rebuild (same input data)
+    assert(content().sameElements(fullContent), "increment changed query results")
+    // idempotent: a second identical increment leaves content identical again
+    RollupTable.materializeIncrement(spark, sfDir, dir, since)
+    assert(content().sameElements(fullContent), "re-run not idempotent")
+    // the increment must refuse a non-hour-aligned boundary
+    intercept[IllegalArgumentException] {
+      RollupTable.materializeIncrement(spark, sfDir, dir, since + 1)
+    }
+  }
+
+  private def inFinalHour(path: String, since: Long): Boolean = {
+    val date = java.time.Instant.ofEpochSecond(since)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val hour = (since / 3600) % 24
+    path.contains(s"date=$date") && path.contains(s"hour=$hour")
+  }
+
 }
