@@ -69,6 +69,42 @@ object RollupTable {
     }
   }
 
+  /** One streaming micro-batch of finalized rollup groups written as a
+    * segment: a DETERMINISTIC per-batch directory (`batch=<id>`), overwritten
+    * whole. Checkpoint-recovery replays of a batch rewrite the same segment
+    * with the same content instead of appending duplicates — the same
+    * file-level idempotency discipline as [[graft.streaming.HistoryJob]]'s
+    * producer, in Druid terms one segment per ingest task.
+    */
+  def writeSegment(batch: DataFrame, outPath: String, batchId: Long): Unit =
+    batch
+      .withColumn("date", to_date(col("bucket")))
+      .withColumn("hour", hour(col("bucket")))
+      .write.mode("overwrite")
+      .partitionBy("date", "hour")
+      .parquet(s"$outPath/batch=$batchId")
+
+  /** The streaming counterpart of [[materialize]]: append-mode finalized 1 s
+    * groups from [[graft.streaming.StreamingDutyCycle.rollupPlan]] land in
+    * the same (date, hour) layout, one replay-safe segment per micro-batch.
+    * The exactly-once story is (watermarked append output) × (deterministic
+    * segment overwrite); periodic compaction of old `batch=` dirs into the
+    * batch table is [[materializeIncrement]].
+    */
+  def streamingWriter(
+      rollup: DataFrame, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rollup.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeSegment(batch, outPath, batchId)
+      }
+
+  /** Read the streaming segment table (all segments, segment column dropped). */
+  def readSegments(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("basePath", path).parquet(path).drop("batch")
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

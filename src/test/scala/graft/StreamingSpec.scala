@@ -431,4 +431,41 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     // serde round trip (2x the work of one-way decode)
     assert(n / sec > 100000, f"avro round-trip too slow: ${n / sec}%.0f rows/s")
   }
+  test("streaming segment writer lands finalized groups replay-safely") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("seg_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("seg_ckpt").toString
+    val input = MemoryStream[PowerReading]
+    val q = graft.sources.RollupTable
+      .streamingWriter(StreamingDutyCycle.rollupPlan(input.toDF()), outDir, ckpt)
+      .start()
+    try {
+      input.addData(reading(10, 1.0), reading(10, 2.0), reading(11, 3.0))
+      q.processAllAvailable()
+      input.addData(reading(100, 0.0)) // advance watermark, close buckets
+      q.processAllAvailable()
+      input.addData(reading(200, 0.0)) // close the 100s bucket too
+      q.processAllAvailable()
+      val seg = graft.sources.RollupTable.readSegments(spark, outDir)
+        .select("bucket", "cnt", "sum_power").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(seg.contains((10L, 2L, 3.0)) && seg.contains((11L, 1L, 3.0)),
+        s"finalized buckets missing from segments: $seg")
+      // replay safety: re-writing a segment with its own (id, data) is a no-op
+      val segDirs = new java.io.File(outDir).listFiles()
+        .filter(_.getName.startsWith("batch=")).map(_.getName)
+      val replayId = segDirs.map(_.stripPrefix("batch=").toLong).max
+      val replayData = spark.read.parquet(s"$outDir/batch=$replayId")
+        .drop("date", "hour").localCheckpoint()
+      graft.sources.RollupTable.writeSegment(replayData, outDir, replayId)
+      val after = graft.sources.RollupTable.readSegments(spark, outDir)
+        .select("bucket", "cnt", "sum_power").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(after == seg, "a replayed segment must not change the table")
+    } finally q.stop()
+  }
+
 }
