@@ -204,7 +204,7 @@ object SimilarityOps {
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     // one literal coef array column per hyperplane, then the packed bucket
     val withPlanes = (0 until NumHyperplanes).foldLeft(e) { (df, j) =>
-      df.withColumn(s"h_$j", array(hyperplanes(j).map(lit(_)): _*))
+      df.withColumn(s"h_$j", array(hyperplanes(j).toIndexedSeq.map(lit(_)): _*))
     }
     val bits = (0 until NumHyperplanes).map { j =>
       when(expr(s"dot_arrays(v, h_$j)") >= 0, lit(1L << j)).otherwise(lit(0L))
@@ -273,7 +273,7 @@ object SimilarityOps {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val withC = (0 until NumCentroids).foldLeft(e) { (df, k) =>
-      df.withColumn(s"c_$k", array(centroids(k).map(lit(_)): _*))
+      df.withColumn(s"c_$k", array(centroids(k).toIndexedSeq.map(lit(_)): _*))
     }
     val scored = (0 until NumCentroids).foldLeft(withC) { (df, k) =>
       df.withColumn(s"d_$k", lit(selfDot(centroids(k))) - lit(2.0) * expr(s"dot_arrays(v, c_$k)"))
@@ -382,7 +382,7 @@ object SimilarityOps {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val withC = (0 until NumCentroids).foldLeft(e) { (df, c) =>
-      df.withColumn(s"c_$c", array(centroids(c).map(lit(_)): _*))
+      df.withColumn(s"c_$c", array(centroids(c).toIndexedSeq.map(lit(_)): _*))
     }
     val scored = (0 until NumCentroids).foldLeft(withC) { (df, c) =>
       df.withColumn(s"d_$c", lit(selfDot(centroids(c))) - lit(2.0) * expr(s"dot_arrays(v, c_$c)"))

@@ -87,7 +87,7 @@ object Ingest {
       df.filter(col("timestamp") =!= "timestamp") // stray mid-file headers
         .select(
           (col("timestamp").cast("double") * 1000).cast("long").as("timestamp"),
-          explode(array(entries: _*)).as("e"))
+          explode(array(entries.toIndexedSeq: _*)).as("e"))
         .select(
           house.as("house_id"),
           col("e.appliance_name"),

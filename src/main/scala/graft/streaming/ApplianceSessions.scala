@@ -88,7 +88,7 @@ object ApplianceSessions {
       rows: Iterator[PowerReading],
       state: GroupState[OpenRun]): Iterator[OnSession] = {
     if (state.hasTimedOut) {
-      val out = state.getOption.map(close(app, _)).toIterator
+      val out = state.getOption.map(close(app, _)).iterator
       state.remove()
       return out
     }
