@@ -308,7 +308,79 @@ object TextOps {
        |LIMIT $k""".stripMargin
   }
 
+  // -------------------------------------------------------------------------
+  // Count-min sketch heavy hitters
+  // -------------------------------------------------------------------------
+
+  /** CMS geometry: 4 rows × 16 columns — deliberately NARROW so collisions
+    * (and the est ≥ exact overcount the ledger reports) actually occur on
+    * this small vocabulary; column index = the row-salted 16-bit md5 segment
+    * of the token mod width, deterministic in both engines.
+    */
+  val CmsRows = 4
+  val CmsWidth = 16
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) heavy hitters, built
+    * distributed and verified against exact counts: token counts fold into a
+    * 4×512 cell table (constant size whatever the vocabulary — the reason a
+    * 100 TB pipeline sketches instead of materializing the long tail), the
+    * estimate is the min over a token's 4 cells, and the output ledger shows
+    * `est ≥ exact` (CMS never under-counts) with the collision overestimate
+    * per top token. Everything is integer; cells broadcast back for the
+    * probe join.
+    */
+  def cmsTopK(spark: SparkSession, sfDir: String, k: Int = 15): DataFrame = {
+    val exact = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("exact"))
+    def colAt(j: Int, tok: Column): Column =
+      (conv(substring(md5(concat(lit(s"${j}_"), tok)), 1, 4), 16, 10).cast("int")
+        % CmsWidth).as(s"c_$j")
+    val withCols = exact.select(
+      (col("t") +: col("exact") +: (0 until CmsRows).map(j => colAt(j, col("t")))): _*)
+    val cells = (0 until CmsRows).map { j =>
+      withCols.groupBy(col(s"c_$j")).agg(sum("exact").as(s"cell_$j"))
+    }
+    val probed = cells.zipWithIndex.foldLeft(withCols) { case (df, (cellDf, j)) =>
+      df.join(broadcast(cellDf), s"c_$j")
+    }
+    probed
+      .select(
+        col("t").as("token"), col("exact"),
+        least((0 until CmsRows).map(j => col(s"cell_$j")): _*).as("est"))
+      .withColumn("overcount", col("est") - col("exact"))
+      .orderBy(desc("exact"), asc("token"))
+      .limit(k)
+  }
+
+  def cmsTopKSql(k: Int = 15): String = {
+    val colDefs = (0 until CmsRows)
+      .map(j => s"CAST('0x' || substr(md5('${j}_' || t), 1, 4) AS INT) % $CmsWidth AS c_$j")
+      .mkString(",\n       |         ")
+    val cellCtes = (0 until CmsRows)
+      .map(j => s"cells_$j AS (SELECT c_$j, sum(exact) AS cell_$j FROM e GROUP BY 1)")
+      .mkString(",\n       |")
+    val joins = (0 until CmsRows)
+      .map(j => s"JOIN cells_$j USING (c_$j)")
+      .mkString("\n       |  ")
+    val leastArgs = (0 until CmsRows).map(j => s"cell_$j").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT t, count(*) AS exact,
+       |         $colDefs
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+       |  GROUP BY 1),
+       |$cellCtes
+       |SELECT t AS token, exact,
+       |       CAST(least($leastArgs) AS BIGINT) AS est,
+       |       CAST(least($leastArgs) - exact AS BIGINT) AS overcount
+       |FROM e
+       |  $joins
+       |ORDER BY exact DESC, token
+       |LIMIT $k""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cms_topk" -> (cmsTopK(_, _)),
     "q_term_match_rank" -> (termMatchRank(_, _)),
     "q_bpe_merge_step" -> (bpeMergeStep(_, _)),
     "q_token_rarity" -> (tokenRarity(_, _)),
@@ -321,6 +393,7 @@ object TextOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_cms_topk" -> cmsTopKSql(),
     "q_term_match_rank" -> termMatchRankSql(),
     "q_bpe_merge_step" -> bpeMergeStepSql(),
     "q_token_rarity" -> tokenRaritySql,

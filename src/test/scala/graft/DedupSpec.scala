@@ -191,4 +191,13 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("bloom pre-dedup has zero false negatives and flags a superset of dups") {
+    val r = DedupOps.bloomDedup(spark, sfDir).head()
+    val (nDelta, nFlagged, nTrue, nFp, nFn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nFn == 0L, "a Bloom filter must never miss a true duplicate")
+    assert(nFlagged == nTrue + nFp)
+    assert(nFlagged <= nDelta)
+  }
+
 }

@@ -133,4 +133,19 @@ class TextAndMediaSpec extends AnyFunSuite with SharedSpark {
     val decoded = MediaOps.decodeFeatures(media)
     assert(decoded.rdd.getNumPartitions == media.rdd.getNumPartitions)
   }
+  test("count-min sketch never under-counts and is exact-consistent") {
+    val rows = graft.text.TextOps.cmsTopK(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L, s"CMS under-counted: $r")
+      assert(r.getLong(2) == r.getLong(1) + r.getLong(3))
+    }
+    // exact column really is the exact grouped count
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val exact = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(exact(r.getString(0)) == r.getLong(1)))
+  }
+
 }
