@@ -109,6 +109,40 @@ object Ingest {
     }.toMap
   }
 
+  /** The `documents` schema as it arrives on the standard LLM-corpus wire
+    * format (JSONL, one document object per line).
+    */
+  val JsonlCorpusSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("_corrupt_record", StringType)))
+
+  /** JSONL corpus ingestion with malformed-record quarantine: PERMISSIVE
+    * parsing routes every unparseable line into `_corrupt_record` instead of
+    * failing the job (a 100 TB crawl always contains garbage lines), and the
+    * loader splits the scan into (clean, quarantined) so the pipeline can
+    * ingest the good rows while the quarantine feeds a repair/alert path.
+    * One `spark.read.json` over the glob — file-per-task parallel, no
+    * driver involvement; schema is explicit so a corrupt first file can
+    * never poison inference.
+    */
+  def loadJsonlCorpus(spark: SparkSession, glob: String): (DataFrame, DataFrame) = {
+    graft.Tables.tune(spark)
+    val raw = spark.read
+      .schema(JsonlCorpusSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(glob)
+      .cache() // one scan serves both splits; unpersisted by the caller
+    val clean = raw.filter(col("_corrupt_record").isNull && col("doc_id").isNotNull)
+      .drop("_corrupt_record")
+    val quarantine = raw.filter(col("_corrupt_record").isNotNull || col("doc_id").isNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (clean, quarantine)
+  }
+
   /** P10: the per-producer-run uniform power perturbation
     * (`producer_REDD_avro.py:158-159`), seeded for determinism.
     */

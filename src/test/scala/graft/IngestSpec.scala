@@ -162,4 +162,25 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
     path.contains(s"date=$date") && path.contains(s"hour=$hour")
   }
 
+  test("jsonl corpus loader quarantines malformed lines, ingests the rest") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("jsonl")
+    Files.writeString(dir.resolve("part0.jsonl"),
+      """{"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "s0"}
+        |{"doc_id": 2, "text": "gamma", "lang": "de", "source": "s1"}
+        |this line is not json at all
+        |{"truncated": 
+        |{"text": "no id field", "lang": "en", "source": "s2"}
+        |""".stripMargin)
+    val (clean, quarantine) = Ingest.loadJsonlCorpus(spark, dir.toString + "/*.jsonl")
+    try {
+      val rows = clean.orderBy("doc_id").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      assert(rows.head.getString(1) == "alpha beta")
+      assert(clean.columns.toSeq == Seq("doc_id", "text", "lang", "source"))
+      // 2 unparseable lines + 1 schema-valid-but-idless line
+      assert(quarantine.count() == 3)
+    } finally clean.unpersist()
+  }
+
 }
