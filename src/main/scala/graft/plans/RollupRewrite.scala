@@ -78,6 +78,27 @@ class RollupRewrite(
   private def isCanonical(name: String, defs: Map[String, Expression]): Boolean =
     defs.get(name).exists(d => canonicalSql.get(name).contains(d.sql))
 
+  /** Map a SCAN-space expression into rollup space: every maximal subtree
+    * structurally identical to a canonical served-key definition becomes the
+    * rollup's column; succeeds only when nothing else references the scan
+    * (and the expression is deterministic). Sound for groupings and filter
+    * atoms alike: any deterministic function of rollup GROUP KEYS selects or
+    * merges whole rollup groups, so re-aggregating the partial aggregates
+    * under the mapped expression is exact. This is what routes the
+    * dashboard's time-bucketed tiles (`epoch_s div 5`) to the rollup.
+    */
+  private def mapScanExpr(
+      scanExpr: Expression, rollupAttr: Map[String, Attribute]): Option[Expression] = {
+    if (!scanExpr.deterministic) return None
+    val bySql: Map[String, String] =
+      ServedKeys.flatMap(k => canonicalSql.get(k).map(_ -> k)).toMap
+    val out = scanExpr.transformDown {
+      case e if bySql.contains(e.sql) => rollupAttr(bySql(e.sql))
+    }
+    val allowed = rollupAttr.values.map(_.exprId).toSet
+    if (out.references.forall(r => allowed.contains(r.exprId))) Some(out) else None
+  }
+
   private def tryRewrite(
       groups: Seq[Expression],
       aggExprs: Seq[NamedExpression],
@@ -88,11 +109,16 @@ class RollupRewrite(
     val rollupCols = ServedKeys ++ Set("cnt", "cnt_power", "min_power", "max_power", "sum_power_dec")
     if (!rollupCols.forall(rollupAttr.contains)) return None
 
-    val groupOk = groups.forall {
-      case a: AttributeReference => ServedKeys.contains(a.name) && isCanonical(a.name, defs)
-      case _ => false
+    // every grouping expression must map into rollup space (a served key
+    // itself, or any deterministic function of served keys — time buckets
+    // like `epoch_s div 5`, concatenated dims, …)
+    val mappedGroups: Seq[Option[Expression]] = groups.map {
+      case a: AttributeReference =>
+        defs.get(a.name).flatMap(mapScanExpr(_, rollupAttr))
+      case g =>
+        RollupRewrite.substitute(g, defs).flatMap(mapScanExpr(_, rollupAttr))
     }
-    if (!groupOk) return None
+    if (mappedGroups.exists(_.isEmpty)) return None
 
     // `power` here means: resolves to the canonical measure definition.
     def isPower(a: AttributeReference): Boolean =
@@ -104,8 +130,9 @@ class RollupRewrite(
       Coalesce(Seq(Sum(cnt).toAggregateExpression(), Literal(0L)))
 
     def rewriteNamed(ne: NamedExpression): Option[NamedExpression] = ne match {
-      case a: AttributeReference if ServedKeys.contains(a.name) =>
-        Some(Alias(rollupAttr(a.name), a.name)(exprId = a.exprId))
+      case a: AttributeReference =>
+        defs.get(a.name).flatMap(mapScanExpr(_, rollupAttr))
+          .map(e => Alias(e, a.name)(exprId = a.exprId))
       case al @ Alias(AggregateExpression(f, Complete, false, None, _), name) =>
         val rewritten: Option[Expression] = f match {
           // count of anything provably non-null per raw row → row count
@@ -141,6 +168,10 @@ class RollupRewrite(
           case _ => None
         }
         rewritten.map(e => Alias(e, name)(exprId = al.exprId))
+      // non-aggregate alias: a (derived) grouping projection
+      case al @ Alias(child, name) =>
+        RollupRewrite.substitute(child, defs).flatMap(mapScanExpr(_, rollupAttr))
+          .map(e => Alias(e, name)(exprId = al.exprId))
       case _ => None
     }
 
@@ -148,7 +179,7 @@ class RollupRewrite(
     if (newAggExprs.exists(_.isEmpty)) return None
     val mappedConds = conds.map(mapCond(_, rollupAttr))
     if (mappedConds.exists(_.isEmpty)) return None
-    val newGroups = groups.map { case a: AttributeReference => rollupAttr(a.name): Expression }
+    val newGroups: Seq[Expression] = mappedGroups.flatten
     val child = mappedConds.flatten
       .reduceOption(And)
       .map(Filter(_, rollup))
@@ -179,9 +210,6 @@ class RollupRewrite(
     case _ => None
   }
 
-  private def servedKeyFor(e: Expression): Option[String] =
-    ServedKeys.find(k => canonicalSql.get(k).contains(e.sql))
-
   /** The raw scan's `ts` column (epoch ns): `epoch_s` is its second floor, so
     * `>=`/`<`/`>`/`<=` with second-aligned bounds map exactly.
     */
@@ -198,9 +226,8 @@ class RollupRewrite(
           case (l, r: Literal) => (l, r, false)
           case _ => return None
         }
-        servedKeyFor(x) match {
-          case Some(k) =>
-            val a = rollupAttr(k)
+        mapScanExpr(x, rollupAttr) match {
+          case Some(a) =>
             Some(if (flipped) cmp.withNewChildren(Seq(lit, a)) else cmp.withNewChildren(Seq(a, lit)))
           case None if tsRangeMappable && isRawTs(x) =>
             val es = rollupAttr("epoch_s")
@@ -217,7 +244,7 @@ class RollupRewrite(
           case None => None
         }
       case In(x, list) if list.forall(_.isInstanceOf[Literal]) =>
-        servedKeyFor(x).map(k => In(rollupAttr(k), list))
+        mapScanExpr(x, rollupAttr).map(In(_, list))
       case IsNotNull(x) =>
         // A scan column maps onto a key only when install() PROVED the key's
         // canonical def null-bijective in that column (e.g. user_id null ⟺
@@ -226,7 +253,7 @@ class RollupRewrite(
         x match {
           case a: AttributeReference if nullBijections.contains(a.name) =>
             Some(IsNotNull(rollupAttr(nullBijections(a.name))))
-          case _ => servedKeyFor(x).map(k => IsNotNull(rollupAttr(k)))
+          case _ => mapScanExpr(x, rollupAttr).map(IsNotNull)
         }
       case _ => None
     }
@@ -274,7 +301,7 @@ object RollupRewrite {
     case _ => false
   }
 
-  private def substitute(e: Expression, defs: Map[String, Expression]): Option[Expression] = {
+  private[plans] def substitute(e: Expression, defs: Map[String, Expression]): Option[Expression] = {
     var ok = true
     val out = e.transformUp {
       case a: AttributeReference =>

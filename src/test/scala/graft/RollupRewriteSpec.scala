@@ -207,4 +207,37 @@ class RollupRewriteSpec extends AnyFunSuite with SharedSpark {
       assert(total == expected) // exact: both paths sum DECIMAL(18,2)
     } finally RollupRewrite.uninstall(spark)
   }
+  test("time-bucketed tiles (epoch_s div k groupings) route to the rollup") {
+    install()
+    try {
+      val tiles = Seq(
+        raw.groupBy(expr("epoch_s div 5").as("bucket_5s"))
+          .agg(sum("power").as("p"), count(lit(1)).as("n")),
+        raw.filter(col("house_id") === "1_1_0")
+          .groupBy(expr("epoch_s div 60").as("bucket_1m"), col("appliance_id"))
+          .agg(max("power").as("mx")),
+        // a filter atom that is itself a function of a served key
+        raw.filter(expr("epoch_s div 3600") === lit(Grid.historyIntervals.head._1 / 3600))
+          .groupBy("house_id").agg(count(lit(1)).as("n")))
+      tiles.foreach { q =>
+        assert(routed(q), s"expected rollup routing, got:\n${q.queryExecution.optimizedPlan}")
+        val viaRollup = q.orderBy(q.columns.map(col): _*).collect().map(_.toSeq)
+        RollupRewrite.uninstall(spark)
+        val direct = q.orderBy(q.columns.map(col): _*).collect().map(_.toSeq)
+        install()
+        assert(viaRollup.length == direct.length, s"row count differs for:\n$q")
+        viaRollup.zip(direct).foreach { case (a, b) =>
+          a.zip(b).foreach {
+            case (x: Double, y: Double) =>
+              assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)), s"$x vs $y in:\n$q")
+            case (x, y) => assert(x == y, s"$x vs $y in:\n$q")
+          }
+        }
+      }
+      // a grouping on a NON-key column must still refuse the rewrite
+      val reject = raw.groupBy(expr("cast(power as bigint)")).agg(count(lit(1)))
+      assert(!routed(reject), "grouping by a measure function must not route")
+    } finally RollupRewrite.uninstall(spark)
+  }
+
 }
