@@ -30,4 +30,21 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     Tables.tune(spark)
   }
+
+  /** One-call engine bootstrap: a session (child of the JVM's context, so
+    * repeated opens stay isolated) with every table registered as a view,
+    * the canonical `power` view, the second-granularity rollup materialized
+    * at `rollupPath`, and the rollup-routing rule installed. After this, the
+    * full surface is available through plain `spark.sql` — dashboard tiles
+    * included, served from the rollup where the rewrite proves it exact.
+    */
+  def open(sfDir: String, rollupPath: String, appName: String = "graft"): SparkSession = {
+    val spark = create(appName).newSession()
+    Tables.tune(spark)
+    Tables.registerViews(spark, sfDir)
+    sources.RollupTable.materialize(spark, sfDir, rollupPath)
+    plans.RollupRewrite.install(
+      spark, rollupPath, operators.Grid.powerReadings(spark, sfDir))
+    spark
+  }
 }

@@ -76,4 +76,22 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+  test("GraftSession.open boots a fully-armed engine in one call") {
+    val dir = java.nio.file.Files.createTempDirectory("open_rollup").toString
+    val s = GraftSession.open(sfDir, dir)
+    try {
+      // pure SQL over the registered views
+      val n = s.sql("SELECT count(*) AS n FROM power").head().getLong(0)
+      assert(n > 0)
+      // a dashboard tile through spark.sql routes to the materialized rollup
+      val tile = s.sql(
+        """SELECT epoch_s div 5 AS bucket, sum(power) AS p
+          |FROM power GROUP BY 1 ORDER BY 1""".stripMargin)
+      val plan = tile.queryExecution.optimizedPlan.toString
+      assert(plan.contains("sum_power_dec") && !plan.contains("user_id"),
+        s"expected rollup routing through SQL, got:\n$plan")
+      assert(tile.count() > 0)
+    } finally graft.plans.RollupRewrite.uninstall(s)
+  }
+
 }
