@@ -683,14 +683,9 @@ object SimilarityOps {
     */
   def hybridRrf(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
     import graft.text.TextOps
-    // term ranker: match count then tf, ties to the smaller id
-    val tPool = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
-      .filter(col("t").isin(TextOps.QueryTerms: _*))
-      .groupBy("doc_id")
-      .agg(countDistinct("t").as("n_matched"), count(lit(1)).as("total_tf"))
-      .orderBy(desc("n_matched"), desc("total_tf"), asc("doc_id"))
-      .limit(RrfPoolK)
+    // term ranker: THE engine's term ranker (one definition — q_term_match_rank
+    // and the fused ranking can never drift), row-numbered within the pool
+    val tPool = TextOps.termMatchRank(spark, sfDir, RrfPoolK)
       .withColumn("t_rank", row_number().over(
         Window.orderBy(desc("n_matched"), desc("total_tf"), asc("doc_id"))))
       .select(col("doc_id").as("tid"), col("t_rank"))

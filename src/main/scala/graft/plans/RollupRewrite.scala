@@ -168,8 +168,14 @@ class RollupRewrite(
           case _ => None
         }
         rewritten.map(e => Alias(e, name)(exprId = al.exprId))
-      // non-aggregate alias: a (derived) grouping projection
-      case al @ Alias(child, name) =>
+      // non-aggregate alias: a (derived) grouping projection. The guard is
+      // load-bearing: an alias whose child CONTAINS an aggregate in any
+      // shape the strict case above does not match (nested in arithmetic,
+      // FILTER clause, distinct) must reject the whole rewrite — treating it
+      // as a grouping projection would evaluate the aggregate over ROLLUP
+      // rows instead of raw rows.
+      case al @ Alias(child, name)
+          if !child.exists(_.isInstanceOf[AggregateExpression]) =>
         RollupRewrite.substitute(child, defs).flatMap(mapScanExpr(_, rollupAttr))
           .map(e => Alias(e, name)(exprId = al.exprId))
       case _ => None

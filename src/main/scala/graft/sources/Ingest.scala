@@ -138,8 +138,13 @@ object Ingest {
       .cache() // one scan serves both splits; unpersisted by the caller
     val clean = raw.filter(col("_corrupt_record").isNull && col("doc_id").isNotNull)
       .drop("_corrupt_record")
+    // schema-valid-but-idless lines have a NULL _corrupt_record; re-render
+    // their parsed fields so the repair path always receives the line
     val quarantine = raw.filter(col("_corrupt_record").isNotNull || col("doc_id").isNull)
-      .select(col("_corrupt_record").as("raw_line"))
+      .select(coalesce(
+        col("_corrupt_record"),
+        to_json(struct(col("doc_id"), col("text"), col("lang"), col("source"))))
+        .as("raw_line"))
     (clean, quarantine)
   }
 

@@ -322,7 +322,7 @@ object TextOps {
 
   /** Count-min sketch (Cormode & Muthukrishnan 2005) heavy hitters, built
     * distributed and verified against exact counts: token counts fold into a
-    * 4×512 cell table (constant size whatever the vocabulary — the reason a
+    * [[CmsRows]]×[[CmsWidth]] cell table (constant size whatever the vocabulary — the reason a
     * 100 TB pipeline sketches instead of materializing the long tail), the
     * estimate is the min over a token's 4 cells, and the output ledger shows
     * `est ≥ exact` (CMS never under-counts) with the collision overestimate
