@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BinaryComparison, Cast, Coalesce, Concat, Divide, Expression, GreaterThan, GreaterThanOrEqual, If, In, IntegralDivide, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not, Or, Remainder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BinaryComparison, Cast, Coalesce, Concat, Divide, ExprId, Expression, GreaterThan, GreaterThanOrEqual, If, In, IntegralDivide, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not, Or, Remainder}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -72,11 +72,14 @@ class RollupRewrite(
       } yield rewritten).getOrElse(agg)
   }
 
-  /** The chain output name's scan-space definition matches the canonical
-    * power-view definition captured at install time.
+  /** The attribute's scan-space definition matches the canonical power-view
+    * definition of `key` captured at install time. Keyed by ExprId — output
+    * NAMES are not unique in Catalyst plans (PullOutGroupingExpressions
+    * aliases every derived grouping as `_groupingexpression`).
     */
-  private def isCanonical(name: String, defs: Map[String, Expression]): Boolean =
-    defs.get(name).exists(d => canonicalSql.get(name).contains(d.sql))
+  private def defMatches(
+      a: AttributeReference, key: String, defs: Map[ExprId, Expression]): Boolean =
+    defs.get(a.exprId).exists(d => canonicalSql.get(key).contains(d.sql))
 
   /** Map a SCAN-space expression into rollup space: every maximal subtree
     * structurally identical to a canonical served-key definition becomes the
@@ -102,7 +105,7 @@ class RollupRewrite(
   private def tryRewrite(
       groups: Seq[Expression],
       aggExprs: Seq[NamedExpression],
-      defs: Map[String, Expression],
+      defs: Map[ExprId, Expression],
       conds: Seq[Expression],
       rollup: LogicalPlan): Option[LogicalPlan] = {
     val rollupAttr: Map[String, Attribute] = rollup.output.map(a => a.name -> a).toMap
@@ -114,15 +117,14 @@ class RollupRewrite(
     // like `epoch_s div 5`, concatenated dims, …)
     val mappedGroups: Seq[Option[Expression]] = groups.map {
       case a: AttributeReference =>
-        defs.get(a.name).flatMap(mapScanExpr(_, rollupAttr))
+        defs.get(a.exprId).flatMap(mapScanExpr(_, rollupAttr))
       case g =>
         RollupRewrite.substitute(g, defs).flatMap(mapScanExpr(_, rollupAttr))
     }
     if (mappedGroups.exists(_.isEmpty)) return None
 
     // `power` here means: resolves to the canonical measure definition.
-    def isPower(a: AttributeReference): Boolean =
-      a.name == "power" && isCanonical("power", defs)
+    def isPower(a: AttributeReference): Boolean = defMatches(a, "power", defs)
 
     // Count over empty input is 0, but Sum is NULL — reachable for a global
     // aggregate whose filter matches no rollup rows (ADVICE r2, high).
@@ -131,7 +133,7 @@ class RollupRewrite(
 
     def rewriteNamed(ne: NamedExpression): Option[NamedExpression] = ne match {
       case a: AttributeReference =>
-        defs.get(a.name).flatMap(mapScanExpr(_, rollupAttr))
+        defs.get(a.exprId).flatMap(mapScanExpr(_, rollupAttr))
           .map(e => Alias(e, a.name)(exprId = a.exprId))
       case al @ Alias(AggregateExpression(f, Complete, false, None, _), name) =>
         val rewritten: Option[Expression] = f match {
@@ -139,7 +141,7 @@ class RollupRewrite(
           case Count(args) if args.forall {
                 case l: Literal => l.value != null
                 case a: AttributeReference => !a.nullable &&
-                  (ServedKeys.contains(a.name) && isCanonical(a.name, defs) || isPower(a))
+                  (ServedKeys.exists(defMatches(a, _, defs)) || isPower(a))
                 case _ => false
               } =>
             Some(Cast(sumAsCount(rollupAttr("cnt")), al.dataType))
@@ -275,20 +277,24 @@ object RollupRewrite {
   private val CanonicalCols = ServedKeys + "power"
 
   /** Walk a Project/Filter chain down to the raw events parquet relation,
-    * composing projections so every output name (and every filter condition
-    * found along the way) is expressed over the SCAN's own columns. Any node
-    * that is not a Project/Filter/events-scan, or any column that does not
-    * resolve, rejects the chain.
+    * composing projections so every output attribute (and every filter
+    * condition found along the way) is expressed over the SCAN's own
+    * columns. Keyed by ExprId, never by name: optimizer rules emit
+    * duplicate output names (PullOutGroupingExpressions aliases every
+    * derived grouping as `_groupingexpression`), and a name-keyed map would
+    * silently collapse them. Any node that is not a
+    * Project/Filter/events-scan, or any column that does not resolve,
+    * rejects the chain.
     */
   private[plans] def analyzeChain(
-      p: LogicalPlan): Option[(Map[String, Expression], Seq[Expression])] = p match {
+      p: LogicalPlan): Option[(Map[ExprId, Expression], Seq[Expression])] = p match {
     case l: LogicalRelation if isEventsScan(l) =>
-      Some((l.output.map(a => a.name -> (a: Expression)).toMap, Nil))
+      Some((l.output.map(a => a.exprId -> (a: Expression)).toMap, Nil))
     case pr: Project =>
       analyzeChain(pr.child).flatMap { case (defs, conds) =>
         val resolved = pr.projectList.map {
-          case a: AttributeReference => defs.get(a.name).map(a.name -> _)
-          case Alias(child, name) => substitute(child, defs).map(name -> _)
+          case a: AttributeReference => defs.get(a.exprId).map(a.exprId -> _)
+          case al @ Alias(child, _) => substitute(child, defs).map(al.exprId -> _)
           case _ => None
         }
         if (resolved.exists(_.isEmpty)) None
@@ -307,11 +313,11 @@ object RollupRewrite {
     case _ => false
   }
 
-  private[plans] def substitute(e: Expression, defs: Map[String, Expression]): Option[Expression] = {
+  private[plans] def substitute(e: Expression, defs: Map[ExprId, Expression]): Option[Expression] = {
     var ok = true
     val out = e.transformUp {
       case a: AttributeReference =>
-        defs.get(a.name) match {
+        defs.get(a.exprId) match {
           case Some(d) => d
           case None => ok = false; a
         }
@@ -404,10 +410,14 @@ object RollupRewrite {
   def install(spark: SparkSession, rollupPath: String, canonicalRaw: DataFrame): Unit = {
     spark.read.parquet(rollupPath)
       .createOrReplaceTempView(RollupViewName)
+    // name the ExprId-keyed defs through the view's OUTPUT attributes (the
+    // one place names are authoritative: the canonical view's own schema)
+    val plan = canonicalRaw.queryExecution.optimizedPlan
+    val byId: Map[ExprId, Expression] =
+      analyzeChain(plan).map(_._1).getOrElse(Map.empty)
     val canonicalDefs: Map[String, Expression] =
-      analyzeChain(canonicalRaw.queryExecution.optimizedPlan)
-        .map(_._1.filter { case (n, _) => CanonicalCols(n) })
-        .getOrElse(Map.empty)
+      plan.output.flatMap(a => byId.get(a.exprId).map(a.name -> _))
+        .toMap.filter { case (n, _) => CanonicalCols(n) }
     val canonicalSql = canonicalDefs.map { case (n, e) => n -> e.sql }
     require(CanonicalCols.forall(canonicalSql.contains),
       s"canonicalRaw must expose ${CanonicalCols.mkString(", ")} over the events scan")

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.operators.Grid
+import graft.plans.RollupRewrite
+import graft.sources.RollupTable
+
+/** Property-based soundness of the rollup-routing rule: for RANDOM servable
+  * queries (grouping sets drawn from served keys and derived time buckets,
+  * aggregate sets drawn from the servable aggregates, optional served-key
+  * filters), the rewritten plan must (a) actually route to the rollup and
+  * (b) produce the same result as the direct raw-scan query — the
+  * "exact or reject" contract, exercised over the query space instead of
+  * hand-picked tiles.
+  */
+object RollupProps extends Properties("rollup") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SharedSpark.spark
+  private lazy val sfDir = SharedSpark.SfDir
+
+  private lazy val rollupDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("props_rollup").toString
+    RollupTable.materialize(spark, sfDir, dir)
+    dir
+  }
+
+  private def raw = Grid.powerReadings(spark, sfDir)
+
+  private val genGroup: Gen[List[String]] = Gen.someOf(
+    List("house_id", "appliance_name", "epoch_s div 10", "epoch_s div 60")
+  ).map(_.toList)
+
+  private val genAggs: Gen[List[Column]] = Gen.atLeastOne(List(
+    count(lit(1)).as("n"),
+    sum("power").as("p"),
+    min("power").as("mn"),
+    max("power").as("mx"),
+    avg("power").as("av")
+  )).map(_.toList)
+
+  private val genFilter: Gen[Option[Column]] = Gen.oneOf(
+    None,
+    Some(col("house_id") === "1_1_0"),
+    Some(col("house_id").isin("1_1_1", "1_1_3")),
+    Some(col("epoch_s") >= 1704067200L && col("epoch_s") < 1704070000L),
+    Some(expr("epoch_s div 3600") % 2 === 0))
+
+  private def build(groups: List[String], aggs: List[Column], f: Option[Column]): DataFrame = {
+    val base = f.fold(raw)(raw.filter)
+    val df = if (groups.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+    else base.groupBy(groups.map(expr): _*).agg(aggs.head, aggs.tail: _*)
+    df.orderBy(df.columns.map(col): _*)
+  }
+
+  private def routed(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.optimizedPlan.toString
+    plan.contains("sum_power_dec") && !plan.contains("user_id")
+  }
+
+  private def cells(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq
+
+  /** Cell-wise equality with relative tolerance on doubles: the rollup path
+    * is decimal-exact where the raw path accumulates doubles in partition
+    * order, so low-bit noise (and exact-tie rounding artifacts) must not
+    * falsify the property.
+    */
+  private def sameCells(a: Seq[Seq[Any]], b: Seq[Seq[Any]]): Boolean =
+    a.length == b.length && a.zip(b).forall { case (ra, rb) =>
+      ra.length == rb.length && ra.zip(rb).forall {
+        case (x: Double, y: Double) =>
+          math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y))
+        case (x, y) => x == y
+      }
+    }
+
+  property("every servable query routes and matches the raw-scan result") =
+    forAll(genGroup, genAggs, genFilter) { (groups, aggs, f) =>
+      RollupRewrite.install(spark, rollupDir, raw)
+      try {
+        val q = build(groups, aggs, f)
+        val isRouted = routed(q)
+        val viaRollup = cells(q)
+        RollupRewrite.uninstall(spark)
+        val direct = cells(build(groups, aggs, f))
+        isRouted && sameCells(viaRollup, direct)
+      } finally RollupRewrite.uninstall(spark)
+    }
+}
