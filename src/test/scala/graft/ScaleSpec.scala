@@ -212,4 +212,29 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
       }
     }
   }
+  test("time filters reach the parquet scan; unused columns are pruned") {
+    // pushdown: the engine phrases time predicates on raw `ts` exactly so
+    // they land in the scan's PushedFilters (not a post-scan Filter only)
+    for (name <- Seq("q_recent_range", "q_interval_union_filter", "q_history_avg")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val scan = plan.linesIterator.filter(l =>
+        l.contains("FileScan") && l.contains("events.parquet")).mkString
+      assert(scan.contains("PushedFilters: [IsNotNull(ts)") ||
+        scan.contains("GreaterThanOrEqual(ts,"),
+        s"$name: ts predicate not pushed to the scan:\n$scan")
+    }
+    // pruning: a 2-column projection reads a 2-column schema
+    val tok = SparkEntry.queries("q_token_stats")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val docScan = tok.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("documents.parquet")).mkString
+    assert(docScan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"token_stats reads more than (doc_id, text):\n$docScan")
+    // and the event queries above never read the wide `props` column
+    val rr = SparkEntry.queries("q_recent_range")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!rr.contains("props"), "recent_range reads the unused props column")
+  }
+
 }
