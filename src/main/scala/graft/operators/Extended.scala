@@ -393,7 +393,38 @@ object Extended {
       |       CAST(length(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS INT) AS norm_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Histogram bucket width (value units). */
+  val HistWidth = 25L
+
+  /** Equi-width histogram of the measure — the data-profiling primitive
+    * behind every dashboard distribution tile: one grouped aggregate on the
+    * integer bucket key `floor(value / w)`, carrying count and exact integer
+    * min/max (cents) per bucket. Never a global sort; at 100 TB this is a
+    * single partial-aggregated shuffle on a small key space.
+    */
+  def valueHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        floor(col("value") / HistWidth).cast("long").as("bucket"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        min("cents").as("min_cents"),
+        max("cents").as("max_cents"))
+      .orderBy("bucket")
+
+  val valueHistogramSql: String =
+    s"""WITH c AS (
+       |  SELECT CAST(floor(value / $HistWidth) AS BIGINT) AS bucket,
+       |         CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events)
+       |SELECT bucket, count(*) AS n,
+       |       min(cents) AS min_cents, max(cents) AS max_cents
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_value_histogram" -> (valueHistogram(_, _)),
     "q_moving_avg" -> (movingAvg(_, _)),
     "q_rank_functions" -> (rankFunctions(_, _)),
     "q_regex_extract" -> (regexExtract(_, _)),
@@ -411,6 +442,7 @@ object Extended {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_value_histogram" -> valueHistogramSql,
     "q_moving_avg" -> movingAvgSql,
     "q_rank_functions" -> rankFunctionsSql,
     "q_regex_extract" -> regexExtractSql,
