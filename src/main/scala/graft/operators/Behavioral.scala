@@ -231,7 +231,40 @@ object Behavioral {
        |FROM dau JOIN wau ON dau.day = wau.day
        |ORDER BY dau.day""".stripMargin
 
+  /** Hour-of-day seasonal profile: the modular-time grouping behind "what
+    * does a typical day look like" tiles (and the generalization of the
+    * reference's time-of-day history query): per (event_type, hour-of-day),
+    * event count and integer-exact mean value in cents. One grouped
+    * aggregate over a 24×|types| key space — partial aggregation makes the
+    * shuffle constant-size at any event volume.
+    */
+  def seasonalProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_type"),
+        expr("(ts div 3600000000000) % 24").as("hour_of_day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type", "hour_of_day")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .select(
+        col("event_type"), col("hour_of_day"), col("n"), col("sum_cents"),
+        expr("sum_cents div n").as("avg_cents"))
+      .orderBy("event_type", "hour_of_day")
+
+  val seasonalProfileSql: String =
+    """WITH c AS (
+      |  SELECT event_type,
+      |         (epoch_ns(ts) // 3600000000000) % 24 AS hour_of_day,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT event_type, hour_of_day, count(*) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents
+      |FROM c GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_profile" -> (seasonalProfile(_, _)),
     "q_funnel" -> (funnel(_, _)),
     "q_cohort_retention" -> (cohortRetention(_, _)),
     "q_rfm" -> (rfm(_, _)),
@@ -240,6 +273,7 @@ object Behavioral {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_seasonal_profile" -> seasonalProfileSql,
     "q_funnel" -> funnelSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_rfm" -> rfmSql,

@@ -104,4 +104,15 @@ class BehavioralSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("seasonal profile covers the hour grid with consistent integer means") {
+    val rows = Behavioral.seasonalProfile(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 5 * 24)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 24, s"bad hour: $r")
+      assert(r.getLong(4) == r.getLong(3) / r.getLong(2), s"avg inconsistent: $r")
+    }
+    // totals reconcile with the raw event count
+    assert(rows.map(_.getLong(2)).sum == Tables.events(spark, sfDir).count())
+  }
+
 }
