@@ -610,6 +610,82 @@ object SimilarityOps {
        |WHERE rank <= $k
        |ORDER BY qid, rank""".stripMargin
 
+  /** Multi-probe IVF search (nprobe=2): each query searches its TWO nearest
+    * cells instead of one — the standard recall/cost knob of an IVF index
+    * (FAISS `nprobe`; Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011 use the same probe schedule). Candidates
+    * still come from an equi-join on the cell key, so the scale shape is
+    * unchanged — the probe list just carries `nprobe` rows per query instead
+    * of one, multiplying candidate volume by ~nprobe while recall rises
+    * toward exact (monotonically: a superset of candidates can only add
+    * exact-top-k hits — pinned as a SimilaritySpec invariant). Probe ranking
+    * is windowed over the bounded query set only; the corpus side is the
+    * same single assignment pass [[ivfTopK]] uses.
+    */
+  def ivfTopKMultiProbe(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val assigns = ivfAssignments(spark, sfDir)
+    val e = withNorm(Tables.embeddings(spark, sfDir), "vec_id", "v", "nn")
+      .join(assigns, "vec_id")
+    // query side: distance to every centroid, keep the nprobe nearest cells
+    val q0 = withNorm(
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") < nQueries), "qid", "qv", "qn")
+    val withC = (0 until NumCentroids).foldLeft(q0) { (df, c) =>
+      df.withColumn(s"c_$c", array(centroids(c).toIndexedSeq.map(lit(_)): _*))
+    }
+    val qd = (0 until NumCentroids).foldLeft(withC) { (df, c) =>
+      df.withColumn(s"d_$c", lit(selfDot(centroids(c))) - lit(2.0) * expr(s"dot_arrays(qv, c_$c)"))
+    }
+    val cells = qd
+      .select(col("qid"), col("qv"), col("qn"),
+        explode(array((0 until NumCentroids).map(c =>
+          struct(lit(c).as("k"), col(s"d_$c").as("d"))): _*)).as("cd"))
+      .select(col("qid"), col("qv"), col("qn"),
+        col("cd.k").as("probe"), col("cd.d").as("d"))
+    val wp = Window.partitionBy("qid").orderBy(asc("d"), asc("probe"))
+    val probes = cells
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= nprobe)
+      .select("qid", "qv", "qn", "probe")
+    val c = e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nn").as("cn"),
+      col("centroid_id").as("cc"))
+    val scored = c
+      .join(broadcast(probes), col("probe") === col("cc") && col("qid") =!= col("cid"))
+      .withColumn("cos", dot("qv", "cv") / (sqrt(col("qn")) * sqrt(col("cn"))))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid")
+      .orderBy("qid", "rank")
+  }
+
+  def ivfTopKMultiProbeSql(nQueries: Int = 10, k: Int = 3, nprobe: Int = 2): String =
+    s"""WITH $assignCtes,
+       |normed AS (
+       |  SELECT vec_id, v, centroid_id,
+       |         list_sum(list_transform(v, x -> x * x)) AS nn
+       |  FROM assigned),
+       |probes AS (
+       |  SELECT vec_id AS qid, k AS probe FROM (
+       |    SELECT vec_id, k,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS prn
+       |    FROM dists WHERE vec_id < $nQueries)
+       |  WHERE prn <= $nprobe),
+       |pairs AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |         list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+       |           / (sqrt(q.nn) * sqrt(c.nn)) AS cos
+       |  FROM probes p
+       |  JOIN normed q ON q.vec_id = p.qid
+       |  JOIN normed c ON c.centroid_id = p.probe AND c.vec_id <> q.vec_id)
+       |SELECT qid, rank, cid FROM (
+       |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+       |  FROM pairs)
+       |WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+
   /** Recall@k of the IVF (nprobe=1) search against the exact brute-force
     * baseline — the measurement every ANN deployment runs before trusting an
     * approximate index. Per query id: hits = |IVF top-k ∩ exact top-k|,
@@ -756,6 +832,7 @@ object SimilarityOps {
     "q_ivf_recall" -> (ivfRecall(_, _)),
     "q_ivf_buckets" -> (ivfBuckets(_, _)),
     "q_ivf_topk" -> (ivfTopK(_, _)),
+    "q_ivf_probe2" -> (ivfTopKMultiProbe(_, _)),
     "q_kmeans_step" -> (kmeansStep(_, _)),
     "q_semdedup" -> (semDedup(_, _)),
     "q_embed_outliers" -> (embedOutliers(_, _)),
@@ -772,6 +849,7 @@ object SimilarityOps {
     "q_ivf_recall" -> ivfRecallSql(),
     "q_ivf_buckets" -> ivfBucketsSql,
     "q_ivf_topk" -> ivfTopKSql(),
+    "q_ivf_probe2" -> ivfTopKMultiProbeSql(),
     "q_kmeans_step" -> kmeansStepSql,
     "q_semdedup" -> semDedupSql(),
     "q_embed_outliers" -> embedOutliersSql(),

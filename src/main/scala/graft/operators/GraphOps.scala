@@ -79,6 +79,85 @@ object GraphOps {
       |GROUP BY 1
       |ORDER BY rank_ppm DESC, word""".stripMargin
 
+  /** Default power-iteration horizon for [[pagerankIter]] — enough steps for
+    * rank mass to propagate 3 hops, small enough that the unrolled oracle SQL
+    * stays readable.
+    */
+  val PagerankIters = 3
+
+  /** PageRank iterated to a fixed horizon — the production form of
+    * [[pagerankStep]]: a driver-side loop over the one-step plan with a
+    * `localCheckpoint` per round (the connected-components pattern from
+    * [[graft.dedup.DedupOps]]; without it the join lineage grows linearly and
+    * the final plan re-executes every round from scratch). The loop state is
+    * one vocabulary-sized (word, rank) relation; edges and out-degrees are
+    * computed once and checkpointed. At 100 TB the corpus scan happens once
+    * (edge extraction); every iteration after that touches only the grouped
+    * edge list — the exact shape GraphX/Pregel executes, declared as plain
+    * DataFrame joins so Catalyst keeps the aggregation partial.
+    *
+    * Same ppm integer arithmetic as [[pagerankStep]] (`r' = 150000 +
+    * 850·Σ (r·w div outdeg) div 1000`, floor division at every step), so the
+    * K-step result is bit-identical to the oracle's unrolled K-CTE chain.
+    */
+  def pagerankIter(spark: SparkSession, sfDir: String, iters: Int = PagerankIters): DataFrame = {
+    val e = edges(spark, sfDir).localCheckpoint()
+    val outdeg = e.groupBy(col("src").as("u")).agg(sum("w").as("outdeg")).localCheckpoint()
+    val verts = e.select(col("src").as("word"))
+      .union(e.select(col("dst").as("word")))
+      .distinct()
+      .localCheckpoint()
+    var ranks = verts.select(col("word"), lit(1000000L).as("rank_ppm"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(outdeg, e("src") === outdeg("u"))
+        .join(ranks.select(col("word").as("rw"), col("rank_ppm").as("r_src")),
+          col("src") === col("rw"))
+        .select(col("dst"), expr("(r_src * w) div outdeg").as("contrib_ppm"))
+        .groupBy(col("dst"))
+        .agg(sum("contrib_ppm").as("in_ppm"))
+      ranks = verts
+        .join(contribs, verts("word") === contribs("dst"), "left")
+        .select(verts("word"),
+          expr("CAST(150000 + (850 * coalesce(in_ppm, 0)) div 1000 AS BIGINT)")
+            .as("rank_ppm"))
+        .localCheckpoint()
+    }
+    ranks.orderBy(desc("rank_ppm"), asc("word"))
+  }
+
+  /** Oracle: the same K steps unrolled as chained CTEs (r0 → r1 → … → rK). */
+  def pagerankIterSql(iters: Int = PagerankIters): String = {
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT v.word,
+         |         CAST(150000 + (850 * coalesce(s.in_ppm, 0)) // 1000 AS BIGINT) AS rank_ppm
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst, sum((r.rank_ppm * e.w) // o.outdeg) AS in_ppm
+         |    FROM e JOIN outdeg o ON e.src = o.u JOIN r${k - 1} r ON r.word = e.src
+         |    GROUP BY 1) s ON v.word = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT string_split(text, ' ') AS t FROM documents),
+       |bigrams AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+       |                               i -> t[i] || ' ' || t[i + 1])) AS b
+       |  FROM toks),
+       |e AS (
+       |  SELECT string_split(b, ' ')[1] AS src, string_split(b, ' ')[2] AS dst,
+       |         count(*) AS w
+       |  FROM bigrams GROUP BY 1, 2),
+       |outdeg AS (
+       |  SELECT src AS u, sum(w) AS outdeg FROM e GROUP BY 1),
+       |verts AS (
+       |  SELECT src AS word FROM e UNION SELECT dst FROM e),
+       |r0 AS (
+       |  SELECT word, CAST(1000000 AS BIGINT) AS rank_ppm FROM verts),
+       |$steps
+       |SELECT word, rank_ppm FROM r$iters
+       |ORDER BY rank_ppm DESC, word""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   // Corpus bigram-LM document scoring
   // -------------------------------------------------------------------------
@@ -141,11 +220,13 @@ object GraphOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank_step" -> (pagerankStep(_, _)),
+    "q_pagerank_iter" -> (pagerankIter(_, _)),
     "q_bigram_lm" -> (bigramLmScore(_, _))
   )
 
   def oracle: Map[String, String] = Map(
     "q_pagerank_step" -> pagerankStepSql,
+    "q_pagerank_iter" -> pagerankIterSql(),
     "q_bigram_lm" -> bigramLmScoreSql
   )
 }

@@ -46,6 +46,23 @@ class BehavioralSpec extends AnyFunSuite with SharedSpark {
     assert(total <= nSources * 850000L, "in-flow exceeds damped out-flow")
     assert(total >= (nSources - rows.length) * 850000L * 0 + 1, "no mass propagated")
   }
+  test("pagerank iteration contracts: successive rank deltas shrink") {
+    // the damped update is a contraction (factor 0.85), so the max |Δrank|
+    // between consecutive horizons must not grow — the loop converges
+    def ranks(iters: Int): Map[String, Long] =
+      GraphOps.pagerankIter(spark, sfDir, iters).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (r1, r2, r3) = (ranks(1), ranks(2), ranks(3))
+    assert(r1.keySet == r2.keySet && r2.keySet == r3.keySet)
+    def maxDelta(a: Map[String, Long], b: Map[String, Long]): Long =
+      a.map { case (k, v) => math.abs(v - b(k)) }.max
+    val (d12, d23) = (maxDelta(r1, r2), maxDelta(r2, r3))
+    assert(d23 <= d12, s"delta grew: |r2-r1|=$d12 -> |r3-r2|=$d23")
+    // iterating actually changes something vs the single step (non-trivial)
+    assert(d12 > 0 || d23 == 0)
+    r3.values.foreach(v => assert(v >= 150000L))
+  }
+
   test("bigram lm score: fluent (repetitive) docs outscore the corpus median") {
     val rows = GraphOps.bigramLmScore(spark, sfDir).collect()
     assert(rows.nonEmpty)

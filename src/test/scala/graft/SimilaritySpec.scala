@@ -23,6 +23,31 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     (0L until 5L).foreach(q => assert(ann(q) == knn(q)))
   }
 
+  test("multi-probe IVF: recall vs exact is monotone in nprobe") {
+    // probing more cells only ADDS candidates, and anything that outranks an
+    // exact-top-k member is itself exact-top-k — so per-query hit counts
+    // cannot decrease from nprobe=1 to nprobe=2
+    val exact = SimilarityOps.annTopK(spark, sfDir, nQueries = 6, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def hits(nprobe: Int): Map[Long, Int] =
+      SimilarityOps.ivfTopKMultiProbe(spark, sfDir, nQueries = 6, k = 3, nprobe = nprobe)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (q, rs) => q -> rs.count(exact.contains) }
+        .withDefaultValue(0)
+    val (h1, h2) = (hits(1), hits(2))
+    (0L until 6L).foreach { q =>
+      assert(h2(q) >= h1(q), s"query $q: recall dropped $h1 -> $h2 with more probes")
+    }
+    // nprobe=1 must agree with the single-cell ivfTopK implementation
+    val single = SimilarityOps.ivfTopK(spark, sfDir, nQueries = 6, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val probe1 = SimilarityOps.ivfTopKMultiProbe(spark, sfDir, nQueries = 6, k = 3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(single == probe1)
+  }
+
   test("kmeans step: updated centroids do not worsen within-cluster SS") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sfDir)
