@@ -106,6 +106,39 @@ object CorpusPipeline {
       |       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Group-aware split: ALL documents of one source land in the same split
+    * (bucket by md5(source), not md5(text)) — the leakage guard content-hash
+    * splitting cannot give: near-duplicate documents from the same crawl
+    * domain must not straddle train/test (Soldaini et al., Dolma 2024 split
+    * by source for exactly this reason). Verifiable invariant: every source
+    * maps to exactly one split, pinned both in the output (n_splits per
+    * source is identically 1) and in CurationSpec.
+    */
+  def groupSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = expr(s"CAST(conv(substring(md5(source), 1, 6), 16, 10) AS BIGINT) % 10")
+    Tables.documents(spark, sfDir)
+      .withColumn("split",
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+      .groupBy("source")
+      .agg(
+        countDistinct("split").as("n_splits"),
+        min("split").as("split"),
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("source")
+  }
+
+  val groupSplitSql: String =
+    """WITH b AS (
+      |  SELECT source, n_chars,
+      |         CASE WHEN CAST('0x' || substr(md5(source), 1, 6) AS BIGINT) % 10 < 8 THEN 'train'
+      |              WHEN CAST('0x' || substr(md5(source), 1, 6) AS BIGINT) % 10 = 8 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT source, count(DISTINCT split) AS n_splits, min(split) AS split,
+      |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM b GROUP BY 1 ORDER BY source""".stripMargin
+
   /** Vocabulary statistics: term frequency, document frequency and a
     * rational salience score (tf·N/df — ln-free so both engines agree
     * bitwise), top-20 terms.
@@ -140,12 +173,14 @@ object CorpusPipeline {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_clean_corpus" -> (cleanCorpus(_, _)),
     "q_dataset_split" -> (datasetSplit(_, _)),
+    "q_group_split" -> (groupSplit(_, _)),
     "q_vocab_stats" -> (vocabStats(_, _))
   )
 
   def oracle: Map[String, String] = Map(
     "q_clean_corpus" -> cleanCorpusSql,
     "q_dataset_split" -> datasetSplitSql,
+    "q_group_split" -> groupSplitSql,
     "q_vocab_stats" -> vocabStatsSql
   )
 }

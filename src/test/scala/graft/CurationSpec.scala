@@ -7,6 +7,17 @@ import graft.text.CurationOps
 
 class CurationSpec extends AnyFunSuite with SharedSpark {
 
+  test("group split never straddles a source across splits and covers the corpus") {
+    val rows = graft.text.CorpusPipeline.groupSplit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the no-leakage invariant: one split per source, by construction
+    rows.foreach(r => assert(r.getLong(1) == 1L, s"source ${r.getString(0)} straddles splits"))
+    // coverage: per-source doc counts add back up to the corpus
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(3)).sum == total)
+    assert(rows.map(_.getString(2)).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("pii scrub finds every planted email/phone and redacts them all") {
     val rows = CurationOps.piiScrub(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -36,6 +36,28 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("plan audit reports scans, joins and exchanges of the executed plan") {
+    import graft.plans.PlanAudit
+    val df = SparkEntry.queries("q_star_join")(spark, sfDir)
+    df.collect() // finalize AQE so the audit sees the real strategies
+    val audit = PlanAudit.audit(df).collect()
+    val kinds = audit.map(_.getString(1))
+    assert(kinds.contains("scan"), "no scan reported")
+    assert(kinds.contains("join"), "no join reported")
+    val s = PlanAudit.summary(df).head()
+    assert(s.getInt(0) >= 2, "star join reads at least two tables")
+    assert(s.getInt(3) == 0, "cartesian in the star join")
+    assert(s.getInt(4) >= 1, "no whole-stage codegen span")
+    // the audit sees pushdown: a time-filtered query's scan row carries the
+    // pushed predicate, not just a post-scan Filter
+    val recent = SparkEntry.queries("q_recent_range")(spark, sfDir)
+    recent.collect()
+    val scans = PlanAudit.audit(recent)
+      .filter(col("kind") === "scan").collect().map(_.getString(2))
+    assert(scans.exists(d => d.contains("IsNotNull(ts)") || d.contains("GreaterThan")),
+      s"no pushed time predicate in: ${scans.mkString(" | ")}")
+  }
+
   test("per-key top-k plans prune map-side via WindowGroupLimit (rank pushdown)") {
     // Catalyst's InferWindowGroupLimit turns Filter(rank <= k over w) into a
     // Partial WindowGroupLimit BELOW the shuffle: each input partition keeps
