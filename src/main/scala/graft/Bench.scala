@@ -90,7 +90,10 @@ object Bench {
         "q_ann_topk", "q_ivf_topk", "q_embed_outliers",
         // chained per-user joins (funnel) and the broadcast-LM score: the
         // 10× user/vocabulary growth exercises their join sides honestly
-        "q_funnel", "q_bigram_lm")
+        "q_funnel", "q_bigram_lm",
+        // the iterative driver-loop shape: K checkpointed joins over a 10×
+        // edge list — flags any serialization point in the loop state
+        "q_pagerank_iter")
       val base = results.toMap
       val rows = probeQueries.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
@@ -115,7 +118,41 @@ object Bench {
       s""","scale_probe":{"factor":$factor,"queries":${rows.mkString("{", ",", "}")}}"""
     } catch { case _: Throwable => "" }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$probe}""")
+    // Streaming throughput vs BASELINE.md's one published number (≥100k
+    // msg/s sustained ingest): run the duty-cycle streaming plan over a 1M-row
+    // file source (MemoryStream would measure the driver's single-threaded
+    // row encoding, not the plan) and report end-to-end rows/s.
+    val streaming = try {
+      import java.sql.Timestamp
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.{GridConfig, StreamingDutyCycle}
+      import spark.implicits._
+      val n = 1000000L
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_bench").toString
+      spark.range(n).map { i =>
+        StreamingDutyCycle.PowerReading(
+          new Timestamp((i % 86400) * 1000L),
+          s"1_1_${i % 5}", "lamp", s"1_1_${i % 5}_${i % 50}", (i % 400).toDouble)
+      }.repartition(16).write.mode("overwrite").parquet(dir)
+      val schema = spark.read.parquet(dir).schema
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val t0 = System.nanoTime()
+      val query = StreamingDutyCycle.plan(stream, GridConfig())
+        .writeStream.format("memory").queryName("graft_duty_bench")
+        .outputMode(OutputMode.Append).start()
+      try {
+        query.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rps = (n / sec).toLong
+        s""","streaming":{"duty_cycle_rows_per_sec":$rps,"input_rows":$n,"baseline_rows_per_sec":100000}"""
+      } finally {
+        query.stop()
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(dir)).deleteRecursively()
+      }
+    } catch { case _: Throwable => "" }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$probe$streaming}""")
     spark.stop()
   }
 }

@@ -379,7 +379,75 @@ object TextOps {
        |LIMIT $k""".stripMargin
   }
 
+  /** Per-document TF-IDF top terms — the classic retrieval weighting
+    * (Salton & Buckley 1988), ln-free: the idf factor is the rational
+    * `N/df` so the score `tf·N/df` is an exact integer ratio both engines
+    * turn into the same IEEE double (a log would diverge in the last ulp).
+    * Scale shape: one tokenize→explode pass feeds two grouped aggregates
+    * (tf by (doc, term) and df by term — map-side combined), an equi-join on
+    * `term` (high-cardinality key, even shuffle), the corpus size as the
+    * broadcast 1-row-aggregate scalar, and a per-doc rank window that
+    * InferWindowGroupLimit prunes map-side to k rows per doc.
+    */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val idf = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    tf.join(idf, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score", col("tf") * col("n_total") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+      .orderBy("doc_id", "rank")
+  }
+
+  def tfidfTopTermsSql(k: Int = 3): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+       |n AS (SELECT count(*) AS n_total FROM documents)
+       |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df FROM (
+       |  SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+       |         row_number() OVER (PARTITION BY tf.doc_id
+       |           ORDER BY tf.tf * (SELECT n_total FROM n) / idf.df DESC, tf.term) AS rank
+       |  FROM tf JOIN idf USING (term))
+       |WHERE rank <= $k
+       |ORDER BY doc_id, rank""".stripMargin
+
+  /** Duplication ratio per source — the per-domain quality dashboard a crawl
+    * curation pipeline watches (a domain whose pages are mostly copies gets
+    * down-weighted or dropped before training). Exact-dedup's content hash
+    * grouped twice: distinct hashes per source vs total docs, dup share in
+    * ppm (integer floor both engines). One aggregate over the corpus; the
+    * source key is low-cardinality so the final rollup is a broadcast-sized
+    * relation at any corpus scale.
+    */
+  def dupRatioBySource(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+      .withColumn("dup_ppm",
+        expr("((n_docs - n_unique) * 1000000) div n_docs"))
+      .orderBy("source")
+
+  val dupRatioBySourceSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |       count(DISTINCT md5(text)) AS n_unique,
+      |       CAST(((count(*) - count(DISTINCT md5(text))) * 1000000) // count(*) AS BIGINT) AS dup_ppm
+      |FROM documents
+      |GROUP BY 1 ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf_topterms" -> (tfidfTopTerms(_, _)),
+    "q_dup_by_source" -> (dupRatioBySource(_, _)),
     "q_cms_topk" -> (cmsTopK(_, _)),
     "q_term_match_rank" -> (termMatchRank(_, _)),
     "q_bpe_merge_step" -> (bpeMergeStep(_, _)),
@@ -393,6 +461,8 @@ object TextOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_tfidf_topterms" -> tfidfTopTermsSql(),
+    "q_dup_by_source" -> dupRatioBySourceSql,
     "q_cms_topk" -> cmsTopKSql(),
     "q_term_match_rank" -> termMatchRankSql(),
     "q_bpe_merge_step" -> bpeMergeStepSql(),

@@ -21,6 +21,43 @@ class TextAndMediaSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("tfidf top terms match a driver-side recompute on sample docs") {
+    val rows = TextOps.tfidfTopTerms(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // ranks are contiguous from 1, at most k per doc
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val ranks = rs.map(_.getInt(1)).sorted
+      assert(ranks.sameElements(1 to ranks.length) && ranks.length <= 3, s"doc $id ranks: ${ranks.toSeq}")
+    }
+    // recompute scores for a few docs: rank order must match tf*N/df desc, term asc
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = docs.size.toLong
+    val dfMap = docs.values.flatMap(_.split(" ").distinct).groupBy(identity)
+      .map { case (t, occ) => t -> occ.size.toLong }
+    docs.take(5).foreach { case (id, text) =>
+      val tf = text.split(" ").groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+      val expected = tf.toSeq
+        .map { case (t, f) => (t, f * n / dfMap(t).toDouble) }
+        .sortBy { case (t, s) => (-s, t) }
+        .take(3).map(_._1)
+      val got = rows.filter(_.getLong(0) == id).sortBy(_.getInt(1)).map(_.getString(2)).toSeq
+      assert(got == expected, s"doc $id: got $got expected $expected")
+    }
+  }
+
+  test("dup ratio by source is consistent and bounded") {
+    val rows = TextOps.dupRatioBySource(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"unique > total: $r")
+      val ppm = r.getLong(3)
+      assert(ppm >= 0 && ppm < 1000000, s"dup_ppm out of range: $r")
+    }
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+  }
+
   test("quality score stays in (0, 1]") {
     TextOps.qualityScore(spark, sfDir).collect().foreach { r =>
       val q = r.getDouble(4)
