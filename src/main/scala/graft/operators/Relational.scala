@@ -271,6 +271,48 @@ object Relational {
       |FROM m WHERE event_type = 'error'
       |ORDER BY error_id""".stripMargin
 
+  /** The same prev-purchase-before-error semantics through the NATIVE as-of
+    * operator ([[graft.plans.AsOf]]: custom logical node + strategy +
+    * merge-join SparkPlan) instead of the union+window composition above —
+    * both formulations are oracle-checked against independently-written SQL,
+    * and RelationalSpec pins them equal row-for-row. Each side keeps its own
+    * projection; the physical plan is two key-partitioned sorts and a
+    * single-pass merge with one row of state.
+    */
+  def asofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("err_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    graft.plans.AsOf.join(
+        errors, purchases,
+        keys = Seq("user_id" -> "p_user"),
+        leftTime = "err_ts", rightTime = "p_ts",
+        rightTiebreak = Seq("purchase_id"), strict = true)
+      .select(col("user_id"), col("error_id"), col("purchase_id").as("prev_purchase"))
+      .orderBy("error_id")
+  }
+
+  /** Oracle written as a correlated lateral (a different formulation than
+    * both Spark plans AND the window-based q_asof_join oracle — three
+    * independent derivations of the same semantics).
+    */
+  val asofNativeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id AS error_id, epoch_ns(ts) AS tns
+      |  FROM events WHERE event_type = 'error'),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id, epoch_ns(ts) AS tns
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT e.user_id, e.error_id,
+      |       (SELECT p.purchase_id FROM p
+      |        WHERE p.user_id = e.user_id AND p.tns < e.tns
+      |        ORDER BY p.tns DESC, p.purchase_id DESC LIMIT 1) AS prev_purchase
+      |FROM e
+      |ORDER BY error_id""".stripMargin
+
   /** Set operations (SURVEY §2.6 notes the reference has none — Spark
     * built-ins): buyers who also clicked, and buyers who never clicked.
     */
@@ -449,6 +491,7 @@ object Relational {
     "q_first_last_orders" -> (firstLastOrders(_, _)),
     "q_set_ops" -> (setOps(_, _)),
     "q_asof_join" -> (asofPrevPurchase(_, _)),
+    "q_asof_native" -> (asofNative(_, _)),
     "q_star_join" -> (starJoin(_, _)),
     "q_semi_join" -> (semiJoin(_, _)),
     "q_full_outer" -> (fullOuterChurn(_, _)),
@@ -467,6 +510,7 @@ object Relational {
     "q_first_last_orders" -> firstLastOrdersSql,
     "q_set_ops" -> setOpsSql,
     "q_asof_join" -> asofPrevPurchaseSql,
+    "q_asof_native" -> asofNativeSql,
     "q_star_join" -> starJoinSql,
     "q_semi_join" -> semiJoinSql,
     "q_full_outer" -> fullOuterChurnSql,
