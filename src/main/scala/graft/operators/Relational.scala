@@ -385,7 +385,7 @@ object Relational {
   /** Deterministic change batch synthesized from the dimension itself:
     * every 7th customer gets a balance adjustment.
     */
-  private val ScdUpdateMod = 7
+  private[graft] val ScdUpdateMod = 7
 
   /** Slowly-changing-dimension type-2 merge — the warehouse upsert: apply a
     * change batch to a versioned dimension, closing the current version of

@@ -55,9 +55,14 @@ object GridProps extends Properties("grid") {
       val direct = df.agg(
         count(lit(1)).as("n"),
         sum(col("power").cast(DecimalType(18, 2))).cast("double").as("s")).head()
+      // coalesce on the re-aggregated count: a batch whose rows are ALL
+      // filtered leaves zero rollup groups, where sum(cnt) is NULL but the
+      // direct count is 0 — the exact count-vs-sum-on-empty divergence the
+      // engine's RollupRewrite guards with Coalesce (ADVICE r2); the
+      // re-aggregation contract includes that guard
       val viaRollup = df.groupBy("sec", "app")
         .agg(count(lit(1)).as("cnt"), sum(col("power").cast(DecimalType(18, 2))).as("sp"))
-        .agg(sum("cnt").as("n"), sum("sp").cast("double").as("s")).head()
+        .agg(coalesce(sum("cnt"), lit(0L)).as("n"), sum("sp").cast("double").as("s")).head()
       direct.getLong(0) == viaRollup.getLong(0) &&
         (direct.getLong(0) == 0L || direct.getDouble(1) == viaRollup.getDouble(1))
     }

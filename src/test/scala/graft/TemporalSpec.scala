@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TemporalEnrich
+
+class TemporalSpec extends AnyFunSuite with SharedSpark {
+
+  private def dim() = {
+    import spark.implicits._
+    // SCD2: key 1 rebalanced at version 5 (two rows), key 2 never changed
+    Seq(
+      (1L, "v1_old", 0L, Option(5L)),
+      (1L, "v1_new", 5L, Option.empty[Long]),
+      (2L, "v2", 0L, Option.empty[Long]))
+      .toDF("custkey", "payload", "valid_from", "valid_to")
+  }
+
+  test("temporal enrichment picks the dimension version valid at event time") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)] // (key, version, tag)
+    val events = input.toDF().toDF("k", "v", "tag")
+    val q = TemporalEnrich.enrich(events, dim(), "k" -> "custkey", "v")
+      .select(col("tag"), col("payload"))
+      .writeStream.format("memory").queryName("temporal_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, 4L, "before"), (1L, 5L, "at"), (1L, 9L, "after"),
+        (2L, 0L, "other"), (99L, 3L, "orphan"))
+      q.processAllAvailable()
+      val got = spark.table("temporal_out").collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+      assert(got("before") == "v1_old", "version 4 predates the rebalance")
+      assert(got("at") == "v1_new", "valid_from is inclusive")
+      assert(got("after") == "v1_new")
+      assert(got("other") == "v2")
+      assert(got("orphan") == null, "unknown keys enrich to null, not drop")
+      // disjoint validity intervals: exactly one output row per event
+      assert(spark.table("temporal_out").count() == 5)
+    } finally q.stop()
+  }
+
+  test("the same call enriches a batch frame identically (stream/batch parity)") {
+    import spark.implicits._
+    val events = Seq((1L, 4L, "before"), (1L, 7L, "after")).toDF("k", "v", "tag")
+    val got = TemporalEnrich.enrich(events, dim(), "k" -> "custkey", "v")
+      .select("tag", "payload").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("before" -> "v1_old", "after" -> "v1_new"))
+  }
+
+  test("enrichment composes with the real SCD2 merge output") {
+    import graft.operators.Relational
+    val scd = Relational.scd2Merge(spark, sfDir)
+      .withColumnRenamed("custkey", "d_key")
+    import spark.implicits._
+    // one event per known customer at version 0 and version 1
+    val keys = scd.select(col("d_key")).distinct().limit(20).as[Long].collect()
+    val events = keys.flatMap(k => Seq((k, 0L), (k, 1L))).toSeq.toDF("k", "v")
+    val enriched = TemporalEnrich.enrich(events, scd, "k" -> "d_key", "v")
+    // every event matched exactly one interval
+    assert(enriched.count() == keys.length * 2)
+    assert(enriched.filter(col("acctbal").isNull).count() == 0)
+    // updated customers see a higher balance at v=1 than v=0
+    val updated = enriched
+      .filter(col("k") % Relational.ScdUpdateMod === 0)
+      .groupBy("k").agg(max(when(col("v") === 1, col("acctbal"))).as("after"),
+        max(when(col("v") === 0, col("acctbal"))).as("before"))
+      .collect()
+    updated.foreach(r => assert(r.getDouble(1) > r.getDouble(2), s"no update visible: $r"))
+  }
+}
