@@ -93,7 +93,9 @@ object Bench {
         "q_funnel", "q_bigram_lm",
         // the iterative driver-loop shape: K checkpointed joins over a 10×
         // edge list — flags any serialization point in the loop state
-        "q_pagerank_iter")
+        "q_pagerank_iter",
+        // the native merge as-of join: per-side exchange + sort over 10× events
+        "q_asof_native")
       val base = results.toMap
       val rows = probeQueries.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>

@@ -88,6 +88,44 @@ class AsOfSpec extends AnyFunSuite with SharedSpark {
       "the extension path must not depend on the experimental fallback")
   }
 
+  test("as-of join over bucketed tables plans with zero shuffle exchanges") {
+    // the planner contract (requiredChildDistribution) must let Catalyst
+    // elide the exchanges when the children are already co-partitioned —
+    // the claim that makes the operator cheap on a bucketed 100 TB layout
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val ev = Tables.events(spark, sfDir)
+    spark.sql("DROP TABLE IF EXISTS b_errors")
+    spark.sql("DROP TABLE IF EXISTS b_purchases")
+    ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("err_ts"))
+      .write.bucketBy(8, "user_id").sortBy("user_id", "err_ts").saveAsTable("b_errors")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .write.bucketBy(8, "p_user").sortBy("p_user", "p_ts").saveAsTable("b_purchases")
+    try {
+      val joined = AsOf.join(
+        spark.table("b_errors"), spark.table("b_purchases"),
+        Seq("user_id" -> "p_user"), "err_ts", "p_ts",
+        rightTiebreak = Seq("purchase_id"), strict = true)
+      joined.collect()
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed as-of must not exchange:\n${joined.queryExecution.executedPlan}")
+      // and it computes the same pairs as the parquet-scan plan
+      val viaBuckets = joined
+        .select(col("error_id"), col("purchase_id")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val direct = Relational.asofNative(spark, sfDir).collect()
+        .map(r => r.getLong(1) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+      assert(viaBuckets == direct)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_errors")
+      spark.sql("DROP TABLE IF EXISTS b_purchases")
+    }
+  }
+
   test("as-of exec streams with O(1) state on a single hot key") {
     import spark.implicits._
     // 200k right rows on ONE key: a buffering implementation would hold the
