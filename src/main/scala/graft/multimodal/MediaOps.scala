@@ -183,17 +183,75 @@ object MediaOps {
        |       md5(digest || '_' || CAST(unnest(generate_series(0, n_frames - 1, stride)) AS VARCHAR)) AS frame_fp
        |FROM s ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Audio segmentation: fixed 30 s windows at 16 kHz over each audio
+    * payload — the speech-pipeline front-end (Whisper, wav2vec pretraining
+    * batches audio exactly this way), with the final short segment padded to
+    * the window length and the pad accounted per segment. The sample count
+    * derives deterministically from the payload (0.1 s duration units ×
+    * 16 000 Hz — same derivation as [[decodeFeatures]]' duration), so the
+    * segment ledger is oracle-exact. One filter→explode pass, fanout bounded
+    * by ceil(duration / 30 s) per clip; each segment carries a deterministic
+    * fingerprint standing in for its decoded waveform slice.
+    */
+  val AudioRate = 16000
+  val SegmentSec = 30
+  private val SegLen = AudioRate * SegmentSec // samples per segment
+
+  def audioSegments(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir).toDF()
+      .filter(col("media_type") === "audio")
+      .select(
+        col("doc_id"),
+        ((length(col("content")) % 3600) * (AudioRate / 10)).cast("long").as("n_samples"),
+        sha2(col("content"), 256).as("digest"))
+      .filter(col("n_samples") > 0)
+      .withColumn("n_segs", expr(s"CAST((n_samples + ${SegLen - 1}) div $SegLen AS INT)"))
+      .select(
+        col("doc_id"), col("n_samples"),
+        explode(expr("sequence(0, n_segs - 1)")).as("seg_idx"),
+        col("digest"))
+      .select(
+        col("doc_id"),
+        col("seg_idx"),
+        (col("seg_idx") * SegmentSec).cast("int").as("start_s"),
+        least(lit(SegLen.toLong), col("n_samples") - col("seg_idx") * SegLen).as("seg_samples"),
+        (lit(SegLen.toLong) - least(lit(SegLen.toLong), col("n_samples") - col("seg_idx") * SegLen))
+          .as("pad_samples"),
+        md5(concat(col("digest"), lit("_s"), col("seg_idx").cast("string"))).as("seg_fp"))
+      .orderBy("doc_id", "seg_idx")
+
+  val audioSegmentsSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |         CAST((octet_length(encode(text)) % 3600) * ${AudioRate / 10} AS BIGINT) AS n_samples,
+       |         sha256(text) AS digest
+       |  FROM documents
+       |  WHERE CAST(doc_id % 3 AS INT) + 1 = 2
+       |    AND octet_length(encode(text)) % 3600 > 0),
+       |s AS (SELECT *, CAST((n_samples + ${SegLen - 1}) // $SegLen AS INT) AS n_segs FROM a),
+       |e AS (SELECT doc_id, n_samples, digest,
+       |             CAST(unnest(generate_series(0, n_segs - 1)) AS INT) AS seg_idx
+       |      FROM s)
+       |SELECT doc_id, seg_idx,
+       |       CAST(seg_idx * $SegmentSec AS INT) AS start_s,
+       |       least($SegLen, n_samples - seg_idx * $SegLen) AS seg_samples,
+       |       $SegLen - least($SegLen, n_samples - seg_idx * $SegLen) AS pad_samples,
+       |       md5(digest || '_s' || CAST(seg_idx AS VARCHAR)) AS seg_fp
+       |FROM e ORDER BY doc_id, seg_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta" -> (mediaMeta(_, _)),
     "q_media_features" -> (mediaFeatures(_, _)),
     "q_media_resize" -> (mediaResize(_, _)),
-    "q_frame_sample" -> (frameSample(_, _))
+    "q_frame_sample" -> (frameSample(_, _)),
+    "q_audio_segments" -> (audioSegments(_, _))
   )
 
   def oracle: Map[String, String] = Map(
     "q_media_meta" -> mediaMetaSql,
     "q_media_features" -> mediaFeaturesSql,
     "q_media_resize" -> mediaResizeSql,
-    "q_frame_sample" -> frameSampleSql
+    "q_frame_sample" -> frameSampleSql,
+    "q_audio_segments" -> audioSegmentsSql
   )
 }

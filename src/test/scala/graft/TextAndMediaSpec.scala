@@ -165,6 +165,28 @@ class TextAndMediaSpec extends AnyFunSuite with SharedSpark {
     assert(rows.forall(_._1 % 3 == 2))
   }
 
+  test("audio segments tile each clip exactly: full coverage, pad only on the last") {
+    import graft.multimodal.MediaOps
+    val rows = MediaOps.audioSegments(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, segs) =>
+      val ordered = segs.sortBy(_.getInt(1))
+      // contiguous indices and 30 s starts
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(1) == i && r.getInt(2) == i * MediaOps.SegmentSec)
+      }
+      // every segment but the last is full; padding appears only on the last
+      ordered.init.foreach { r =>
+        assert(r.getLong(3) == MediaOps.AudioRate.toLong * MediaOps.SegmentSec && r.getLong(4) == 0L,
+          s"doc $id: non-final segment padded: $r")
+      }
+      val last = ordered.last
+      assert(last.getLong(3) + last.getLong(4) == MediaOps.AudioRate.toLong * MediaOps.SegmentSec)
+      assert(last.getLong(3) >= 1)
+    }
+  }
+
   test("media table partitioning survives the decode stage (narrow map, no shuffle)") {
     val media = MediaOps.mediaTable(spark, sfDir)
     val decoded = MediaOps.decodeFeatures(media)
