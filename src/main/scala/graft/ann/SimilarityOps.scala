@@ -686,6 +686,196 @@ object SimilarityOps {
        |WHERE rank <= $k
        |ORDER BY qid, rank""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // Product quantization (PQ) — the third FAISS-style scale path
+  // -------------------------------------------------------------------------
+
+  /** PQ geometry: 64 dims → 8 subspaces × 8 dims, 8 centroids per subspace
+    * (3-bit codes; production uses 256/8-bit — the plan shape is identical).
+    * Codebooks are md5-derived like [[centroids]] (a stand-in for the
+    * per-subspace k-means training job; determinism keeps the oracle exact).
+    */
+  val PqM = 8
+  val PqK = 8
+  val PqSubDim: Int = Dim / PqM
+
+  lazy val pqCodebook: IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until PqM).map { m =>
+      (0 until PqK).map { k =>
+        Array.tabulate(PqSubDim) { i0 =>
+          val i = i0 + 1
+          md.reset()
+          val hex = md.digest(s"pq_${m}_${k}_$i".getBytes("UTF-8"))
+            .take(4).map(b => f"${b & 0xff}%02x").mkString
+          java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+        }
+      }
+    }
+  }
+
+  /** Vectors with their 8 subvector columns materialized (`v_0`…`v_7`). */
+  private def withSubvectors(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    (0 until PqM).foldLeft(e) { (df, m) =>
+      df.withColumn(s"v_$m", slice(col("v"), m * PqSubDim + 1, PqSubDim))
+    }
+  }
+
+  /** Per-(vector, subspace) monotone distance columns `d_{m}_{k}` =
+    * |c_mk|² − 2·v_m·c_mk (true squared distance minus the |v_m|² constant).
+    */
+  private def withPqDists(df: DataFrame): DataFrame =
+    (0 until PqM).foldLeft(df) { (acc, m) =>
+      (0 until PqK).foldLeft(acc) { (acc2, k) =>
+        val c = pqCodebook(m)(k)
+        // literal array via lit() — an inline SQL `array(0.44, …)` would
+        // parse its literals as DecimalType and fail dot_arrays' type check
+        val cArr = array(c.toIndexedSeq.map(lit(_)): _*)
+        acc2.withColumn(s"d_${m}_$k",
+          lit(selfDot(c)) - lit(2.0) * call_function("dot_arrays", col(s"v_$m"), cArr))
+      }
+    }
+
+  private def pqArgmin(m: Int): Column = {
+    val ks = 0 until PqK
+    ks.init.foldRight(lit(ks.last)) { case (k, elseCol) =>
+      val leAll = ks.drop(k + 1).map(o => col(s"d_${m}_$k") <= col(s"d_${m}_$o")).reduce(_ && _)
+      when(leAll, lit(k)).otherwise(elseCol)
+    }
+  }
+
+  /** PQ encoding of the corpus: the 3-bit-per-subspace code vector (8 codes
+    * ≈ 3 bytes vs 256 float bytes — the compression that makes a 100 TB
+    * vector corpus RAM-servable) plus the exact reconstruction error
+    * Σ_m min_k |v_m − c_mk|², decimal-summed so both engines agree bitwise.
+    * Pure column arithmetic over one scan — a narrow map at any scale, like
+    * [[quantizeSq8]].
+    */
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val scored = withPqDists(withSubvectors(spark, sfDir))
+    val codeCols = (0 until PqM).map(m => pqArgmin(m).as(s"code_$m"))
+    val reconTerms = (0 until PqM).map { m =>
+      (least((0 until PqK).map(k => col(s"d_${m}_$k")): _*) +
+        expr(s"dot_arrays(v_$m, v_$m)")).cast(DecimalType(18, 6))
+    }
+    scored
+      .select(col("vec_id") +: (codeCols :+
+        reconTerms.reduce(_ + _).cast(DoubleType).as("recon_err")): _*)
+      .select(
+        col("vec_id"),
+        md5(concat_ws(",", (0 until PqM).map(m => col(s"code_$m").cast("string")): _*))
+          .as("codes_fp"),
+        col("recon_err"))
+      .orderBy("vec_id")
+  }
+
+  /** Shared oracle CTEs: the derived codebook (one row per (m, k)), each
+    * vector's subvectors, and the per-(vector, m) distances + argmin code.
+    */
+  private val pqCtes: String = {
+    val mkVals = (for (m <- 0 until PqM; k <- 0 until PqK) yield s"($m, $k)").mkString(", ")
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, t.m, v[t.m * $PqSubDim + 1 : t.m * $PqSubDim + $PqSubDim] AS vm
+       |  FROM e CROSS JOIN (VALUES ${(0 until PqM).map(m => s"($m)").mkString(", ")}) AS t(m)),
+       |cb AS (
+       |  SELECT t.m, t.k,
+       |         list_transform(generate_series(1, $PqSubDim), i ->
+       |           (CAST('0x' || substr(md5('pq_' || t.m || '_' || t.k || '_' || i), 1, 8) AS BIGINT)
+       |              / 4294967296.0) - 0.5) AS c
+       |  FROM (VALUES $mkVals) AS t(m, k)),
+       |cb2 AS (SELECT m, k, c, list_sum(list_transform(c, x -> x * x)) AS c2 FROM cb),
+       |pqd AS (
+       |  SELECT s.vec_id, s.m, cb2.k,
+       |         cb2.c2 - 2 * list_sum(list_transform(generate_series(1, $PqSubDim),
+       |                                              i -> s.vm[i] * cb2.c[i])) AS d,
+       |         list_sum(list_transform(s.vm, x -> x * x)) AS n2
+       |  FROM sub s JOIN cb2 ON s.m = cb2.m),
+       |coded AS (
+       |  SELECT vec_id, m, k AS code, d, n2 FROM (
+       |    SELECT vec_id, m, k, d, n2,
+       |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+       |    FROM pqd)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  val pqCodesSql: String =
+    s"""WITH $pqCtes
+       |SELECT vec_id,
+       |       md5(array_to_string(list(code ORDER BY m), ',')) AS codes_fp,
+       |       CAST(sum(CAST(d + n2 AS DECIMAL(18,6))) AS DOUBLE) AS recon_err
+       |FROM coded
+       |GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin
+
+  /** Asymmetric-distance (ADC) top-k over the PQ codes — how a PQ index is
+    * actually searched (Jégou et al. 2011): per query, ONE 8×8 lookup table
+    * of exact query-subvector-to-centroid distances, then every candidate
+    * scores as 8 table lookups over its stored codes — never a full-width
+    * dot product per pair. Expressed relationally: the LUT is a (query × m
+    * × k) relation (64 rows/query, broadcast), candidates explode to their
+    * 8 (m, code) entries and equi-join the LUT, and a grouped decimal sum
+    * rebuilds the ADC distance exactly — so the ranking is bit-stable
+    * cross-engine. Scale shape: codes relation is ~1% of the corpus bytes,
+    * the join is an equi-join on (m, k) against a broadcast LUT, and the
+    * per-(query, candidate) state is one partial sum.
+    */
+  def pqAdcTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // candidate codes, exploded to (cid, m, code)
+    val codes = withPqDists(withSubvectors(spark, sfDir))
+      .select(col("vec_id").as("cid"),
+        explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"), pqArgmin(m).as("code"))): _*)).as("mc"))
+      .select(col("cid"), col("mc.m").as("m"), col("mc.code").as("code"))
+    // per-query LUT: exact subvector-to-centroid distances, decimal-pinned
+    val queries = withSubvectors(spark, sfDir).filter(col("vec_id") < nQueries)
+    val lutRows = (for (m <- 0 until PqM; kk <- 0 until PqK) yield {
+      val c = pqCodebook(m)(kk)
+      val cArr = array(c.toIndexedSeq.map(lit(_)): _*)
+      struct(lit(m).as("m"), lit(kk).as("k"),
+        (lit(selfDot(c)) - lit(2.0) * call_function("dot_arrays", col(s"v_$m"), cArr))
+          .cast(DecimalType(18, 6)).as("l"))
+    })
+    val lut = queries.select(col("vec_id").as("qid"),
+        explode(array(lutRows: _*)).as("e"))
+      .select(col("qid"), col("e.m").as("m"), col("e.k").as("k"), col("e.l").as("l"))
+    val w = Window.partitionBy("qid").orderBy(asc("adc"), asc("cid"))
+    codes
+      .join(broadcast(lut), codes("m") === lut("m") && codes("code") === lut("k") &&
+        col("qid") =!= col("cid"))
+      .groupBy("qid", "cid")
+      .agg(sum("l").as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid")
+      .orderBy("qid", "rank")
+  }
+
+  def pqAdcTopKSql(nQueries: Int = 10, k: Int = 3): String =
+    s"""WITH $pqCtes,
+       |lut AS (
+       |  SELECT s.vec_id AS qid, cb2.m, cb2.k,
+       |         CAST(cb2.c2 - 2 * list_sum(list_transform(generate_series(1, $PqSubDim),
+       |                                                   i -> s.vm[i] * cb2.c[i])) AS DECIMAL(18,6)) AS l
+       |  FROM sub s JOIN cb2 ON s.m = cb2.m
+       |  WHERE s.vec_id < $nQueries),
+       |adc AS (
+       |  SELECT lut.qid, c.vec_id AS cid, sum(lut.l) AS adc
+       |  FROM coded c JOIN lut ON lut.m = c.m AND lut.k = c.code AND lut.qid <> c.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT qid, rank, cid FROM (
+       |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS INT) AS rank
+       |  FROM adc)
+       |WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+
   /** Recall@k of the IVF (nprobe=1) search against the exact brute-force
     * baseline — the measurement every ANN deployment runs before trusting an
     * approximate index. Per query id: hits = |IVF top-k ∩ exact top-k|,
@@ -833,6 +1023,8 @@ object SimilarityOps {
     "q_ivf_buckets" -> (ivfBuckets(_, _)),
     "q_ivf_topk" -> (ivfTopK(_, _)),
     "q_ivf_probe2" -> (ivfTopKMultiProbe(_, _)),
+    "q_pq_codes" -> (pqCodes(_, _)),
+    "q_pq_adc_topk" -> (pqAdcTopK(_, _)),
     "q_kmeans_step" -> (kmeansStep(_, _)),
     "q_semdedup" -> (semDedup(_, _)),
     "q_embed_outliers" -> (embedOutliers(_, _)),
@@ -850,6 +1042,8 @@ object SimilarityOps {
     "q_ivf_buckets" -> ivfBucketsSql,
     "q_ivf_topk" -> ivfTopKSql(),
     "q_ivf_probe2" -> ivfTopKMultiProbeSql(),
+    "q_pq_codes" -> pqCodesSql,
+    "q_pq_adc_topk" -> pqAdcTopKSql(),
     "q_kmeans_step" -> kmeansStepSql,
     "q_semdedup" -> semDedupSql(),
     "q_embed_outliers" -> embedOutliersSql(),

@@ -48,6 +48,40 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(single == probe1)
   }
 
+  test("pq encoding matches a driver-side recompute; adc ranks are well-formed") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val rows = SimilarityOps.pqCodes(spark, sfDir).collect()
+    assert(rows.length == vecs.size)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.take(25).foreach { r =>
+      val (id, fp, err) = (r.getLong(0), r.getString(1), r.getDouble(2))
+      val v = vecs(id)
+      val (codes, recon) = (0 until SimilarityOps.PqM).map { m =>
+        val vm = v.slice(m * SimilarityOps.PqSubDim, (m + 1) * SimilarityOps.PqSubDim)
+        val dists = (0 until SimilarityOps.PqK).map { k =>
+          val c = SimilarityOps.pqCodebook(m)(k)
+          vm.indices.map(i => (vm(i) - c(i)) * (vm(i) - c(i))).sum
+        }
+        val best = dists.indices.minBy(k => (dists(k), k))
+        (best, dists(best))
+      }.unzip
+      md.reset()
+      val expectFp = md.digest(codes.mkString(",").getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      assert(fp == expectFp, s"vec $id codes differ from driver recompute")
+      // each of the 8 decimal(18,6) terms may round by 5e-7
+      assert(err >= 0 && math.abs(err - recon.sum) < 1e-5, s"vec $id recon err $err vs ${recon.sum}")
+    }
+    val adc = SimilarityOps.pqAdcTopK(spark, sfDir, nQueries = 5, k = 3).collect()
+    adc.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length) && rs.length <= 3)
+      assert(rs.map(_.getLong(2)).distinct.length == rs.length && !rs.exists(_.getLong(2) == q))
+    }
+  }
+
   test("kmeans step: updated centroids do not worsen within-cluster SS") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sfDir)
