@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Behavioral, Extended, GraphOps, Grid, Relational}
+import graft.operators.{Behavioral, Extended, GraphOps, Grid, QualityChecks, Relational}
 import graft.text.{CorpusPipeline, CurationOps, TextOps}
 import graft.dedup.DedupOps
 import graft.ann.SimilarityOps
@@ -25,6 +25,7 @@ object SparkEntry {
       (Extended.queries, Extended.oracle),
       (Behavioral.queries, Behavioral.oracle),
       (GraphOps.queries, GraphOps.oracle),
+      (QualityChecks.queries, QualityChecks.oracle),
       (TextOps.queries, TextOps.oracle),
       (CorpusPipeline.queries, CorpusPipeline.oracle),
       (CurationOps.queries, CurationOps.oracle),

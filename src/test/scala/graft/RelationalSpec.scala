@@ -8,6 +8,29 @@ import graft.operators.{Extended, Relational}
 
 class RelationalSpec extends AnyFunSuite with SharedSpark {
 
+  test("dq checks: ledger covers every rule; planted violations are counted") {
+    import graft.operators.QualityChecks
+    val rows = QualityChecks.dqChecks(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet == Set(
+      "events.value_non_negative", "events.user_id_complete",
+      "documents.text_nonempty", "documents.n_chars_consistent",
+      "embeddings.dim_64", "documents.doc_id_unique", "orders.custkey_in_customer"))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    rows.filter(_.getString(0).startsWith("documents.")).foreach { r =>
+      assert(r.getLong(1) == nDocs, s"n_checked mismatch: $r")
+    }
+    rows.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1)))
+    // planted violations: the single-scan rule evaluator counts them exactly
+    import spark.implicits._
+    val planted = Seq((1L, -5.0), (2L, 3.0), (3L, -1.0)).toDF("id", "v")
+    val ledger = QualityChecks.tableRules(planted, Seq(
+      "v_non_negative" -> (col("v") < 0),
+      "id_complete" -> col("id").isNull)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ledger("v_non_negative") == (3L, 2L))
+    assert(ledger("id_complete") == (3L, 0L))
+  }
+
   test("full outer churn covers all three null regions consistently") {
     val rows = Relational.fullOuterChurn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
