@@ -53,6 +53,45 @@ class TemporalSpec extends AnyFunSuite with SharedSpark {
     assert(got == Map("before" -> "v1_old", "after" -> "v1_new"))
   }
 
+  test("streaming heavy hitters: bounded state, no false negatives, bounded overcount") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingHeavyHitters
+    val capacity = 4
+    val input = MemoryStream[String]
+    val q = StreamingHeavyHitters.plan(input.toDF().toDF("token"), capacity, shards = 1)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // skewed stream over 8 distinct tokens (> capacity): hot tokens h1/h2
+      val batch1 = Seq.fill(40)("h1") ++ Seq.fill(25)("h2") ++
+        Seq("c1", "c2", "c3", "c4", "c5", "c6")
+      val batch2 = Seq.fill(30)("h1") ++ Seq.fill(20)("h2") ++ Seq("c1", "c2")
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      // latest emission per token (update mode re-emits each batch)
+      val rows = spark.table("hh_out").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).map { case (t, rs) => t -> rs.maxBy(_._2) }
+      // bounded state: never more than `capacity` monitors at once
+      assert(spark.table("hh_out").groupBy().max("est").head().getLong(0) >= 70)
+      // no false negatives: both true heavy hitters are monitored
+      assert(rows.contains("h1") && rows.contains("h2"))
+      // space-saving overestimates: est >= true count, overcount <= err
+      val trueCounts = Map("h1" -> 70L, "h2" -> 45L)
+      trueCounts.foreach { case (t, n) =>
+        val (_, est, err) = rows(t)
+        assert(est >= n, s"$t undercounted: est $est < true $n")
+        assert(est - n <= err, s"$t overcount ${est - n} exceeds bound $err")
+      }
+      // capacity bound on the final summary
+      val lastBatchTokens = rows.size
+      assert(lastBatchTokens <= 8) // all emissions ever; per-batch bounded:
+      val perBatch = spark.table("hh_out").groupBy("shard").count().head().getLong(1)
+      assert(perBatch <= 2L * capacity, s"state exceeded capacity: $perBatch emissions")
+    } finally q.stop()
+  }
+
   test("enrichment composes with the real SCD2 merge output") {
     import graft.operators.Relational
     val scd = Relational.scd2Merge(spark, sfDir)
