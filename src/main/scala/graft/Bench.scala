@@ -95,7 +95,9 @@ object Bench {
         // edge list — flags any serialization point in the loop state
         "q_pagerank_iter",
         // the native merge as-of join: per-side exchange + sort over 10× events
-        "q_asof_native")
+        "q_asof_native",
+        // PQ ADC search: the codes relation grows 10×, the per-query LUT doesn't
+        "q_pq_adc_topk")
       val base = results.toMap
       val rows = probeQueries.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
