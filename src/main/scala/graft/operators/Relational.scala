@@ -313,6 +313,41 @@ object Relational {
       |FROM e
       |ORDER BY error_id""".stripMargin
 
+  /** The forward direction of the native as-of operator: for every error
+    * event, the EARLIEST purchase by the same user strictly after it — the
+    * "recovery conversion" attribution query. Same merge exec on a reversed
+    * time axis (see [[graft.plans.AsOfJoinExec]]).
+    */
+  def asofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("err_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    graft.plans.AsOf.join(
+        errors, purchases,
+        keys = Seq("user_id" -> "p_user"),
+        leftTime = "err_ts", rightTime = "p_ts",
+        rightTiebreak = Seq("purchase_id"), strict = true, forward = true)
+      .select(col("user_id"), col("error_id"), col("purchase_id").as("next_purchase"))
+      .orderBy("error_id")
+  }
+
+  val asofForwardSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id AS error_id, epoch_ns(ts) AS tns
+      |  FROM events WHERE event_type = 'error'),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id, epoch_ns(ts) AS tns
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT e.user_id, e.error_id,
+      |       (SELECT p.purchase_id FROM p
+      |        WHERE p.user_id = e.user_id AND p.tns > e.tns
+      |        ORDER BY p.tns ASC, p.purchase_id ASC LIMIT 1) AS next_purchase
+      |FROM e
+      |ORDER BY error_id""".stripMargin
+
   /** Set operations (SURVEY §2.6 notes the reference has none — Spark
     * built-ins): buyers who also clicked, and buyers who never clicked.
     */
@@ -492,6 +527,7 @@ object Relational {
     "q_set_ops" -> (setOps(_, _)),
     "q_asof_join" -> (asofPrevPurchase(_, _)),
     "q_asof_native" -> (asofNative(_, _)),
+    "q_asof_forward" -> (asofForward(_, _)),
     "q_star_join" -> (starJoin(_, _)),
     "q_semi_join" -> (semiJoin(_, _)),
     "q_full_outer" -> (fullOuterChurn(_, _)),
@@ -511,6 +547,7 @@ object Relational {
     "q_set_ops" -> setOpsSql,
     "q_asof_join" -> asofPrevPurchaseSql,
     "q_asof_native" -> asofNativeSql,
+    "q_asof_forward" -> asofForwardSql,
     "q_star_join" -> starJoinSql,
     "q_semi_join" -> semiJoinSql,
     "q_full_outer" -> fullOuterChurnSql,

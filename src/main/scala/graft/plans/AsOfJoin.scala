@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, Descending, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -37,11 +37,15 @@ import org.apache.spark.sql.graft.GraftSqlShim
   */
 object AsOf {
 
-  /** As-of join `left` with `right` on equal keys and `rightTime < leftTime`
-    * (`strict = false` for ≤). Right columns come back null for unmatched
-    * left rows. `rightTiebreak` pins which right row wins among equal
-    * timestamps (the max under ascending order, matching a
-    * `ORDER BY time DESC, tiebreak DESC LIMIT 1` lateral).
+  /** As-of join `left` with `right` on equal keys and, for the default
+    * backward direction, `rightTime < leftTime` (`strict = false` for ≤):
+    * each left row gets the LATEST earlier right row. `forward = true`
+    * flips the axis: the EARLIEST later right row (`rightTime > leftTime`) —
+    * the next-event-attribution shape ("first purchase after each error").
+    * Right columns come back null for unmatched left rows. `rightTiebreak`
+    * pins which right row wins among equal timestamps (backward: the max,
+    * matching `ORDER BY time DESC, tiebreak DESC LIMIT 1`; forward: the
+    * min, matching `ORDER BY time ASC, tiebreak ASC LIMIT 1`).
     * Column names should be disjoint across the two sides (project/rename
     * first, as with any Spark self-join).
     */
@@ -52,7 +56,8 @@ object AsOf {
       leftTime: String,
       rightTime: String,
       rightTiebreak: Seq[String] = Nil,
-      strict: Boolean = true): DataFrame = {
+      strict: Boolean = true,
+      forward: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equi-key")
     val spark = left.sparkSession
     ensureStrategy(spark)
@@ -73,7 +78,8 @@ object AsOf {
       attr(lPlan, leftTime, "left"),
       attr(rPlan, rightTime, "right"),
       rightTiebreak.map(attr(rPlan, _, "right")),
-      strict)
+      strict,
+      forward)
     GraftSqlShim.ofRows(spark, node)
   }
 
@@ -98,7 +104,8 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     rightTiebreak: Seq[Expression],
-    strict: Boolean) extends BinaryNode {
+    strict: Boolean,
+    forward: Boolean) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -114,7 +121,7 @@ object AsOfJoinStrategy extends SparkStrategy {
     case j: AsOfJoinPlan =>
       AsOfJoinExec(
         j.leftKeys, j.rightKeys, j.leftTime, j.rightTime, j.rightTiebreak,
-        j.strict, planLater(j.left), planLater(j.right)) :: Nil
+        j.strict, j.forward, planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }
@@ -124,11 +131,14 @@ object AsOfJoinStrategy extends SparkStrategy {
   * Planner contract: both children hash-clustered on their keys (Catalyst
   * inserts co-partitioned exchanges exactly as for a sort-merge join, or
   * elides them for bucketed/pre-partitioned children) and sorted by
-  * (keys…, time[, tiebreak…]). Execution is then one forward pass over the
-  * two sorted partition iterators: advance the right side while its (key,
-  * time) stays behind the current left row, retaining only the latest
-  * qualifying right row — O(left + right) per partition with one buffered
-  * row of state, spill-free at any partition size.
+  * (keys…, time[, tiebreak…]) — time ascending for the backward direction,
+  * DESCENDING for forward, which makes "earliest later row" the same merge
+  * as "latest earlier row" on the reversed axis. Execution is then one pass
+  * over the two sorted partition iterators: advance the right side while
+  * its (key, time) stays behind the current left row in sort order,
+  * retaining only the last qualifying right row — O(left + right) per
+  * partition with one buffered row of state, spill-free at any partition
+  * size.
   */
 case class AsOfJoinExec(
     leftKeys: Seq[Expression],
@@ -137,6 +147,7 @@ case class AsOfJoinExec(
     rightTime: Expression,
     rightTiebreak: Seq[Expression],
     strict: Boolean,
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -150,10 +161,12 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
+  private def timeDir = if (forward) Descending else Ascending
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, timeDir),
     rightKeys.map(SortOrder(_, Ascending)) ++
-      (SortOrder(rightTime, Ascending) +: rightTiebreak.map(SortOrder(_, Ascending))))
+      (SortOrder(rightTime, timeDir) +: rightTiebreak.map(SortOrder(_, timeDir))))
 
   // rows stream out in left order; the exchange layout is the left child's
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -173,6 +186,9 @@ case class AsOfJoinExec(
     val boundRightTime = BindReferences.bindReference(rightTime, rOut)
     val timeOrdering = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val strictLocal = strict
+    // forward direction: the sort axis is reversed, so "right row is behind
+    // the current left row" means rt > lt instead of rt < lt
+    val sign = if (forward) -1 else 1
     val allOut = output
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -215,7 +231,7 @@ case class AsOfJoinExec(
                     val rt = boundRightTime.eval(rHead)
                     if (rt == null) advanceRight() // null time never matches
                     else {
-                      val cmp = timeOrdering.compare(rt, lt)
+                      val cmp = sign * timeOrdering.compare(rt, lt)
                       if (if (strictLocal) cmp < 0 else cmp <= 0) {
                         matchRow = rHead.copy()
                         matchKey = rk.copy()

@@ -53,6 +53,38 @@ class AsOfSpec extends AnyFunSuite with SharedSpark {
     assert(lenient("l2") == "r_at_150")
   }
 
+  test("forward direction picks the earliest later row with min-tiebreak") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "l1"), (2L, 50L, "l2")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 100L, "at"), (1L, 150L, "soon_a"), (1L, 150L, "soon_b"), (1L, 900L, "late"))
+      .toDF("rk", "rt", "r_tag")
+    val res = AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt",
+        rightTiebreak = Seq("r_tag"), strict = true, forward = true)
+      .collect()
+      .map(r => r.getString(2) -> (if (r.isNullAt(5)) null else r.getString(5))).toMap
+    assert(res("l1") == "soon_a", "earliest later row, min tiebreak among equal times")
+    assert(res("l2") == null)
+    // non-strict: the equal-time row wins
+    val lenient = AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt",
+        rightTiebreak = Seq("r_tag"), strict = false, forward = true)
+      .collect()
+      .map(r => r.getString(2) -> (if (r.isNullAt(5)) null else r.getString(5))).toMap
+    assert(lenient("l1") == "at")
+    // real-data sanity: forward matches are strictly later than the error
+    val ev = Tables.events(spark, sfDir)
+    val pTimes = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "ts").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val eTimes = ev.filter(col("event_type") === "error")
+      .select("event_id", "ts").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = Relational.asofForward(spark, sfDir).collect()
+    assert(native.nonEmpty && native.exists(!_.isNullAt(2)))
+    native.filter(!_.isNullAt(2)).foreach { r =>
+      assert(pTimes(r.getLong(2)) > eTimes(r.getLong(1)),
+        s"next_purchase not strictly later: $r")
+    }
+  }
+
   test("null keys and null timestamps never match") {
     import spark.implicits._
     val left = Seq(
@@ -81,7 +113,7 @@ class AsOfSpec extends AnyFunSuite with SharedSpark {
       l.queryExecution.analyzed, r.queryExecution.analyzed,
       Seq(l.queryExecution.analyzed.output.head), Seq(r.queryExecution.analyzed.output.head),
       l.queryExecution.analyzed.output(1), r.queryExecution.analyzed.output(1),
-      Nil, strict = true)
+      Nil, strict = true, forward = false)
     val out = org.apache.spark.sql.graft.GraftSqlShim.ofRows(s2, node).collect()
     assert(out.length == 1 && out.head.getString(5) == "hit")
     assert(!s2.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy),
