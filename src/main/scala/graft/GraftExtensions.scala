@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayDotProduct(exprs(0), exprs(1))))
     ext.injectOptimizerRule(session => new RollupRewriteDelegate(session))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }
 

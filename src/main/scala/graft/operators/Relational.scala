@@ -519,8 +519,52 @@ object Relational {
       | AND a.s <= b.e AND b.s <= a.e
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The same fulfillment-span relation through the NATIVE interval join
+    * ([[graft.plans.IntervalJoin]]: sweep-line merge, buffer bounded by the
+    * per-customer interval concurrency) under half-open overlap semantics,
+    * deduplicated to unordered pairs post-join. The composed
+    * [[orderOverlap]] (equi-join + range filter) stays as the preference-(a)
+    * form; this is the plan a purpose-built temporal engine runs.
+    */
+  def intervalNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val spans = Tables.orders(spark, sfDir)
+      .join(
+        Tables.lineitem(spark, sfDir)
+          .groupBy("l_orderkey").agg(max("l_shipdate").as("ship_end")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(
+        col("o_custkey").as("custkey"), col("o_orderkey").as("okey"),
+        col("o_orderdate").as("start"), col("ship_end").as("end"))
+    val r = spans.select(
+      col("custkey").as("r_custkey"), col("okey").as("r_okey"),
+      col("start").as("r_start"), col("end").as("r_end"))
+    graft.plans.IntervalJoin.join(
+        spans, r,
+        keys = Seq("custkey" -> "r_custkey"),
+        leftRange = ("start", "end"), rightRange = ("r_start", "r_end"))
+      .filter(col("okey") < col("r_okey"))
+      .groupBy("custkey")
+      .agg(count(lit(1)).as("n_overlap_pairs"))
+      .orderBy("custkey")
+  }
+
+  val intervalNativeSql: String =
+    """WITH spans AS (
+      |  SELECT o.o_custkey AS custkey, o.o_orderkey AS okey,
+      |         o.o_orderdate AS s, m.ship_end AS e
+      |  FROM orders o
+      |  JOIN (SELECT l_orderkey, max(l_shipdate) AS ship_end
+      |        FROM lineitem GROUP BY 1) m
+      |    ON o.o_orderkey = m.l_orderkey)
+      |SELECT a.custkey, count(*) AS n_overlap_pairs
+      |FROM spans a JOIN spans b
+      |  ON a.custkey = b.custkey AND a.okey < b.okey
+      | AND a.s < b.e AND b.s < a.e
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_order_overlap" -> (orderOverlap(_, _)),
+    "q_interval_native" -> (intervalNative(_, _)),
     "q_scd2_merge" -> (scd2Merge(_, _)),
     "q_cube_sets" -> (cubeSets(_, _)),
     "q_first_last_orders" -> (firstLastOrders(_, _)),
@@ -541,6 +585,7 @@ object Relational {
 
   def oracle: Map[String, String] = Map(
     "q_order_overlap" -> orderOverlapSql,
+    "q_interval_native" -> intervalNativeSql,
     "q_scd2_merge" -> scd2MergeSql,
     "q_cube_sets" -> cubeSetsSql,
     "q_first_last_orders" -> firstLastOrdersSql,
