@@ -146,14 +146,21 @@ object CurationOps {
     * on the (high-cardinality) shingle key. Never all-pairs.
     */
   def sharedShingles(spark: SparkSession, sfDir: String): DataFrame = {
-    // doc_freq as a window count over the shingle key: the shingle relation
-    // (tokenize→shingle→explode) computes ONCE, where the former grouped
-    // count joined back re-ran the whole lineage (4 parquet scans → 1)
+    // doc_freq as a two-stage aggregate (groupBy(s).count, joined back on s)
+    // rather than count().over(Window.partitionBy(s)): the window form routes
+    // EVERY row of a shingle into one partition and sorts them there, so a
+    // single boilerplate shingle present in a third of the corpus serializes
+    // a third of the data through one task at 100 TB. The grouped count
+    // aggregates map-side before its shuffle (a hot key arrives as one
+    // partial per upstream partition), and the join back is skew-splittable
+    // by AQE — the same data moves, but no stage is single-task on a hot key.
+    // Costs one extra scan of the shingle lineage (2 total, ScaleSpec-pinned).
     val sh = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= ShingleK)
       .select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s"))
-    sh.withColumn("doc_freq", count(lit(1)).over(Window.partitionBy("s")))
+    val df = sh.groupBy("s").agg(count(lit(1)).as("doc_freq"))
+    sh.join(df, "s")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).cast("int").as("n_shingles"),

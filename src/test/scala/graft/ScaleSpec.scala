@@ -78,11 +78,12 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
   test("shingle-family plans compute the shingle lineage once, not per consumer") {
     // the r2 plans re-ran tokenize→shingle→explode for every aggregate joined
     // back (up to 9 parquet scans per query); the window-count shape caps the
-    // scan count at the self-join's two sides
+    // scan count at the self-join's two sides. Count via PlanAudit, not the
+    // plan STRING — AQE rendering duplicates stage sections, while the tree
+    // walk sees each ReusedExchange subtree once.
     def scans(df: org.apache.spark.sql.DataFrame): Int = {
       df.collect() // finalize the adaptive plan
-      df.queryExecution.executedPlan.toString
-        .linesIterator.count(_.contains("Scan parquet"))
+      graft.plans.PlanAudit.summary(df).head().getAs[Int]("n_scans")
     }
     assert(scans(graft.text.CurationOps.sharedShingles(spark, sfDir)) <= 2)
     assert(scans(graft.dedup.DedupOps.ngramJaccardPairs(spark, sfDir)) <= 3)
