@@ -1,14 +1,25 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and prints
   * one JSON line. A warm-up pass (table footers + a small shuffle/join) runs
   * first so the first timed query doesn't absorb JVM/codegen/session
   * initialization — the per-query numbers then reflect plan cost, which is
   * what BASELINE comparison needs.
+  *
+  * Output layout is truncation-proof: the headline numbers (total, worst
+  * probe ratios, streaming rows/s) appear FIRST on the line, and are repeated
+  * as a compact `"summary"` object as the LAST key — a capture that keeps
+  * only the head or only the tail of the line still parses the totals (the
+  * r3 harness captured a tail and lost the total plus most per-query times).
   */
 object Bench {
+
+  /** JSON-safe rendering of a failure for error-marker fields. */
+  private def jsonErr(t: Throwable): String =
+    String.valueOf(t).replaceAll("""[\\"\n\r\t]""", " ").take(200)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -47,14 +58,38 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val base = results.toMap
+
+    // min-of-two timing of a probe plan; -1.0 sentinel on failure so a query
+    // failing against the probe tables never reads as a great ratio
+    def timed(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }
+      val (a, b) = (once(), once())
+      if (a < 0 || b < 0) -1.0 else math.min(a, b)
+    }
+    def probeRow(name: String, baseName: String, dir: String,
+        fn: (SparkSession, String) => DataFrame, extra: String = ""): (Double, String) = {
+      val scaled = timed(fn, dir)
+      val b = base.getOrElse(baseName, -1.0)
+      val ratio = if (scaled < 0 || b <= 0) -1.0 else scaled / b
+      (ratio, s""""$name":{"base":$b,"scaled":$scaled,"ratio":$ratio$extra}""")
+    }
+    def cleanup(dir: String): Unit = {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively(); ()
+    }
 
     // Scale probe (VERDICT r1 #9): the same shuffle-bound event plans against
     // a 10×-replicated events table (10× rows AND 10× distinct key space, so
     // shuffles and aggregation state actually grow). time(10×)/time(1×) well
     // under 10 on idle cores = the plan scales with partitions, not the
     // driver; a ratio ≥ 10 would flag a serialization point.
-    val probe = try {
-      val factor = 10
+    val factor = 10
+    val (probeJson, probeWorst) = try {
       import org.apache.spark.sql.functions._
       val probeDir = java.nio.file.Files.createTempDirectory("graft_scale").toString
       Tables.events(spark, sfDir)
@@ -98,35 +133,102 @@ object Bench {
         "q_asof_native",
         // PQ ADC search: the codes relation grows 10×, the per-query LUT doesn't
         "q_pq_adc_topk")
-      val base = results.toMap
       val rows = probeQueries.flatMap { name =>
-        SparkEntry.queries.get(name).map { fn =>
-          // a query failing against the probe tables must read as a sentinel,
-          // not as its (tiny) time-to-throw masquerading as a great ratio
-          def once(): Double = {
-            val t0 = System.nanoTime()
-            try { fn(spark, probeDir).count(); (System.nanoTime() - t0) / 1e9 }
-            catch { case _: Throwable => -1.0 }
-          }
-          val (a, b) = (once(), once())
-          val scaled = if (a < 0 || b < 0) -1.0 else math.min(a, b)
-          val ratio =
-            if (scaled < 0) -1.0
-            else base.get(name).filter(_ > 0).map(scaled / _).getOrElse(-1.0)
-          s""""$name":{"base":${base.getOrElse(name, -1.0)},"scaled":$scaled,"ratio":$ratio}"""
-        }
+        SparkEntry.queries.get(name).map(fn => probeRow(name, name, probeDir, fn))
+      } :+ {
+        // BOTH sides scaled: 10× corpus AND 10× query set (nQueries 10→100),
+        // so the candidate space grows 100× — the honest two-sided ADC probe.
+        // work_factor is the expected cost multiple; ratio/work_factor ≲ 1/10
+        // means per-unit work held constant (the LUT join stayed subquadratic).
+        probeRow("q_pq_adc_topk_bothsides", "q_pq_adc_topk", probeDir,
+          (s, d) => graft.ann.SimilarityOps.pqAdcTopK(s, d, nQueries = 100),
+          extra = s""","work_factor":${factor * factor}""")
       }
-      // the replicated tables are ~11x the sf corpus; don't leak them in /tmp
-      import scala.reflect.io.Directory
-      new Directory(new java.io.File(probeDir)).deleteRecursively()
-      s""","scale_probe":{"factor":$factor,"queries":${rows.mkString("{", ",", "}")}}"""
-    } catch { case _: Throwable => "" }
+      cleanup(probeDir)
+      val worst = rows.map(_._1).filterNot(_ < 0).foldLeft(0.0)(math.max)
+      (s""","scale_probe":{"factor":$factor,"queries":${rows.map(_._2).mkString("{", ",", "}")}}""",
+        worst)
+    } catch { case t: Throwable => (s""","scale_probe":{"error":"${jsonErr(t)}"}""", -1.0) }
+
+    // Planted-SKEW probe (VERDICT r3 #2): the uniform replication above keeps
+    // keys evenly loaded, which can't surface hot-key failure modes. Here the
+    // 10× tables additionally carry zipfian heads — one boilerplate shingle
+    // block in 30% of documents, one house with ~60% of events, one orderkey
+    // with 50% of lineitems — and the ratio is still measured against the 1×
+    // UNSKEWED base, so a plan that degenerates on a hot key (single-task
+    // window, unsplittable join partition, uncapped postings blowup) reads as
+    // a superlinear ratio instead of hiding behind uniform balance.
+    val (skewJson, skewWorst) = try {
+      import org.apache.spark.sql.functions._
+      val skewDir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+      // events: 10× replicas; half of all rows remapped into house "1_1_0"
+      // (user_id*5 ≡ 0 mod 5) with distinct appliance ids preserved
+      Tables.events(spark, sfDir)
+        .crossJoin(spark.range(factor).toDF("rep"))
+        .withColumn("user_id", col("user_id") + col("rep") * lit(1000000L))
+        .withColumn("user_id",
+          when(col("event_id") % 2 === 0, col("user_id") * 5).otherwise(col("user_id")))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
+      // documents: disjoint-vocab 10× replicas plus one shared boilerplate
+      // sentence appended to 30% of docs — its shingles reach df ≈ 0.3·n,
+      // the hot-postings case the RawDfCap exists for
+      Tables.documents(spark, sfDir)
+        .crossJoin(spark.range(factor).toDF("rep"))
+        .withColumn("doc_id", col("doc_id") + col("rep") * lit(10000000L))
+        .withColumn("text",
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(col("rep").cast("string"), lit("_$1"))))
+        .withColumn("text",
+          when(col("doc_id") % 10 < 3,
+            concat(col("text"), lit(" zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9")))
+            .otherwise(col("text")))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+      // orders/lineitem: 10× replicas with disjoint key ranges, then half of
+      // all lineitems rekeyed onto ONE existing orderkey — the skewed-join
+      // case AQE's OptimizeSkewedJoin is for
+      val keyShift = 1000000000L
+      Tables.orders(spark, sfDir)
+        .crossJoin(spark.range(factor).toDF("rep"))
+        .withColumn("o_orderkey", col("o_orderkey") + col("rep") * lit(keyShift))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$skewDir/orders.parquet")
+      val hotKey = Tables.orders(spark, sfDir)
+        .agg(min("o_orderkey")).head().getLong(0)
+      Tables.lineitem(spark, sfDir)
+        .crossJoin(spark.range(factor).toDF("rep"))
+        .withColumn("l_orderkey", col("l_orderkey") + col("rep") * lit(keyShift))
+        .withColumn("l_orderkey",
+          when(col("l_partkey") % 2 === 0, lit(hotKey)).otherwise(col("l_orderkey")))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$skewDir/lineitem.parquet")
+      // dimension sides the probe queries read unchanged
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$skewDir/customer.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/customer.parquet"))
+      val skewQueries = Seq(
+        // hot-house aggregation family (direct, salted, windowed, top-k)
+        "q_power_by_house", "q_salted_agg", "q_duty_cycle", "q_topk_per_house",
+        // hot-postings dedup family (all df-capped now)
+        "q_ngram_jaccard_pairs", "q_jaccard_capped", "q_substr_dup",
+        "q_shared_shingles",
+        // hot-orderkey join (AQE skew-join split)
+        "q_star_join")
+      val rows = skewQueries.flatMap { name =>
+        SparkEntry.queries.get(name).map(fn => probeRow(name, name, skewDir, fn))
+      }
+      cleanup(skewDir)
+      val worst = rows.map(_._1).filterNot(_ < 0).foldLeft(0.0)(math.max)
+      (s""","scale_probe_skew":{"factor":$factor,"hot_doc_frac":0.3,"hot_event_frac":0.5,"hot_lineitem_frac":0.5,"queries":${rows.map(_._2).mkString("{", ",", "}")}}""",
+        worst)
+    } catch { case t: Throwable => (s""","scale_probe_skew":{"error":"${jsonErr(t)}"}""", -1.0) }
 
     // Streaming throughput vs BASELINE.md's one published number (≥100k
     // msg/s sustained ingest): run the duty-cycle streaming plan over a 1M-row
     // file source (MemoryStream would measure the driver's single-threaded
     // row encoding, not the plan) and report end-to-end rows/s.
-    val streaming = try {
+    val (streamingJson, streamingRps) = try {
       import java.sql.Timestamp
       import org.apache.spark.sql.streaming.OutputMode
       import graft.streaming.{GridConfig, StreamingDutyCycle}
@@ -148,15 +250,21 @@ object Bench {
         query.processAllAvailable()
         val sec = (System.nanoTime() - t0) / 1e9
         val rps = (n / sec).toLong
-        s""","streaming":{"duty_cycle_rows_per_sec":$rps,"input_rows":$n,"baseline_rows_per_sec":100000}"""
+        (s""","streaming":{"duty_cycle_rows_per_sec":$rps,"input_rows":$n,"baseline_rows_per_sec":100000}""",
+          rps)
       } finally {
         query.stop()
-        import scala.reflect.io.Directory
-        new Directory(new java.io.File(dir)).deleteRecursively()
+        cleanup(dir)
       }
-    } catch { case _: Throwable => "" }
+    } catch { case t: Throwable => (s""","streaming":{"error":"${jsonErr(t)}"}""", -1L) }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$probe$streaming}""")
+    // headline numbers first, per-query detail in the middle, and the same
+    // headline repeated as the final key — see the class doc
+    val summary = s""""summary":{"total_sec":$total,"n_queries":${results.size},""" +
+      s""""worst_probe_ratio":$probeWorst,"worst_skew_ratio":$skewWorst,""" +
+      s""""streaming_rows_per_sec":$streamingRps}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s"""$summary$streamingJson$probeJson$skewJson,"queries":$qs,$summary}""")
     spark.stop()
   }
 }

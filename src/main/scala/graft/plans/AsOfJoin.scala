@@ -71,12 +71,28 @@ object AsOf {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"$side column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
+    // The merge compares right-side rows with orderings built from the LEFT
+    // side's data types (no analyzer implicit-cast pass runs over this node),
+    // so a type mismatch would compare raw values of different widths —
+    // silently wrong matches, not an analysis error. Fail fast instead;
+    // callers cast explicitly.
+    def requireSameType(l: Attribute, r: Attribute, what: String): Unit =
+      require(org.apache.spark.sql.types.DataType.equalsStructurally(l.dataType, r.dataType, ignoreNullability = true),
+        s"as-of join $what types must match exactly (no implicit casts run " +
+          s"inside the native operator): left '${l.name}' is ${l.dataType.sql}, " +
+          s"right '${r.name}' is ${r.dataType.sql} — cast one side first")
+    val lKeys = keys.map(k => attr(lPlan, k._1, "left"))
+    val rKeys = keys.map(k => attr(rPlan, k._2, "right"))
+    lKeys.lazyZip(rKeys).foreach(requireSameType(_, _, "key"))
+    val lTime = attr(lPlan, leftTime, "left")
+    val rTime = attr(rPlan, rightTime, "right")
+    requireSameType(lTime, rTime, "time")
     val node = AsOfJoinPlan(
       lPlan, rPlan,
-      keys.map(k => attr(lPlan, k._1, "left")),
-      keys.map(k => attr(rPlan, k._2, "right")),
-      attr(lPlan, leftTime, "left"),
-      attr(rPlan, rightTime, "right"),
+      lKeys,
+      rKeys,
+      lTime,
+      rTime,
       rightTiebreak.map(attr(rPlan, _, "right")),
       strict,
       forward)

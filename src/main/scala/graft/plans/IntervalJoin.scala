@@ -52,12 +52,30 @@ object IntervalJoin {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"$side column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
+    // Same contract as AsOf.join: the sweep compares right rows with
+    // orderings built from LEFT types and no implicit-cast pass runs over
+    // this node, so mismatched key/range types must fail fast, not compare.
+    def requireSameType(l: Attribute, r: Attribute, what: String): Unit =
+      require(org.apache.spark.sql.types.DataType.equalsStructurally(l.dataType, r.dataType, ignoreNullability = true),
+        s"interval join $what types must match exactly (no implicit casts " +
+          s"run inside the native operator): '${l.name}' is ${l.dataType.sql}, " +
+          s"'${r.name}' is ${r.dataType.sql} — cast one side first")
+    val lKeys = keys.map(k => attr(lPlan, k._1, "left"))
+    val rKeys = keys.map(k => attr(rPlan, k._2, "right"))
+    lKeys.lazyZip(rKeys).foreach(requireSameType(_, _, "key"))
+    val lStart = attr(lPlan, leftRange._1, "left")
+    val lEnd = attr(lPlan, leftRange._2, "left")
+    val rStart = attr(rPlan, rightRange._1, "right")
+    val rEnd = attr(rPlan, rightRange._2, "right")
+    requireSameType(lStart, lEnd, "range")
+    requireSameType(lStart, rStart, "range")
+    requireSameType(lStart, rEnd, "range")
     val node = IntervalJoinPlan(
       lPlan, rPlan,
-      keys.map(k => attr(lPlan, k._1, "left")),
-      keys.map(k => attr(rPlan, k._2, "right")),
-      attr(lPlan, leftRange._1, "left"), attr(lPlan, leftRange._2, "left"),
-      attr(rPlan, rightRange._1, "right"), attr(rPlan, rightRange._2, "right"))
+      lKeys,
+      rKeys,
+      lStart, lEnd,
+      rStart, rEnd)
     GraftSqlShim.ofRows(spark, node)
   }
 
@@ -110,7 +128,11 @@ case class IntervalJoinExec(
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
-    "maxBuffered" -> SQLMetrics.createMetric(sparkContext, "max concurrently buffered intervals"))
+    // each task set()s its own partition's max; the driver-side merge of
+    // plain metrics is SUM, so the aggregated UI value is the sum of per-task
+    // maxima (an upper bound on any single task's buffer) — named accordingly
+    "maxBuffered" -> SQLMetrics.createMetric(
+      sparkContext, "buffered intervals (sum over tasks of per-task max)"))
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil

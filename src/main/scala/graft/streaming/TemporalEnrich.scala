@@ -17,12 +17,14 @@ import org.apache.spark.sql.functions._
   * matches at most one dimension row — the join cannot fan out (pinned in
   * TemporalSpec).
   *
-  * Scale: the dimension broadcasts (stream-static joins never shuffle the
-  * stream side); each micro-batch re-plans the join, so a dimension backed by
+  * Scale: with `broadcastDim = true` (the default — dimensions are usually
+  * small) the dimension broadcasts, so stream-static joins never shuffle the
+  * stream side; each micro-batch re-plans the join, so a dimension backed by
   * a table path picks up merges between batches without restarting the
-  * query. At a dimension too large to broadcast, the same call works with
-  * the stream side shuffle-joined — semantics unchanged, one shuffle of the
-  * batch's events.
+  * query. At a dimension too large to broadcast, pass `broadcastDim = false`
+  * and the planner's cost-based choice applies (typically shuffle both
+  * sides) — semantics unchanged, one shuffle of the batch's events, and no
+  * forced driver-side materialization of an oversized dimension.
   */
 object TemporalEnrich {
 
@@ -32,9 +34,10 @@ object TemporalEnrich {
       key: (String, String),
       version: String,
       validFrom: String = "valid_from",
-      validTo: String = "valid_to"): DataFrame =
+      validTo: String = "valid_to",
+      broadcastDim: Boolean = true): DataFrame =
     stream.join(
-      broadcast(dim),
+      if (broadcastDim) broadcast(dim) else dim,
       stream(key._1) === dim(key._2) &&
         dim(validFrom) <= stream(version) &&
         (dim(validTo).isNull || stream(version) < dim(validTo)),

@@ -53,6 +53,27 @@ class AsOfSpec extends AnyFunSuite with SharedSpark {
     assert(lenient("l2") == "r_at_150")
   }
 
+  test("mismatched key or time types fail fast instead of miscomparing") {
+    import spark.implicits._
+    // no implicit-cast pass runs over the native node, so an INT-vs-BIGINT
+    // key would compare raw values of different widths — must throw, not run
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val rightIntKey = Seq((1, 50L)).toDF("rk", "rt")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.join(left, rightIntKey, Seq("k" -> "rk"), "t", "rt")
+    }
+    assert(e1.getMessage.contains("key types must match"))
+    val rightIntTime = Seq((1L, 50)).toDF("rk", "rt")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.join(left, rightIntTime, Seq("k" -> "rk"), "t", "rt")
+    }
+    assert(e2.getMessage.contains("time types must match"))
+    // explicit cast on the narrow side restores the join
+    val fixed = AsOf.join(left, rightIntKey.withColumn("rk", col("rk").cast("long")),
+      Seq("k" -> "rk"), "t", "rt").collect()
+    assert(fixed.length == 1 && fixed.head.getLong(3) == 50L)
+  }
+
   test("forward direction picks the earliest later row with min-tiebreak") {
     import spark.implicits._
     val left = Seq((1L, 100L, "l1"), (2L, 50L, "l2")).toDF("k", "t", "tag")

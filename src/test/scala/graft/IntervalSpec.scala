@@ -53,6 +53,21 @@ class IntervalSpec extends AnyFunSuite with SharedSpark {
     assert(got == Set("ok", "zero_inside"))
   }
 
+  test("mismatched key or range types fail fast instead of miscomparing") {
+    import spark.implicits._
+    val l = Seq((1L, 0L, 10L)).toDF("k", "s", "e")
+    val rIntKey = Seq((1, 4L, 6L)).toDF("rk", "rs", "re")
+    val e1 = intercept[IllegalArgumentException] {
+      IntervalJoin.join(l, rIntKey, Seq("k" -> "rk"), ("s", "e"), ("rs", "re"))
+    }
+    assert(e1.getMessage.contains("key types must match"))
+    val rIntRange = Seq((1L, 4, 6)).toDF("rk", "rs", "re")
+    val e2 = intercept[IllegalArgumentException] {
+      IntervalJoin.join(l, rIntRange, Seq("k" -> "rk"), ("s", "e"), ("rs", "re"))
+    }
+    assert(e2.getMessage.contains("range types must match"))
+  }
+
   test("native interval join equals the composed theta join on real spans") {
     import graft.operators.Relational
     val native = Relational.intervalNative(spark, sfDir).collect()

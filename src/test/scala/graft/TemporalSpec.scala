@@ -53,6 +53,21 @@ class TemporalSpec extends AnyFunSuite with SharedSpark {
     assert(got == Map("before" -> "v1_old", "after" -> "v1_new"))
   }
 
+  test("broadcastDim=false takes the non-broadcast path with identical rows") {
+    import spark.implicits._
+    val events = Seq((1L, 4L, "before"), (1L, 7L, "after")).toDF("k", "v", "tag")
+    val df = TemporalEnrich.enrich(
+      events, dim(), "k" -> "custkey", "v", broadcastDim = false)
+    val got = df.select("tag", "payload").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("before" -> "v1_old", "after" -> "v1_new"))
+    // the documented shuffle fallback must actually be reachable: no forced
+    // broadcast hint in the analyzed plan (the tiny test dim may still be
+    // auto-broadcast by the cost threshold — the hint is what's asserted)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), s"broadcast hint leaked:\n$analyzed")
+  }
+
   test("streaming heavy hitters: bounded state, no false negatives, bounded overcount") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
