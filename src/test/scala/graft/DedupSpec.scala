@@ -172,6 +172,48 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(fp1.sameElements(fp2))
     fp1.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) < (1L << 56)))
   }
+  test("label propagation: convergence rides the round job, no separate check job") {
+    // the accumulator-based convergence test must not add jobs: each round is
+    // ONE eagerly-checkpointed propagation query (the former separate
+    // old-vs-new isEmpty join added a second query per round, roughly
+    // doubling jobs). Count jobs (AQE stage materializations included) over
+    // the whole call and pin a budget the two-queries-per-round shape cannot
+    // meet; labels must also be a true fixpoint.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val labels =
+      try {
+        val l = graft.dedup.DedupOps.nearDupLabels(spark, sfDir)
+        Thread.sleep(1000) // listener bus is async; all jobs have been submitted
+        l
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // measured 21 on this fixture (edges checkpoint + init + one job per
+    // round, AQE stage jobs included); the old isEmpty-per-round shape adds
+    // ~2-3 jobs × rounds and lands ≥ 30
+    assert(jobs.get() <= 25,
+      s"nearDupLabels ran ${jobs.get()} jobs — convergence check regressed to its own query?")
+    // fixpoint: one more propagation pass changes no label
+    import org.apache.spark.sql.functions.{col, min}
+    val edges = graft.dedup.DedupOps.ngramJaccardPairs(spark, sfDir)
+      .select(col("id_a"), col("id_b"))
+    val symEdges = edges.union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val propagated = symEdges
+      .join(labels, symEdges("id_a") === labels("doc_id"))
+      .select(col("id_b").as("doc_id"), col("lbl"))
+      .union(labels)
+      .groupBy("doc_id")
+      .agg(min("lbl").as("lbl"))
+    val diff = propagated
+      .join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+      .filter(col("lbl") =!= col("old"))
+    assert(diff.isEmpty, "emitted labels are not a propagation fixpoint")
+  }
+
   test("cluster best picks the max-quality member of each near-dup cluster") {
     val labels = graft.dedup.DedupOps.ngramJaccardPairs(spark, sfDir)
       .select("id_a", "id_b").collect()
