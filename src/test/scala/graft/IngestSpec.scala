@@ -162,6 +162,52 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
     path.contains(s"date=$date") && path.contains(s"hour=$hour")
   }
 
+  test("segment compaction bounds files per hour and preserves every query result") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("seg_compact").toString
+    // 8 micro-batch segments across two hours — the small-file accretion a
+    // long-running stream produces (one dir, >=1 file per batch)
+    (0 until 8).foreach { b =>
+      val rows = (0 until 4).map { i =>
+        (new Timestamp((b * 3600L / 4 + i) * 1000L),
+          s"1_1_${i % 2}", s"1_1_${i % 2}_$i", "lamp", 2L, 3.5 * (b + 1))
+      }
+      val batch = rows.toDF("bucket", "house_id", "appliance_id",
+        "appliance_name", "cnt", "sum_power")
+      RollupTable.writeSegment(batch, dir, b.toLong)
+    }
+    def files(): Array[java.io.File] = {
+      def walk(f: java.io.File): Array[java.io.File] =
+        if (f.isDirectory) f.listFiles().flatMap(walk) else Array(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+    }
+    def snapshot(): Set[(Long, String, String, Long, Double)] =
+      RollupTable.readSegments(spark, dir)
+        .select("bucket", "house_id", "appliance_id", "cnt", "sum_power")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getString(2),
+          r.getLong(3), r.getDouble(4))).toSet
+    val before = snapshot()
+    val filesBefore = files().length
+    val hourDirs = RollupTable.readSegments(spark, dir)
+      .select("date", "hour").distinct().count()
+    val absorbed = RollupTable.compactSegments(spark, dir)
+    assert(absorbed == 8, s"expected 8 segments absorbed, got $absorbed")
+    // one segment left, one file per (date, hour) directory
+    val segDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("batch="))
+    assert(segDirs.length == 1 && segDirs.head.getName == "batch=7")
+    val filesAfter = files().length
+    assert(filesAfter == hourDirs,
+      s"expected $hourDirs files (one per hour dir), got $filesAfter (was $filesBefore)")
+    assert(filesAfter < filesBefore)
+    assert(snapshot() == before, "compaction changed query results")
+    // idempotent: a second run has one segment and does nothing
+    assert(RollupTable.compactSegments(spark, dir) == 0)
+    assert(snapshot() == before)
+  }
+
   test("jsonl corpus loader quarantines malformed lines, ingests the rest") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("jsonl")
