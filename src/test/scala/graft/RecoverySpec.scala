@@ -58,6 +58,56 @@ class RecoverySpec extends AnyFunSuite with SharedSpark {
     assert(dupes == 0, "recovery must not re-emit closed windows")
   }
 
+  test("foreachBatch batchId-keyed overwrite: crash after write, before commit — no dupes") {
+    // The T7 exactly-once proof: foreachBatch is at-least-once (the side
+    // effect can land, then the query die before the offset commit), so the
+    // sink must be idempotent PER BATCH ID. The deterministic-overwrite
+    // discipline (one dir per batch id, mode=overwrite — writeSegment's
+    // pattern) makes the replay rewrite the same dir with the same content.
+    // This test injects exactly that crash window: the batch-1 side effect
+    // completes, THEN the sink throws, so batch 1's offsets never commit and
+    // the restart replays it.
+    import org.apache.spark.sql.DataFrame
+    val src = java.nio.file.Files.createTempDirectory("eo_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("eo_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("eo_out").toString
+    (0 until 4).foreach { f =>
+      spark.range(f * 10L, f * 10L + 10L).toDF("v")
+        .repartition(1).write.mode("append").parquet(src)
+    }
+    val schema = spark.read.parquet(src).schema
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch=$id")
+        if (id == 1L && crashOnce.getAndSet(false))
+          throw new RuntimeException("injected crash: side effect done, commit not")
+      }
+      .start()
+    val q1 = start()
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    assert(died.getMessage.contains("injected crash"))
+    q1.stop()
+    // the at-least-once hazard is real: batch 1's output exists although its
+    // offsets never committed
+    assert(new java.io.File(s"$out/batch=1").exists, "crash must land after the write")
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    // replay overwrote batch=1 instead of appending: every value exactly once
+    val result = spark.read.parquet(out)
+    assert(result.count() == 40, s"expected 40 rows, got ${result.count()}")
+    val dupes = result.groupBy("v").count().filter(col("count") > 1).count()
+    assert(dupes == 0, "batch replay duplicated rows — sink not idempotent")
+    assert(result.select("batch").distinct().count() == 4)
+  }
+
   test("streaming dropDuplicates dedups across micro-batches within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
