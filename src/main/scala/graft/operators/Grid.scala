@@ -101,6 +101,53 @@ object Grid {
        |GROUP BY 1, 2, 3
        |ORDER BY window_start, appliance_id""".stripMargin
 
+  /** The duty cycle computed through the 1-second rollup (A4 + A5 composed
+    * with W1): aggregate raw readings to per-second partials FIRST — the
+    * per-reading threshold is applied here, before any fan-out — then explode
+    * each second to the 5 sliding windows containing it and re-aggregate.
+    * Results are identical to [[dutyCycle]]; the plan is what survives 100 TB:
+    * the ×5 window fan-out and the (window, house, appliance) shuffle see one
+    * row per (second, appliance) instead of every raw reading, so Expand and
+    * exchange volume drop by the readings-per-second factor. This is the same
+    * discipline [[graft.plans.RollupRewrite]] applies automatically to
+    * unconditional count/sum/min/max windows — made explicit here because
+    * `c_duty` needs a threshold column the stored rollup does not carry.
+    */
+  def dutyCyclePrerolled(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSec = powerReadings(spark, sfDir)
+      .groupBy(col("epoch_s"), col("house_id"), col("appliance_id"))
+      .agg(
+        count("power").as("s_all"),
+        count(when(col("power") > PowerThreshold, true)).as("s_duty"))
+    val lastStart = expr("(epoch_s div 5) * 5")
+    perSec
+      .select(col("*"),
+        explode(array((0 to 4).map(i => (lastStart - lit(i * 5L)).as(s"w$i")): _*))
+          .as("window_start"))
+      .groupBy("window_start", "house_id", "appliance_id")
+      .agg(sum("s_all").as("c_all"), sum("s_duty").as("c_duty"))
+      .withColumn("duty_cycle", col("c_duty") / col("c_all"))
+      .select("window_start", "house_id", "appliance_id", "c_all", "c_duty", "duty_cycle")
+      .orderBy("window_start", "appliance_id")
+  }
+
+  val dutyCyclePrerolledSql: String =
+    s"""WITH $PowerCte,
+       |persec AS (
+       |  SELECT epoch_s, house_id, appliance_id,
+       |         count(power) AS s_all,
+       |         count(CASE WHEN power > $PowerThreshold THEN 1 END) AS s_duty
+       |  FROM power GROUP BY 1, 2, 3),
+       |exploded AS (
+       |  SELECT p.*, (p.epoch_s // 5) * 5 - k.i * 5 AS window_start
+       |  FROM persec p CROSS JOIN (VALUES (0),(1),(2),(3),(4)) AS k(i))
+       |SELECT window_start, house_id, appliance_id,
+       |       CAST(SUM(s_all) AS BIGINT) AS c_all,
+       |       CAST(SUM(s_duty) AS BIGINT) AS c_duty,
+       |       CAST(SUM(s_duty) AS BIGINT) / CAST(SUM(s_all) AS BIGINT) AS duty_cycle
+       |FROM exploded GROUP BY 1, 2, 3
+       |ORDER BY window_start, appliance_id""".stripMargin
+
   /** The same metric through the typed [[graft.functions.DutyCycleAggregator]]
     * UDAF — identical results, alternative API packaging (SURVEY.md §7.3).
     */
@@ -594,6 +641,7 @@ object Grid {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_duty_cycle" -> (dutyCycle(_, _)),
+    "q_duty_cycle_prerolled" -> (dutyCyclePrerolled(_, _)),
     "q_duty_cycle_udaf" -> (dutyCycleUdaf(_, _)),
     "q_rollup_1s" -> (qRollup1s(_, _)),
     "q_history_avg" -> (historyAvg(_, _)),
@@ -616,6 +664,7 @@ object Grid {
 
   def oracle: Map[String, String] = Map(
     "q_duty_cycle" -> dutyCycleSql,
+    "q_duty_cycle_prerolled" -> dutyCyclePrerolledSql,
     "q_duty_cycle_udaf" -> dutyCycleUdafSql,
     "q_rollup_1s" -> rollup1sSql,
     "q_history_avg" -> historyAvgSql,

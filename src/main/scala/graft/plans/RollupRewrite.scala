@@ -1,12 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BinaryComparison, Cast, Coalesce, Concat, Divide, ExprId, Expression, GreaterThan, GreaterThanOrEqual, If, In, IntegralDivide, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not, Or, Remainder}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, BinaryComparison, CaseWhen, Cast, Coalesce, Concat, CreateNamedStruct, Divide, ExprId, Expression, GreaterThan, GreaterThanOrEqual, If, In, IntegralDivide, IsNotNull, KnownNullable, LessThan, LessThanOrEqual, Literal, MicrosToTimestamp, Multiply, NamedExpression, Not, Or, PreciseTimestampConversion, Remainder, Subtract}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
 
 /** Rollup-aware aggregate routing (SURVEY.md §4 "materialized
   * pre-aggregation"): Druid answers dashboard aggregates from its ingest-time
@@ -54,10 +54,15 @@ class RollupRewrite(
     // null-bijective at install time (ADVICE r2: never assume the view shape)
     nullBijections: Map[String, String],
     // true only when epoch_s was proven to be exactly `ts div 1e9` at install
-    tsRangeMappable: Boolean)
+    tsRangeMappable: Boolean,
+    // true only when the canonical `time` was proven to be exactly
+    // `timestamp_micros(ts div 1e3)` AND epoch_s `ts div 1e9` at install —
+    // the pair of floor identities that make event-time windows (the
+    // TimeWindowing-generated structs) exact functions of epoch_s
+    timeWindowMappable: Boolean = false)
     extends Rule[LogicalPlan] {
 
-  import RollupRewrite.{analyzeChain, RollupViewName, ServedKeys}
+  import RollupRewrite.{analyzeChain, Branch, RollupViewName, ServedKeys}
 
   private def rollupPlan(): Option[LogicalPlan] =
     try Some(spark.table(RollupViewName).queryExecution.optimizedPlan)
@@ -66,9 +71,12 @@ class RollupRewrite(
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(groups, aggExprs, child, _) =>
       (for {
-        (defs, conds) <- analyzeChain(child)
+        branches <- analyzeChain(child)
         rollup <- rollupPlan()
-        rewritten <- tryRewrite(groups, aggExprs, defs, conds, rollup)
+        rewritten <-
+          if (branches.sizeIs == 1)
+            tryRewrite(groups, aggExprs, branches.head._1, branches.head._2, rollup)
+          else tryRewriteExpand(groups, aggExprs, branches, rollup)
       } yield rewritten).getOrElse(agg)
   }
 
@@ -95,11 +103,99 @@ class RollupRewrite(
     if (!scanExpr.deterministic) return None
     val bySql: Map[String, String] =
       ServedKeys.flatMap(k => canonicalSql.get(k).map(_ -> k)).toMap
+    object MappedWindow {
+      def unapply(e: Expression): Option[Expression] =
+        matchTimeWindowStruct(e).flatMap(mapWindowStruct(_, rollupAttr))
+    }
     val out = scanExpr.transformDown {
+      // a whole TimeWindowing struct first: its leaves go through `time`,
+      // which is not a rollup column — only the struct as a unit maps
+      case MappedWindow(mapped) => mapped
       case e if bySql.contains(e.sql) => rollupAttr(bySql(e.sql))
     }
     val allowed = rollupAttr.values.map(_.exprId).toSet
     if (out.references.forall(r => allowed.contains(r.exprId))) Some(out) else None
+  }
+
+  /** One branch of Catalyst's TimeWindowing expansion, in scan space:
+    * `start = t_us - floorMod(t_us - startTime, slide) - i·slide`,
+    * `end = start + width`, with `t_us = precisetimestampconversion(time)`.
+    */
+  private case class TimeWindowShape(
+      timeExpr: Expression, startTimeUs: Long, slideUs: Long, offsetUs: Long, widthUs: Long)
+
+  /** floorMod as TimeWindowing writes it:
+    * `CASE WHEN (x - st) % slide < 0 THEN (x - st) % slide + slide ELSE (x - st) % slide END`.
+    */
+  private object FloorModCase {
+    def unapply(e: Expression): Option[(Expression, Long, Long)] = e match {
+      case CaseWhen(
+            Seq((LessThan(
+                  r1 @ Remainder(Subtract(x, Literal(st: Long, LongType), _),
+                    Literal(sl: Long, LongType), _),
+                  Literal(0L, LongType)),
+                Add(r2, Literal(sl2: Long, LongType), _))),
+            Some(r3))
+          if sl == sl2 && r1.semanticEquals(r2) && r1.semanticEquals(r3) =>
+        Some((x, st, sl))
+      case _ => None
+    }
+  }
+
+  private def matchTimeWindowStruct(e: Expression): Option[TimeWindowShape] = e match {
+    case CreateNamedStruct(Seq(
+          Literal(k1, StringType),
+          KnownNullable(PreciseTimestampConversion(startE, LongType, TimestampType)),
+          Literal(k2, StringType),
+          KnownNullable(PreciseTimestampConversion(
+            Add(startE2, Literal(w: Long, LongType), _), LongType, TimestampType))))
+        if k1.toString == "start" && k2.toString == "end" && startE.semanticEquals(startE2) =>
+      startE match {
+        case Subtract(Subtract(t1, FloorModCase(t2, st, sl), _), Literal(off: Long, LongType), _)
+            if t1.semanticEquals(t2) =>
+          t1 match {
+            case PreciseTimestampConversion(timeE, TimestampType, LongType) =>
+              Some(TimeWindowShape(timeE, st, sl, off, w))
+            case _ => None
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private val MicrosPerSec = 1000000L
+
+  /** Replay a TimeWindowing branch over the rollup's `epoch_s`. Sound when
+    * (a) the branch's time column is the PROVEN canonical
+    * `timestamp_micros(ts div 1e3)` and epoch_s the proven `ts div 1e9`
+    * (both floors of the same non-negative integer `ts` this table carries,
+    * the standing contract of the ts-range mapping above), and (b) every
+    * window parameter is second-aligned. Then
+    * `floor((t_us - st)/slide) = floor((epoch_s - st_s)/slide_s)` by floor
+    * composition, so the struct computed from epoch_s·1e6 is VALUE-identical
+    * to the one computed from t_us — every raw row of a rollup group lands
+    * in exactly the windows its group does.
+    */
+  private def mapWindowStruct(
+      ws: TimeWindowShape, rollupAttr: Map[String, Attribute]): Option[Expression] = {
+    if (!timeWindowMappable) return None
+    if (!canonicalSql.get("time").contains(ws.timeExpr.sql)) return None
+    if (ws.slideUs <= 0 || ws.widthUs <= 0) return None
+    if (Seq(ws.startTimeUs, ws.slideUs, ws.offsetUs, ws.widthUs).exists(_ % MicrosPerSec != 0))
+      return None
+    val es = rollupAttr("epoch_s")
+    val rem = Remainder(Subtract(es, Literal(ws.startTimeUs / MicrosPerSec)),
+      Literal(ws.slideUs / MicrosPerSec))
+    val floorMod = CaseWhen(Seq((LessThan(rem, Literal(0L)), Add(rem, Literal(ws.slideUs / MicrosPerSec)))), Some(rem))
+    val startUs = Multiply(
+      Subtract(Subtract(es, floorMod), Literal(ws.offsetUs / MicrosPerSec)),
+      Literal(MicrosPerSec))
+    Some(CreateNamedStruct(Seq(
+      Literal("start"),
+      KnownNullable(PreciseTimestampConversion(startUs, LongType, TimestampType)),
+      Literal("end"),
+      KnownNullable(PreciseTimestampConversion(
+        Add(startUs, Literal(ws.widthUs)), LongType, TimestampType)))))
   }
 
   private def tryRewrite(
@@ -114,63 +210,52 @@ class RollupRewrite(
 
     // every grouping expression must map into rollup space (a served key
     // itself, or any deterministic function of served keys — time buckets
-    // like `epoch_s div 5`, concatenated dims, …)
-    val mappedGroups: Seq[Option[Expression]] = groups.map {
-      case a: AttributeReference =>
-        defs.get(a.exprId).flatMap(mapScanExpr(_, rollupAttr))
-      case g =>
-        RollupRewrite.substitute(g, defs).flatMap(mapScanExpr(_, rollupAttr))
+    // like `epoch_s div 5`, concatenated dims, window structs, …). Each
+    // mapped expression is pulled into a Project BELOW the aggregate and the
+    // aggregate groups on its attribute — the PullOutGroupingExpressions
+    // convention. Grouping inline would let a later simplification pass
+    // (e.g. SimplifyExtractValueOps on `window.start` over the recomputed
+    // struct) rewrite a result expression's copy of the grouping subtree
+    // without touching the grouping list, leaving the two unmatchable at
+    // physical planning.
+    val pulled: Seq[(Expression, NamedExpression)] = groups.map { g =>
+      val mapped = (g match {
+        case a: AttributeReference => defs.get(a.exprId).flatMap(mapScanExpr(_, rollupAttr))
+        case other => RollupRewrite.substitute(other, defs).flatMap(mapScanExpr(_, rollupAttr))
+      }) match {
+        case Some(m) => m
+        case None => return None
+      }
+      g match {
+        case a: AttributeReference => (g, Alias(mapped, a.name)(exprId = a.exprId))
+        case other => (other, Alias(mapped, "_rollupgroup")())
+      }
     }
-    if (mappedGroups.exists(_.isEmpty)) return None
+    val newGroups: Seq[Attribute] = pulled.map(_._2.toAttribute)
+    val newGroupIds = newGroups.map(_.exprId).toSet
+
+    /** The below-Project attribute serving this original-space expression. */
+    def groupAttrFor(e: Expression): Option[Attribute] = e match {
+      case a: AttributeReference =>
+        pulled.collectFirst {
+          case (o: AttributeReference, al) if o.exprId == a.exprId => al.toAttribute
+        }
+      case other =>
+        pulled.collectFirst { case (o, al) if !o.isInstanceOf[AttributeReference] &&
+          o.semanticEquals(other) => al.toAttribute }
+    }
 
     // `power` here means: resolves to the canonical measure definition.
     def isPower(a: AttributeReference): Boolean = defMatches(a, "power", defs)
-
-    // Count over empty input is 0, but Sum is NULL — reachable for a global
-    // aggregate whose filter matches no rollup rows (ADVICE r2, high).
-    def sumAsCount(cnt: Attribute): Expression =
-      Coalesce(Seq(Sum(cnt).toAggregateExpression(), Literal(0L)))
+    def isKey(a: AttributeReference): Boolean = ServedKeys.exists(defMatches(a, _, defs))
 
     def rewriteNamed(ne: NamedExpression): Option[NamedExpression] = ne match {
-      case a: AttributeReference =>
-        defs.get(a.exprId).flatMap(mapScanExpr(_, rollupAttr))
-          .map(e => Alias(e, a.name)(exprId = a.exprId))
+      case a: AttributeReference => groupAttrFor(a)
       case al @ Alias(AggregateExpression(f, Complete, false, None, _), name) =>
-        val rewritten: Option[Expression] = f match {
-          // count of anything provably non-null per raw row → row count
-          case Count(args) if args.forall {
-                case l: Literal => l.value != null
-                case a: AttributeReference => !a.nullable &&
-                  (ServedKeys.exists(defMatches(a, _, defs)) || isPower(a))
-                case _ => false
-              } =>
-            Some(Cast(sumAsCount(rollupAttr("cnt")), al.dataType))
-          // count(power) with nullable power → the rollup's null-safe count
-          case Count(Seq(a: AttributeReference)) if isPower(a) =>
-            Some(Cast(sumAsCount(rollupAttr("cnt_power")), al.dataType))
-          case Sum(a: AttributeReference, _) if isPower(a) =>
-            Some(Cast(Sum(rollupAttr("sum_power_dec")).toAggregateExpression(), al.dataType))
-          case Min(a: AttributeReference) if isPower(a) =>
-            Some(Cast(Min(rollupAttr("min_power")).toAggregateExpression(), al.dataType))
-          case Max(a: AttributeReference) if isPower(a) =>
-            Some(Cast(Max(rollupAttr("max_power")).toAggregateExpression(), al.dataType))
-          // avg(power) = sum(power)/count(power): the rollup's decimal sum
-          // over its null-safe count. Division is guarded — count(power)=0
-          // (all-null group, or a global aggregate whose filter matched no
-          // rollup rows) must yield NULL like Average, never a division
-          // error or 0/0.
-          case Average(a: AttributeReference, _) if isPower(a) =>
-            val s = Sum(rollupAttr("sum_power_dec")).toAggregateExpression()
-            val c = Sum(rollupAttr("cnt_power")).toAggregateExpression()
-            val div = Divide(Cast(s, DoubleType), Cast(c, DoubleType))
-            Some(Cast(
-              If(GreaterThan(Coalesce(Seq(c, Literal(0L))), Literal(0L)),
-                div, Literal.create(null, DoubleType)),
-              al.dataType))
-          case _ => None
-        }
-        rewritten.map(e => Alias(e, name)(exprId = al.exprId))
-      // non-aggregate alias: a (derived) grouping projection. The guard is
+        rewriteAggFunc(f, al.dataType, isPower, isKey, rollupAttr)
+          .map(e => Alias(e, name)(exprId = al.exprId))
+      // non-aggregate alias: a (derived) grouping projection — every leaf
+      // must resolve to a grouping attribute. The no-aggregate guard is
       // load-bearing: an alias whose child CONTAINS an aggregate in any
       // shape the strict case above does not match (nested in arithmetic,
       // FILTER clause, distinct) must reject the whole rewrite — treating it
@@ -178,8 +263,12 @@ class RollupRewrite(
       // rows instead of raw rows.
       case al @ Alias(child, name)
           if !child.exists(_.isInstanceOf[AggregateExpression]) =>
-        RollupRewrite.substitute(child, defs).flatMap(mapScanExpr(_, rollupAttr))
-          .map(e => Alias(e, name)(exprId = al.exprId))
+        val sub = child.transformDown {
+          case e if groupAttrFor(e).isDefined => groupAttrFor(e).get
+        }
+        if (sub.references.forall(r => newGroupIds.contains(r.exprId)))
+          Some(Alias(sub, name)(exprId = al.exprId))
+        else None
       case _ => None
     }
 
@@ -187,12 +276,143 @@ class RollupRewrite(
     if (newAggExprs.exists(_.isEmpty)) return None
     val mappedConds = conds.map(mapCond(_, rollupAttr))
     if (mappedConds.exists(_.isEmpty)) return None
-    val newGroups: Seq[Expression] = mappedGroups.flatten
+    val filtered = mappedConds.flatten
+      .reduceOption(And)
+      .map(Filter(_, rollup))
+      .getOrElse(rollup)
+    val measures: Seq[NamedExpression] =
+      Seq("cnt", "cnt_power", "min_power", "max_power", "sum_power_dec").map(rollupAttr)
+    val child = Project(pulled.map(_._2) ++ measures, filtered)
+    Some(Aggregate(newGroups, newAggExprs.map(_.get), child))
+  }
+
+  // Count over empty input is 0, but Sum is NULL — reachable for a global
+  // aggregate whose filter matches no rollup rows (ADVICE r2, high).
+  private def sumAsCount(cnt: Attribute): Expression =
+    Coalesce(Seq(Sum(cnt).toAggregateExpression(), Literal(0L)))
+
+  /** Map one raw-space aggregate function onto the rollup's partial columns.
+    * `isPower`/`isKey` carry the caller's proof that an attribute resolves to
+    * the canonical measure / a served key (in EVERY branch, for Expand plans).
+    */
+  private def rewriteAggFunc(
+      f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction,
+      resultType: org.apache.spark.sql.types.DataType,
+      isPower: AttributeReference => Boolean,
+      isKey: AttributeReference => Boolean,
+      rollupAttr: Map[String, Attribute]): Option[Expression] = f match {
+    // count of anything provably non-null per raw row → row count
+    case Count(args) if args.forall {
+          case l: Literal => l.value != null
+          case a: AttributeReference => !a.nullable && (isKey(a) || isPower(a))
+          case _ => false
+        } =>
+      Some(Cast(sumAsCount(rollupAttr("cnt")), resultType))
+    // count(power) with nullable power → the rollup's null-safe count
+    case Count(Seq(a: AttributeReference)) if isPower(a) =>
+      Some(Cast(sumAsCount(rollupAttr("cnt_power")), resultType))
+    case Sum(a: AttributeReference, _) if isPower(a) =>
+      Some(Cast(Sum(rollupAttr("sum_power_dec")).toAggregateExpression(), resultType))
+    case Min(a: AttributeReference) if isPower(a) =>
+      Some(Cast(Min(rollupAttr("min_power")).toAggregateExpression(), resultType))
+    case Max(a: AttributeReference) if isPower(a) =>
+      Some(Cast(Max(rollupAttr("max_power")).toAggregateExpression(), resultType))
+    // avg(power) = sum(power)/count(power): the rollup's decimal sum
+    // over its null-safe count. Division is guarded — count(power)=0
+    // (all-null group, or a global aggregate whose filter matched no
+    // rollup rows) must yield NULL like Average, never a division
+    // error or 0/0.
+    case Average(a: AttributeReference, _) if isPower(a) =>
+      val s = Sum(rollupAttr("sum_power_dec")).toAggregateExpression()
+      val c = Sum(rollupAttr("cnt_power")).toAggregateExpression()
+      val div = Divide(Cast(s, DoubleType), Cast(c, DoubleType))
+      Some(Cast(
+        If(GreaterThan(Coalesce(Seq(c, Literal(0L))), Literal(0L)),
+          div, Literal.create(null, DoubleType)),
+        resultType))
+    case _ => None
+  }
+
+  /** Rewrite an Aggregate over a TimeWindowing-style [[Expand]] chain: the
+    * sliding-window fan-out each raw row takes (one copy per overlapping
+    * window) is replayed over the rollup — one copy per ROLLUP GROUP — which
+    * is exact because every branch's projections were proven functions of
+    * rollup group keys, so all raw rows of a group land in the same branches
+    * with the same values. At scale this turns "expand 100 TB of raw readings
+    * ×5, then shuffle" into "expand the 1-second rollup ×5, then shuffle".
+    *
+    * Conservative gates: every chain filter must sit BELOW the expand (be
+    * branch-independent) — TimeWindowing's validity filter for
+    * window % slide != 0 windows is branch-dependent and rejects — and every
+    * grouping must be a bare Expand-output attribute (the shape groupBy
+    * produces); anything else falls back to the raw plan.
+    */
+  private def tryRewriteExpand(
+      groups: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      branches: Seq[Branch],
+      rollup: LogicalPlan): Option[LogicalPlan] = {
+    val rollupAttr: Map[String, Attribute] = rollup.output.map(a => a.name -> a).toMap
+    val measureNames = Seq("cnt", "cnt_power", "min_power", "max_power", "sum_power_dec")
+    if (!(ServedKeys ++ measureNames).forall(rollupAttr.contains)) return None
+
+    // all filters must be branch-independent (they sat below the Expand)
+    val conds0 = branches.head._2
+    val condsShared = branches.forall { case (_, cs) =>
+      cs.length == conds0.length && cs.zip(conds0).forall { case (a, b) => a.semanticEquals(b) }
+    }
+    if (!condsShared) return None
+    val mappedConds = conds0.map(mapCond(_, rollupAttr))
+    if (mappedConds.exists(_.isEmpty)) return None
+
+    val groupAttrs: Seq[AttributeReference] = groups.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    // each grouping's per-branch definition must map into rollup space
+    val mappedGroupsPerBranch: Seq[Seq[Expression]] = branches.map { case (defs, _) =>
+      groupAttrs.map { a =>
+        defs.get(a.exprId).flatMap(mapScanExpr(_, rollupAttr)) match {
+          case Some(m) => m
+          case None => return None
+        }
+      }
+    }
+
+    // measure/key proofs must hold in EVERY branch
+    def isPowerAll(a: AttributeReference): Boolean =
+      branches.forall { case (defs, _) => defMatches(a, "power", defs) }
+    def isKeyAll(a: AttributeReference): Boolean =
+      ServedKeys.exists(k => branches.forall { case (defs, _) => defMatches(a, k, defs) })
+
+    val groupIds = groupAttrs.map(_.exprId).toSet
+    val newAggExprs: Seq[Option[NamedExpression]] = aggExprs.map {
+      // a grouping passthrough: the new Expand re-emits it under the same id
+      case a: AttributeReference if groupIds.contains(a.exprId) => Some(a)
+      case al @ Alias(AggregateExpression(f, Complete, false, None, _), name) =>
+        rewriteAggFunc(f, al.dataType, isPowerAll, isKeyAll, rollupAttr)
+          .map(e => Alias(e, name)(exprId = al.exprId))
+      // a grouping projection over grouping attributes only (e.g. the
+      // collapsed `cast(window.start as bigint)`): the new Expand re-emits
+      // those attributes, so the alias carries over verbatim
+      case al @ Alias(child, _)
+          if !child.exists(_.isInstanceOf[AggregateExpression]) &&
+            child.references.forall(r => groupIds.contains(r.exprId)) =>
+        Some(al)
+      case _ => None
+    }
+    if (newAggExprs.exists(_.isEmpty)) return None
+
+    val measures: Seq[Attribute] = measureNames.map(rollupAttr)
     val child = mappedConds.flatten
       .reduceOption(And)
       .map(Filter(_, rollup))
       .getOrElse(rollup)
-    Some(Aggregate(newGroups, newAggExprs.map(_.get), child))
+    val expand = Expand(
+      mappedGroupsPerBranch.map(_ ++ measures),
+      groupAttrs ++ measures,
+      child)
+    Some(Aggregate(groupAttrs, newAggExprs.map(_.get), expand))
   }
 
   /** Map a scan-space predicate onto rollup columns. Every atom must be a
@@ -261,6 +481,12 @@ class RollupRewrite(
         x match {
           case a: AttributeReference if nullBijections.contains(a.name) =>
             Some(IsNotNull(rollupAttr(nullBijections(a.name))))
+          // the canonical time column (TimeWindowing pushes isnotnull(time)
+          // to the scan): time = timestamp_micros(ts div 1e3) and
+          // epoch_s = ts div 1e9 are both null exactly when ts is — proven
+          // structurally at install (timeWindowMappable)
+          case _ if timeWindowMappable && canonicalSql.get("time").contains(x.sql) =>
+            Some(IsNotNull(rollupAttr("epoch_s")))
           case _ => mapScanExpr(x, rollupAttr).map(IsNotNull)
         }
       case _ => None
@@ -273,36 +499,68 @@ object RollupRewrite {
 
   private[plans] val ServedKeys = Set("house_id", "appliance_id", "appliance_name", "epoch_s")
 
-  /** Measure + keys whose canonical definitions the rule validates. */
-  private val CanonicalCols = ServedKeys + "power"
+  /** Measure + keys whose canonical definitions the rule requires. */
+  private val RequiredCols = ServedKeys + "power"
 
-  /** Walk a Project/Filter chain down to the raw events parquet relation,
-    * composing projections so every output attribute (and every filter
-    * condition found along the way) is expressed over the SCAN's own
+  /** [[RequiredCols]] plus optional defs captured when the view has them
+    * (`time` enables event-time-window routing).
+    */
+  private val CanonicalCols = RequiredCols + "time"
+
+  /** One branch of a chain: scan-space definitions of the visible output
+    * attributes (keyed by ExprId) plus the scan-space filter conditions
+    * gathered along the way. Plans without an [[Expand]] have exactly one.
+    */
+  private[plans] type Branch = (Map[ExprId, Expression], Seq[Expression])
+
+  /** Walk a Project/Filter/Expand chain down to the raw events parquet
+    * relation, composing projections so every output attribute (and every
+    * filter condition found along the way) is expressed over the SCAN's own
     * columns. Keyed by ExprId, never by name: optimizer rules emit
     * duplicate output names (PullOutGroupingExpressions aliases every
     * derived grouping as `_groupingexpression`), and a name-keyed map would
-    * silently collapse them. Any node that is not a
-    * Project/Filter/events-scan, or any column that does not resolve,
-    * rejects the chain.
+    * silently collapse them. An [[Expand]] (what `groupBy(window(...))`
+    * lowers to) multiplies branches — one defs map per projection list; a
+    * Filter above it contributes per-branch conditions. Any node that is not
+    * a Project/Filter/Expand/events-scan, or any column that does not
+    * resolve, rejects the chain.
     */
-  private[plans] def analyzeChain(
-      p: LogicalPlan): Option[(Map[ExprId, Expression], Seq[Expression])] = p match {
+  private[plans] def analyzeChain(p: LogicalPlan): Option[Seq[Branch]] = p match {
     case l: LogicalRelation if isEventsScan(l) =>
-      Some((l.output.map(a => a.exprId -> (a: Expression)).toMap, Nil))
+      Some(Seq((l.output.map(a => a.exprId -> (a: Expression)).toMap, Nil)))
     case pr: Project =>
-      analyzeChain(pr.child).flatMap { case (defs, conds) =>
-        val resolved = pr.projectList.map {
-          case a: AttributeReference => defs.get(a.exprId).map(a.exprId -> _)
-          case al @ Alias(child, _) => substitute(child, defs).map(al.exprId -> _)
-          case _ => None
+      analyzeChain(pr.child).flatMap { branches =>
+        val mapped: Seq[Option[Branch]] = branches.map { case (defs, conds) =>
+          val resolved = pr.projectList.map {
+            case a: AttributeReference => defs.get(a.exprId).map(a.exprId -> _)
+            case al @ Alias(child, _) => substitute(child, defs).map(al.exprId -> _)
+            case _ => None
+          }
+          if (resolved.exists(_.isEmpty)) None
+          else Some((resolved.flatten.toMap, conds))
         }
-        if (resolved.exists(_.isEmpty)) None
-        else Some((resolved.flatten.toMap, conds))
+        if (mapped.exists(_.isEmpty)) None else Some(mapped.flatten)
       }
     case f: Filter =>
-      analyzeChain(f.child).flatMap { case (defs, conds) =>
-        substitute(f.condition, defs).map(c => (defs, conds :+ c))
+      analyzeChain(f.child).flatMap { branches =>
+        val mapped: Seq[Option[Branch]] = branches.map { case (defs, conds) =>
+          substitute(f.condition, defs).map(c => (defs, conds :+ c))
+        }
+        if (mapped.exists(_.isEmpty)) None else Some(mapped.flatten)
+      }
+    case e: Expand =>
+      analyzeChain(e.child).flatMap { branches =>
+        val mapped: Seq[Option[Branch]] = for {
+          (defs, conds) <- branches
+          proj <- e.projections
+        } yield {
+          val resolved = e.output.zip(proj).map { case (attr, ex) =>
+            substitute(ex, defs).map(attr.exprId -> _)
+          }
+          if (resolved.exists(_.isEmpty)) None
+          else Some((resolved.flatten.toMap, conds))
+        }
+        if (mapped.exists(_.isEmpty)) None else Some(mapped.flatten)
       }
     case _ => None
   }
@@ -378,6 +636,20 @@ object RollupRewrite {
       case _ => false
     }
 
+  /** The canonical `time` is EXACTLY `timestamp_micros(ts div 1e3)` over the
+    * scan's long nanosecond `ts` — with [[tsSecondFloorProven]], the floor
+    * identities that let event-time window structs be recomputed from
+    * `epoch_s` (and `isnotnull(time)` map to `isnotnull(epoch_s)`: both are
+    * null exactly when `ts` is, through null-propagating non-null-preserving
+    * shapes).
+    */
+  private[plans] def timeMicrosProven(defs: Map[String, Expression]): Boolean =
+    defs.get("time").exists {
+      case MicrosToTimestamp(IntegralDivide(a: AttributeReference, Literal(us, LongType), _)) =>
+        a.name == "ts" && a.dataType == LongType && us == 1000L
+      case _ => false
+    }
+
   /** Sessions whose rollup rule is live, for the extension-injected delegate
     * ([[graft.GraftExtensions]]). Weak keys: a dropped session must not be
     * pinned by its installed rule.
@@ -414,17 +686,19 @@ object RollupRewrite {
     // one place names are authoritative: the canonical view's own schema)
     val plan = canonicalRaw.queryExecution.optimizedPlan
     val byId: Map[ExprId, Expression] =
-      analyzeChain(plan).map(_._1).getOrElse(Map.empty)
+      analyzeChain(plan).collect { case Seq((defs, _)) => defs }.getOrElse(Map.empty)
     val canonicalDefs: Map[String, Expression] =
       plan.output.flatMap(a => byId.get(a.exprId).map(a.name -> _))
         .toMap.filter { case (n, _) => CanonicalCols(n) }
     val canonicalSql = canonicalDefs.map { case (n, e) => n -> e.sql }
-    require(CanonicalCols.forall(canonicalSql.contains),
-      s"canonicalRaw must expose ${CanonicalCols.mkString(", ")} over the events scan")
+    require(RequiredCols.forall(canonicalSql.contains),
+      s"canonicalRaw must expose ${RequiredCols.mkString(", ")} over the events scan")
     uninstall(spark)
     val rule = new RollupRewrite(
       spark, canonicalSql,
-      validatedNullBijections(canonicalDefs), tsSecondFloorProven(canonicalDefs))
+      validatedNullBijections(canonicalDefs), tsSecondFloorProven(canonicalDefs),
+      timeWindowMappable =
+        tsSecondFloorProven(canonicalDefs) && timeMicrosProven(canonicalDefs))
     installed.put(spark, rule)
     if (!extensionConfigured(spark)) {
       spark.experimental.extraOptimizations =

@@ -54,6 +54,38 @@ object StreamingDutyCycle {
       .withColumn("time_end", col("window.end"))
       .drop("window", "c_all", "c_duty")
 
+  /** [[plan]] with the rollup discipline applied INSIDE the stream: a
+    * 1-second tumbling pre-aggregate (the Druid-style ingest rollup) feeds
+    * the sliding window — chained stateful aggregations, which Spark plans
+    * natively in append mode. The ×(window/slide) fan-out and the sliding
+    * window's state store then see one row per appliance-second instead of
+    * every raw reading — the streaming twin of `Grid.dutyCyclePrerolled`.
+    * Exact: every 1 s bucket [s, s+1) lies wholly inside each sliding window
+    * containing s (all bounds second-aligned), so per-second counts sum to
+    * exactly the sliding window's counts, threshold leg included (the
+    * comparison runs per reading, before the pre-aggregate).
+    */
+  def planPrerolled(
+      readings: DataFrame,
+      conf: GridConfig = GridConfig()): DataFrame =
+    readings
+      .withWatermark("time", s"${conf.watermarkSec} seconds")
+      .groupBy(
+        window(col("time"), "1 second"),
+        col("house_id"),
+        col("appliance_id"))
+      .agg(
+        count("power").as("s_all"),
+        count(when(col("power") > conf.powerThreshold, true)).as("s_duty"))
+      .groupBy(
+        window(col("window"), s"${conf.windowSec} seconds", s"${conf.slideSec} seconds"),
+        col("house_id"),
+        col("appliance_id"))
+      .agg(sum("s_all").as("c_all"), sum("s_duty").as("c_duty"))
+      .withColumn("duty_cycle", col("c_duty") / col("c_all"))
+      .withColumn("time_end", col("window.end"))
+      .drop("window", "c_all", "c_duty")
+
   /** JSON sink projection (`duty_cycle_avro.py:83`): field order pinned to the
     * reference's struct order for byte-compatible downstream consumers.
     */

@@ -199,6 +199,85 @@ class RollupRewriteSpec extends AnyFunSuite with SharedSpark {
     } finally RollupRewrite.uninstall(spark)
   }
 
+  test("tumbling event-time windows route to the rollup (VERDICT r3 #4)") {
+    install()
+    try {
+      // window == slide → TimeWindowing lowers to a Project computing the
+      // struct from `time`; the struct matcher must recompute it from epoch_s
+      val q = raw.groupBy(window(col("time"), "5 seconds"), col("house_id"))
+        .agg(count(lit(1)).as("n"), sum("power").as("p"))
+        .select(col("window.start").cast("long").as("ws"), col("house_id"), col("n"), col("p"))
+        .orderBy("ws", "house_id")
+      assert(routed(q), s"expected rollup routing, got:\n${q.queryExecution.optimizedPlan}")
+      val viaRollup = q.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      RollupRewrite.uninstall(spark)
+      val direct = raw.groupBy(window(col("time"), "5 seconds"), col("house_id"))
+        .agg(count(lit(1)).as("n"), sum("power").as("p"))
+        .select(col("window.start").cast("long").as("ws"), col("house_id"), col("n"), col("p"))
+        .orderBy("ws", "house_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(viaRollup.length == direct.length && viaRollup.length > 0)
+      viaRollup.zip(direct).foreach { case (a, b) =>
+        assert(a._1 == b._1 && a._2 == b._2 && a._3 == b._3, s"$a vs $b")
+        assert(math.abs(a._4 - b._4) <= 1e-9 * math.max(1.0, math.abs(b._4)), s"$a vs $b")
+      }
+    } finally RollupRewrite.uninstall(spark)
+  }
+
+  test("sliding event-time windows replay the Expand over the rollup (VERDICT r3 #4)") {
+    install()
+    try {
+      // the duty cycle's 25s/5s window: raw rows fan out ×5 through an
+      // Expand; the rewrite must fan out ROLLUP GROUPS ×5 instead
+      def windowed(src: org.apache.spark.sql.DataFrame) = src
+        .groupBy(window(col("time"), "25 seconds", "5 seconds"),
+          col("house_id"), col("appliance_id"))
+        .agg(count("power").as("c_all"), sum("power").as("sum_p"))
+        .select(col("window.start").cast("long").as("window_start"),
+          col("house_id"), col("appliance_id"), col("c_all"), col("sum_p"))
+        .orderBy("window_start", "appliance_id")
+      val q = windowed(raw)
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(routed(q), s"expected rollup routing, got:\n$plan")
+      assert(plan.contains("Expand"), s"sliding-window route must keep the Expand:\n$plan")
+      val viaRollup = q.collect().map(_.toSeq)
+      RollupRewrite.uninstall(spark)
+      val direct = windowed(raw).collect().map(_.toSeq)
+      assert(viaRollup.length == direct.length && viaRollup.length > 0)
+      viaRollup.zip(direct).foreach { case (a, b) =>
+        a.zip(b).foreach {
+          case (x: Double, y: Double) =>
+            assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)), s"$x vs $y")
+          case (x, y) => assert(x == y, s"$x vs $y")
+        }
+      }
+    } finally RollupRewrite.uninstall(spark)
+  }
+
+  test("windowed aggregates outside the proven mapping are left on raw") {
+    install()
+    try {
+      // the duty cycle's conditional count needs per-reading thresholds the
+      // rollup cannot serve — the whole aggregate must stay on raw
+      val duty = raw
+        .groupBy(window(col("time"), "25 seconds", "5 seconds"), col("house_id"))
+        .agg(count(when(col("power") > 5.0, true)).as("c_duty"))
+      assert(!routed(duty), "per-reading threshold count must not route")
+      assert(duty.queryExecution.optimizedPlan.toString.contains("user_id"))
+      // sub-second window parameters epoch_s cannot express
+      val subSec = raw
+        .groupBy(window(col("time"), "2500 milliseconds", "500 milliseconds"))
+        .agg(count(lit(1)).as("n"))
+      assert(!routed(subSec), "sub-second windows must not route")
+      // a window over a NON-canonical timestamp (shifted by 1ms) must reject
+      val shifted = raw
+        .withColumn("t2", timestamp_micros(expr("ts_ns div 1000 + 1000")))
+        .groupBy(window(col("t2"), "5 seconds"))
+        .agg(count(lit(1)).as("n"))
+      assert(!routed(shifted), "non-canonical time column must not route")
+    } finally RollupRewrite.uninstall(spark)
+  }
+
   test("rewrite keeps exact sums (decimal-backed rollup)") {
     install()
     try {

@@ -65,6 +65,43 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally query.stop()
   }
 
+  test("pre-rolled duty cycle (chained stateful aggs) matches the single-level plan") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val conf = GridConfig(windowMin = 2, playbackSpeed = 12, watermarkSec = 2)
+    def run(name: String, two: Boolean): Set[(Long, String, Double)] = {
+      val input = MemoryStream[PowerReading]
+      val df = if (two) StreamingDutyCycle.planPrerolled(input.toDF(), conf)
+        else StreamingDutyCycle.plan(input.toDF(), conf)
+      val query = df.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        // several readings per appliance-second so the pre-aggregate actually
+        // collapses rows; a below-threshold second; two appliances
+        input.addData(
+          reading(100, 10.0), reading(100, 1.0), reading(100, 7.0),
+          reading(102, 1.0), reading(102, 2.0),
+          reading(104, 10.0), reading(100, 6.0, app = "h0_a1"))
+        query.processAllAvailable()
+        input.addData(reading(200, 3.0))
+        query.processAllAvailable()
+        input.addData(reading(400, 3.0)) // close everything
+        query.processAllAvailable()
+        spark.table(name)
+          .select("time_end", "appliance_id", "duty_cycle")
+          .collect()
+          .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getDouble(2)))
+          .toSet
+      } finally query.stop()
+    }
+    val single = run("duty_single", two = false)
+    val prerolled = run("duty_prerolled", two = true)
+    assert(prerolled == single,
+      s"two-level streaming plan diverged:\nonly-single=${single -- prerolled}\nonly-two=${prerolled -- single}")
+    // the windows really closed (5 per covered reading second, 2 appliances)
+    assert(single.nonEmpty && single.exists(_._3 == 2.0 / 3.0))
+  }
+
   test("late data beyond the watermark is dropped from closed windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
