@@ -226,6 +226,43 @@ object Bench {
         worst)
     } catch { case t: Throwable => (s""","scale_probe_skew":{"error":"${jsonErr(t)}"}""", -1.0) }
 
+    // Rollup-serving demonstration: the same sliding-window count, once over
+    // raw events and once with RollupRewrite routing it onto the materialized
+    // 1 s rollup (the Expand replays over rollup groups). The speedup is the
+    // raw-rows/rollup-groups ratio the rewrite buys every dashboard query —
+    // at 100 TB the served plan reads the rollup table instead of the fact
+    // table.
+    val rollupServingJson = try {
+      import org.apache.spark.sql.functions._
+      val rollupDir = java.nio.file.Files.createTempDirectory("graft_rollup_bench").toString
+      graft.sources.RollupTable.materialize(spark, sfDir, rollupDir)
+      def windowedCount() = graft.operators.Grid.powerReadings(spark, sfDir)
+        .groupBy(window(col("time"), "25 seconds", "5 seconds"),
+          col("house_id"), col("appliance_id"))
+        .agg(count("power").as("c_all"))
+      def time2(): Double = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          windowedCount().count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(once(), once())
+      }
+      val rawSec = time2()
+      graft.plans.RollupRewrite.install(
+        spark, rollupDir, graft.operators.Grid.powerReadings(spark, sfDir))
+      val servedSec =
+        try {
+          val plan = windowedCount().queryExecution.optimizedPlan.toString
+          require(!plan.contains("user_id"), s"window count did not route:\n$plan")
+          time2()
+        } finally graft.plans.RollupRewrite.uninstall(spark)
+      cleanup(rollupDir)
+      s""","rollup_serving":{"windowed_count_raw_sec":$rawSec,""" +
+        s""""windowed_count_served_sec":$servedSec,""" +
+        s""""speedup":${if (servedSec > 0) rawSec / servedSec else -1.0}}"""
+    } catch { case t: Throwable => s""","rollup_serving":{"error":"${jsonErr(t)}"}""" }
+
     // Streaming throughput vs BASELINE.md's one published number (≥100k
     // msg/s sustained ingest): run the duty-cycle streaming plan over a 1M-row
     // file source (MemoryStream would measure the driver's single-threaded
@@ -274,7 +311,7 @@ object Bench {
       s""""worst_probe_ratio":$probeWorst,"worst_skew_ratio":$skewWorst,""" +
       s""""streaming_rows_per_sec":$streamingRps}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-      s"""$summary$streamingJson$probeJson$skewJson,"queries":$qs,$summary}""")
+      s"""$summary$streamingJson$rollupServingJson$probeJson$skewJson,"queries":$qs,$summary}""")
     spark.stop()
   }
 }

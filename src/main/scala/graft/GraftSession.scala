@@ -37,14 +37,33 @@ object GraftSession {
     * at `rollupPath`, and the rollup-routing rule installed. After this, the
     * full surface is available through plain `spark.sql` — dashboard tiles
     * included, served from the rollup where the rewrite proves it exact.
+    *
+    * `coarseGranularities` materializes additional lattice levels under
+    * `rollupPath_<g>s` (each re-aggregated from the previous finer level) and
+    * installs them: minute/hour tiles then read tables that are another
+    * 60×/3600× smaller than the 1 s rollup.
     */
-  def open(sfDir: String, rollupPath: String, appName: String = "graft"): SparkSession = {
+  def open(
+      sfDir: String,
+      rollupPath: String,
+      appName: String = "graft",
+      coarseGranularities: Seq[Long] = Nil): SparkSession = {
     val spark = create(appName).newSession()
     Tables.tune(spark)
     Tables.registerViews(spark, sfDir)
     sources.RollupTable.materialize(spark, sfDir, rollupPath)
+    val coarse = coarseGranularities.distinct.sorted.foldLeft(
+      List.empty[(String, Long)]) { (done, g) =>
+      // derive from the coarsest already-built level that divides g (floor
+      // composition needs prev | g); otherwise fall back to the 1 s table
+      val src = done.collectFirst { case (p, pg) if g % pg == 0 => p }
+        .getOrElse(rollupPath)
+      val path = s"${rollupPath}_${g}s"
+      sources.RollupTable.materializeCoarse(spark, src, path, g)
+      (path, g) :: done
+    }
     plans.RollupRewrite.install(
-      spark, rollupPath, operators.Grid.powerReadings(spark, sfDir))
+      spark, rollupPath, operators.Grid.powerReadings(spark, sfDir), coarse)
     spark
   }
 }

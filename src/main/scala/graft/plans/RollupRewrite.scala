@@ -59,25 +59,32 @@ class RollupRewrite(
     // `timestamp_micros(ts div 1e3)` AND epoch_s `ts div 1e9` at install —
     // the pair of floor identities that make event-time windows (the
     // TimeWindowing-generated structs) exact functions of epoch_s
-    timeWindowMappable: Boolean = false)
+    timeWindowMappable: Boolean = false,
+    // the rollup lattice, coarsest first: (granularity seconds, view name).
+    // A coarser table stores g-floored `epoch_s`; a query routes to it only
+    // when every time expression is PROVEN g-invariant (see gInvariant /
+    // the aligned-literal comparison rules), so the rule always picks the
+    // smallest table that can answer exactly.
+    rollups: Seq[(Long, String)] = Seq((1L, RollupRewrite.RollupViewName)))
     extends Rule[LogicalPlan] {
 
-  import RollupRewrite.{analyzeChain, Branch, RollupViewName, ServedKeys}
+  import RollupRewrite.{analyzeChain, Branch, ServedKeys}
 
-  private def rollupPlan(): Option[LogicalPlan] =
-    try Some(spark.table(RollupViewName).queryExecution.optimizedPlan)
+  private def rollupPlan(view: String): Option[LogicalPlan] =
+    try Some(spark.table(view).queryExecution.optimizedPlan)
     catch { case _: Exception => None }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(groups, aggExprs, child, _) =>
-      (for {
-        branches <- analyzeChain(child)
-        rollup <- rollupPlan()
-        rewritten <-
-          if (branches.sizeIs == 1)
-            tryRewrite(groups, aggExprs, branches.head._1, branches.head._2, rollup)
-          else tryRewriteExpand(groups, aggExprs, branches, rollup)
-      } yield rewritten).getOrElse(agg)
+      analyzeChain(child).flatMap { branches =>
+        rollups.view.flatMap { case (g, view) =>
+          rollupPlan(view).flatMap { rollup =>
+            if (branches.sizeIs == 1)
+              tryRewrite(groups, aggExprs, branches.head._1, branches.head._2, rollup, g)
+            else tryRewriteExpand(groups, aggExprs, branches, rollup, g)
+          }
+        }.headOption
+      }.getOrElse(agg)
   }
 
   /** The attribute's scan-space definition matches the canonical power-view
@@ -99,13 +106,14 @@ class RollupRewrite(
     * dashboard's time-bucketed tiles (`epoch_s div 5`) to the rollup.
     */
   private def mapScanExpr(
-      scanExpr: Expression, rollupAttr: Map[String, Attribute]): Option[Expression] = {
+      scanExpr: Expression, rollupAttr: Map[String, Attribute],
+      g: Long): Option[Expression] = {
     if (!scanExpr.deterministic) return None
     val bySql: Map[String, String] =
       ServedKeys.flatMap(k => canonicalSql.get(k).map(_ -> k)).toMap
     object MappedWindow {
       def unapply(e: Expression): Option[Expression] =
-        matchTimeWindowStruct(e).flatMap(mapWindowStruct(_, rollupAttr))
+        matchTimeWindowStruct(e).flatMap(mapWindowStruct(_, rollupAttr, g))
     }
     val out = scanExpr.transformDown {
       // a whole TimeWindowing struct first: its leaves go through `time`,
@@ -177,11 +185,16 @@ class RollupRewrite(
     * in exactly the windows its group does.
     */
   private def mapWindowStruct(
-      ws: TimeWindowShape, rollupAttr: Map[String, Attribute]): Option[Expression] = {
+      ws: TimeWindowShape, rollupAttr: Map[String, Attribute],
+      g: Long): Option[Expression] = {
     if (!timeWindowMappable) return None
     if (!canonicalSql.get("time").contains(ws.timeExpr.sql)) return None
     if (ws.slideUs <= 0 || ws.widthUs <= 0) return None
     if (Seq(ws.startTimeUs, ws.slideUs, ws.offsetUs, ws.widthUs).exists(_ % MicrosPerSec != 0))
+      return None
+    // a g-floored epoch_s computes the same start when every second
+    // parameter is a multiple of g (same floor-composition argument)
+    if (Seq(ws.startTimeUs, ws.slideUs, ws.offsetUs).exists(_ % (g * MicrosPerSec) != 0))
       return None
     val es = rollupAttr("epoch_s")
     val rem = Remainder(Subtract(es, Literal(ws.startTimeUs / MicrosPerSec)),
@@ -198,15 +211,55 @@ class RollupRewrite(
         Add(startUs, Literal(ws.widthUs)), LongType, TimestampType)))))
   }
 
+  /** The µs window-start core [[mapWindowStruct]] emits over rollup space:
+    * `(es - floorMod(es - st, sl) - off) * 1e6`. Matched by [[gInvariant]] to
+    * re-extract the second parameters for the granularity proof.
+    */
+  private object RollupWindowStart {
+    def unapply(e: Expression): Option[(AttributeReference, Long, Long, Long)] = e match {
+      case Multiply(
+            Subtract(Subtract(a: AttributeReference, FloorModCase(x, st, sl), _),
+              Literal(off: Long, LongType), _),
+            Literal(1000000L, LongType), _)
+          if x.semanticEquals(a) =>
+        Some((a, st, sl, off))
+      case _ => None
+    }
+  }
+
+  /** `e` evaluates identically on g-floored `epoch_s` values as on raw epoch
+    * seconds. Proven structurally: every reference to the rollup's epoch_s
+    * sits either under `epoch_s div k` with k % g == 0 (floor composition:
+    * `floor(floor(s/g)·g / k) = floor(s/k)` when g | k), or inside a window
+    * start this rule emitted whose startTime/slide/offset seconds are all
+    * multiples of g (same argument on the floor-mod form). Anything else that
+    * touches epoch_s — a bare grouping, `epoch_s div 5` against a 60 s table —
+    * fails, and the lattice walk falls through to the next finer granularity.
+    */
+  private def gInvariant(e: Expression, g: Long, es: Attribute): Boolean = {
+    if (g == 1L) return true
+    def check(x: Expression): Boolean = x match {
+      case IntegralDivide(a: AttributeReference, Literal(k: java.lang.Long, LongType), _)
+          if a.exprId == es.exprId => k % g == 0
+      case RollupWindowStart(a, st, sl, off) if a.exprId == es.exprId =>
+        st % g == 0 && sl % g == 0 && off % g == 0
+      case a: AttributeReference => a.exprId != es.exprId
+      case other => other.children.forall(check)
+    }
+    check(e)
+  }
+
   private def tryRewrite(
       groups: Seq[Expression],
       aggExprs: Seq[NamedExpression],
       defs: Map[ExprId, Expression],
       conds: Seq[Expression],
-      rollup: LogicalPlan): Option[LogicalPlan] = {
+      rollup: LogicalPlan,
+      g: Long): Option[LogicalPlan] = {
     val rollupAttr: Map[String, Attribute] = rollup.output.map(a => a.name -> a).toMap
     val rollupCols = ServedKeys ++ Set("cnt", "cnt_power", "min_power", "max_power", "sum_power_dec")
     if (!rollupCols.forall(rollupAttr.contains)) return None
+    val epochAttr = rollupAttr("epoch_s")
 
     // every grouping expression must map into rollup space (a served key
     // itself, or any deterministic function of served keys — time buckets
@@ -218,16 +271,16 @@ class RollupRewrite(
     // struct) rewrite a result expression's copy of the grouping subtree
     // without touching the grouping list, leaving the two unmatchable at
     // physical planning.
-    val pulled: Seq[(Expression, NamedExpression)] = groups.map { g =>
-      val mapped = (g match {
-        case a: AttributeReference => defs.get(a.exprId).flatMap(mapScanExpr(_, rollupAttr))
-        case other => RollupRewrite.substitute(other, defs).flatMap(mapScanExpr(_, rollupAttr))
+    val pulled: Seq[(Expression, NamedExpression)] = groups.map { grp =>
+      val mapped = (grp match {
+        case a: AttributeReference => defs.get(a.exprId).flatMap(mapScanExpr(_, rollupAttr, g))
+        case other => RollupRewrite.substitute(other, defs).flatMap(mapScanExpr(_, rollupAttr, g))
       }) match {
-        case Some(m) => m
-        case None => return None
+        case Some(m) if gInvariant(m, g, epochAttr) => m
+        case _ => return None
       }
-      g match {
-        case a: AttributeReference => (g, Alias(mapped, a.name)(exprId = a.exprId))
+      grp match {
+        case a: AttributeReference => (grp, Alias(mapped, a.name)(exprId = a.exprId))
         case other => (other, Alias(mapped, "_rollupgroup")())
       }
     }
@@ -274,7 +327,7 @@ class RollupRewrite(
 
     val newAggExprs = aggExprs.map(rewriteNamed)
     if (newAggExprs.exists(_.isEmpty)) return None
-    val mappedConds = conds.map(mapCond(_, rollupAttr))
+    val mappedConds = conds.map(mapCond(_, rollupAttr, g))
     if (mappedConds.exists(_.isEmpty)) return None
     val filtered = mappedConds.flatten
       .reduceOption(And)
@@ -351,10 +404,12 @@ class RollupRewrite(
       groups: Seq[Expression],
       aggExprs: Seq[NamedExpression],
       branches: Seq[Branch],
-      rollup: LogicalPlan): Option[LogicalPlan] = {
+      rollup: LogicalPlan,
+      g: Long): Option[LogicalPlan] = {
     val rollupAttr: Map[String, Attribute] = rollup.output.map(a => a.name -> a).toMap
     val measureNames = Seq("cnt", "cnt_power", "min_power", "max_power", "sum_power_dec")
     if (!(ServedKeys ++ measureNames).forall(rollupAttr.contains)) return None
+    val epochAttr = rollupAttr("epoch_s")
 
     // all filters must be branch-independent (they sat below the Expand)
     val conds0 = branches.head._2
@@ -362,7 +417,7 @@ class RollupRewrite(
       cs.length == conds0.length && cs.zip(conds0).forall { case (a, b) => a.semanticEquals(b) }
     }
     if (!condsShared) return None
-    val mappedConds = conds0.map(mapCond(_, rollupAttr))
+    val mappedConds = conds0.map(mapCond(_, rollupAttr, g))
     if (mappedConds.exists(_.isEmpty)) return None
 
     val groupAttrs: Seq[AttributeReference] = groups.map {
@@ -372,9 +427,9 @@ class RollupRewrite(
     // each grouping's per-branch definition must map into rollup space
     val mappedGroupsPerBranch: Seq[Seq[Expression]] = branches.map { case (defs, _) =>
       groupAttrs.map { a =>
-        defs.get(a.exprId).flatMap(mapScanExpr(_, rollupAttr)) match {
-          case Some(m) => m
-          case None => return None
+        defs.get(a.exprId).flatMap(mapScanExpr(_, rollupAttr, g)) match {
+          case Some(m) if gInvariant(m, g, epochAttr) => m
+          case _ => return None
         }
       }
     }
@@ -419,22 +474,32 @@ class RollupRewrite(
     * function of rollup group keys; atom equivalences are exact (not mere
     * implications), so arbitrary And/Or/Not combinations stay exact.
     */
-  private def mapCond(e: Expression, rollupAttr: Map[String, Attribute]): Option[Expression] =
+  private def mapCond(e: Expression, rollupAttr: Map[String, Attribute],
+      g: Long): Option[Expression] =
     e match {
       case And(l, r) =>
-        for { a <- mapCond(l, rollupAttr); b <- mapCond(r, rollupAttr) } yield And(a, b)
+        for { a <- mapCond(l, rollupAttr, g); b <- mapCond(r, rollupAttr, g) } yield And(a, b)
       case Or(l, r) =>
-        for { a <- mapCond(l, rollupAttr); b <- mapCond(r, rollupAttr) } yield Or(a, b)
-      case Not(c) => mapCond(c, rollupAttr).map(Not)
-      case _ => mapAtom(e, rollupAttr)
+        for { a <- mapCond(l, rollupAttr, g); b <- mapCond(r, rollupAttr, g) } yield Or(a, b)
+      case Not(c) => mapCond(c, rollupAttr, g).map(Not)
+      case _ => mapAtom(e, rollupAttr, g)
     }
 
   private val NanosPerSec = 1000000000L
 
-  /** A second-aligned epoch-ns literal's epoch-s rendering. */
-  private def alignedSec(l: Literal): Option[Literal] = l.value match {
-    case v: java.lang.Long if v >= 0 && v % NanosPerSec == 0 =>
+  /** A g·second-aligned epoch-ns literal's epoch-s rendering. */
+  private def alignedSec(l: Literal, g: Long): Option[Literal] = l.value match {
+    case v: java.lang.Long if v >= 0 && v % (g * NanosPerSec) == 0 =>
       Some(Literal(v / NanosPerSec))
+    case _ => None
+  }
+
+  /** A non-negative epoch-second literal aligned to the table granularity:
+    * over g-floored values, `epoch_s >= L` / `epoch_s < L` are exact iff
+    * g | L (`floor(s/g)·g >= L ⟺ s >= L` for aligned L).
+    */
+  private def alignedEpoch(l: Literal, g: Long): Option[Literal] = l.value match {
+    case v: java.lang.Long if v >= 0 && v % g == 0 => Some(l)
     case _ => None
   }
 
@@ -446,7 +511,8 @@ class RollupRewrite(
     case _ => false
   }
 
-  private def mapAtom(e: Expression, rollupAttr: Map[String, Attribute]): Option[Expression] =
+  private def mapAtom(e: Expression, rollupAttr: Map[String, Attribute],
+      g: Long): Option[Expression] =
     e match {
       case cmp: BinaryComparison =>
         val (x, lit, flipped) = (cmp.left, cmp.right) match {
@@ -454,25 +520,40 @@ class RollupRewrite(
           case (l, r: Literal) => (l, r, false)
           case _ => return None
         }
-        mapScanExpr(x, rollupAttr) match {
-          case Some(a) =>
+        val es = rollupAttr("epoch_s")
+        mapScanExpr(x, rollupAttr, g) match {
+          // a g-invariant mapped side compares identically on the g-floored
+          // table — any comparison carries over
+          case Some(a) if gInvariant(a, g, es) =>
             Some(if (flipped) cmp.withNewChildren(Seq(lit, a)) else cmp.withNewChildren(Seq(a, lit)))
+          // bare epoch_s against a coarser table: only the half-open
+          // g-aligned forms are exact (the same shapes the raw-ts path maps)
+          case Some(a: AttributeReference) if a.exprId == es.exprId =>
+            (cmp, flipped) match {
+              case (_: GreaterThanOrEqual, false) | (_: LessThanOrEqual, true) =>
+                alignedEpoch(lit, g).map(GreaterThanOrEqual(es, _))
+              case (_: LessThan, false) | (_: GreaterThan, true) =>
+                alignedEpoch(lit, g).map(LessThan(es, _))
+              case _ => None
+            }
+          case Some(_) => None
           case None if tsRangeMappable && isRawTs(x) =>
-            val es = rollupAttr("epoch_s")
             // normalized to (ts OP lit): only the aligned closed-lower /
             // open-upper forms map; ts > s·1e9 / ts <= s·1e9 have sub-second
             // slack that epoch_s cannot express
             (cmp, flipped) match {
               case (_: GreaterThanOrEqual, false) | (_: LessThanOrEqual, true) =>
-                alignedSec(lit).map(GreaterThanOrEqual(es, _)) // ts >= s·1e9
+                alignedSec(lit, g).map(GreaterThanOrEqual(es, _)) // ts >= s·1e9
               case (_: LessThan, false) | (_: GreaterThan, true) =>
-                alignedSec(lit).map(LessThan(es, _)) // ts < e·1e9
+                alignedSec(lit, g).map(LessThan(es, _)) // ts < e·1e9
               case _ => None
             }
           case None => None
         }
       case In(x, list) if list.forall(_.isInstanceOf[Literal]) =>
-        mapScanExpr(x, rollupAttr).map(In(_, list))
+        mapScanExpr(x, rollupAttr, g)
+          .filter(gInvariant(_, g, rollupAttr("epoch_s")))
+          .map(In(_, list))
       case IsNotNull(x) =>
         // A scan column maps onto a key only when install() PROVED the key's
         // canonical def null-bijective in that column (e.g. user_id null ⟺
@@ -487,7 +568,9 @@ class RollupRewrite(
           // structurally at install (timeWindowMappable)
           case _ if timeWindowMappable && canonicalSql.get("time").contains(x.sql) =>
             Some(IsNotNull(rollupAttr("epoch_s")))
-          case _ => mapScanExpr(x, rollupAttr).map(IsNotNull)
+          // nullness survives the g-floor (null div g is null), so plain
+          // mapping suffices at any granularity — no invariance proof needed
+          case _ => mapScanExpr(x, rollupAttr, g).map(IsNotNull)
         }
       case _ => None
     }
@@ -496,6 +579,10 @@ class RollupRewrite(
 object RollupRewrite {
 
   val RollupViewName = "powerraw_rollup"
+
+  /** View name for one granularity of the lattice (1 s keeps the legacy name). */
+  def viewName(granularitySec: Long): String =
+    if (granularitySec == 1L) RollupViewName else s"${RollupViewName}_${granularitySec}s"
 
   private[plans] val ServedKeys = Set("house_id", "appliance_id", "appliance_name", "epoch_s")
 
@@ -679,9 +766,28 @@ object RollupRewrite {
     * activates via the injected delegate; otherwise it lands on the public
     * `spark.experimental.extraOptimizations` hook.
     */
-  def install(spark: SparkSession, rollupPath: String, canonicalRaw: DataFrame): Unit = {
+  def install(spark: SparkSession, rollupPath: String, canonicalRaw: DataFrame): Unit =
+    install(spark, rollupPath, canonicalRaw, Nil)
+
+  /** [[install]] with a rollup LATTICE: `coarse` lists additional
+    * materializations (path, granularity seconds) built by
+    * [[graft.sources.RollupTable.materializeCoarse]]. The rule tries the
+    * coarsest table first and falls through to finer ones, so a minute-level
+    * dashboard tile reads the 60 s table while `epoch_s div 5` buckets keep
+    * reading the 1 s table — Druid's multi-granularity serving as one
+    * Catalyst rule.
+    */
+  def install(
+      spark: SparkSession,
+      rollupPath: String,
+      canonicalRaw: DataFrame,
+      coarse: Seq[(String, Long)]): Unit = {
+    require(coarse.forall(_._2 > 1), s"coarse granularities must be >1 s")
     spark.read.parquet(rollupPath)
       .createOrReplaceTempView(RollupViewName)
+    coarse.foreach { case (path, g) =>
+      spark.read.parquet(path).createOrReplaceTempView(viewName(g))
+    }
     // name the ExprId-keyed defs through the view's OUTPUT attributes (the
     // one place names are authoritative: the canonical view's own schema)
     val plan = canonicalRaw.queryExecution.optimizedPlan
@@ -698,7 +804,10 @@ object RollupRewrite {
       spark, canonicalSql,
       validatedNullBijections(canonicalDefs), tsSecondFloorProven(canonicalDefs),
       timeWindowMappable =
-        tsSecondFloorProven(canonicalDefs) && timeMicrosProven(canonicalDefs))
+        tsSecondFloorProven(canonicalDefs) && timeMicrosProven(canonicalDefs),
+      rollups =
+        coarse.map(_._2).distinct.sorted.reverse.map(g => g -> viewName(g)) :+
+          (1L -> RollupViewName))
     installed.put(spark, rule)
     if (!extensionConfigured(spark)) {
       spark.experimental.extraOptimizations =

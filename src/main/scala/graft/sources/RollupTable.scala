@@ -33,6 +33,41 @@ object RollupTable {
       .partitionBy("date", "hour")
       .parquet(outPath)
 
+  /** A coarser granularity of the rollup lattice, built by re-aggregating a
+    * STORED finer rollup — never the raw events (the Druid multi-granularity
+    * discipline: each coarser segment derives from a finer one, so the build
+    * cost scales with rollup rows, not raw rows). `epoch_s` keeps its name and
+    * unit but holds g-floored seconds; counts/extrema/decimal sums re-aggregate
+    * exactly, so [[graft.plans.RollupRewrite]] can serve any query whose time
+    * expressions are g-invariant from this table with the same rule logic.
+    * Granularity must divide the hour so (date, hour) segments stay aligned,
+    * and the SOURCE table's granularity must divide g (floor composition) —
+    * the 1 s table trivially qualifies as a source for any g.
+    */
+  def materializeCoarse(
+      spark: SparkSession, rollupPath: String, outPath: String, granularitySec: Long): Unit = {
+    require(granularitySec > 1 && 3600 % granularitySec == 0,
+      s"granularity must be >1 and divide the 3600 s segment, got $granularitySec")
+    read(spark, rollupPath)
+      .groupBy(
+        (expr(s"epoch_s div $granularitySec") * granularitySec).as("epoch_s"),
+        col("house_id"), col("appliance_id"), col("appliance_name"))
+      .agg(
+        sum("cnt").as("cnt"),
+        sum("cnt_power").as("cnt_power"),
+        min("min_power").as("min_power"),
+        max("max_power").as("max_power"),
+        sum("sum_power_dec").as("sum_power_dec"))
+      .withColumn("sum_power", col("sum_power_dec").cast(DoubleType))
+      .withColumn("date", to_date(timestamp_seconds(col("epoch_s"))))
+      .withColumn("hour", (expr("epoch_s div 3600") % 24).cast("int"))
+      .repartition(col("date"))
+      .write
+      .mode("overwrite")
+      .partitionBy("date", "hour")
+      .parquet(outPath)
+  }
+
   /** Incremental maintenance: rebuild ONLY the hour segments at/after
     * `sinceEpochS` (hour-aligned, enforced — a mid-hour cut would replace a
     * full segment with a partial one). Partition-level upsert via dynamic

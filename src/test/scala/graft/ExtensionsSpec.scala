@@ -94,4 +94,30 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
     } finally graft.plans.RollupRewrite.uninstall(s)
   }
 
+  test("GraftSession.open materializes and serves a rollup lattice") {
+    val dir = java.nio.file.Files.createTempDirectory("open_lat").toString + "/r"
+    // 300 s derives from the 60 s level (60 | 300), both from the 1 s table
+    val s = GraftSession.open(sfDir, dir, coarseGranularities = Seq(60L, 300L))
+    def fiveMin = s.sql(
+      """SELECT (epoch_s div 300) * 300 AS b5m, count(*) AS n, sum(power) AS p
+        |FROM power GROUP BY 1 ORDER BY 1""".stripMargin)
+    try {
+      val tile = fiveMin
+      val plan = tile.queryExecution.executedPlan.toString
+      assert(plan.contains("_300s"), s"5-minute tile must read the 300 s level:\n$plan")
+      val served = tile.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val minuteTile = s.sql(
+        "SELECT (epoch_s div 60) * 60 AS b1m, count(*) AS n FROM power GROUP BY 1")
+      assert(minuteTile.queryExecution.executedPlan.toString.contains("_60s"),
+        "minute tile must read the 60 s level")
+      graft.plans.RollupRewrite.uninstall(s)
+      val raw = fiveMin.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(served.length == raw.length && served.length > 0)
+      served.zip(raw).foreach { case (a, b) =>
+        assert(a._1 == b._1 && a._2 == b._2, s"$a vs $b")
+        assert(math.abs(a._3 - b._3) <= 1e-9 * math.max(1.0, math.abs(b._3)), s"$a vs $b")
+      }
+    } finally graft.plans.RollupRewrite.uninstall(s)
+  }
+
 }

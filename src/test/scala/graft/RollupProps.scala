@@ -93,4 +93,47 @@ object RollupProps extends Properties("rollup") {
         isRouted && sameCells(viaRollup, direct)
       } finally RollupRewrite.uninstall(spark)
     }
+
+  // ---- lattice selection: tagged generators know whether every time
+  // expression is minute-invariant, so the property can assert the rule
+  // picks the 60 s level exactly when that holds (and never when it doesn't)
+
+  private lazy val coarseDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("props_rollup_60s").toString
+    RollupTable.materializeCoarse(spark, rollupDir, dir, 60L)
+    dir
+  }
+
+  private val genGroupTagged: Gen[(List[String], Boolean)] = Gen.someOf(
+    List(
+      "house_id" -> true,
+      "appliance_name" -> true,
+      "epoch_s div 10" -> false,
+      "epoch_s div 60" -> true)
+  ).map(l => (l.map(_._1).toList, l.forall(_._2)))
+
+  private val genFilterTagged: Gen[(Option[Column], Boolean)] = Gen.oneOf(
+    (None: Option[Column]) -> true,
+    (Some(col("house_id") === "1_1_0"): Option[Column]) -> true,
+    (Some(col("house_id").isin("1_1_1", "1_1_3")): Option[Column]) -> true,
+    // lower bound minute-aligned, upper bound only second-aligned
+    (Some(col("epoch_s") >= 1704067200L && col("epoch_s") < 1704070000L): Option[Column]) -> false,
+    (Some(expr("epoch_s div 3600") % 2 === 0): Option[Column]) -> true)
+
+  property("lattice picks the 60s level exactly for minute-invariant queries") =
+    forAll(genGroupTagged, genAggs, genFilterTagged) {
+      case ((groups, groupsMinute), aggs, (f, filterMinute)) =>
+        RollupRewrite.install(spark, rollupDir, raw, Seq((coarseDir, 60L)))
+        try {
+          val q = build(groups, aggs, f)
+          val isRouted = routed(q)
+          val scansCoarse = q.queryExecution.executedPlan.toString
+            .contains(new java.io.File(coarseDir).getName)
+          val viaRollup = cells(q)
+          RollupRewrite.uninstall(spark)
+          val direct = cells(build(groups, aggs, f))
+          isRouted && sameCells(viaRollup, direct) &&
+            scansCoarse == (groupsMinute && filterMinute)
+        } finally RollupRewrite.uninstall(spark)
+    }
 }

@@ -278,6 +278,69 @@ class RollupRewriteSpec extends AnyFunSuite with SharedSpark {
     } finally RollupRewrite.uninstall(spark)
   }
 
+  test("rollup lattice routes each query to the coarsest exact granularity") {
+    val coarseDir = java.nio.file.Files.createTempDirectory("rw_rollup_60s").toString
+    RollupTable.materializeCoarse(spark, rollupDir, coarseDir, 60L)
+    RollupRewrite.install(spark, rollupDir, raw, Seq((coarseDir, 60L)))
+    def scansCoarse(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains(
+        new java.io.File(coarseDir).getName)
+    def matchesRaw(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      val q = mk
+      val via = q.orderBy(q.columns.map(col): _*).collect().map(_.toSeq)
+      RollupRewrite.uninstall(spark)
+      val direct = mk.orderBy(mk.columns.map(col): _*).collect().map(_.toSeq)
+      RollupRewrite.install(spark, rollupDir, raw, Seq((coarseDir, 60L)))
+      assert(via.length == direct.length && via.length > 0)
+      via.zip(direct).foreach { case (a, b) =>
+        a.zip(b).foreach {
+          case (x: Double, y: Double) =>
+            assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)), s"$x vs $y")
+          case (x, y) => assert(x == y, s"$x vs $y")
+        }
+      }
+    }
+    try {
+      // minute buckets: 60 | 60 → the 60 s table answers exactly
+      val qMin = raw.groupBy((expr("epoch_s div 60") * 60).as("minute_s"))
+        .agg(count(lit(1)).as("n"), sum("power").as("p"), max("power").as("mx"))
+      assert(routed(qMin), s"minute buckets must route:\n${qMin.queryExecution.optimizedPlan}")
+      assert(scansCoarse(qMin), "minute buckets must read the 60s table")
+      matchesRaw(raw.groupBy((expr("epoch_s div 60") * 60).as("minute_s"))
+        .agg(count(lit(1)).as("n"), sum("power").as("p"), max("power").as("mx")))
+      // 5 s buckets: 60 ∤ 5 → falls through to the 1 s table
+      val q5 = raw.groupBy(expr("epoch_s div 5").as("b")).agg(count(lit(1)).as("n"))
+      assert(routed(q5) && !scansCoarse(q5), "5s buckets must fall back to the 1s table")
+      // bare epoch_s grouping needs full resolution
+      val q1 = raw.groupBy("epoch_s").agg(count(lit(1)).as("n"))
+      assert(routed(q1) && !scansCoarse(q1), "bare epoch_s must fall back to the 1s table")
+      // minute-aligned half-open range + dimension grouping → 60 s table
+      val lo = 1704067200L; val hi = lo + 86400L
+      val qRange = raw.filter(col("epoch_s") >= lo && col("epoch_s") < hi)
+        .groupBy("house_id").agg(count(lit(1)).as("n"))
+      assert(routed(qRange) && scansCoarse(qRange), "aligned range must use the 60s table")
+      matchesRaw(raw.filter(col("epoch_s") >= lo && col("epoch_s") < hi)
+        .groupBy("house_id").agg(count(lit(1)).as("n")))
+      // a second-aligned but not minute-aligned bound → 1 s table
+      val qOff = raw.filter(col("epoch_s") >= lo + 30L && col("epoch_s") < hi)
+        .groupBy("house_id").agg(count(lit(1)).as("n"))
+      assert(routed(qOff) && !scansCoarse(qOff), "unaligned bound must use the 1s table")
+      // sliding 120s/60s window → 60 s table (Expand replayed over minutes)
+      val qWin = raw.groupBy(window(col("time"), "120 seconds", "60 seconds"), col("house_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("ws"), col("house_id"), col("n"))
+      assert(routed(qWin), s"minute window must route:\n${qWin.queryExecution.optimizedPlan}")
+      assert(scansCoarse(qWin), "minute window must read the 60s table")
+      matchesRaw(raw.groupBy(window(col("time"), "120 seconds", "60 seconds"), col("house_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("ws"), col("house_id"), col("n")))
+      // the 25s/5s duty window → 1 s table
+      val qWin5 = raw.groupBy(window(col("time"), "25 seconds", "5 seconds"))
+        .agg(count(lit(1)).as("n"))
+      assert(routed(qWin5) && !scansCoarse(qWin5), "5s slide must use the 1s table")
+    } finally RollupRewrite.uninstall(spark)
+  }
+
   test("rewrite keeps exact sums (decimal-backed rollup)") {
     install()
     try {
