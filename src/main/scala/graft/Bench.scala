@@ -226,41 +226,73 @@ object Bench {
         worst)
     } catch { case t: Throwable => (s""","scale_probe_skew":{"error":"${jsonErr(t)}"}""", -1.0) }
 
-    // Rollup-serving demonstration: the same sliding-window count, once over
-    // raw events and once with RollupRewrite routing it onto the materialized
-    // 1 s rollup (the Expand replays over rollup groups). The speedup is the
-    // raw-rows/rollup-groups ratio the rewrite buys every dashboard query —
-    // at 100 TB the served plan reads the rollup table instead of the fact
-    // table.
+    // Rollup-serving demonstration: the same sliding-window counts, once over
+    // raw events and once with RollupRewrite routing them onto the rollup
+    // lattice (the Expand replays over rollup groups). The sf events table is
+    // SPARSE in time (~1 reading per appliance per ~2600 s), which starves a
+    // time rollup by construction, so the demo uses a dense grid-shaped
+    // events table (4 readings per appliance-second — REDD channels run at
+    // 1-3 Hz): 2 h × 25 appliances × 4 Hz = 720k raw rows → 180k 1 s groups
+    // → 3k 60 s groups. The 25s/5s duty window can only use the 1 s level
+    // (speedup = readings per appliance-second); the 120s/60s minute window
+    // routes to the 60 s level — the reduction the lattice buys every
+    // dashboard tile. At 100 TB the served plans read rollup tables instead
+    // of the fact table.
     val rollupServingJson = try {
       import org.apache.spark.sql.functions._
-      val rollupDir = java.nio.file.Files.createTempDirectory("graft_rollup_bench").toString
-      graft.sources.RollupTable.materialize(spark, sfDir, rollupDir)
-      def windowedCount() = graft.operators.Grid.powerReadings(spark, sfDir)
-        .groupBy(window(col("time"), "25 seconds", "5 seconds"),
-          col("house_id"), col("appliance_id"))
-        .agg(count("power").as("c_all"))
-      def time2(): Double = {
+      val denseDir = java.nio.file.Files.createTempDirectory("graft_dense_grid").toString
+      val baseEpoch = 1704067200L // 2024-01-01T00:00Z, minute-aligned
+      val secs = 7200L; val apps = 25L; val perSec = 4L
+      spark.range(secs * apps * perSec).select(
+        col("id").as("event_id"),
+        expr(s"(id div ${apps * perSec} + $baseEpoch) * 1000000000" +
+          s" + (id % $perSec) * 250000000").as("ts"),
+        expr(s"id % $apps").as("user_id"),
+        lit("meter").as("event_type"),
+        expr("CAST(id % 400 AS DOUBLE)").as("value"))
+        .write.mode("overwrite").parquet(s"$denseDir/events.parquet")
+      val rollupDir = s"$denseDir/rollup"
+      val coarseDir = s"${rollupDir}_60s"
+      graft.sources.RollupTable.materialize(spark, denseDir, rollupDir)
+      graft.sources.RollupTable.materializeCoarse(spark, rollupDir, coarseDir, 60L)
+      def windowed(width: String, slide: String) =
+        graft.operators.Grid.powerReadings(spark, denseDir)
+          .groupBy(window(col("time"), width, slide),
+            col("house_id"), col("appliance_id"))
+          .agg(count("power").as("c_all"))
+      def time2(mk: => DataFrame): Double = {
         def once(): Double = {
           val t0 = System.nanoTime()
-          windowedCount().count()
+          mk.count()
           (System.nanoTime() - t0) / 1e9
         }
         math.min(once(), once())
       }
-      val rawSec = time2()
+      val rawSecondSec = time2(windowed("25 seconds", "5 seconds"))
+      val rawMinuteSec = time2(windowed("120 seconds", "60 seconds"))
       graft.plans.RollupRewrite.install(
-        spark, rollupDir, graft.operators.Grid.powerReadings(spark, sfDir))
-      val servedSec =
+        spark, rollupDir, graft.operators.Grid.powerReadings(spark, denseDir),
+        Seq((coarseDir, 60L)))
+      val (servedSecondSec, servedMinuteSec) =
         try {
-          val plan = windowedCount().queryExecution.optimizedPlan.toString
-          require(!plan.contains("user_id"), s"window count did not route:\n$plan")
-          time2()
+          val planSecond = windowed("25 seconds", "5 seconds")
+            .queryExecution.optimizedPlan.toString
+          require(!planSecond.contains("user_id"),
+            s"second window did not route:\n$planSecond")
+          val planMinute = windowed("120 seconds", "60 seconds")
+            .queryExecution.executedPlan.toString
+          require(planMinute.contains("_60s"),
+            s"minute window did not route to the 60 s level:\n$planMinute")
+          (time2(windowed("25 seconds", "5 seconds")),
+            time2(windowed("120 seconds", "60 seconds")))
         } finally graft.plans.RollupRewrite.uninstall(spark)
-      cleanup(rollupDir)
-      s""","rollup_serving":{"windowed_count_raw_sec":$rawSec,""" +
-        s""""windowed_count_served_sec":$servedSec,""" +
-        s""""speedup":${if (servedSec > 0) rawSec / servedSec else -1.0}}"""
+      cleanup(denseDir)
+      def leg(name: String, raw: Double, served: Double) =
+        s""""$name":{"raw_sec":$raw,"served_sec":$served,""" +
+          s""""speedup":${if (served > 0) raw / served else -1.0}}"""
+      s""","rollup_serving":{"raw_rows":${secs * apps * perSec},""" +
+        s"""${leg("window_25s_5s_via_1s", rawSecondSec, servedSecondSec)},""" +
+        s"""${leg("window_120s_60s_via_60s", rawMinuteSec, servedMinuteSec)}}"""
     } catch { case t: Throwable => s""","rollup_serving":{"error":"${jsonErr(t)}"}""" }
 
     // Streaming throughput vs BASELINE.md's one published number (≥100k
