@@ -219,6 +219,25 @@ object Grid {
        |GROUP BY 1, 2, 3, 4
        |ORDER BY epoch_s, appliance_id, appliance_name""".stripMargin
 
+  /** The 60 s lattice level DERIVED FROM the 1 s rollup (sums of sums, min of
+    * mins — [[graft.sources.RollupTable.coarsen]]); the oracle groups raw
+    * events at the minute directly, pinning the lattice's exactness claim:
+    * re-aggregating stored aggregates equals aggregating raw.
+    */
+  def qRollup60s(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.RollupTable.coarsen(rollup1s(spark, sfDir), 60L)
+      .withColumn("sum_power", col("sum_power_dec").cast(DoubleType))
+      .drop("sum_power_dec", "cnt_power", "min_power", "max_power")
+      .orderBy("epoch_s", "appliance_id", "appliance_name")
+
+  val rollup60sSql: String =
+    s"""WITH $PowerCte
+       |SELECT (epoch_s // 60) * 60 AS epoch_s, house_id, appliance_id, appliance_name,
+       |       count(*) AS cnt, ${dsumSql("power")} AS sum_power
+       |FROM power
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY epoch_s, appliance_id, appliance_name""".stripMargin
+
   // -------------------------------------------------------------------------
   // History — time-of-day lookback average (W4 + A5 + A6, druid_batch.py:84-113)
   // -------------------------------------------------------------------------
@@ -644,6 +663,7 @@ object Grid {
     "q_duty_cycle_prerolled" -> (dutyCyclePrerolled(_, _)),
     "q_duty_cycle_udaf" -> (dutyCycleUdaf(_, _)),
     "q_rollup_1s" -> (qRollup1s(_, _)),
+    "q_rollup_60s" -> (qRollup60s(_, _)),
     "q_history_avg" -> (historyAvg(_, _)),
     "q_total_power" -> (totalPower(_, _)),
     "q_power_by_appliance" -> (powerByDim(_, _, "appliance_name")),
@@ -667,6 +687,7 @@ object Grid {
     "q_duty_cycle_prerolled" -> dutyCyclePrerolledSql,
     "q_duty_cycle_udaf" -> dutyCycleUdafSql,
     "q_rollup_1s" -> rollup1sSql,
+    "q_rollup_60s" -> rollup60sSql,
     "q_history_avg" -> historyAvgSql,
     "q_total_power" -> totalPowerSql,
     "q_power_by_appliance" -> powerByDimSql("appliance_name"),

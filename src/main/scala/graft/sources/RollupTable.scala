@@ -23,15 +23,7 @@ object RollupTable {
     * exact) and its double rendering (presentation queries).
     */
   def materialize(spark: SparkSession, sfDir: String, outPath: String): Unit =
-    Grid.rollup1s(spark, sfDir)
-      .withColumn("sum_power", col("sum_power_dec").cast(DoubleType))
-      .withColumn("date", to_date(timestamp_seconds(col("epoch_s"))))
-      .withColumn("hour", (expr("epoch_s div 3600") % 24).cast("int"))
-      .repartition(col("date")) // one writer task per partition dir, no tiny files
-      .write
-      .mode("overwrite")
-      .partitionBy("date", "hour")
-      .parquet(outPath)
+    writeSegmented(Grid.rollup1s(spark, sfDir), outPath)
 
   /** A coarser granularity of the rollup lattice, built by re-aggregating a
     * STORED finer rollup — never the raw events (the Druid multi-granularity
@@ -46,9 +38,19 @@ object RollupTable {
     */
   def materializeCoarse(
       spark: SparkSession, rollupPath: String, outPath: String, granularitySec: Long): Unit = {
-    require(granularitySec > 1 && 3600 % granularitySec == 0,
-      s"granularity must be >1 and divide the 3600 s segment, got $granularitySec")
-    read(spark, rollupPath)
+    requireSegmentAligned(granularitySec)
+    writeSegmented(coarsen(read(spark, rollupPath), granularitySec), outPath)
+  }
+
+  /** The exact re-aggregation one lattice step performs: g-floor `epoch_s`,
+    * sum counts and decimal sums, min/max the extrema. Algebraic in the
+    * measure set (every output is a function of finer-level aggregates, never
+    * raw rows), which is what makes the lattice exact at any composition of
+    * granularities — and what `q_rollup_60s`'s DuckDB oracle pins by grouping
+    * the raw events at the minute directly.
+    */
+  def coarsen(rollup: DataFrame, granularitySec: Long): DataFrame =
+    rollup
       .groupBy(
         (expr(s"epoch_s div $granularitySec") * granularitySec).as("epoch_s"),
         col("house_id"), col("appliance_id"), col("appliance_name"))
@@ -58,6 +60,45 @@ object RollupTable {
         min("min_power").as("min_power"),
         max("max_power").as("max_power"),
         sum("sum_power_dec").as("sum_power_dec"))
+
+  /** Incremental lattice maintenance: after [[materializeIncrement]] refreshes
+    * the 1 s table's hour segments at/after `sinceEpochS`, this cascades the
+    * refresh one lattice level up — re-deriving ONLY the affected coarse hour
+    * segments from the finer table, via the same dynamic partition-overwrite
+    * upsert. Exact because the boundary is hour-aligned and every lattice
+    * granularity divides the hour: a g-floored group never straddles the
+    * boundary, so the increment's groups are complete and disjoint from the
+    * untouched segments. The finer-side scan prunes to the new (date, hour)
+    * partitions through the partition-column filter.
+    */
+  def materializeCoarseIncrement(
+      spark: SparkSession, rollupPath: String, outPath: String,
+      granularitySec: Long, sinceEpochS: Long): Unit = {
+    requireSegmentAligned(granularitySec)
+    require(sinceEpochS % 3600 == 0,
+      s"increment boundary must be hour-aligned, got $sinceEpochS")
+    val sinceDate = java.time.Instant.ofEpochSecond(sinceEpochS)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    withDynamicOverwrite(spark) {
+      writeSegmented(
+        coarsen(
+          read(spark, rollupPath)
+            .filter(col("date") >= lit(sinceDate)) // partition pruning
+            .filter(col("epoch_s") >= sinceEpochS), // boundary-day hours
+          granularitySec),
+        outPath)
+    }
+  }
+
+  private def requireSegmentAligned(granularitySec: Long): Unit =
+    require(granularitySec > 1 && 3600 % granularitySec == 0,
+      s"granularity must be >1 and divide the 3600 s segment, got $granularitySec")
+
+  /** Render + persist a rollup frame in the segment layout: double view of
+    * the decimal sum, (date, hour) partition columns, one file per segment.
+    */
+  private def writeSegmented(rollup: DataFrame, outPath: String): Unit =
+    rollup
       .withColumn("sum_power", col("sum_power_dec").cast(DoubleType))
       .withColumn("date", to_date(timestamp_seconds(col("epoch_s"))))
       .withColumn("hour", (expr("epoch_s div 3600") % 24).cast("int"))
@@ -66,6 +107,15 @@ object RollupTable {
       .mode("overwrite")
       .partitionBy("date", "hour")
       .parquet(outPath)
+
+  private def withDynamicOverwrite(spark: SparkSession)(body: => Unit): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Incremental maintenance: rebuild ONLY the hour segments at/after
@@ -84,23 +134,10 @@ object RollupTable {
       spark: SparkSession, sfDir: String, outPath: String, sinceEpochS: Long): Unit = {
     require(sinceEpochS % 3600 == 0,
       s"increment boundary must be hour-aligned, got $sinceEpochS")
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try {
-      Grid.rollup1s(spark, sfDir)
-        .filter(col("epoch_s") >= sinceEpochS)
-        .withColumn("sum_power", col("sum_power_dec").cast(DoubleType))
-        .withColumn("date", to_date(timestamp_seconds(col("epoch_s"))))
-        .withColumn("hour", (expr("epoch_s div 3600") % 24).cast("int"))
-        .repartition(col("date"))
-        .write
-        .mode("overwrite")
-        .partitionBy("date", "hour")
-        .parquet(outPath)
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    withDynamicOverwrite(spark) {
+      writeSegmented(
+        Grid.rollup1s(spark, sfDir).filter(col("epoch_s") >= sinceEpochS),
+        outPath)
     }
   }
 

@@ -155,6 +155,49 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("incremental coarse-lattice cascade replaces only the new hour segments") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val fine = Files.createTempDirectory("rollup_casc_fine").toString
+    val coarse = Files.createTempDirectory("rollup_casc_60s").toString
+    RollupTable.materialize(spark, sfDir, fine)
+    RollupTable.materializeCoarse(spark, fine, coarse, 60L)
+    val hours = RollupTable.read(spark, fine)
+      .select((col("epoch_s") - col("epoch_s") % 3600).as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    assert(hours.length >= 2, "need at least two hour segments for the test")
+    val since = hours.last
+    def listing(): Map[String, Long] =
+      Files.walk(Paths.get(coarse)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    def content(): Array[(Long, String, Long)] =
+      RollupTable.read(spark, coarse)
+        .select(col("epoch_s"), col("appliance_id"), col("cnt"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val before = listing()
+    val full = content()
+    Thread.sleep(1100) // mtime granularity
+    // the 1 s-side refresh, then the one-level cascade
+    RollupTable.materializeIncrement(spark, sfDir, fine, since)
+    RollupTable.materializeCoarseIncrement(spark, fine, coarse, 60L, since)
+    val after = listing()
+    before.foreach { case (p, t) =>
+      if (!inFinalHour(p, since))
+        assert(after.get(p).contains(t), s"pre-boundary coarse file rewritten: $p")
+    }
+    assert(content().sameElements(full), "cascade changed query results")
+    // idempotent re-run
+    RollupTable.materializeCoarseIncrement(spark, fine, coarse, 60L, since)
+    assert(content().sameElements(full), "re-run not idempotent")
+    intercept[IllegalArgumentException] {
+      RollupTable.materializeCoarseIncrement(spark, fine, coarse, 60L, since + 7)
+    }
+    intercept[IllegalArgumentException] {
+      RollupTable.materializeCoarseIncrement(spark, fine, coarse, 7L, since)
+    }
+  }
+
   private def inFinalHour(path: String, since: Long): Boolean = {
     val date = java.time.Instant.ofEpochSecond(since)
       .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
