@@ -261,6 +261,19 @@ class RollupRewrite(
     if (!rollupCols.forall(rollupAttr.contains)) return None
     val epochAttr = rollupAttr("epoch_s")
 
+    // at most ONE distinct argument-set: this rule may run AFTER the
+    // optimizer's RewriteDistinctAggregates batch (the experimental-hook
+    // fallback), where an emitted multi-distinct Aggregate would reach
+    // physical planning unexpanded. One distinct set is always plannable
+    // (AggUtils' one-distinct path); more than one stays on raw.
+    val distinctSets = aggExprs.flatMap(_.collect {
+      case AggregateExpression(fn, _, true, _, _) => fn.children.map(_.canonicalized)
+    }).distinct
+    if (distinctSets.lengthCompare(1) > 0) return None
+    // rollup key attributes referenced by mapped distinct-count arguments,
+    // collected during rewriteNamed — they must ride through the child Project
+    val distinctArgAttrs = scala.collection.mutable.LinkedHashSet.empty[Attribute]
+
     // every grouping expression must map into rollup space (a served key
     // itself, or any deterministic function of served keys — time buckets
     // like `epoch_s div 5`, concatenated dims, window structs, …). Each
@@ -304,6 +317,31 @@ class RollupRewrite(
 
     def rewriteNamed(ne: NamedExpression): Option[NamedExpression] = ne match {
       case a: AttributeReference => groupAttrFor(a)
+      // count(DISTINCT f(keys…)) — the "active appliances per house" tile
+      // shape. Exact because the rollup keeps exactly one row per key
+      // combination that occurs in raw, and every argument is a
+      // deterministic g-invariant function of served keys, so the distinct
+      // value set per group is identical over raw rows and rollup rows.
+      // Arguments touching the measure (count(DISTINCT power)) fail
+      // mapScanExpr and reject the whole rewrite.
+      case al @ Alias(AggregateExpression(Count(args), Complete, true, None, _), name) =>
+        val mappedArgs = args.map { arg =>
+          (arg match {
+            case a: AttributeReference =>
+              defs.get(a.exprId).flatMap(mapScanExpr(_, rollupAttr, g))
+            case other =>
+              RollupRewrite.substitute(other, defs).flatMap(mapScanExpr(_, rollupAttr, g))
+          }).filter(gInvariant(_, g, epochAttr))
+        }
+        if (mappedArgs.exists(_.isEmpty)) None
+        else {
+          // the mapped args reference rollup KEY columns the measure-only
+          // child Project below does not carry — surface them through it
+          mappedArgs.foreach(_.get.references.foreach(distinctArgAttrs += _))
+          Some(Alias(
+            Count(mappedArgs.map(_.get)).toAggregateExpression(isDistinct = true),
+            name)(exprId = al.exprId))
+        }
       case al @ Alias(AggregateExpression(f, Complete, false, None, _), name) =>
         rewriteAggFunc(f, al.dataType, isPower, isKey, rollupAttr)
           .map(e => Alias(e, name)(exprId = al.exprId))
@@ -335,7 +373,9 @@ class RollupRewrite(
       .getOrElse(rollup)
     val measures: Seq[NamedExpression] =
       Seq("cnt", "cnt_power", "min_power", "max_power", "sum_power_dec").map(rollupAttr)
-    val child = Project(pulled.map(_._2) ++ measures, filtered)
+    val measureIds = measures.map(_.exprId).toSet
+    val extraKeys = distinctArgAttrs.toSeq.filterNot(a => measureIds.contains(a.exprId))
+    val child = Project(pulled.map(_._2) ++ measures ++ extraKeys, filtered)
     Some(Aggregate(newGroups, newAggExprs.map(_.get), child))
   }
 

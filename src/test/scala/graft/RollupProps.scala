@@ -37,12 +37,17 @@ object RollupProps extends Properties("rollup") {
     List("house_id", "appliance_name", "epoch_s div 10", "epoch_s div 60")
   ).map(_.toList)
 
+  // exactly one distinct-set candidate: the rule serves at most one distinct
+  // argument-set per aggregate (post-RewriteDistinctAggregates planability),
+  // so a second countDistinct column here would break the always-routes
+  // contract of the properties below
   private val genAggs: Gen[List[Column]] = Gen.atLeastOne(List(
     count(lit(1)).as("n"),
     sum("power").as("p"),
     min("power").as("mn"),
     max("power").as("mx"),
-    avg("power").as("av")
+    avg("power").as("av"),
+    countDistinct(col("appliance_id")).as("nd")
   )).map(_.toList)
 
   private val genFilter: Gen[Option[Column]] = Gen.oneOf(

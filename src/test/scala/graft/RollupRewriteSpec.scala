@@ -278,6 +278,38 @@ class RollupRewriteSpec extends AnyFunSuite with SharedSpark {
     } finally RollupRewrite.uninstall(spark)
   }
 
+  test("count(DISTINCT key) tiles route; count(DISTINCT power) stays on raw") {
+    install()
+    try {
+      // "active appliances per house" — the distinct-count dashboard tile
+      val q = raw.groupBy("house_id")
+        .agg(countDistinct("appliance_id").as("nd"), count(lit(1)).as("n"))
+        .orderBy("house_id")
+      assert(routed(q), s"distinct-key tile must route:\n${q.queryExecution.optimizedPlan}")
+      val via = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      RollupRewrite.uninstall(spark)
+      val direct = raw.groupBy("house_id")
+        .agg(countDistinct("appliance_id").as("nd"), count(lit(1)).as("n"))
+        .orderBy("house_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(via.sameElements(direct))
+      install()
+      // distinct over a derived key expression (epoch minutes seen per house)
+      val qd = raw.groupBy("house_id")
+        .agg(countDistinct(expr("epoch_s div 60")).as("nd_min"))
+      assert(routed(qd), "distinct over a derived key expr must route")
+      // distinct over the measure cannot be served by the rollup
+      val qp = raw.groupBy("house_id").agg(countDistinct("power").as("ndp"))
+      assert(!routed(qp), "count(DISTINCT power) must stay on raw")
+      // two different distinct sets: unservable post-RewriteDistinctAggregates
+      val q2 = raw.groupBy("house_id")
+        .agg(countDistinct("appliance_id").as("a"), countDistinct("appliance_name").as("b"))
+      assert(!routed(q2), "multi-distinct must stay on raw")
+      // and the raw fallback still computes it correctly (planner-safe)
+      assert(q2.collect().length > 0)
+    } finally RollupRewrite.uninstall(spark)
+  }
+
   test("rollup lattice routes each query to the coarsest exact granularity") {
     val coarseDir = java.nio.file.Files.createTempDirectory("rw_rollup_60s").toString
     RollupTable.materializeCoarse(spark, rollupDir, coarseDir, 60L)
@@ -338,6 +370,15 @@ class RollupRewriteSpec extends AnyFunSuite with SharedSpark {
       val qWin5 = raw.groupBy(window(col("time"), "25 seconds", "5 seconds"))
         .agg(count(lit(1)).as("n"))
       assert(routed(qWin5) && !scansCoarse(qWin5), "5s slide must use the 1s table")
+      // distinct over a minute-invariant key expr → 60 s table ("active
+      // minutes per house"); distinct over bare epoch_s → 1 s table
+      val qd60 = raw.groupBy("house_id")
+        .agg(countDistinct(expr("epoch_s div 60")).as("nd"))
+      assert(routed(qd60) && scansCoarse(qd60), "minute-distinct must use the 60s table")
+      matchesRaw(raw.groupBy("house_id")
+        .agg(countDistinct(expr("epoch_s div 60")).as("nd")))
+      val qd1 = raw.groupBy("house_id").agg(countDistinct("epoch_s").as("nd"))
+      assert(routed(qd1) && !scansCoarse(qd1), "second-distinct must use the 1s table")
     } finally RollupRewrite.uninstall(spark)
   }
 
