@@ -1,0 +1,100 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import DedupOps.{BandSize, NumPerms}
+
+/** Durable MinHash-LSH band index — the dedup-side analogue of the rollup
+  * table's materialization discipline (reference treats dedup as a one-shot
+  * batch job; a 100 TB corpus cannot re-minhash itself for every incoming
+  * batch).
+  *
+  * The corpus is signed ONCE ([[materialize]]); each incoming batch signs
+  * only its own documents, probes the stored index with a band equi-join for
+  * near-dup candidates ([[candidates]]), and is then absorbed
+  * ([[appendBatch]]) as a deterministic `batch=<id>` segment — the same
+  * replay-idempotent layout as [[graft.sources.RollupTable.writeSegment]],
+  * so an at-least-once ingest pipeline re-running a batch overwrites the
+  * same segment instead of duplicating rows.
+  *
+  * Index schema: one row per (doc_id, band_idx) with the band's minhash
+  * values flattened to `k0..k{BandSize-1}` columns (plain longs, so the
+  * probe join's equality keys push into the parquet scan) plus the full
+  * 16-minhash signature for similarity estimation on matched pairs.
+  *
+  * Scale shape: a probe batch is small relative to the corpus, so its band
+  * rows BROADCAST and the index side is a scan with zero shuffle — candidate
+  * generation is O(index) read + O(batch × matches) compute. At a batch too
+  * large to broadcast, `broadcastQuery = false` falls back to a shuffled
+  * equi-join on the same keys, which AQE skew-splits on hot bands.
+  */
+object LshIndex {
+
+  private val keyCols: Seq[String] = (0 until BandSize).map(i => s"k$i")
+  private val nBands: Int = NumPerms / BandSize
+
+  /** One row per (doc, band): doc_id, band_idx, k0..k3, sig. */
+  def bandTable(docs: DataFrame): DataFrame = {
+    val sigArr = array((0 until NumPerms).map(i => col(s"sig_$i")): _*)
+    DedupOps.minhashSignaturesOf(docs)
+      .select(col("doc_id"), sigArr.as("sig"))
+      .select(
+        col("doc_id"),
+        col("sig"),
+        explode(array((0 until nBands).map(bi =>
+          struct(
+            lit(bi).as("band_idx") +:
+              (0 until BandSize).map(r =>
+                element_at(col("sig"), bi * BandSize + r + 1).as(s"k$r")): _*)): _*)).as("b"))
+      .select(Seq(col("doc_id"), col("sig"), col("b.band_idx")) ++
+        keyCols.map(k => col(s"b.$k")): _*)
+  }
+
+  /** Full build: sign the whole corpus into segment 0. */
+  def materialize(spark: SparkSession, docs: DataFrame, indexPath: String): Unit =
+    appendBatch(spark, indexPath, docs, batchId = 0L)
+
+  /** Sign ONLY `docs` and absorb them as the `batch=<id>` segment —
+    * overwritten whole, so a checkpoint-replayed batch rewrites the same
+    * segment with the same content (ingest-pipeline idempotency).
+    */
+  def appendBatch(
+      spark: SparkSession, indexPath: String, docs: DataFrame, batchId: Long): Unit =
+    bandTable(docs)
+      .write.mode("overwrite")
+      .parquet(s"$indexPath/batch=$batchId")
+
+  def read(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.option("basePath", indexPath).parquet(indexPath).drop("batch")
+
+  /** Near-dup candidates for a probe batch against the stored index: a band
+    * equi-join (any band agreement ⇒ candidate), de-collided across bands,
+    * with the standard minhash agreement estimate on the pair. Self-matches
+    * (a probe doc already absorbed into the index) are dropped by id.
+    * Output: (probe_id, index_id, n_eq, est_sim).
+    */
+  def candidates(
+      spark: SparkSession,
+      indexPath: String,
+      probeDocs: DataFrame,
+      broadcastQuery: Boolean = true): DataFrame = {
+    val probe0 = bandTable(probeDocs).select(
+      Seq(col("doc_id").as("probe_id"), col("sig").as("probe_sig"), col("band_idx")) ++
+        keyCols.map(col): _*)
+    val probe = if (broadcastQuery) broadcast(probe0) else probe0
+    read(spark, indexPath)
+      .join(probe, Seq("band_idx") ++ keyCols)
+      .filter(col("doc_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("doc_id").as("index_id"),
+        col("probe_sig"), col("sig"))
+      .distinct() // the same pair can collide in several bands
+      .withColumn(
+        "n_eq",
+        size(filter(
+          zip_with(col("probe_sig"), col("sig"), (x, y) => when(x === y, 1).otherwise(0)),
+          v => v === 1)))
+      .withColumn("est_sim", col("n_eq") / lit(NumPerms.toDouble))
+      .select("probe_id", "index_id", "n_eq", "est_sim")
+  }
+}

@@ -270,9 +270,10 @@ class RollupRewrite(
       case AggregateExpression(fn, _, true, _, _) => fn.children.map(_.canonicalized)
     }).distinct
     if (distinctSets.lengthCompare(1) > 0) return None
-    // rollup key attributes referenced by mapped distinct-count arguments,
-    // collected during rewriteNamed — they must ride through the child Project
-    val distinctArgAttrs = scala.collection.mutable.LinkedHashSet.empty[Attribute]
+    // rollup key attributes referenced by mapped key-expression aggregate
+    // arguments (count-distinct, min/max over keys), collected during
+    // rewriteNamed — they must ride through the child Project
+    val keyArgAttrs = scala.collection.mutable.LinkedHashSet.empty[Attribute]
 
     // every grouping expression must map into rollup space (a served key
     // itself, or any deterministic function of served keys — time buckets
@@ -315,6 +316,20 @@ class RollupRewrite(
     def isPower(a: AttributeReference): Boolean = defMatches(a, "power", defs)
     def isKey(a: AttributeReference): Boolean = ServedKeys.exists(defMatches(a, _, defs))
 
+    // an aggregate ARGUMENT that is a deterministic g-invariant function of
+    // served keys, rendered in rollup space. Referenced key columns are
+    // collected so the measure-only child Project can carry them.
+    def mapKeyArg(arg: Expression): Option[Expression] = {
+      val mapped = (arg match {
+        case a: AttributeReference =>
+          defs.get(a.exprId).flatMap(mapScanExpr(_, rollupAttr, g))
+        case other =>
+          RollupRewrite.substitute(other, defs).flatMap(mapScanExpr(_, rollupAttr, g))
+      }).filter(gInvariant(_, g, epochAttr))
+      mapped.foreach(_.references.foreach(keyArgAttrs += _))
+      mapped
+    }
+
     def rewriteNamed(ne: NamedExpression): Option[NamedExpression] = ne match {
       case a: AttributeReference => groupAttrFor(a)
       // count(DISTINCT f(keys…)) — the "active appliances per house" tile
@@ -325,25 +340,24 @@ class RollupRewrite(
       // Arguments touching the measure (count(DISTINCT power)) fail
       // mapScanExpr and reject the whole rewrite.
       case al @ Alias(AggregateExpression(Count(args), Complete, true, None, _), name) =>
-        val mappedArgs = args.map { arg =>
-          (arg match {
-            case a: AttributeReference =>
-              defs.get(a.exprId).flatMap(mapScanExpr(_, rollupAttr, g))
-            case other =>
-              RollupRewrite.substitute(other, defs).flatMap(mapScanExpr(_, rollupAttr, g))
-          }).filter(gInvariant(_, g, epochAttr))
-        }
+        val mappedArgs = args.map(mapKeyArg)
         if (mappedArgs.exists(_.isEmpty)) None
-        else {
-          // the mapped args reference rollup KEY columns the measure-only
-          // child Project below does not carry — surface them through it
-          mappedArgs.foreach(_.get.references.foreach(distinctArgAttrs += _))
-          Some(Alias(
-            Count(mappedArgs.map(_.get)).toAggregateExpression(isDistinct = true),
-            name)(exprId = al.exprId))
-        }
+        else Some(Alias(
+          Count(mappedArgs.map(_.get)).toAggregateExpression(isDistinct = true),
+          name)(exprId = al.exprId))
       case al @ Alias(AggregateExpression(f, Complete, false, None, _), name) =>
         rewriteAggFunc(f, al.dataType, isPower, isKey, rollupAttr)
+          .orElse(f match {
+            // min/max over key expressions ("first/last activity" tiles) —
+            // multiplicity-insensitive, so the extremum over rollup rows
+            // equals the extremum over raw rows for any g-invariant key
+            // function. min/max(power) took the rewriteAggFunc path above.
+            case Min(arg) =>
+              mapKeyArg(arg).map(Min(_).toAggregateExpression())
+            case Max(arg) =>
+              mapKeyArg(arg).map(Max(_).toAggregateExpression())
+            case _ => None
+          })
           .map(e => Alias(e, name)(exprId = al.exprId))
       // non-aggregate alias: a (derived) grouping projection — every leaf
       // must resolve to a grouping attribute. The no-aggregate guard is
@@ -374,7 +388,7 @@ class RollupRewrite(
     val measures: Seq[NamedExpression] =
       Seq("cnt", "cnt_power", "min_power", "max_power", "sum_power_dec").map(rollupAttr)
     val measureIds = measures.map(_.exprId).toSet
-    val extraKeys = distinctArgAttrs.toSeq.filterNot(a => measureIds.contains(a.exprId))
+    val extraKeys = keyArgAttrs.toSeq.filterNot(a => measureIds.contains(a.exprId))
     val child = Project(pulled.map(_._2) ++ measures ++ extraKeys, filtered)
     Some(Aggregate(newGroups, newAggExprs.map(_.get), child))
   }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.{DedupOps, LshIndex}
+
+class LshIndexSpec extends AnyFunSuite with SharedSpark {
+
+  private def docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+
+  test("full-corpus index probe reproduces the one-shot LSH pair set exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_idx_full").toString
+    LshIndex.materialize(spark, docs, dir)
+    val viaIndex = LshIndex.candidates(spark, dir, docs)
+      .filter(col("probe_id") < col("index_id"))
+      .select(col("probe_id").as("id_a"), col("index_id").as("id_b"),
+        col("n_eq"), col("est_sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val oneShot = DedupOps.minhashLshPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(viaIndex.nonEmpty, "TESTDATA plants near-dups — the pair set must not be empty")
+    assert(viaIndex.sameElements(oneShot),
+      s"index path diverged: ${viaIndex.take(3).mkString(",")} vs ${oneShot.take(3).mkString(",")}")
+  }
+
+  test("batch probe against a partial index finds exactly the cross pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_idx_part").toString
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    LshIndex.materialize(spark, corpus, dir)
+    val got = LshIndex.candidates(spark, dir, batch)
+      .select("probe_id", "index_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // expected: the one-shot pairs with exactly one endpoint in the batch,
+    // oriented probe→index
+    val full = DedupOps.minhashLshPairs(spark, sfDir)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = full.flatMap { case (a, b) =>
+      (a % 5 == 0, b % 5 == 0) match {
+        case (true, false) => Some((a, b))
+        case (false, true) => Some((b, a))
+        case _ => None
+      }
+    }.toSet
+    assert(got == expected, s"got ${got.size} cross pairs, expected ${expected.size}")
+
+    // absorb the batch; re-probing now also surfaces batch-internal pairs
+    // (as probe→index in both orientations) and never a self pair
+    LshIndex.appendBatch(spark, dir, batch, batchId = 1L)
+    val after = LshIndex.candidates(spark, dir, batch)
+      .select("probe_id", "index_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.forall { case (p, i) => p != i }, "self pairs must be dropped")
+    val batchInternal = full.filter { case (a, b) => a % 5 == 0 && b % 5 == 0 }
+    val afterSet = after.toSet
+    batchInternal.foreach { case (a, b) =>
+      assert(afterSet.contains((a, b)) && afterSet.contains((b, a)),
+        s"absorbed batch pair ($a,$b) missing from re-probe")
+    }
+  }
+
+  test("appendBatch is replay-idempotent (same segment id overwrites)") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_idx_replay").toString
+    val batch = docs.filter(col("doc_id") < 50)
+    LshIndex.appendBatch(spark, dir, batch, batchId = 7L)
+    val n1 = LshIndex.read(spark, dir).count()
+    LshIndex.appendBatch(spark, dir, batch, batchId = 7L) // checkpoint replay
+    assert(LshIndex.read(spark, dir).count() == n1, "replayed batch duplicated rows")
+    LshIndex.appendBatch(spark, dir, docs.filter(col("doc_id") >= 50 && col("doc_id") < 60), 8L)
+    assert(LshIndex.read(spark, dir).count() > n1, "a new segment must add rows")
+  }
+
+  test("probe plan broadcasts the batch side; the index scan does not shuffle") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_idx_plan").toString
+    LshIndex.materialize(spark, docs, dir)
+    val probe = LshIndex.candidates(spark, dir, docs.filter(col("doc_id") < 20))
+    probe.collect() // finalize the adaptive plan
+    val s = graft.plans.PlanAudit.summary(probe).head()
+    assert(s.getAs[Int]("n_broadcasts") >= 1, "batch side must broadcast")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    // legitimate shuffles: the probe batch's own signature aggregation
+    // (inside the broadcast subtree, batch-sized) and the de-collision
+    // distinct. The INDEX side must feed the join straight from its scan —
+    // no exchange may hash-partition on the band keys.
+    assert(s.getAs[Int]("n_shuffles") <= 2, s"unexpected extra shuffles:\n$plan")
+    val bandKeyShuffles = graft.plans.PlanAudit.audit(probe)
+      .filter(col("kind") === "shuffle")
+      .collect().map(_.getAs[String]("detail"))
+      .filter(d => d.contains("band_idx") || d.contains("k0"))
+    assert(bandKeyShuffles.isEmpty,
+      s"index side shuffled on band keys: ${bandKeyShuffles.mkString("; ")}\n$plan")
+  }
+}

@@ -47,7 +47,8 @@ object RollupProps extends Properties("rollup") {
     min("power").as("mn"),
     max("power").as("mx"),
     avg("power").as("av"),
-    countDistinct(col("appliance_id")).as("nd")
+    countDistinct(col("appliance_id")).as("nd"),
+    max(col("appliance_name")).as("mxa") // key extremum, granularity-neutral
   )).map(_.toList)
 
   private val genFilter: Gen[Option[Column]] = Gen.oneOf(

@@ -301,6 +301,22 @@ class RollupRewriteSpec extends AnyFunSuite with SharedSpark {
       // distinct over the measure cannot be served by the rollup
       val qp = raw.groupBy("house_id").agg(countDistinct("power").as("ndp"))
       assert(!routed(qp), "count(DISTINCT power) must stay on raw")
+      // min/max over keys: the "first/last activity per house" tile
+      val qmm = raw.groupBy("house_id")
+        .agg(min("epoch_s").as("first_s"), max("epoch_s").as("last_s"),
+          max("appliance_id").as("mx_app"), sum("power").as("p"))
+        .orderBy("house_id")
+      assert(routed(qmm), s"min/max key tile must route:\n${qmm.queryExecution.optimizedPlan}")
+      val viaMm = qmm.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      RollupRewrite.uninstall(spark)
+      val directMm = raw.groupBy("house_id")
+        .agg(min("epoch_s").as("first_s"), max("epoch_s").as("last_s"),
+          max("appliance_id").as("mx_app"), sum("power").as("p"))
+        .orderBy("house_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      assert(viaMm.sameElements(directMm))
+      install()
       // two different distinct sets: unservable post-RewriteDistinctAggregates
       val q2 = raw.groupBy("house_id")
         .agg(countDistinct("appliance_id").as("a"), countDistinct("appliance_name").as("b"))
@@ -379,6 +395,15 @@ class RollupRewriteSpec extends AnyFunSuite with SharedSpark {
         .agg(countDistinct(expr("epoch_s div 60")).as("nd")))
       val qd1 = raw.groupBy("house_id").agg(countDistinct("epoch_s").as("nd"))
       assert(routed(qd1) && !scansCoarse(qd1), "second-distinct must use the 1s table")
+      // min over the minute floor → 60 s table; min over bare epoch_s needs
+      // full resolution → 1 s table
+      val qm60 = raw.groupBy("house_id")
+        .agg(min(expr("(epoch_s div 60) * 60")).as("first_min"))
+      assert(routed(qm60) && scansCoarse(qm60), "minute-floor min must use the 60s table")
+      matchesRaw(raw.groupBy("house_id")
+        .agg(min(expr("(epoch_s div 60) * 60")).as("first_min")))
+      val qm1 = raw.groupBy("house_id").agg(min("epoch_s").as("first_s"))
+      assert(routed(qm1) && !scansCoarse(qm1), "bare-epoch min must use the 1s table")
     } finally RollupRewrite.uninstall(spark)
   }
 
