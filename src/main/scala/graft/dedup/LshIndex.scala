@@ -68,6 +68,54 @@ object LshIndex {
   def read(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.option("basePath", indexPath).parquet(indexPath).drop("batch")
 
+  /** Segment ids the streaming absorber writes under: offset past any batch
+    * ids a bootstrap [[materialize]]/[[appendBatch]] call used, so a stream
+    * attaching to a pre-built index never collides with its segments.
+    */
+  val StreamingSegmentBase = 1000000000L
+
+  /** The streaming ingest shape: every micro-batch of documents is probed
+    * against the stored index for near-dup candidates (written to
+    * `candOut/batch=<segment>`) and then absorbed as index segment
+    * `StreamingSegmentBase + batchId`. Probe-before-absorb plus
+    * [[candidates]]' own-segment exclusion makes both writes deterministic
+    * under checkpoint replay — the same micro-batch always produces the same
+    * candidate set and the same index segment, the exactly-once discipline
+    * of [[graft.sources.RollupTable.streamingWriter]] applied to dedup.
+    * Pair the accreted segments with [[graft.sources.RollupTable]]-style
+    * compaction if the stream runs long.
+    */
+  def streamingAbsorb(
+      docsStream: DataFrame, indexPath: String, candOut: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val segment = StreamingSegmentBase + batchId
+        val cand =
+          if (hasSegments(spark, indexPath))
+            candidates(spark, indexPath, batch, excludeSegment = Some(segment))
+          else // a stream may bootstrap an empty index: nothing to match yet
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("probe_id", org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("index_id", org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("n_eq", org.apache.spark.sql.types.IntegerType),
+                org.apache.spark.sql.types.StructField("est_sim", org.apache.spark.sql.types.DoubleType))))
+        cand.write.mode("overwrite").parquet(s"$candOut/batch=$segment")
+        appendBatch(spark, indexPath, batch, segment)
+      }
+
+  private def hasSegments(spark: SparkSession, indexPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+  }
+
   /** Near-dup candidates for a probe batch against the stored index: a band
     * equi-join (any band agreement ⇒ candidate), de-collided across bands,
     * with the standard minhash agreement estimate on the pair. Self-matches
@@ -78,12 +126,21 @@ object LshIndex {
       spark: SparkSession,
       indexPath: String,
       probeDocs: DataFrame,
-      broadcastQuery: Boolean = true): DataFrame = {
+      broadcastQuery: Boolean = true,
+      excludeSegment: Option[Long] = None): DataFrame = {
     val probe0 = bandTable(probeDocs).select(
       Seq(col("doc_id").as("probe_id"), col("sig").as("probe_sig"), col("band_idx")) ++
         keyCols.map(col): _*)
     val probe = if (broadcastQuery) broadcast(probe0) else probe0
-    read(spark, indexPath)
+    val index = excludeSegment match {
+      // probe-before-absorb determinism: a checkpoint-replayed micro-batch
+      // probes an index that already contains its own segment; excluding it
+      // makes the replayed candidate set identical to the original
+      case Some(id) => spark.read.option("basePath", indexPath).parquet(indexPath)
+        .filter(col("batch") =!= id).drop("batch")
+      case None => read(spark, indexPath)
+    }
+    index
       .join(probe, Seq("band_idx") ++ keyCols)
       .filter(col("doc_id") =!= col("probe_id"))
       .select(col("probe_id"), col("doc_id").as("index_id"),

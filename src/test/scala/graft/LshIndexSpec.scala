@@ -74,6 +74,62 @@ class LshIndexSpec extends AnyFunSuite with SharedSpark {
     assert(LshIndex.read(spark, dir).count() > n1, "a new segment must add rows")
   }
 
+  test("streaming absorb: per-batch probe+append, deterministic under restart") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("lsh_stream").toString
+    val (src, idx, cand, ckpt) = (s"$base/src", s"$base/idx", s"$base/cand", s"$base/ckpt")
+    // bootstrap index with the 60% corpus (doc_id % 5 in 2,3,4)
+    LshIndex.materialize(spark, docs.filter(col("doc_id") % 5 >= 2), idx)
+    val full = DedupOps.minhashLshPairs(spark, sfDir)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // stream file 1: the %5==0 slice
+    docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def start() = LshIndex.streamingAbsorb(
+      spark.readStream.schema(schema).parquet(src), idx, cand, ckpt).start()
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    val seg0 = spark.read.option("basePath", cand).parquet(s"$cand/batch=${LshIndex.StreamingSegmentBase}")
+      .select("probe_id", "index_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected0 = full.flatMap { case (a, b) =>
+      (a % 5 == 0, b % 5 >= 2, b % 5 == 0, a % 5 >= 2) match {
+        case (true, true, _, _) => Some((a, b))
+        case (_, _, true, true) => Some((b, a))
+        case _ => None
+      }
+    }.toSet
+    assert(seg0 == expected0, s"batch-0 candidates: got ${seg0.size}, expected ${expected0.size}")
+    // stream file 2 lands while the query is down; restart from checkpoint
+    docs.filter(col("doc_id") % 5 === 1).write.mode("append").parquet(src)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    // batch 1 probes against bootstrap ∪ batch-0 segments
+    val seg1 = spark.read.option("basePath", cand).parquet(s"$cand/batch=${LshIndex.StreamingSegmentBase + 1}")
+      .select("probe_id", "index_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected1 = full.flatMap { case (a, b) =>
+      (a % 5 == 1, b % 5 != 1) match {
+        case (true, true) => Some((a, b))
+        case _ => (b % 5 == 1 && a % 5 != 1, ()) match {
+          case (true, _) => Some((b, a))
+          case _ => None
+        }
+      }
+    }.toSet
+    assert(seg1 == expected1, s"batch-1 candidates: got ${seg1.size}, expected ${expected1.size}")
+    // the index now carries every segment: a fresh probe of all docs matches
+    // the one-shot pair set (both orientations, no self pairs)
+    val probeAll = LshIndex.candidates(spark, idx, docs)
+      .filter(col("probe_id") < col("index_id"))
+      .select("probe_id", "index_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probeAll == full.toSet, "absorbed index must reproduce the one-shot pair set")
+  }
+
   test("probe plan broadcasts the batch side; the index scan does not shuffle") {
     val dir = java.nio.file.Files.createTempDirectory("lsh_idx_plan").toString
     LshIndex.materialize(spark, docs, dir)
