@@ -52,18 +52,60 @@ object GraftSession {
     Tables.tune(spark)
     Tables.registerViews(spark, sfDir)
     sources.RollupTable.materialize(spark, sfDir, rollupPath)
-    val coarse = coarseGranularities.distinct.sorted.foldLeft(
-      List.empty[(String, Long)]) { (done, g) =>
-      // derive from the coarsest already-built level that divides g (floor
-      // composition needs prev | g); otherwise fall back to the 1 s table
-      val src = done.collectFirst { case (p, pg) if g % pg == 0 => p }
-        .getOrElse(rollupPath)
-      val path = s"${rollupPath}_${g}s"
-      sources.RollupTable.materializeCoarse(spark, src, path, g)
-      (path, g) :: done
+    val coarse = latticeWalk(rollupPath, coarseGranularities) {
+      case (src, path, g) => sources.RollupTable.materializeCoarse(spark, src, path, g)
     }
     plans.RollupRewrite.install(
       spark, rollupPath, operators.Grid.powerReadings(spark, sfDir), coarse)
     spark
   }
+
+  /** One-call incremental maintenance for an [[open]]-built lattice: rebuild
+    * the 1 s rollup's hour segments at/after `sinceEpochS` from raw, then
+    * cascade the refresh through every coarse level in derivation order —
+    * each level re-derived from the same finer table [[open]] built it from.
+    * Hour-aligned partition upserts all the way down, so segments before the
+    * boundary are untouched at every level and the whole call is idempotent.
+    * The installed rule keeps serving throughout (temp views resolve the
+    * refreshed parquet on next query).
+    */
+  def maintain(
+      spark: SparkSession,
+      sfDir: String,
+      rollupPath: String,
+      sinceEpochS: Long,
+      coarseGranularities: Seq[Long] = Nil): Unit = {
+    sources.RollupTable.materializeIncrement(spark, sfDir, rollupPath, sinceEpochS)
+    val levels = latticeWalk(rollupPath, coarseGranularities) {
+      case (src, path, g) =>
+        // each level must read its refreshed source, not a cached listing
+        spark.catalog.refreshByPath(src)
+        sources.RollupTable.materializeCoarseIncrement(spark, src, path, g, sinceEpochS)
+    }
+    // the installed views hold LogicalRelations whose file indexes still
+    // list the replaced segment files (refreshByPath only touches CACHED
+    // plans) — re-register each view over a fresh read so the routing rule
+    // resolves the new listing
+    spark.read.parquet(rollupPath)
+      .createOrReplaceTempView(plans.RollupRewrite.RollupViewName)
+    levels.foreach { case (p, g) =>
+      spark.read.parquet(p)
+        .createOrReplaceTempView(plans.RollupRewrite.viewName(g))
+    }
+  }
+
+  /** Visit the lattice levels finest-first, deriving each from the coarsest
+    * already-visited level that divides it (floor composition needs prev | g;
+    * falls back to the 1 s table). Returns (path, granularity) coarsest-first
+    * — the shape [[plans.RollupRewrite.install]] takes.
+    */
+  private def latticeWalk(rollupPath: String, granularities: Seq[Long])(
+      build: (String, String, Long) => Unit): List[(String, Long)] =
+    granularities.distinct.sorted.foldLeft(List.empty[(String, Long)]) { (done, g) =>
+      val src = done.collectFirst { case (p, pg) if g % pg == 0 => p }
+        .getOrElse(rollupPath)
+      val path = s"${rollupPath}_${g}s"
+      build(src, path, g)
+      (path, g) :: done
+    }
 }

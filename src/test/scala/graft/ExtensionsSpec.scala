@@ -94,6 +94,24 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
     } finally graft.plans.RollupRewrite.uninstall(s)
   }
 
+  test("GraftSession.maintain cascades an incremental refresh through the lattice") {
+    val dir = java.nio.file.Files.createTempDirectory("open_maint").toString + "/r"
+    val s = GraftSession.open(sfDir, dir, coarseGranularities = Seq(60L))
+    try {
+      def tile = s.sql(
+        "SELECT (epoch_s div 60) * 60 AS m, count(*) AS n FROM power GROUP BY 1 ORDER BY 1")
+      val before = tile.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val lastHour = s.sql("SELECT max((epoch_s div 3600) * 3600) FROM power")
+        .collect().head.getLong(0)
+      // raw unchanged → the refresh must be a results no-op at every level
+      GraftSession.maintain(s, sfDir, dir, lastHour, Seq(60L))
+      val after = tile.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(after.sameElements(before), "maintain over unchanged raw changed results")
+      assert(tile.queryExecution.executedPlan.toString.contains("_60s"),
+        "minute tile must still read the refreshed 60 s level")
+    } finally graft.plans.RollupRewrite.uninstall(s)
+  }
+
   test("GraftSession.open materializes and serves a rollup lattice") {
     val dir = java.nio.file.Files.createTempDirectory("open_lat").toString + "/r"
     // 300 s derives from the 60 s level (60 | 300), both from the 1 s table
