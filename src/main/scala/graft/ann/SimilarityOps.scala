@@ -27,13 +27,13 @@ object SimilarityOps {
   /** Embedding cast to double with its squared norm, computed once via the
     * codegen'd [[graft.functions.ArrayDotProduct]].
     */
-  private def withNorm(df: DataFrame, idAs: String, vAs: String, nAs: String): DataFrame = {
+  private[ann] def withNorm(df: DataFrame, idAs: String, vAs: String, nAs: String): DataFrame = {
     VectorFunctions.register(df.sparkSession)
     df.select(col("vec_id").as(idAs), transform(col("embedding"), _.cast("double")).as(vAs))
       .withColumn(nAs, expr(s"dot_arrays($vAs, $vAs)"))
   }
 
-  private def dot(a: String, b: String): Column = expr(s"dot_arrays($a, $b)")
+  private[ann] def dot(a: String, b: String): Column = expr(s"dot_arrays($a, $b)")
 
   /** Grid size for [[gridPairs]]. 8×8 = 64 cells saturates local[32]; on a
     * real cluster B scales with √cores so per-task memory stays O(n/B).
@@ -272,18 +272,29 @@ object SimilarityOps {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    val withC = (0 until NumCentroids).foldLeft(e) { (df, k) =>
+    withCentroidAssignment(e, "v").select(col("vec_id"), col("centroid_id"))
+  }
+
+  /** Adds `centroid_id` = argmin over the monotone score |c|² − 2·v·c to any
+    * frame carrying a double-array column `vCol` (ties → lowest k, matching
+    * the oracle's (distance, k) rank). The reusable core of
+    * [[ivfAssignments]] — [[IvfIndex]] applies it to incoming batches.
+    */
+  private[ann] def withCentroidAssignment(df0: DataFrame, vCol: String): DataFrame = {
+    val withC = (0 until NumCentroids).foldLeft(df0) { (df, k) =>
       df.withColumn(s"c_$k", array(centroids(k).toIndexedSeq.map(lit(_)): _*))
     }
     val scored = (0 until NumCentroids).foldLeft(withC) { (df, k) =>
-      df.withColumn(s"d_$k", lit(selfDot(centroids(k))) - lit(2.0) * expr(s"dot_arrays(v, c_$k)"))
+      df.withColumn(s"d_$k",
+        lit(selfDot(centroids(k))) - lit(2.0) * expr(s"dot_arrays($vCol, c_$k)"))
     }
     val ks = 0 until NumCentroids
     val assign = ks.init.foldRight(lit(ks.last)) { case (k, elseCol) =>
       val leAll = ks.drop(k + 1).map(o => col(s"d_$k") <= col(s"d_$o")).reduce(_ && _)
       when(leAll, lit(k)).otherwise(elseCol)
     }
-    scored.select(col("vec_id"), assign.as("centroid_id"))
+    scored.withColumn("centroid_id", assign)
+      .drop(ks.map(k => s"c_$k") ++ ks.map(k => s"d_$k"): _*)
   }
 
   def ivfBuckets(spark: SparkSession, sfDir: String): DataFrame =
@@ -622,15 +633,11 @@ object SimilarityOps {
     * is windowed over the bounded query set only; the corpus side is the
     * same single assignment pass [[ivfTopK]] uses.
     */
-  def ivfTopKMultiProbe(
-      spark: SparkSession, sfDir: String,
-      nQueries: Int = 10, k: Int = 3, nprobe: Int = 2): DataFrame = {
-    val assigns = ivfAssignments(spark, sfDir)
-    val e = withNorm(Tables.embeddings(spark, sfDir), "vec_id", "v", "nn")
-      .join(assigns, "vec_id")
-    // query side: distance to every centroid, keep the nprobe nearest cells
-    val q0 = withNorm(
-      Tables.embeddings(spark, sfDir).filter(col("vec_id") < nQueries), "qid", "qv", "qn")
+  /** Per-query nprobe nearest IVF cells: (qid, qv, qn) → one row per probed
+    * cell (qid, qv, qn, probe), ties on distance resolving to the lowest k
+    * — the shared query-side half of multi-probe search and [[IvfIndex]].
+    */
+  private[ann] def probeCells(q0: DataFrame, nprobe: Int): DataFrame = {
     val withC = (0 until NumCentroids).foldLeft(q0) { (df, c) =>
       df.withColumn(s"c_$c", array(centroids(c).toIndexedSeq.map(lit(_)): _*))
     }
@@ -644,10 +651,21 @@ object SimilarityOps {
       .select(col("qid"), col("qv"), col("qn"),
         col("cd.k").as("probe"), col("cd.d").as("d"))
     val wp = Window.partitionBy("qid").orderBy(asc("d"), asc("probe"))
-    val probes = cells
+    cells
       .withColumn("prn", row_number().over(wp))
       .filter(col("prn") <= nprobe)
       .select("qid", "qv", "qn", "probe")
+  }
+
+  def ivfTopKMultiProbe(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val assigns = ivfAssignments(spark, sfDir)
+    val e = withNorm(Tables.embeddings(spark, sfDir), "vec_id", "v", "nn")
+      .join(assigns, "vec_id")
+    val probes = probeCells(withNorm(
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") < nQueries),
+      "qid", "qv", "qn"), nprobe)
     val c = e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nn").as("cn"),
       col("centroid_id").as("cc"))
     val scored = c

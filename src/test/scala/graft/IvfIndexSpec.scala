@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.{IvfIndex, SimilarityOps}
+
+class IvfIndexSpec extends AnyFunSuite with SharedSpark {
+
+  private def embs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+  private def queries(n: Int) = embs.filter(col("vec_id") < n)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Array[(Long, Int, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+
+  test("index search reproduces the one-shot multi-probe results exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    IvfIndex.materialize(spark, embs, dir)
+    val viaIndex = rows(IvfIndex.search(spark, dir, queries(10), k = 3, nprobe = 2))
+    val oneShot = rows(SimilarityOps.ivfTopKMultiProbe(spark, sfDir, nQueries = 10, k = 3, nprobe = 2))
+    assert(viaIndex.nonEmpty && viaIndex.sameElements(oneShot),
+      s"index search diverged: ${viaIndex.take(3).mkString(",")} vs ${oneShot.take(3).mkString(",")}")
+  }
+
+  test("incrementally absorbed segments answer like a one-shot build") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_inc").toString
+    IvfIndex.materialize(spark, embs.filter(col("vec_id") % 4 =!= 0), dir)
+    IvfIndex.appendBatch(spark, dir, embs.filter(col("vec_id") % 4 === 0), batchId = 1L)
+    val viaSegments = rows(IvfIndex.search(spark, dir, queries(10), k = 3, nprobe = 2))
+    val oneShot = rows(SimilarityOps.ivfTopKMultiProbe(spark, sfDir, nQueries = 10, k = 3, nprobe = 2))
+    assert(viaSegments.sameElements(oneShot), "segmented index diverged from one-shot build")
+    // replay of the increment is idempotent
+    val n1 = IvfIndex.read(spark, dir).count()
+    IvfIndex.appendBatch(spark, dir, embs.filter(col("vec_id") % 4 === 0), batchId = 1L)
+    assert(IvfIndex.read(spark, dir).count() == n1, "replayed segment duplicated rows")
+  }
+
+  test("search broadcasts the query cells and prunes index partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_plan").toString
+    IvfIndex.materialize(spark, embs, dir)
+    val q = IvfIndex.search(spark, dir, queries(5), k = 3, nprobe = 2)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"query cells must broadcast:\n$plan")
+    // the index side must arrive partition-pruned: the probed cells are only
+    // known at runtime, so the scan needs a dynamicpruning expression on the
+    // centroid_id partition column
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on centroid_id:\n$plan")
+  }
+}
