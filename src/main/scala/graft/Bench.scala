@@ -295,6 +295,42 @@ object Bench {
         s"""${leg("window_120s_60s_via_60s", rawMinuteSec, servedMinuteSec)}}"""
     } catch { case t: Throwable => s""","rollup_serving":{"error":"${jsonErr(t)}"}""" }
 
+    // Index-serving demonstration: per-batch cost against the durable LSH /
+    // IVF indexes vs the naive one-shot recompute a pipeline without an
+    // index pays on every incoming batch. The index builds are one-off and
+    // untimed; the timed probe is a 2% document batch (LSH candidates) and a
+    // 10-query embedding batch (IVF top-k) — at 100 TB the one-shot side
+    // re-signs/re-assigns the whole corpus per batch while the probe side
+    // reads the index (DPP-pruned to the probed cells for IVF).
+    val indexServingJson = try {
+      import org.apache.spark.sql.functions._
+      val base = java.nio.file.Files.createTempDirectory("graft_index_bench").toString
+      def time2(run: => Unit): Double = {
+        def once(): Double = {
+          val t0 = System.nanoTime(); run; (System.nanoTime() - t0) / 1e9
+        }
+        math.min(once(), once())
+      }
+      val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      val lshFullSec = time2(graft.dedup.DedupOps.minhashLshPairs(spark, sfDir).count())
+      graft.dedup.LshIndex.materialize(spark, docs, s"$base/lsh")
+      val lshBatch = docs.filter(col("doc_id") % 50 === 0) // a 2% ingest batch
+      val lshProbeSec = time2(
+        graft.dedup.LshIndex.candidates(spark, s"$base/lsh", lshBatch).count())
+      val embs = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      val ivfFullSec = time2(
+        graft.ann.SimilarityOps.ivfTopKMultiProbe(spark, sfDir, 10, 3, 2).count())
+      graft.ann.IvfIndex.materialize(spark, embs, s"$base/ivf")
+      val ivfSearchSec = time2(graft.ann.IvfIndex.search(
+        spark, s"$base/ivf", embs.filter(col("vec_id") < 10), 3, 2).count())
+      cleanup(base)
+      def leg(name: String, full: Double, probe: Double) =
+        s""""$name":{"one_shot_sec":$full,"index_probe_sec":$probe,""" +
+          s""""speedup":${if (probe > 0) full / probe else -1.0}}"""
+      s""","index_serving":{${leg("lsh_batch_candidates", lshFullSec, lshProbeSec)},""" +
+        s"""${leg("ivf_topk_search", ivfFullSec, ivfSearchSec)}}"""
+    } catch { case t: Throwable => s""","index_serving":{"error":"${jsonErr(t)}"}""" }
+
     // Streaming throughput vs BASELINE.md's one published number (≥100k
     // msg/s sustained ingest): run the duty-cycle streaming plan over a 1M-row
     // file source (MemoryStream would measure the driver's single-threaded
@@ -343,7 +379,7 @@ object Bench {
       s""""worst_probe_ratio":$probeWorst,"worst_skew_ratio":$skewWorst,""" +
       s""""streaming_rows_per_sec":$streamingRps}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-      s"""$summary$streamingJson$rollupServingJson$probeJson$skewJson,"queries":$qs,$summary}""")
+      s"""$summary$streamingJson$rollupServingJson$indexServingJson$probeJson$skewJson,"queries":$qs,$summary}""")
     spark.stop()
   }
 }
