@@ -47,6 +47,13 @@ object IvfIndex {
   def read(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.option("basePath", indexPath).parquet(indexPath).drop("batch")
 
+  /** Bound the segment count accreted by incremental absorbs — same
+    * crash-safe protocol as the rollup's compactor, repartitioned so each
+    * cell directory holds one file per run.
+    */
+  def compactSegments(spark: SparkSession, indexPath: String): Int =
+    graft.sources.Segments.compact(spark, indexPath, Seq("centroid_id"))
+
   /** Cosine top-k over the probed cells for a query batch (vec_id,
     * embedding): identical results to the one-shot
     * [[SimilarityOps.ivfTopKMultiProbe]] (same centroids, same tie-breaks),

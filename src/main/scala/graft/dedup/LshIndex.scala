@@ -63,7 +63,16 @@ object LshIndex {
       spark: SparkSession, indexPath: String, docs: DataFrame, batchId: Long): Unit =
     bandTable(docs)
       .write.mode("overwrite")
+      // band_idx as a partition column: layout stays uniform under
+      // [[compactSegments]], and a probe join on it is DPP-prunable
+      .partitionBy("band_idx")
       .parquet(s"$indexPath/batch=$batchId")
+
+  /** Bound the segment count a long-running [[streamingAbsorb]] accretes —
+    * same crash-safe protocol as the rollup's compactor.
+    */
+  def compactSegments(spark: SparkSession, indexPath: String): Int =
+    graft.sources.Segments.compact(spark, indexPath, Seq("band_idx"))
 
   def read(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.option("basePath", indexPath).parquet(indexPath).drop("batch")

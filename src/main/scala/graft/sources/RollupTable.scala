@@ -177,63 +177,15 @@ object RollupTable {
   def readSegments(spark: SparkSession, path: String): DataFrame =
     spark.read.option("basePath", path).parquet(path).drop("batch")
 
-  /** Segment compaction — the maintenance job the Druid discipline pairs with
-    * ingest (`Druid_conf_power_raw_avro:136-140` maxRowsPerSegment): a
-    * long-running stream writes one `batch=<id>` segment per micro-batch, so
-    * a day of 5 s triggers accretes ~17k small files per (date, hour) and
-    * every later scan pays the per-file open cost. This job rewrites ALL
-    * current segments into one, repartitioned by (date, hour) so each hour
-    * directory holds exactly one file per compaction run, and absorbs them
-    * into the highest existing batch id (the id space stays monotone — a
-    * restarted stream's next batch id is always higher, so no collision).
-    *
-    * Rows pass through untouched (rollup groups are already final per
-    * segment), so every query over [[readSegments]] returns identical results
-    * before and after — pinned by IngestSpec. Write protocol: the compacted
-    * copy lands complete in a dot-prefixed temp dir (invisible to parquet
-    * listings), then source segments are removed and the temp dir promoted.
-    * Like Druid's compaction task this assumes the single-maintenance-writer
-    * discipline (the coordinator serializes compaction against ingest; here
-    * the caller does) — a crash between remove and promote leaves the data
-    * intact in the temp dir for the next run, which detects and re-promotes
-    * it rather than re-reading half-removed sources.
-    *
-    * @return number of source segments absorbed (0 = nothing to do).
+  /** Segment compaction — the maintenance job the Druid discipline pairs
+    * with ingest (`Druid_conf_power_raw_avro:136-140` maxRowsPerSegment): a
+    * day of 5 s triggers accretes ~17k small files per (date, hour); this
+    * rewrites all segments into one file per hour dir. Protocol and crash
+    * recovery live in [[Segments.compact]]; results identical before and
+    * after — pinned by IngestSpec.
     */
-  def compactSegments(spark: SparkSession, path: String): Int = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(root, ".compact_tmp")
-    def segments() = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-    // recovery: a temp dir carrying _SUCCESS is a COMPLETE compacted copy of
-    // every segment that existed when it was written, so a crash anywhere in
-    // the remove/promote window (sources partially deleted) must finish that
-    // commit — re-compacting from half-removed sources would lose the rows
-    // whose only remaining copy is the temp dir. No _SUCCESS = incomplete
-    // copy with all sources intact: discard and start over.
-    if (fs.exists(tmp)) {
-      if (fs.exists(new Path(tmp, "_SUCCESS"))) {
-        val leftover = segments()
-        val id = if (leftover.isEmpty) 0L
-          else leftover.map(_.getPath.getName.stripPrefix("batch=").toLong).max
-        leftover.foreach(s => fs.delete(s.getPath, true))
-        fs.rename(tmp, new Path(root, s"batch=$id"))
-        return leftover.length
-      }
-      fs.delete(tmp, true)
-    }
-    val segs = segments()
-    if (segs.length <= 1) return 0
-    val maxId = segs.map(_.getPath.getName.stripPrefix("batch=").toLong).max
-    readSegments(spark, path)
-      .repartition(col("date"), col("hour")) // one task → one file per hour dir
-      .write.mode("overwrite").partitionBy("date", "hour").parquet(tmp.toString)
-    segs.foreach(s => fs.delete(s.getPath, true))
-    fs.rename(tmp, new Path(root, s"batch=$maxId"))
-    segs.length
-  }
+  def compactSegments(spark: SparkSession, path: String): Int =
+    Segments.compact(spark, path, Seq("date", "hour"))
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

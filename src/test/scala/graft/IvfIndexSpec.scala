@@ -35,6 +35,24 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     assert(IvfIndex.read(spark, dir).count() == n1, "replayed segment duplicated rows")
   }
 
+  test("index compaction bounds files per cell and preserves search results") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_compact").toString
+    (0 until 3).foreach(i =>
+      IvfIndex.appendBatch(spark, dir, embs.filter(col("vec_id") % 3 === i), i.toLong))
+    val before = rows(IvfIndex.search(spark, dir, queries(10), k = 3, nprobe = 2))
+    assert(IvfIndex.compactSegments(spark, dir) == 3)
+    val seg = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(seg.map(_.getName).toSeq == Seq("batch=2"))
+    // one file per centroid_id dir after the repartition
+    seg.head.listFiles().filter(_.isDirectory).foreach { cell =>
+      assert(cell.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"cell ${cell.getName} must hold one compacted file")
+    }
+    assert(rows(IvfIndex.search(spark, dir, queries(10), k = 3, nprobe = 2))
+      .sameElements(before), "compaction changed search results")
+  }
+
   test("search broadcasts the query cells and prunes index partitions") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_idx_plan").toString
     IvfIndex.materialize(spark, embs, dir)

@@ -130,6 +130,21 @@ class LshIndexSpec extends AnyFunSuite with SharedSpark {
     assert(probeAll == full.toSet, "absorbed index must reproduce the one-shot pair set")
   }
 
+  test("index compaction bounds segments and preserves every candidate") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_idx_compact").toString
+    (0 until 3).foreach(i =>
+      LshIndex.appendBatch(spark, dir, docs.filter(col("doc_id") % 3 === i), i.toLong))
+    def probe() = LshIndex.candidates(spark, dir, docs.filter(col("doc_id") < 50))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(t => (t._1, t._2))
+    val before = probe()
+    assert(LshIndex.compactSegments(spark, dir) == 3)
+    val segs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(segs.map(_.getName).toSeq == Seq("batch=2"), "segments must merge into the max id")
+    assert(probe().sameElements(before), "compaction changed candidates")
+    assert(LshIndex.compactSegments(spark, dir) == 0, "single segment: nothing to do")
+  }
+
   test("probe plan broadcasts the batch side; the index scan does not shuffle") {
     val dir = java.nio.file.Files.createTempDirectory("lsh_idx_plan").toString
     LshIndex.materialize(spark, docs, dir)
