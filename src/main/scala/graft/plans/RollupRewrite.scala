@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, BinaryComparison, CaseWhen, Cast, Coalesce, Concat, CreateNamedStruct, Divide, ExprId, Expression, GreaterThan, GreaterThanOrEqual, If, In, IntegralDivide, IsNotNull, KnownNullable, LessThan, LessThanOrEqual, Literal, MicrosToTimestamp, Multiply, NamedExpression, Not, Or, PreciseTimestampConversion, Remainder, Subtract}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -356,6 +356,12 @@ class RollupRewrite(
               mapKeyArg(arg).map(Min(_).toAggregateExpression())
             case Max(arg) =>
               mapKeyArg(arg).map(Max(_).toAggregateExpression())
+            // approx_count_distinct over key expressions: HLL registers take
+            // a max per hash bucket, so duplicates never move an estimate —
+            // the sketch over rollup rows is BIT-IDENTICAL to raw's, not
+            // merely close. Measure arguments fall through and reject.
+            case h: HyperLogLogPlusPlus =>
+              mapKeyArg(h.child).map(m => h.copy(child = m).toAggregateExpression())
             case _ => None
           })
           .map(e => Alias(e, name)(exprId = al.exprId))

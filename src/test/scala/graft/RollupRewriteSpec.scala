@@ -301,6 +301,22 @@ class RollupRewriteSpec extends AnyFunSuite with SharedSpark {
       // distinct over the measure cannot be served by the rollup
       val qp = raw.groupBy("house_id").agg(countDistinct("power").as("ndp"))
       assert(!routed(qp), "count(DISTINCT power) must stay on raw")
+      // approx_count_distinct over a key: HLL sketches are multiplicity-
+      // insensitive, so the served estimate must be BIT-identical to raw
+      val qh = raw.groupBy("house_id")
+        .agg(approx_count_distinct("appliance_id").as("apx"))
+        .orderBy("house_id")
+      assert(routed(qh), s"approx-distinct key tile must route:\n${qh.queryExecution.optimizedPlan}")
+      val viaH = qh.collect().map(r => (r.getString(0), r.getLong(1)))
+      RollupRewrite.uninstall(spark)
+      val directH = raw.groupBy("house_id")
+        .agg(approx_count_distinct("appliance_id").as("apx"))
+        .orderBy("house_id")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(viaH.sameElements(directH), "served HLL estimate diverged from raw")
+      install()
+      val qhp = raw.groupBy("house_id").agg(approx_count_distinct("power").as("apx"))
+      assert(!routed(qhp), "approx_count_distinct(power) must stay on raw")
       // min/max over keys: the "first/last activity per house" tile
       val qmm = raw.groupBy("house_id")
         .agg(min("epoch_s").as("first_s"), max("epoch_s").as("last_s"),
