@@ -54,6 +54,48 @@ object IvfIndex {
   def compactSegments(spark: SparkSession, indexPath: String): Int =
     graft.sources.Segments.compact(spark, indexPath, Seq("centroid_id"))
 
+  /** Segment ids the streaming absorber writes under (see
+    * [[graft.dedup.LshIndex.StreamingSegmentBase]] — same discipline).
+    */
+  val StreamingSegmentBase = 1000000000L
+
+  /** Streaming semantic search over a growing corpus: every micro-batch of
+    * embeddings is probed against the stored index for its cosine top-k
+    * (written to `neighborsOut/batch=<segment>`) and then absorbed as index
+    * segment `StreamingSegmentBase + batchId`. Probe-before-absorb plus
+    * own-segment exclusion keeps checkpoint replays deterministic.
+    */
+  def streamingAbsorb(
+      embStream: DataFrame, indexPath: String, neighborsOut: String, checkpoint: String,
+      k: Int = 3, nprobe: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    embStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val segment = StreamingSegmentBase + batchId
+        val out =
+          if (hasSegments(spark, indexPath))
+            search(spark, indexPath, batch, k, nprobe, excludeSegment = Some(segment))
+          else
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType),
+                org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType))))
+        out.write.mode("overwrite").parquet(s"$neighborsOut/batch=$segment")
+        appendBatch(spark, indexPath, batch, segment)
+      }
+
+  private def hasSegments(spark: SparkSession, indexPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+  }
+
   /** Cosine top-k over the probed cells for a query batch (vec_id,
     * embedding): identical results to the one-shot
     * [[SimilarityOps.ivfTopKMultiProbe]] (same centroids, same tie-breaks),
@@ -65,11 +107,19 @@ object IvfIndex {
       indexPath: String,
       queries: DataFrame,
       k: Int = 3,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2,
+      excludeSegment: Option[Long] = None): DataFrame = {
     VectorFunctions.register(spark)
     val probes = probeCells(withNorm(queries, "qid", "qv", "qn"), nprobe)
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
-    read(spark, indexPath)
+    val index = excludeSegment match {
+      // probe-before-absorb determinism under checkpoint replay (see
+      // [[streamingAbsorb]]): a replayed batch must not match itself
+      case Some(id) => spark.read.option("basePath", indexPath).parquet(indexPath)
+        .filter(col("batch") =!= id).drop("batch")
+      case None => read(spark, indexPath)
+    }
+    index
       .join(broadcast(probes),
         col("probe") === col("centroid_id") && col("qid") =!= col("vec_id"))
       .withColumn("cos",

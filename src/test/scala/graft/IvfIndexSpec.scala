@@ -53,6 +53,46 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
       .sameElements(before), "compaction changed search results")
   }
 
+  test("streaming absorb: each batch's top-k equals a direct build over the corpus so far") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("ivf_stream").toString
+    val (src, idx, out, ckpt) = (s"$base/src", s"$base/idx", s"$base/out", s"$base/ckpt")
+    // bootstrap with the %4 >= 2 slice
+    IvfIndex.materialize(spark, embs.filter(col("vec_id") % 4 >= 2), idx)
+    docsToSrc(embs.filter(col("vec_id") % 4 === 0), src)
+    val schema = spark.read.parquet(src).schema
+    def start() = IvfIndex.streamingAbsorb(
+      spark.readStream.schema(schema).parquet(src), idx, out, ckpt).start()
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    // reference: same probe computed against a one-shot index of the
+    // bootstrap corpus only
+    val refDir = Files.createTempDirectory("ivf_stream_ref").toString
+    IvfIndex.materialize(spark, embs.filter(col("vec_id") % 4 >= 2), refDir)
+    val seg0 = rows(spark.read
+      .option("basePath", out).parquet(s"$out/batch=${IvfIndex.StreamingSegmentBase}")
+      .drop("batch").orderBy("qid", "rank"))
+    val ref0 = rows(IvfIndex.search(spark, refDir, embs.filter(col("vec_id") % 4 === 0)))
+    assert(seg0.nonEmpty && seg0.sameElements(ref0), "batch-0 neighbors diverged")
+    // second batch lands while the query is down; restart from checkpoint
+    docsToSrc(embs.filter(col("vec_id") % 4 === 1), src)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    // reference for batch 1: bootstrap ∪ batch-0 corpus
+    val refDir2 = Files.createTempDirectory("ivf_stream_ref2").toString
+    IvfIndex.materialize(spark, embs.filter(col("vec_id") % 4 =!= 1), refDir2)
+    val seg1 = rows(spark.read
+      .option("basePath", out).parquet(s"$out/batch=${IvfIndex.StreamingSegmentBase + 1}")
+      .drop("batch").orderBy("qid", "rank"))
+    val ref1 = rows(IvfIndex.search(spark, refDir2, embs.filter(col("vec_id") % 4 === 1)))
+    assert(seg1.sameElements(ref1), "batch-1 neighbors diverged from direct build")
+  }
+
+  private def docsToSrc(df: org.apache.spark.sql.DataFrame, src: String): Unit =
+    df.write.mode("append").parquet(src)
+
   test("search broadcasts the query cells and prunes index partitions") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_idx_plan").toString
     IvfIndex.materialize(spark, embs, dir)
