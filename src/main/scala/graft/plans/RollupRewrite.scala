@@ -1,12 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, BinaryComparison, CaseWhen, Cast, Coalesce, Concat, CreateNamedStruct, Divide, ExprId, Expression, GreaterThan, GreaterThanOrEqual, If, In, IntegralDivide, IsNotNull, KnownNullable, LessThan, LessThanOrEqual, Literal, MicrosToTimestamp, Multiply, NamedExpression, Not, Or, PreciseTimestampConversion, Remainder, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, BinaryComparison, CaseWhen, Cast, Coalesce, Concat, CreateNamedStruct, Divide, ExprId, Expression, GreaterThan, GreaterThanOrEqual, If, In, IntegralDivide, IsNotNull, KnownNullable, LessThan, LessThanOrEqual, Literal, MicrosToTimestamp, Multiply, NamedExpression, Not, Or, Pmod, PreciseTimestampConversion, Remainder, Subtract, UnaryMinus}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, TimestampType}
 
 /** Rollup-aware aggregate routing (SURVEY.md §4 "materialized
   * pre-aggregation"): Druid answers dashboard aggregates from its ingest-time
@@ -246,6 +246,38 @@ class RollupRewrite(
       case a: AttributeReference => a.exprId != es.exprId
       case other => other.children.forall(check)
     }
+    check(e)
+  }
+
+  /** True when `IsNotNull(e)` evaluates identically whether `es` holds raw or
+    * g-floored seconds. Sound only when every node on a path from the root to
+    * an `es` reference is null BOTH ways — output null ⟺ some input null, for
+    * ALL input values — so the expression's nullness depends on `es` being
+    * null (which flooring preserves) and never on its value. That is stricter
+    * than Catalyst's `nullIntolerant` (null-in → null-out only): `nullif(
+    * epoch_s % 60, 0)` or a divide whose DIVISOR rides epoch_s go null on
+    * value, so they must reject. Hence a structural whitelist: wrapping
+    * arithmetic, div/mod by a non-zero literal, and this rule's own window
+    * start. Subtrees that never touch `es` are unconstrained — they evaluate
+    * on columns the coarsening leaves bit-identical.
+    */
+  private def nullnessGFloorInvariant(e: Expression, es: Attribute): Boolean = {
+    def nonZeroLit(x: Expression): Boolean = x match {
+      case Literal(v: java.lang.Long, LongType) => v != 0L
+      case Literal(v: java.lang.Integer, IntegerType) => v != 0
+      case _ => false
+    }
+    def check(x: Expression): Boolean =
+      !x.references.contains(es) || (x match {
+        case a: AttributeReference => a.exprId == es.exprId
+        case IntegralDivide(l, r, _) => nonZeroLit(r) && check(l)
+        case Remainder(l, r, _) => nonZeroLit(r) && check(l)
+        case Pmod(l, r, _) => nonZeroLit(r) && check(l)
+        case _: Add | _: Subtract | _: Multiply | _: UnaryMinus =>
+          x.children.forall(check)
+        case RollupWindowStart(a, _, _, _) => check(a)
+        case _ => false
+      })
     check(e)
   }
 
@@ -628,9 +660,15 @@ class RollupRewrite(
           // structurally at install (timeWindowMappable)
           case _ if timeWindowMappable && canonicalSql.get("time").contains(x.sql) =>
             Some(IsNotNull(rollupAttr("epoch_s")))
-          // nullness survives the g-floor (null div g is null), so plain
-          // mapping suffices at any granularity — no invariance proof needed
-          case _ => mapScanExpr(x, rollupAttr, g).map(IsNotNull)
+          // nullness survives the g-floor only when it is a function of the
+          // inputs' nullness alone (null-intolerant chains: null div g is
+          // null) or when the whole expression is g-invariant. An expression
+          // whose nullness depends on epoch_s's VALUE — nullif(epoch_s % 60,
+          // 0) — would change truth on the floored table, so it rejects.
+          case _ => mapScanExpr(x, rollupAttr, g)
+            .filter(a => gInvariant(a, g, rollupAttr("epoch_s")) ||
+              nullnessGFloorInvariant(a, rollupAttr("epoch_s")))
+            .map(IsNotNull)
         }
       case _ => None
     }

@@ -420,6 +420,24 @@ class RollupRewriteSpec extends AnyFunSuite with SharedSpark {
         .agg(min(expr("(epoch_s div 60) * 60")).as("first_min")))
       val qm1 = raw.groupBy("house_id").agg(min("epoch_s").as("first_s"))
       assert(routed(qm1) && !scansCoarse(qm1), "bare-epoch min must use the 1s table")
+      // IsNotNull whose truth depends on epoch_s's VALUE (nullif goes null on
+      // exact minutes) must NOT use the 60 s table — on g-floored seconds it
+      // would drop every row instead of ~59/60 (ADVICE r4 high). The 1 s
+      // table is exact (g=1 is the identity floor), so it still routes there.
+      val qNullif = raw.filter(expr("nullif(epoch_s % 60, 0)").isNotNull)
+        .groupBy("house_id").agg(count(lit(1)).as("n"))
+      assert(!scansCoarse(qNullif),
+        s"value-dependent IsNotNull must not coarsen:\n${qNullif.queryExecution.optimizedPlan}")
+      matchesRaw(raw.filter(expr("nullif(epoch_s % 60, 0)").isNotNull)
+        .groupBy("house_id").agg(count(lit(1)).as("n")))
+      // while a bare IsNotNull(epoch_s) — null-both-ways through the floor —
+      // still rides the coarse table
+      val qPlain = raw.filter(col("epoch_s").isNotNull)
+        .groupBy("house_id").agg(count(lit(1)).as("n"))
+      assert(routed(qPlain) && scansCoarse(qPlain),
+        s"plain IsNotNull(epoch_s) should coarsen:\n${qPlain.queryExecution.optimizedPlan}")
+      matchesRaw(raw.filter(col("epoch_s").isNotNull)
+        .groupBy("house_id").agg(count(lit(1)).as("n")))
     } finally RollupRewrite.uninstall(spark)
   }
 
