@@ -786,20 +786,27 @@ object CurationOps {
     * ingestion (doc_id) order: the fraction of the document's shingles whose
     * FIRST corpus occurrence is this document. High-novelty docs add new
     * content; near-zero novelty marks recombinations of already-seen text —
-    * the streaming-ingest complement of pairwise near-dup detection. One
-    * window (min doc per shingle) over the shingle-keyed shuffle, same scale
-    * shape as the CCNet shared-shingle signal; ratios are ppm integers.
+    * the streaming-ingest complement of pairwise near-dup detection. First
+    * occurrence per shingle is a two-stage grouped min joined back — the
+    * same compress-then-groupBy discipline as [[sharedShingles]], not
+    * `min().over(Window.partitionBy(s))`, which would drain every posting of
+    * a hot boilerplate shingle through one un-splittable window task (the
+    * exact straggler the raw dedup family shed in VERDICT r4 #1). Ratios
+    * are ppm integers.
     */
   def noveltyScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
+    val perDoc = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= ShingleK)
       .select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s"))
-    sh.withColumn("first_doc", min("doc_id").over(Window.partitionBy("s")))
+      .groupBy("doc_id", "s")
+      .agg(count(lit(1)).as("c"))
+    val firstDoc = perDoc.groupBy("s").agg(min("doc_id").as("first_doc"))
+    perDoc.join(firstDoc, "s")
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_shingles"),
-        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+        sum("c").as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), col("c")).otherwise(0L)).as("n_novel"))
       .select(
         col("doc_id"), col("n_shingles"), col("n_novel"),
         expr("(n_novel * 1000000) div n_shingles").as("novelty_ppm"))

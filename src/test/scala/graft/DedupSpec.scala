@@ -242,4 +242,73 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(nFlagged <= nDelta)
   }
 
+  test("two-stage df: a hot shingle's postings never funnel through one task (VERDICT r4 #1)") {
+    // Plant ONE boilerplate shingle in half of a synthetic corpus (df = 3000)
+    // and pin the maximum per-task shuffle-read record count strictly below
+    // that posting count. The old count().over(Window.partitionBy(s)) form
+    // necessarily fails this: a window partition can never split, so one task
+    // ingests all 3000 hot postings plus its uniform share before the cap
+    // filter drops them. The grouped-sum + join-back form passes only because
+    // the df aggregate partial-aggregates map-side AND the join back is AQE
+    // skew-splittable — broadcast is disabled here so the test exercises the
+    // 100 TB plan shape (SMJ + OptimizeSkewedJoin), not the small-dim escape.
+    val dir = java.nio.file.Files.createTempDirectory("dedup_skewdf").toString
+    val nDocs = 6000L
+    val hotPostings = nDocs / 2
+    // 5 unique tokens per doc (one unique shingle each); even ids append the
+    // 5-token hot phrase, adding 5 boundary shingles + the shared hot one
+    spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat(
+        expr("concat_ws(' ', transform(sequence(0, 4), i -> concat('u', id, 'x', i)))"),
+        when(col("id") % 2 === 0, lit(" zq0 zq1 zq2 zq3 zq4")).otherwise(lit("")))
+        .as("text"),
+      lit("web").as("source"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      .map(k => k -> conf.getOption(k))
+    val maxTask = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.recordsRead
+          maxTask.updateAndGet(prev => math.max(prev, r)); ()
+        }
+      }
+    }
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // scale AQE's cutoffs down to spec-sized partitions so coalescing
+      // doesn't collapse everything into one task (minPartitionSize defaults
+      // to 1 MB — larger than this whole corpus) and the skew split actually
+      // engages (defaults are 256 MB / 64 MB — cluster-sized)
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4096")
+      conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4096")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8192")
+      spark.sparkContext.addSparkListener(listener)
+      val pairs = DedupOps.ngramJaccardPairs(spark, dir).collect()
+      // correctness unchanged: no planted near-dups here, and the hot shingle
+      // is over the cap, so no pair may surface from it
+      assert(pairs.isEmpty, s"unexpected pairs from the hot-shingle corpus: ${pairs.take(3).toSeq}")
+      Thread.sleep(1500) // listener bus is async; all task-end events land
+
+      assert(maxTask.get() < hotPostings,
+        s"a task read ${maxTask.get()} shuffle records — >= the $hotPostings hot postings; " +
+          "df computation has regressed to a hot-key funnel")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+    }
+  }
+
 }
