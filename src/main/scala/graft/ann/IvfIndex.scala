@@ -51,8 +51,9 @@ object IvfIndex {
     * crash-safe protocol as the rollup's compactor, repartitioned so each
     * cell directory holds one file per run.
     */
-  def compactSegments(spark: SparkSession, indexPath: String): Int =
-    graft.sources.Segments.compact(spark, indexPath, Seq("centroid_id"))
+  def compactSegments(
+      spark: SparkSession, indexPath: String, protectLatest: Boolean = true): Int =
+    graft.sources.Segments.compact(spark, indexPath, Seq("centroid_id"), protectLatest)
 
   /** Segment ids the streaming absorber writes under (see
     * [[graft.dedup.LshIndex.StreamingSegmentBase]] — same discipline).

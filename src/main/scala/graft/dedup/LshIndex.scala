@@ -71,8 +71,9 @@ object LshIndex {
   /** Bound the segment count a long-running [[streamingAbsorb]] accretes —
     * same crash-safe protocol as the rollup's compactor.
     */
-  def compactSegments(spark: SparkSession, indexPath: String): Int =
-    graft.sources.Segments.compact(spark, indexPath, Seq("band_idx"))
+  def compactSegments(
+      spark: SparkSession, indexPath: String, protectLatest: Boolean = true): Int =
+    graft.sources.Segments.compact(spark, indexPath, Seq("band_idx"), protectLatest)
 
   def read(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.option("basePath", indexPath).parquet(indexPath).drop("batch")

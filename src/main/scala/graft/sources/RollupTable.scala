@@ -184,8 +184,9 @@ object RollupTable {
     * recovery live in [[Segments.compact]]; results identical before and
     * after — pinned by IngestSpec.
     */
-  def compactSegments(spark: SparkSession, path: String): Int =
-    Segments.compact(spark, path, Seq("date", "hour"))
+  def compactSegments(
+      spark: SparkSession, path: String, protectLatest: Boolean = true): Int =
+    Segments.compact(spark, path, Seq("date", "hour"), protectLatest)
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

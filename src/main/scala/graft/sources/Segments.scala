@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
@@ -12,59 +13,144 @@ import org.apache.spark.sql.functions.col
   */
 object Segments {
 
-  /** Rewrite ALL current segments into one, repartitioned by
-    * `partitionCols` so each partition directory holds one file per
-    * compaction run (bounded file count), absorbed into the highest existing
-    * batch id (the id space stays monotone — a restarted stream's next batch
-    * id is always higher, so no collision). Rows pass through untouched, so
-    * every query over the table returns identical results before and after.
+  /** Absorbed-segment manifest inside the temp dir: one batch id per line.
+    * Underscore-prefixed, so parquet listings ignore it before and after the
+    * promote.
+    */
+  private val Manifest = "_ABSORBED"
+
+  /** A compaction that cannot lose rows to either failure mode a live
+    * pipeline exposes:
     *
-    * Write protocol: the compacted copy lands complete in a dot-prefixed
-    * temp dir (invisible to parquet listings), then source segments are
-    * removed and the temp dir promoted. Like Druid's compaction task this
-    * assumes the single-maintenance-writer discipline (the caller serializes
-    * compaction against ingest) — a crash between remove and promote leaves
-    * the data intact in the temp dir for the next run, which detects and
-    * re-promotes it rather than re-reading half-removed sources.
+    * '''Checkpoint replay of the newest segment.''' A stream that crashes
+    * after `foreachBatch` wrote segment N but before the offset commit will
+    * REPLAY batch N on restart, rewriting `batch=N` whole
+    * (`mode("overwrite")`). Absorbing N into the compacted segment would
+    * therefore hand the entire index to that overwrite. So by default
+    * (`protectLatest = true`) the newest segment is never absorbed: the
+    * compacted rows land at the second-highest id and a replay touches only
+    * the one segment that genuinely is batch N's own data. Repeated runs
+    * keep the table at two segments. Pass `protectLatest = false` only for a
+    * quiesced table (no stream attached, or its last batch provably
+    * committed) to fold the tail segment in as well.
+    *
+    * '''Concurrent single writers.''' The read, the delete, and the promote
+    * all operate on an explicit snapshot of segment paths taken once at
+    * entry — never on a re-listing — so a micro-batch landing a NEW
+    * `batch=M` mid-compaction is simply invisible to the run and survives it
+    * untouched (its id is above every absorbed id, so the promote cannot
+    * collide with it). Compactors themselves are mutually excluded by an
+    * exclusive-create lease file (`.compact_lease`); a holder that died is
+    * taken over after `leaseTtlMs`. A second live compactor fails fast with
+    * `IllegalStateException` rather than queueing — compaction is
+    * maintenance, not a data path.
+    *
+    * '''Crash anywhere in the commit window.''' The compacted copy lands
+    * complete in a dot-prefixed temp dir (invisible to parquet listings)
+    * together with an `_ABSORBED` manifest naming exactly the segment ids it
+    * replaces; only then are sources removed and the temp dir promoted to
+    * `batch=<max absorbed id>`. Recovery on the next run replays from the
+    * manifest: with manifest + `_SUCCESS` present the copy is complete and
+    * the commit finishes (delete exactly the manifest's ids, promote);
+    * without them no source was ever deleted, so the temp dir is discarded
+    * and the run starts fresh.
+    *
+    * Rows pass through untouched and are repartitioned by `partitionCols` so
+    * each partition directory holds one file per compaction run (bounded
+    * file count); every query over the table returns identical results
+    * before and after.
     *
     * @return number of source segments absorbed (0 = nothing to do).
     */
-  def compact(spark: SparkSession, path: String, partitionCols: Seq[String]): Int = {
-    import org.apache.hadoop.fs.Path
+  def compact(
+      spark: SparkSession,
+      path: String,
+      partitionCols: Seq[String],
+      protectLatest: Boolean = true,
+      leaseTtlMs: Long = 15L * 60 * 1000): Int = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(root, ".compact_tmp")
-    def segments() = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-    // recovery: a temp dir carrying _SUCCESS is a COMPLETE compacted copy of
-    // every segment that existed when it was written, so a crash anywhere in
-    // the remove/promote window (sources partially deleted) must finish that
-    // commit — re-compacting from half-removed sources would lose the rows
-    // whose only remaining copy is the temp dir. No _SUCCESS = incomplete
-    // copy with all sources intact: discard and start over.
-    if (fs.exists(tmp)) {
-      if (fs.exists(new Path(tmp, "_SUCCESS"))) {
-        val leftover = segments()
-        val id = if (leftover.isEmpty) 0L
-          else leftover.map(_.getPath.getName.stripPrefix("batch=").toLong).max
-        leftover.foreach(s => fs.delete(s.getPath, true))
-        fs.rename(tmp, new Path(root, s"batch=$id"))
-        return leftover.length
+    withLease(fs, root, leaseTtlMs) {
+      val tmp = new Path(root, ".compact_tmp")
+      def segId(p: Path): Long = p.getName.stripPrefix("batch=").toLong
+      def segments() = fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(_.getPath)
+
+      // recovery: manifest + _SUCCESS ⇒ the temp dir is a COMPLETE copy of
+      // exactly the manifest's segments and the commit must finish — some of
+      // those sources may already be half-deleted, so re-compacting would
+      // lose the rows whose only remaining copy is the temp dir. Anything
+      // less ⇒ the crash predates the first source delete: discard and start
+      // over.
+      if (fs.exists(tmp)) {
+        val mf = new Path(tmp, Manifest)
+        if (fs.exists(mf) && fs.exists(new Path(tmp, "_SUCCESS"))) {
+          val ids = readLines(fs, mf).map(_.trim).filter(_.nonEmpty).map(_.toLong)
+          ids.foreach(id => fs.delete(new Path(root, s"batch=$id"), true))
+          fs.rename(tmp, new Path(root, s"batch=${ids.max}"))
+          return ids.length
+        }
+        fs.delete(tmp, true)
       }
-      fs.delete(tmp, true)
+
+      val segs = segments()
+      val absorbed =
+        if (protectLatest && segs.nonEmpty) {
+          val newest = segs.map(segId).max
+          segs.filter(segId(_) != newest)
+        } else segs
+      if (absorbed.length <= 1) return 0
+      val target = absorbed.map(segId).max
+
+      // read ONLY the snapshot paths (basePath keeps the partition columns):
+      // a segment landing concurrently is not in this lineage and is never
+      // deleted below
+      val data = spark.read.option("basePath", path)
+        .parquet(absorbed.map(_.toString): _*).drop("batch")
+      val sized = // one task → one file per partition dir
+        if (partitionCols.nonEmpty) data.repartition(partitionCols.map(col): _*)
+        else data.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+      val writer = sized.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+        .parquet(tmp.toString)
+      writeLines(fs, new Path(tmp, Manifest), absorbed.map(segId(_).toString))
+      absorbed.foreach(fs.delete(_, true))
+      fs.rename(tmp, new Path(root, s"batch=$target"))
+      absorbed.length
     }
-    val segs = segments()
-    if (segs.length <= 1) return 0
-    val maxId = segs.map(_.getPath.getName.stripPrefix("batch=").toLong).max
-    val data = spark.read.option("basePath", path).parquet(path).drop("batch")
-    val sized = // one task → one file per partition dir
-      if (partitionCols.nonEmpty) data.repartition(partitionCols.map(col): _*)
-      else data.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
-    val writer = sized.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(tmp.toString)
-    segs.foreach(s => fs.delete(s.getPath, true))
-    fs.rename(tmp, new Path(root, s"batch=$maxId"))
-    segs.length
+  }
+
+  /** Exclusive-create lease scoped to `body`. A fresh foreign lease fails
+    * fast; one older than `ttlMs` belongs to a dead holder and is broken.
+    */
+  private def withLease[T](fs: FileSystem, root: Path, ttlMs: Long)(body: => T): T = {
+    val lease = new Path(root, ".compact_lease")
+    if (!fs.exists(root)) fs.mkdirs(root)
+    def tryAcquire(): Boolean =
+      try { fs.create(lease, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val age = System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime
+      if (age <= ttlMs)
+        throw new IllegalStateException(
+          s"compaction lease at $lease is held (age ${age}ms <= ttl ${ttlMs}ms); " +
+            "another compactor is live")
+      fs.delete(lease, false) // stale: holder died mid-run; recovery handles its temp dir
+      if (!tryAcquire())
+        throw new IllegalStateException(s"lost the race re-acquiring stale lease at $lease")
+    }
+    try body finally fs.delete(lease, false)
+  }
+
+  private def readLines(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  private def writeLines(fs: FileSystem, p: Path, lines: Seq[String]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
   }
 }

@@ -235,7 +235,8 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
     val filesBefore = files().length
     val hourDirs = RollupTable.readSegments(spark, dir)
       .select("date", "hour").distinct().count()
-    val absorbed = RollupTable.compactSegments(spark, dir)
+    // quiesced table (no stream attached): fold everything, tail included
+    val absorbed = RollupTable.compactSegments(spark, dir, protectLatest = false)
     assert(absorbed == 8, s"expected 8 segments absorbed, got $absorbed")
     // one segment left, one file per (date, hour) directory
     val segDirs = new java.io.File(dir).listFiles()
@@ -247,7 +248,7 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
     assert(filesAfter < filesBefore)
     assert(snapshot() == before, "compaction changed query results")
     // idempotent: a second run has one segment and does nothing
-    assert(RollupTable.compactSegments(spark, dir) == 0)
+    assert(RollupTable.compactSegments(spark, dir, protectLatest = false) == 0)
     assert(snapshot() == before)
   }
 

@@ -40,12 +40,13 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     (0 until 3).foreach(i =>
       IvfIndex.appendBatch(spark, dir, embs.filter(col("vec_id") % 3 === i), i.toLong))
     val before = rows(IvfIndex.search(spark, dir, queries(10), k = 3, nprobe = 2))
-    assert(IvfIndex.compactSegments(spark, dir) == 3)
+    // replay-safe default: batches 0,1 fold into batch=1; the newest stays
+    assert(IvfIndex.compactSegments(spark, dir) == 2)
     val seg = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-    assert(seg.map(_.getName).toSeq == Seq("batch=2"))
-    // one file per centroid_id dir after the repartition
-    seg.head.listFiles().filter(_.isDirectory).foreach { cell =>
+    assert(seg.map(_.getName).sorted.toSeq == Seq("batch=1", "batch=2"))
+    // one file per centroid_id dir in the compacted segment
+    seg.find(_.getName == "batch=1").get.listFiles().filter(_.isDirectory).foreach { cell =>
       assert(cell.listFiles().count(_.getName.endsWith(".parquet")) == 1,
         s"cell ${cell.getName} must hold one compacted file")
     }

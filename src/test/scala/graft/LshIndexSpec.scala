@@ -137,12 +137,23 @@ class LshIndexSpec extends AnyFunSuite with SharedSpark {
     def probe() = LshIndex.candidates(spark, dir, docs.filter(col("doc_id") < 50))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(t => (t._1, t._2))
     val before = probe()
-    assert(LshIndex.compactSegments(spark, dir) == 3)
+    // default is replay-safe: the newest segment (a stream's possibly
+    // uncommitted batch) is never absorbed, so 2 of 3 fold into batch=1
+    assert(LshIndex.compactSegments(spark, dir) == 2)
     val segs = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-    assert(segs.map(_.getName).toSeq == Seq("batch=2"), "segments must merge into the max id")
+    assert(segs.map(_.getName).sorted.toSeq == Seq("batch=1", "batch=2"),
+      "absorbed segments merge below the protected newest one")
     assert(probe().sameElements(before), "compaction changed candidates")
-    assert(LshIndex.compactSegments(spark, dir) == 0, "single segment: nothing to do")
+    assert(LshIndex.compactSegments(spark, dir) == 0,
+      "one compacted + one protected segment: nothing left to do")
+    // a quiesced index (stream's last batch provably committed) may fold the
+    // tail in too
+    assert(LshIndex.compactSegments(spark, dir, protectLatest = false) == 2)
+    val segsQ = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(segsQ.map(_.getName).toSeq == Seq("batch=2"))
+    assert(probe().sameElements(before), "full compaction changed candidates")
   }
 
   test("probe plan broadcasts the batch side; the index scan does not shuffle") {
