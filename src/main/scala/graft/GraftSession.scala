@@ -68,6 +68,13 @@ object GraftSession {
     * boundary are untouched at every level and the whole call is idempotent.
     * The installed rule keeps serving throughout (temp views resolve the
     * refreshed parquet on next query).
+    *
+    * The lattice to refresh is read from the INSTALLED rule, so the cascade
+    * always covers every level the router serves — a caller-supplied subset
+    * would refresh the fine tables while minute tiles kept routing to stale
+    * coarse views. `coarseGranularities` therefore only matters on a session
+    * with no rule installed; against an installed lattice it is validated
+    * (empty, or exactly the installed set) and otherwise rejected.
     */
   def maintain(
       spark: SparkSession,
@@ -75,8 +82,22 @@ object GraftSession {
       rollupPath: String,
       sinceEpochS: Long,
       coarseGranularities: Seq[Long] = Nil): Unit = {
+    val gs = plans.RollupRewrite.installedFor(spark).flatMap(_.lattice) match {
+      case Some((installedPath, installedCoarse)) =>
+        require(installedPath == rollupPath,
+          s"maintain targets $rollupPath but the installed lattice roots at $installedPath")
+        val installedGs = installedCoarse.map(_._2).distinct.sorted
+        require(
+          coarseGranularities.isEmpty ||
+            coarseGranularities.distinct.sorted == installedGs,
+          s"maintain granularities ${coarseGranularities.sorted.mkString(",")} != " +
+            s"installed lattice ${installedGs.mkString(",")} — a partial refresh " +
+            "would leave routed coarse views stale")
+        installedGs
+      case None => coarseGranularities
+    }
     sources.RollupTable.materializeIncrement(spark, sfDir, rollupPath, sinceEpochS)
-    val levels = latticeWalk(rollupPath, coarseGranularities) {
+    val levels = latticeWalk(rollupPath, gs) {
       case (src, path, g) =>
         // each level must read its refreshed source, not a cached listing
         spark.catalog.refreshByPath(src)

@@ -65,7 +65,12 @@ class RollupRewrite(
     // when every time expression is PROVEN g-invariant (see gInvariant /
     // the aligned-literal comparison rules), so the rule always picks the
     // smallest table that can answer exactly.
-    rollups: Seq[(Long, String)] = Seq((1L, RollupRewrite.RollupViewName)))
+    rollups: Seq[(Long, String)] = Seq((1L, RollupRewrite.RollupViewName)),
+    // the MATERIALIZED lattice this rule serves: (1 s rollup path, coarse
+    // (path, granularity) pairs) as passed to install. Maintenance reads it
+    // back so a refresh always cascades through every level the rule routes
+    // to — a partial refresh would leave coarse views silently stale.
+    private[graft] val lattice: Option[(String, Seq[(String, Long)])] = None)
     extends Rule[LogicalPlan] {
 
   import RollupRewrite.{analyzeChain, Branch, ServedKeys}
@@ -905,7 +910,8 @@ object RollupRewrite {
         tsSecondFloorProven(canonicalDefs) && timeMicrosProven(canonicalDefs),
       rollups =
         coarse.map(_._2).distinct.sorted.reverse.map(g => g -> viewName(g)) :+
-          (1L -> RollupViewName))
+          (1L -> RollupViewName),
+      lattice = Some((rollupPath, coarse)))
     installed.put(spark, rule)
     if (!extensionConfigured(spark)) {
       spark.experimental.extraOptimizations =

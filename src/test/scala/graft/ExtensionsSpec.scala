@@ -94,6 +94,61 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
     } finally graft.plans.RollupRewrite.uninstall(s)
   }
 
+  test("maintain refreshes the FULL installed lattice even with default args (ADVICE r5)") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("maint_full").toString
+    val raw = s"$base/raw"
+    Files.createDirectory(Paths.get(raw))
+    // a mutable copy of the raw dir: events is a real copy (it gets appended
+    // to), the other tables symlink the shared fixtures
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(s"$raw/events.parquet"))
+    new java.io.File(sfDir).listFiles().filter(_.getName != "events.parquet")
+      .foreach(f => Files.createSymbolicLink(Paths.get(s"$raw/${f.getName}"), f.toPath))
+    val dir = s"$base/r"
+    val s = GraftSession.open(raw, dir, coarseGranularities = Seq(60L))
+    try {
+      def tile = s.sql(
+        "SELECT (epoch_s div 60) * 60 AS m, count(*) AS n FROM power GROUP BY 1")
+      val before = tile.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // raw grows: 7 fresh events land in a brand-new hour
+      val old = s.read.parquet(s"$raw/events.parquet") // ts reads back as ns long
+      val maxTs = old.agg(max("ts")).head().getLong(0)
+      val newHourS = (maxTs / 1000000000L / 3600L + 2L) * 3600L
+      val fresh = s.range(7).select(
+        (col("id") + 1000000L).as("event_id"),
+        (lit(newHourS * 1000000000L) + col("id") * 1000000000L).as("ts"),
+        col("id").as("user_id"),
+        lit("reading").as("event_type"),
+        lit(1.5).as("value"),
+        lit("{}").as("props"))
+      val merged = old.unionByName(fresh).collect()
+      val schema = old.schema
+      deleteRec(new java.io.File(s"$raw/events.parquet"))
+      s.createDataFrame(java.util.Arrays.asList(merged: _*), schema)
+        .write.parquet(s"$raw/events.parquet")
+      // a maintain call with DEFAULT granularities must still cascade into
+      // the installed 60 s level — the rule keeps routing minute tiles there,
+      // so a 1 s-only refresh would serve the pre-append aggregates forever
+      GraftSession.maintain(s, raw, dir, newHourS)
+      val t = tile
+      val after = t.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(t.queryExecution.executedPlan.toString.contains("_60s"),
+        "minute tile must still route to the 60 s level")
+      val newMinutes = after.keySet -- before.keySet
+      assert(newMinutes.nonEmpty && newMinutes.map(after).sum == 7,
+        s"refreshed 60 s level must carry the 7 appended events; new buckets: $newMinutes")
+      // a SUBSET refresh is exactly the stale-lattice hazard: reject it
+      val ex = intercept[IllegalArgumentException](
+        GraftSession.maintain(s, raw, dir, newHourS, Seq(30L)))
+      assert(ex.getMessage.contains("installed lattice"))
+    } finally graft.plans.RollupRewrite.uninstall(s)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete(); ()
+  }
+
   test("GraftSession.maintain cascades an incremental refresh through the lattice") {
     val dir = java.nio.file.Files.createTempDirectory("open_maint").toString + "/r"
     val s = GraftSession.open(sfDir, dir, coarseGranularities = Seq(60L))
