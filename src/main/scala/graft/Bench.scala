@@ -89,7 +89,7 @@ object Bench {
     // under 10 on idle cores = the plan scales with partitions, not the
     // driver; a ratio ≥ 10 would flag a serialization point.
     val factor = 10
-    val (probeJson, probeWorst) = try {
+    val (probeJson, probeWorst, probeTwoSidedPerUnit) = try {
       import org.apache.spark.sql.functions._
       val probeDir = java.nio.file.Files.createTempDirectory("graft_scale").toString
       Tables.events(spark, sfDir)
@@ -134,22 +134,27 @@ object Bench {
         "q_asof_native",
         // PQ ADC search: the codes relation grows 10×, the per-query LUT doesn't
         "q_pq_adc_topk")
-      val rows = probeQueries.flatMap { name =>
+      val uniformRows = probeQueries.flatMap { name =>
         SparkEntry.queries.get(name).map(fn => probeRow(name, name, probeDir, fn))
-      } :+ {
-        // BOTH sides scaled: 10× corpus AND 10× query set (nQueries 10→100),
-        // so the candidate space grows 100× — the honest two-sided ADC probe.
-        // work_factor is the expected cost multiple; ratio/work_factor ≲ 1/10
-        // means per-unit work held constant (the LUT join stayed subquadratic).
-        probeRow("q_pq_adc_topk_bothsides", "q_pq_adc_topk", probeDir,
-          (s, d) => graft.ann.SimilarityOps.pqAdcTopK(s, d, nQueries = 100),
-          extra = s""","work_factor":${factor * factor}""")
       }
+      // BOTH sides scaled: 10× corpus AND 10× query set (nQueries 10→100),
+      // so the candidate space grows 100× — the honest two-sided ADC probe.
+      // work_factor is the expected cost multiple; ratio/work_factor ≲ 1/10
+      // means per-unit work held constant (the LUT join stayed subquadratic).
+      // Reported separately from the uniform rows: its raw ratio measures a
+      // 100× workload, so folding it into the uniform-10× max would make the
+      // headline read as a superlinear plan that doesn't exist (VERDICT r4).
+      val twoSided = probeRow("q_pq_adc_topk_bothsides", "q_pq_adc_topk", probeDir,
+        (s, d) => graft.ann.SimilarityOps.pqAdcTopK(s, d, nQueries = 100),
+        extra = s""","work_factor":${factor * factor}""")
       cleanup(probeDir)
-      val worst = rows.map(_._1).filterNot(_ < 0).foldLeft(0.0)(math.max)
+      val rows = uniformRows :+ twoSided
+      val worst = uniformRows.map(_._1).filterNot(_ < 0).foldLeft(0.0)(math.max)
+      val twoSidedPerUnit =
+        if (twoSided._1 < 0) -1.0 else twoSided._1 / (factor.toDouble * factor)
       (s""","scale_probe":{"factor":$factor,"queries":${rows.map(_._2).mkString("{", ",", "}")}}""",
-        worst)
-    } catch { case t: Throwable => (s""","scale_probe":{"error":"${jsonErr(t)}"}""", -1.0) }
+        worst, twoSidedPerUnit)
+    } catch { case t: Throwable => (s""","scale_probe":{"error":"${jsonErr(t)}"}""", -1.0, -1.0) }
 
     // Planted-SKEW probe (VERDICT r3 #2): the uniform replication above keeps
     // keys evenly loaded, which can't surface hot-key failure modes. Here the
@@ -375,8 +380,12 @@ object Bench {
 
     // headline numbers first, per-query detail in the middle, and the same
     // headline repeated as the final key — see the class doc
+    // worst_probe_ratio covers the UNIFORM 10× rows only; the two-sided
+    // (100× work) probe is normalized per unit of expected work and emitted
+    // under its own key so the headline never conflates the two scales
     val summary = s""""summary":{"total_sec":$total,"n_queries":${results.size},""" +
-      s""""worst_probe_ratio":$probeWorst,"worst_skew_ratio":$skewWorst,""" +
+      s""""worst_probe_ratio":$probeWorst,"worst_uniform_ratio":$probeWorst,""" +
+      s""""worst_twosided_per_unit":$probeTwoSidedPerUnit,"worst_skew_ratio":$skewWorst,""" +
       s""""streaming_rows_per_sec":$streamingRps}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s"""$summary$streamingJson$rollupServingJson$indexServingJson$probeJson$skewJson,"queries":$qs,$summary}""")
