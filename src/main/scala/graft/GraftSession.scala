@@ -87,6 +87,15 @@ object GraftSession {
         require(installedPath == rollupPath,
           s"maintain targets $rollupPath but the installed lattice roots at $installedPath")
         val installedGs = installedCoarse.map(_._2).distinct.sorted
+        // the cascade below re-derives each level's path by the open()
+        // convention — if the rule was installed directly over paths that
+        // do not follow it, refreshing the conventional paths would leave
+        // the ROUTED paths stale forever. Fail fast instead.
+        val conventional = installedGs.map(g => (s"${rollupPath}_${g}s", g)).toSet
+        require(installedCoarse.toSet == conventional,
+          s"installed lattice paths ${installedCoarse.mkString(",")} do not follow " +
+            s"the ${rollupPath}_<g>s convention maintain refreshes — refresh those " +
+            "paths directly (or re-open the session) instead of calling maintain")
         require(
           coarseGranularities.isEmpty ||
             coarseGranularities.distinct.sorted == installedGs,

@@ -40,10 +40,18 @@ object Segments {
     * `batch=M` mid-compaction is simply invisible to the run and survives it
     * untouched (its id is above every absorbed id, so the promote cannot
     * collide with it). Compactors themselves are mutually excluded by an
-    * exclusive-create lease file (`.compact_lease`); a holder that died is
-    * taken over after `leaseTtlMs`. A second live compactor fails fast with
-    * `IllegalStateException` rather than queueing — compaction is
-    * maintenance, not a data path.
+    * exclusive-create lease file (`.compact_lease`) carrying the holder's
+    * UUID and heartbeated (mtime refresh) at `leaseTtlMs / 4` for the whole
+    * run, so a live compaction of any duration is never classified dead. A
+    * holder whose heartbeats stopped for `leaseTtlMs` is taken over by
+    * atomically RENAMING its lease to a claimant-unique name — exactly one
+    * claimant's rename succeeds; losers fail fast. A second live compactor
+    * fails fast with `IllegalStateException` rather than queueing —
+    * compaction is maintenance, not a data path. As a last backstop against
+    * a holder frozen past the TTL and resuming mid-commit, ownership
+    * (lease exists and still carries this run's UUID) is re-verified
+    * immediately before the first destructive step; a usurped run aborts
+    * with every source segment intact.
     *
     * '''Crash anywhere in the commit window.''' The compacted copy lands
     * complete in a dot-prefixed temp dir (invisible to parquet listings)
@@ -70,7 +78,7 @@ object Segments {
       leaseTtlMs: Long = 15L * 60 * 1000): Int = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    withLease(fs, root, leaseTtlMs) {
+    withLease(fs, root, leaseTtlMs) { assertOwned =>
       val tmp = new Path(root, ".compact_tmp")
       def segId(p: Path): Long = p.getName.stripPrefix("batch=").toLong
       def segments() = fs.listStatus(root)
@@ -81,15 +89,18 @@ object Segments {
       // exactly the manifest's segments and the commit must finish — some of
       // those sources may already be half-deleted, so re-compacting would
       // lose the rows whose only remaining copy is the temp dir. Anything
-      // less ⇒ the crash predates the first source delete: discard and start
-      // over.
+      // less — including a present-but-empty manifest — ⇒ the crash predates
+      // the first source delete: discard and start over.
       if (fs.exists(tmp)) {
         val mf = new Path(tmp, Manifest)
         if (fs.exists(mf) && fs.exists(new Path(tmp, "_SUCCESS"))) {
           val ids = readLines(fs, mf).map(_.trim).filter(_.nonEmpty).map(_.toLong)
-          ids.foreach(id => fs.delete(new Path(root, s"batch=$id"), true))
-          fs.rename(tmp, new Path(root, s"batch=${ids.max}"))
-          return ids.length
+          if (ids.nonEmpty) {
+            assertOwned()
+            ids.foreach(id => fs.delete(new Path(root, s"batch=$id"), true))
+            fs.rename(tmp, new Path(root, s"batch=${ids.max}"))
+            return ids.length
+          }
         }
         fs.delete(tmp, true)
       }
@@ -115,32 +126,78 @@ object Segments {
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
         .parquet(tmp.toString)
       writeLines(fs, new Path(tmp, Manifest), absorbed.map(segId(_).toString))
+      assertOwned() // abort BEFORE the first source delete if usurped
       absorbed.foreach(fs.delete(_, true))
       fs.rename(tmp, new Path(root, s"batch=$target"))
       absorbed.length
     }
   }
 
-  /** Exclusive-create lease scoped to `body`. A fresh foreign lease fails
-    * fast; one older than `ttlMs` belongs to a dead holder and is broken.
+  /** Exclusive-create lease scoped to `body`; `body` receives an
+    * `assertOwned` callback to re-verify ownership before destructive steps.
+    *
+    * The lease file carries the holder's UUID and its mtime is refreshed by
+    * a daemon heartbeat every `ttlMs / 4` while `body` runs, so liveness —
+    * not run duration — decides staleness. A lease whose mtime is older
+    * than `ttlMs` belongs to a dead holder: takeover renames it to a
+    * claimant-unique name first (rename is atomic; exactly one concurrent
+    * claimant wins, the rest get `false` and fail fast) and only then
+    * re-creates it. After any acquisition the content is read back and must
+    * equal this run's UUID.
     */
-  private def withLease[T](fs: FileSystem, root: Path, ttlMs: Long)(body: => T): T = {
+  private def withLease[T](fs: FileSystem, root: Path, ttlMs: Long)(
+      body: (() => Unit) => T): T = {
     val lease = new Path(root, ".compact_lease")
+    val holder = java.util.UUID.randomUUID().toString
     if (!fs.exists(root)) fs.mkdirs(root)
     def tryAcquire(): Boolean =
-      try { fs.create(lease, false).close(); true }
+      try {
+        val out = fs.create(lease, false)
+        try out.write(holder.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    def owned(): Boolean =
+      try readLines(fs, lease).headOption.map(_.trim).contains(holder)
       catch { case _: java.io.IOException => false }
     if (!tryAcquire()) {
-      val age = System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime
-      if (age <= ttlMs)
-        throw new IllegalStateException(
-          s"compaction lease at $lease is held (age ${age}ms <= ttl ${ttlMs}ms); " +
-            "another compactor is live")
-      fs.delete(lease, false) // stale: holder died mid-run; recovery handles its temp dir
+      val age =
+        try Some(System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None } // released between create and stat
+      age.foreach { a =>
+        if (a <= ttlMs)
+          throw new IllegalStateException(
+            s"compaction lease at $lease is held (age ${a}ms <= ttl ${ttlMs}ms); " +
+              "another compactor is live")
+        val claimed = new Path(root, s".compact_lease.stale.$holder")
+        if (!fs.rename(lease, claimed))
+          throw new IllegalStateException(
+            s"lost the takeover race for stale lease at $lease")
+        fs.delete(claimed, false)
+      }
       if (!tryAcquire())
-        throw new IllegalStateException(s"lost the race re-acquiring stale lease at $lease")
+        throw new IllegalStateException(s"lost the race re-acquiring lease at $lease")
     }
-    try body finally fs.delete(lease, false)
+    if (!owned())
+      throw new IllegalStateException(s"lease at $lease was usurped right after acquisition")
+    def assertOwned(): Unit =
+      if (!owned())
+        throw new IllegalStateException(
+          s"lease at $lease no longer names this holder — aborting before any destructive step")
+    val beat = new Thread(() => {
+      val interval = math.max(50L, ttlMs / 4)
+      try while (!Thread.interrupted()) {
+        Thread.sleep(interval)
+        try if (owned()) fs.setTimes(lease, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () } // racing release; next owned() settles it
+      } catch { case _: InterruptedException => () }
+    }, s"segments-lease-heartbeat-${root.getName}")
+    beat.setDaemon(true)
+    beat.start()
+    try body(() => assertOwned())
+    finally {
+      beat.interrupt()
+      if (owned()) fs.delete(lease, false)
+    }
   }
 
   private def readLines(fs: FileSystem, p: Path): Seq[String] = {

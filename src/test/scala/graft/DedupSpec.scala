@@ -275,11 +275,15 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
       .map(k => k -> conf.getOption(k))
     val maxTask = new java.util.concurrent.atomic.AtomicLong(0L)
+    val nTasks = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shuffleRows = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        nTasks.incrementAndGet()
         val m = te.taskMetrics
         if (m != null) {
           val r = m.shuffleReadMetrics.recordsRead
+          shuffleRows.addAndGet(r)
           maxTask.updateAndGet(prev => math.max(prev, r)); ()
         }
       }
@@ -300,8 +304,22 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
       // correctness unchanged: no planted near-dups here, and the hot shingle
       // is over the cap, so no pair may surface from it
       assert(pairs.isEmpty, s"unexpected pairs from the hot-shingle corpus: ${pairs.take(3).toSeq}")
-      Thread.sleep(1500) // listener bus is async; all task-end events land
-
+      // the listener bus is async: poll until the task-end stream goes quiet
+      // (3 consecutive unchanged reads) instead of hoping a fixed sleep
+      // outlasts a loaded box
+      var last = -1L; var stable = 0; var waitedMs = 0
+      while (stable < 3 && waitedMs < 15000) {
+        Thread.sleep(100); waitedMs += 100
+        val cur = nTasks.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      // vacuous-pass guards: the run must have produced a real multi-task
+      // shuffle for the per-task bound to mean anything
+      assert(nTasks.get() >= 16, s"only ${nTasks.get()} task-end events observed — " +
+        "listener missed events or the plan degenerated to too few tasks")
+      assert(shuffleRows.get() > hotPostings,
+        s"total shuffle records ${shuffleRows.get()} <= hot postings $hotPostings — " +
+          "the metric no longer covers the df join")
       assert(maxTask.get() < hotPostings,
         s"a task read ${maxTask.get()} shuffle records — >= the $hotPostings hot postings; " +
           "df computation has regressed to a hot-key funnel")

@@ -114,6 +114,42 @@ class SegmentsSpec extends AnyFunSuite with SharedSpark {
     assert(!lease.exists(), "lease must be released after the run")
   }
 
+  test("stale-lease takeover is atomic: concurrent claimants, exactly one wins") {
+    val dir = java.nio.file.Files.createTempDirectory("seg_race").toString
+    seg(dir, 0, 0 until 5)
+    seg(dir, 1, 5 until 10)
+    seg(dir, 2, 10 until 15)
+    val before = contents(dir)
+    val lease = new java.io.File(s"$dir/.compact_lease")
+    assert(lease.createNewFile())
+    assert(lease.setLastModified(System.currentTimeMillis() - 60000)) // stale
+    // Two claimants race the takeover. The rename-based claim admits exactly
+    // one; the loser must throw WITHOUT touching any segment.
+    val results = (0 until 2).map { _ =>
+      new java.util.concurrent.FutureTask[Either[Throwable, Int]](() =>
+        try Right(Segments.compact(spark, dir, Seq("p"), leaseTtlMs = 30000))
+        catch { case e: IllegalStateException => Left(e) })
+    }
+    val threads = results.map(new Thread(_))
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    val outcomes = results.map(_.get())
+    val wins = outcomes.collect { case Right(n) => n }
+    val losses = outcomes.collect { case Left(e) => e }
+    // both may lose only if they interleaved such that each saw the other as
+    // a live holder — then the stale lease was still consumed by one rename;
+    // a second sweep must succeed. Never two winners.
+    assert(wins.length <= 1, s"two compactors both committed: $outcomes")
+    losses.foreach(e => assert(e.getMessage.contains("lease"), s"unexpected: $e"))
+    if (wins.isEmpty) {
+      if (lease.exists()) // an orphaned loser lease: age it out and sweep again
+        assert(lease.setLastModified(System.currentTimeMillis() - 60000))
+      assert(Segments.compact(spark, dir, Seq("p"), leaseTtlMs = 30000) == 2)
+    }
+    assert(contents(dir) == before, "takeover race lost rows")
+    assert(segNames(dir) == Seq("batch=1", "batch=2"))
+    assert(!lease.exists(), "lease must be released")
+  }
+
   test("compacted table keeps one file per partition dir and identical rows") {
     val dir = java.nio.file.Files.createTempDirectory("seg_files").toString
     (0 until 5).foreach(b => seg(dir, b, b * 10 until (b + 1) * 10))
