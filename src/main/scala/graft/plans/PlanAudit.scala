@@ -65,6 +65,10 @@ object PlanAudit {
         Seq(Row(p.nodeName, "join", s"bnlj ${j.joinType} build=${j.buildSide}", depth))
       case _: CartesianProductExec =>
         Seq(Row(p.nodeName, "join", "cartesian", depth))
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        // partitionBy=0 is the scale red flag: the whole frame sorts
+        // through one task
+        Seq(Row(p.nodeName, "window", s"partitionBy=${w.partitionSpec.length}", depth))
       case w: WholeStageCodegenExec =>
         Seq(Row(p.nodeName, "codegen", s"stage ${w.codegenStageId}", depth))
       case _ => Seq.empty

@@ -93,6 +93,17 @@ class BehavioralSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("rfm plans no unpartitioned window sort (VERDICT r5 #3)") {
+    import graft.plans.PlanAudit
+    val df = Behavioral.rfm(spark, sfDir)
+    df.collect() // finalize AQE so the audit walks the real plan
+    val windows = PlanAudit.audit(df).collect()
+      .filter(_.getString(1) == "window").map(_.getString(2))
+    assert(windows.nonEmpty, "expected the per-range-partition row_number windows")
+    assert(!windows.exists(_ == "partitionBy=0"),
+      s"rfm still sorts the whole user frame through one task: ${windows.toSeq}")
+  }
+
   test("event transitions: per-from probabilities sum to ~1e6 and counts to steps") {
     val rows = Behavioral.eventTransitions(spark, sfDir).collect()
     assert(rows.nonEmpty)
