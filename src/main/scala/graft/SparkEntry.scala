@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Behavioral, Extended, GraphOps, Grid, QualityChecks, Relational}
+import graft.operators.{Behavioral, Dashboard, Extended, GraphOps, Grid, QualityChecks, Relational}
 import graft.text.{CorpusPipeline, CurationOps, TextOps}
 import graft.dedup.DedupOps
 import graft.ann.SimilarityOps
@@ -21,6 +21,7 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Grid.queries, Grid.oracle),
+      (Dashboard.queries, Dashboard.oracle),
       (Relational.queries, Relational.oracle),
       (Extended.queries, Extended.oracle),
       (Behavioral.queries, Behavioral.oracle),

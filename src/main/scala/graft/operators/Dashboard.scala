@@ -62,4 +62,59 @@ object Dashboard {
     registerViews(spark, sfDir)
     spark.sql(tiles(name))
   }
+
+  // -------------------------------------------------------------------------
+  // Oracle-backed tiles (VERDICT r5 #4): the dutycycle/history datasources
+  // derived inline as CTEs so the last two SURVEY §2 aggregate rows (A9/A10
+  // house tiles) get CORRECTNESS entries instead of spec-only round-trips.
+  // -------------------------------------------------------------------------
+
+  /** dashboard-iGridDemo.json:137-193 — duty-cycle sum per appliance for one
+    * house over the trailing day, through the SQL tile surface.
+    */
+  val dutyCycleHouseSql: String =
+    s"""WITH ${Grid.PowerCte},
+       |exploded AS (
+       |  SELECT p.*, (p.epoch_s // 5) * 5 - k.i * 5 AS window_start
+       |  FROM power p CROSS JOIN (VALUES (0),(1),(2),(3),(4)) AS k(i)),
+       |dutycycle AS (
+       |  SELECT window_start, house_id, appliance_id,
+       |         count(CASE WHEN power > ${Grid.PowerThreshold} THEN 1 END)
+       |           / count(power) AS duty_cycle
+       |  FROM exploded GROUP BY 1, 2, 3)
+       |SELECT appliance_id, SUM(duty_cycle) AS sum_duty_cycle
+       |FROM dutycycle
+       |WHERE house_id = '1_1_0' AND window_start >= ${Grid.NowEpoch - 86400L}
+       |GROUP BY 1 ORDER BY sum_duty_cycle DESC, appliance_id""".stripMargin
+
+  /** dashboard-iGridDemo.json:231-287 — history average power per appliance
+    * for one house (A10), through the SQL tile surface.
+    */
+  val historyHouseSql: String = {
+    val pred = Grid.historyIntervals
+      .map { case (s, e) => s"(epoch_s >= $s AND epoch_s < $e)" }
+      .mkString(" OR ")
+    s"""WITH ${Grid.PowerCte},
+       |rollup AS (
+       |  SELECT epoch_s, house_id, appliance_id,
+       |         count(*) AS cnt, SUM(CAST(power AS DECIMAL(18,2))) AS sp
+       |  FROM power GROUP BY 1, 2, 3),
+       |history AS (
+       |  SELECT house_id, appliance_id,
+       |         CAST(SUM(sp) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS avg_power
+       |  FROM rollup WHERE $pred GROUP BY 1, 2)
+       |SELECT appliance_id, SUM(avg_power) AS sum_avg_power
+       |FROM history WHERE house_id = '1_1_0'
+       |GROUP BY 1 ORDER BY sum_avg_power DESC, appliance_id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dash_duty_house" -> (tile(_, _, "duty_cycle_house")),
+    "q_dash_history_house" -> (tile(_, _, "history_house"))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_dash_duty_house" -> dutyCycleHouseSql,
+    "q_dash_history_house" -> historyHouseSql
+  )
 }
