@@ -28,20 +28,75 @@ import SimilarityOps.{probeCells, withCentroidAssignment, withNorm}
   */
 object IvfIndex {
 
+  /** Per-segment centroid manifest: one line per centroid, comma-joined
+    * doubles. Every segment records the centroid set it was assigned under;
+    * the newest segment's manifest IS the index's current set, so a
+    * [[recluster]] — whose single rewritten segment carries the new
+    * manifest — swaps data and centroids in one atomic promote. Segments of
+    * a live index always agree: [[appendBatch]] copies the set it read, and
+    * recluster rewrites every segment.
+    */
+  private val CentroidsFile = "_CENTROIDS"
+
+  private def serializeCents(cents: IndexedSeq[Array[Double]]): String =
+    cents.map(_.mkString(",")).mkString("\n")
+
+  private def parseCents(text: String): IndexedSeq[Array[Double]] =
+    text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .map(_.split(",").map(_.toDouble)).toIndexedSeq
+
+  /** The centroid set the index currently assigns and probes with: the
+    * newest segment's manifest, falling back through older segments (a
+    * reader racing [[appendBatch]] between its parquet and manifest writes
+    * sees the previous — identical — set), then to the deterministic
+    * md5-seeded [[SimilarityOps.centroids]] for an empty index.
+    */
+  def currentCentroids(spark: SparkSession, indexPath: String): IndexedSeq[Array[Double]] = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return SimilarityOps.centroids
+    val segs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .sortBy(-_.getPath.getName.stripPrefix("batch=").toLong)
+    segs.iterator
+      .map(s => new org.apache.hadoop.fs.Path(s.getPath, CentroidsFile))
+      .find(fs.exists)
+      .map { p =>
+        val in = fs.open(p)
+        try parseCents(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+      .getOrElse(SimilarityOps.centroids)
+  }
+
   def materialize(spark: SparkSession, embeddings: DataFrame, indexPath: String): Unit =
     appendBatch(spark, indexPath, embeddings, batchId = 0L)
 
-  /** Assign ONLY `embeddings` (vec_id, embedding) and absorb them as the
-    * `batch=<id>` segment — overwritten whole, so replays are idempotent.
+  /** Assign ONLY `embeddings` (vec_id, embedding) under the index's current
+    * centroid set and absorb them as the `batch=<id>` segment — overwritten
+    * whole, so replays are idempotent.
+    *
+    * '''vec_id contract''': ids must be GLOBALLY unique across every batch
+    * ever absorbed (they are upsert-free identities, not per-batch
+    * sequence numbers). [[search]] excludes self-matches by id alone, so a
+    * re-emitted id would silently hide ALL stored vectors sharing it from
+    * that id's queries — IvfIndexSpec pins this exclusion semantics.
     */
   def appendBatch(
       spark: SparkSession, indexPath: String, embeddings: DataFrame, batchId: Long): Unit = {
     VectorFunctions.register(spark)
-    withCentroidAssignment(withNorm(embeddings, "vec_id", "v", "nn"), "v")
+    val cents = currentCentroids(spark, indexPath)
+    withCentroidAssignment(withNorm(embeddings, "vec_id", "v", "nn"), "v", cents)
       .select(col("vec_id"), col("v"), col("nn"), col("centroid_id"))
       .write.mode("overwrite")
       .partitionBy("centroid_id")
       .parquet(s"$indexPath/batch=$batchId")
+    // recorded after the data so a half-written segment never becomes the
+    // centroid source of truth; identical to every live segment's set anyway
+    val seg = new org.apache.hadoop.fs.Path(s"$indexPath/batch=$batchId", CentroidsFile)
+    val fs = seg.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(seg, true)
+    try out.write(serializeCents(cents).getBytes("UTF-8")) finally out.close()
   }
 
   def read(spark: SparkSession, indexPath: String): DataFrame =
@@ -99,9 +154,16 @@ object IvfIndex {
 
   /** Cosine top-k over the probed cells for a query batch (vec_id,
     * embedding): identical results to the one-shot
-    * [[SimilarityOps.ivfTopKMultiProbe]] (same centroids, same tie-breaks),
-    * but the corpus side is the stored index — no re-assignment, no norm
-    * recomputation. Self-matches (a query vector already absorbed) drop.
+    * [[SimilarityOps.ivfTopKMultiProbe]] (same centroids, same tie-breaks —
+    * until a [[recluster]] replaces the centroid set), but the corpus side
+    * is the stored index — no re-assignment, no norm recomputation.
+    *
+    * Self-matches drop on `qid =!= vec_id` ALONE — not (segment, vec_id)
+    * provenance — which is only correct under [[appendBatch]]'s global
+    * vec_id uniqueness contract: a query whose id was ever absorbed matches
+    * no stored row with that id, old or new. Re-emitting an id therefore
+    * does not "update" a vector; it hides every stored copy from that id's
+    * own queries while OTHER queries still see all copies.
     */
   def search(
       spark: SparkSession,
@@ -111,7 +173,8 @@ object IvfIndex {
       nprobe: Int = 2,
       excludeSegment: Option[Long] = None): DataFrame = {
     VectorFunctions.register(spark)
-    val probes = probeCells(withNorm(queries, "qid", "qv", "qn"), nprobe)
+    val probes = probeCells(
+      withNorm(queries, "qid", "qv", "qn"), nprobe, currentCentroids(spark, indexPath))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
     val index = excludeSegment match {
       // probe-before-absorb determinism under checkpoint replay (see
@@ -129,5 +192,79 @@ object IvfIndex {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id").as("cid"))
       .orderBy("qid", "rank")
+  }
+
+  /** Re-fit the centroid set to the corpus the index has GROWN INTO and
+    * atomically re-assign every stored vector — the drift/growth path a
+    * frozen `install`-time clustering lacks (a corpus that shifts
+    * distribution degrades recall and piles everything into a few hot
+    * cells, destroying the partition pruning that makes [[search]] cheap).
+    *
+    * Lloyd iterations run over a deterministic md5-sampled fraction of the
+    * stored vectors (`samplePpm` parts-per-million): assignment is the same
+    * distributed argmin [[appendBatch]] uses; the update step reduces to
+    * per-(cell, dimension) decimal sums, and only the K×dim mean matrix —
+    * model state, not data — reaches the driver. Empty cells keep their
+    * previous centroid. Iteration stops at `maxIter` or when no centroid
+    * moves more than `tol` (L2).
+    *
+    * The swap rides [[graft.sources.Segments.compact]]'s crash-safe promote
+    * protocol with a transform: every segment is read under the lease,
+    * re-assigned under the new centroids, and committed as ONE segment
+    * whose [[CentroidsFile]] manifest carries the new set — so a crash at
+    * any point leaves either the complete old index or the complete new
+    * one, never a mix, and recovery finishes the commit. The index must be
+    * QUIESCED (no stream absorbing): a batch assigned under the old set
+    * that lands mid-recluster survives the snapshot untouched but would
+    * carry stale cell ids.
+    *
+    * @return number of Lloyd iterations run.
+    */
+  def recluster(
+      spark: SparkSession,
+      indexPath: String,
+      maxIter: Int = 10,
+      tol: Double = 1e-9,
+      samplePpm: Long = 1000000L): Int = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    VectorFunctions.register(spark)
+    var cents = currentCentroids(spark, indexPath)
+    val all = read(spark, indexPath).select("vec_id", "v")
+    val sample =
+      (if (samplePpm >= 1000000L) all
+       else all.filter( // md5-keyed: deterministic across runs and engines
+         expr(s"conv(substr(md5(cast(vec_id AS STRING)), 1, 6), 16, 10) % 1000000 < $samplePpm"))
+      ).cache()
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val stats = SimilarityOps.withCentroidAssignment(sample, "v", cents)
+        .select(col("centroid_id").cast("int").as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(
+          sum(col("x").cast(DecimalType(18, 6))).cast(DoubleType).as("sx"),
+          count(lit(1)).as("n"))
+        .collect() // K×dim mean matrix — model state, bounded by cents.size × Dim
+      val next = cents.indices.map { cell =>
+        val rows = stats.filter(_.getInt(0) == cell)
+        if (rows.isEmpty) cents(cell)
+        else rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toArray
+      }
+      moved = cents.zip(next).exists { case (a, b) =>
+        math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum) > tol
+      }
+      cents = next
+      iter += 1
+    }
+    sample.unpersist()
+    val fitted = cents
+    graft.sources.Segments.compact(
+      spark, indexPath, Seq("centroid_id"), protectLatest = false,
+      transform = df =>
+        withCentroidAssignment(df.drop("centroid_id"), "v", fitted)
+          .select(col("vec_id"), col("v"), col("nn"), col("centroid_id")),
+      meta = Map(CentroidsFile -> serializeCents(fitted)),
+      force = true)
+    iter
   }
 }

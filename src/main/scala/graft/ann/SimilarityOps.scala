@@ -278,17 +278,20 @@ object SimilarityOps {
   /** Adds `centroid_id` = argmin over the monotone score |c|² − 2·v·c to any
     * frame carrying a double-array column `vCol` (ties → lowest k, matching
     * the oracle's (distance, k) rank). The reusable core of
-    * [[ivfAssignments]] — [[IvfIndex]] applies it to incoming batches.
+    * [[ivfAssignments]] — [[IvfIndex]] applies it to incoming batches, with
+    * `cents` overridden after an [[IvfIndex.recluster]].
     */
-  private[ann] def withCentroidAssignment(df0: DataFrame, vCol: String): DataFrame = {
-    val withC = (0 until NumCentroids).foldLeft(df0) { (df, k) =>
-      df.withColumn(s"c_$k", array(centroids(k).toIndexedSeq.map(lit(_)): _*))
+  private[ann] def withCentroidAssignment(
+      df0: DataFrame, vCol: String,
+      cents: IndexedSeq[Array[Double]] = centroids): DataFrame = {
+    val ks = cents.indices
+    val withC = ks.foldLeft(df0) { (df, k) =>
+      df.withColumn(s"c_$k", array(cents(k).toIndexedSeq.map(lit(_)): _*))
     }
-    val scored = (0 until NumCentroids).foldLeft(withC) { (df, k) =>
+    val scored = ks.foldLeft(withC) { (df, k) =>
       df.withColumn(s"d_$k",
-        lit(selfDot(centroids(k))) - lit(2.0) * expr(s"dot_arrays($vCol, c_$k)"))
+        lit(selfDot(cents(k))) - lit(2.0) * expr(s"dot_arrays($vCol, c_$k)"))
     }
-    val ks = 0 until NumCentroids
     val assign = ks.init.foldRight(lit(ks.last)) { case (k, elseCol) =>
       val leAll = ks.drop(k + 1).map(o => col(s"d_$k") <= col(s"d_$o")).reduce(_ && _)
       when(leAll, lit(k)).otherwise(elseCol)
@@ -637,16 +640,18 @@ object SimilarityOps {
     * cell (qid, qv, qn, probe), ties on distance resolving to the lowest k
     * — the shared query-side half of multi-probe search and [[IvfIndex]].
     */
-  private[ann] def probeCells(q0: DataFrame, nprobe: Int): DataFrame = {
-    val withC = (0 until NumCentroids).foldLeft(q0) { (df, c) =>
-      df.withColumn(s"c_$c", array(centroids(c).toIndexedSeq.map(lit(_)): _*))
+  private[ann] def probeCells(
+      q0: DataFrame, nprobe: Int,
+      cents: IndexedSeq[Array[Double]] = centroids): DataFrame = {
+    val withC = cents.indices.foldLeft(q0) { (df, c) =>
+      df.withColumn(s"c_$c", array(cents(c).toIndexedSeq.map(lit(_)): _*))
     }
-    val qd = (0 until NumCentroids).foldLeft(withC) { (df, c) =>
-      df.withColumn(s"d_$c", lit(selfDot(centroids(c))) - lit(2.0) * expr(s"dot_arrays(qv, c_$c)"))
+    val qd = cents.indices.foldLeft(withC) { (df, c) =>
+      df.withColumn(s"d_$c", lit(selfDot(cents(c))) - lit(2.0) * expr(s"dot_arrays(qv, c_$c)"))
     }
     val cells = qd
       .select(col("qid"), col("qv"), col("qn"),
-        explode(array((0 until NumCentroids).map(c =>
+        explode(array(cents.indices.map(c =>
           struct(lit(c).as("k"), col(s"d_$c").as("d"))): _*)).as("cd"))
       .select(col("qid"), col("qv"), col("qn"),
         col("cd.k").as("probe"), col("cd.d").as("d"))

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Generic maintenance for `batch=<id>` segment tables — the layout all
@@ -54,19 +54,27 @@ object Segments {
     * with every source segment intact.
     *
     * '''Crash anywhere in the commit window.''' The compacted copy lands
-    * complete in a dot-prefixed temp dir (invisible to parquet listings)
-    * together with an `_ABSORBED` manifest naming exactly the segment ids it
-    * replaces; only then are sources removed and the temp dir promoted to
-    * `batch=<max absorbed id>`. Recovery on the next run replays from the
-    * manifest: with manifest + `_SUCCESS` present the copy is complete and
-    * the commit finishes (delete exactly the manifest's ids, promote);
-    * without them no source was ever deleted, so the temp dir is discarded
-    * and the run starts fresh.
+    * complete in a dot-prefixed per-run temp dir (invisible to parquet
+    * listings); only after a final ownership check is the `_ABSORBED`
+    * manifest — the commit point — written into it, naming exactly the
+    * segment ids it replaces; only then are sources removed and the temp
+    * dir promoted to `batch=<max absorbed id>`. Recovery on the next run
+    * replays from the manifest: with manifest + `_SUCCESS` present the copy
+    * is complete and the commit finishes (delete exactly the manifest's
+    * ids, promote); any other leftover temp dir predates its manifest, so
+    * no source was ever deleted for it — it is discarded and the run starts
+    * fresh.
     *
-    * Rows pass through untouched and are repartitioned by `partitionCols` so
-    * each partition directory holds one file per compaction run (bounded
-    * file count); every query over the table returns identical results
-    * before and after.
+    * Rows pass through `transform` (identity by default — plain compaction)
+    * and are repartitioned by `partitionCols` so each partition directory
+    * holds one file per compaction run (bounded file count); with the
+    * default transform every query over the table returns identical results
+    * before and after. `meta` files (name → content) are written into the
+    * compacted segment before the manifest, so they promote — and recover —
+    * atomically with the data; [[graft.ann.IvfIndex.recluster]] uses this to
+    * swap its centroid set in the same commit that re-assigns the rows.
+    * `force` runs the rewrite even for a single source segment (a no-op for
+    * plain compaction, required when `transform`/`meta` change content).
     *
     * @return number of source segments absorbed (0 = nothing to do).
     */
@@ -75,34 +83,42 @@ object Segments {
       path: String,
       partitionCols: Seq[String],
       protectLatest: Boolean = true,
-      leaseTtlMs: Long = 15L * 60 * 1000): Int = {
+      leaseTtlMs: Long = 15L * 60 * 1000,
+      transform: DataFrame => DataFrame = identity,
+      meta: Map[String, String] = Map.empty,
+      force: Boolean = false): Int = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    withLease(fs, root, leaseTtlMs) { assertOwned =>
-      val tmp = new Path(root, ".compact_tmp")
+    withLease(fs, root, leaseTtlMs) { (holder, assertOwned) =>
+      // per-run temp dir: a second compactor that slips past a filesystem
+      // whose exclusive-create is check-then-act (RawLocalFileSystem) writes
+      // its own copy and aborts at assertOwned — never a shared-dir clash
+      val tmp = new Path(root, s".compact_tmp.$holder")
       def segId(p: Path): Long = p.getName.stripPrefix("batch=").toLong
-      def segments() = fs.listStatus(root)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .map(_.getPath)
+      def listed() = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      def segments() = listed().filter(_.getName.startsWith("batch="))
 
-      // recovery: manifest + _SUCCESS ⇒ the temp dir is a COMPLETE copy of
-      // exactly the manifest's segments and the commit must finish — some of
-      // those sources may already be half-deleted, so re-compacting would
+      // recovery: manifest + _SUCCESS ⇒ that temp dir is a COMPLETE copy of
+      // exactly the manifest's segments, written by a holder that still
+      // owned the lease at manifest time, and the commit must finish — some
+      // of those sources may already be half-deleted, so re-compacting would
       // lose the rows whose only remaining copy is the temp dir. Anything
       // less — including a present-but-empty manifest — ⇒ the crash predates
-      // the first source delete: discard and start over.
-      if (fs.exists(tmp)) {
-        val mf = new Path(tmp, Manifest)
-        if (fs.exists(mf) && fs.exists(new Path(tmp, "_SUCCESS"))) {
+      // the manifest (and therefore the first source delete): discard. At
+      // most one manifested dir can exist (the manifest is written under an
+      // ownership check immediately before the deletes).
+      listed().filter(_.getName.startsWith(".compact_tmp")).foreach { old =>
+        val mf = new Path(old, Manifest)
+        if (fs.exists(mf) && fs.exists(new Path(old, "_SUCCESS"))) {
           val ids = readLines(fs, mf).map(_.trim).filter(_.nonEmpty).map(_.toLong)
           if (ids.nonEmpty) {
             assertOwned()
             ids.foreach(id => fs.delete(new Path(root, s"batch=$id"), true))
-            fs.rename(tmp, new Path(root, s"batch=${ids.max}"))
+            fs.rename(old, new Path(root, s"batch=${ids.max}"))
             return ids.length
           }
         }
-        fs.delete(tmp, true)
+        fs.delete(old, true)
       }
 
       val segs = segments()
@@ -111,42 +127,61 @@ object Segments {
           val newest = segs.map(segId).max
           segs.filter(segId(_) != newest)
         } else segs
-      if (absorbed.length <= 1) return 0
+      if (absorbed.length <= (if (force) 0 else 1)) return 0
       val target = absorbed.map(segId).max
 
-      // read ONLY the snapshot paths (basePath keeps the partition columns):
-      // a segment landing concurrently is not in this lineage and is never
-      // deleted below
-      val data = spark.read.option("basePath", path)
-        .parquet(absorbed.map(_.toString): _*).drop("batch")
-      val sized = // one task → one file per partition dir
-        if (partitionCols.nonEmpty) data.repartition(partitionCols.map(col): _*)
-        else data.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
-      val writer = sized.write.mode("overwrite")
-      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-        .parquet(tmp.toString)
-      writeLines(fs, new Path(tmp, Manifest), absorbed.map(segId(_).toString))
-      assertOwned() // abort BEFORE the first source delete if usurped
-      absorbed.foreach(fs.delete(_, true))
-      fs.rename(tmp, new Path(root, s"batch=$target"))
-      absorbed.length
+      var promoted = false
+      try {
+        // read ONLY the snapshot paths (basePath keeps the partition
+        // columns): a segment landing concurrently is not in this lineage
+        // and is never deleted below
+        val data = transform(spark.read.option("basePath", path)
+          .parquet(absorbed.map(_.toString): _*).drop("batch"))
+        val sized = // one task → one file per partition dir
+          if (partitionCols.nonEmpty) data.repartition(partitionCols.map(col): _*)
+          else data.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+        val writer = sized.write.mode("overwrite")
+        (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+          .parquet(tmp.toString)
+        meta.foreach { case (name, content) => writeLines(fs, new Path(tmp, name), Seq(content)) }
+        assertOwned() // abort BEFORE the commit point if usurped
+        // the manifest IS the commit: recovery finishes everything after it
+        writeLines(fs, new Path(tmp, Manifest), absorbed.map(segId(_).toString))
+        absorbed.foreach(fs.delete(_, true))
+        fs.rename(tmp, new Path(root, s"batch=$target"))
+        promoted = true
+        absorbed.length
+      } finally {
+        // an aborted run's un-manifested copy is pure garbage — reclaim it
+        if (!promoted)
+          try if (!fs.exists(new Path(tmp, Manifest))) fs.delete(tmp, true)
+          catch { case _: java.io.IOException => () }
+      }
     }
   }
 
-  /** Exclusive-create lease scoped to `body`; `body` receives an
-    * `assertOwned` callback to re-verify ownership before destructive steps.
+  /** Exclusive-create lease scoped to `body`; `body` receives the holder's
+    * UUID and an `assertOwned` callback to re-verify ownership before
+    * destructive steps.
     *
     * The lease file carries the holder's UUID and its mtime is refreshed by
     * a daemon heartbeat every `ttlMs / 4` while `body` runs, so liveness —
     * not run duration — decides staleness. A lease whose mtime is older
     * than `ttlMs` belongs to a dead holder: takeover renames it to a
     * claimant-unique name first (rename is atomic; exactly one concurrent
-    * claimant wins, the rest get `false` and fail fast) and only then
-    * re-creates it. After any acquisition the content is read back and must
-    * equal this run's UUID.
+    * claimant wins, the rest get `false` and fail fast), verifies the
+    * claimed file really was the stale one (rename preserves mtime — a
+    * fresh mtime means a concurrent winner already re-created the lease,
+    * so it is restored and this claimant bows out), and only then
+    * re-creates it. After any acquisition the content is read back — past a
+    * settle delay, because a local filesystem's exclusive create is
+    * check-then-act, so a racing creator truncates visibly only after its
+    * own create — and must equal this run's UUID. A racer that slips
+    * through anyway loses at the next `assertOwned` before anything
+    * destructive.
     */
   private def withLease[T](fs: FileSystem, root: Path, ttlMs: Long)(
-      body: (() => Unit) => T): T = {
+      body: (String, () => Unit) => T): T = {
     val lease = new Path(root, ".compact_lease")
     val holder = java.util.UUID.randomUUID().toString
     if (!fs.exists(root)) fs.mkdirs(root)
@@ -169,14 +204,29 @@ object Segments {
             s"compaction lease at $lease is held (age ${a}ms <= ttl ${ttlMs}ms); " +
               "another compactor is live")
         val claimed = new Path(root, s".compact_lease.stale.$holder")
-        if (!fs.rename(lease, claimed))
+        val won = // local-FS rename may throw (copy fallback on a vanished src)
+          try fs.rename(lease, claimed)
+          catch { case _: java.io.IOException => false }
+        if (!won)
           throw new IllegalStateException(
             s"lost the takeover race for stale lease at $lease")
+        // rename preserves mtime: if the claimed file is FRESH, the race's
+        // winner already re-created the lease and this rename stole a LIVE
+        // holder's file — restore it (the holder's content is intact) and
+        // bow out instead of joining it in the body
+        val claimedAge =
+          System.currentTimeMillis() - fs.getFileStatus(claimed).getModificationTime
+        if (claimedAge <= ttlMs) {
+          try fs.rename(claimed, lease) catch { case _: java.io.IOException => () }
+          throw new IllegalStateException(
+            s"stale lease at $lease was taken over by a live claimant first")
+        }
         fs.delete(claimed, false)
       }
       if (!tryAcquire())
         throw new IllegalStateException(s"lost the race re-acquiring lease at $lease")
     }
+    Thread.sleep(50) // settle: let a check-then-act racer's truncate become visible
     if (!owned())
       throw new IllegalStateException(s"lease at $lease was usurped right after acquisition")
     def assertOwned(): Unit =
@@ -193,7 +243,7 @@ object Segments {
     }, s"segments-lease-heartbeat-${root.getName}")
     beat.setDaemon(true)
     beat.start()
-    try body(() => assertOwned())
+    try body(holder, () => assertOwned())
     finally {
       beat.interrupt()
       if (owned()) fs.delete(lease, false)

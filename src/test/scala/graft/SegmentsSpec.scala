@@ -133,7 +133,10 @@ class SegmentsSpec extends AnyFunSuite with SharedSpark {
     val threads = results.map(new Thread(_))
     threads.foreach(_.start()); threads.foreach(_.join(60000))
     val outcomes = results.map(_.get())
-    val wins = outcomes.collect { case Right(n) => n }
+    // Right(0) is a harmless no-op sweep (a latecomer that acquired a free
+    // lease after the winner released and found nothing left to absorb) —
+    // only a positive count is a commit
+    val wins = outcomes.collect { case Right(n) if n > 0 => n }
     val losses = outcomes.collect { case Left(e) => e }
     // both may lose only if they interleaved such that each saw the other as
     // a live holder — then the stale lease was still consumed by one rename;
