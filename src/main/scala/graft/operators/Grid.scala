@@ -185,22 +185,33 @@ object Grid {
     * dashboard query would read; at 100 TB it is written partitioned by
     * date/hour so downstream time filters prune partitions.
     * `sum_power` stays DECIMAL here so re-aggregation (A5) remains exact.
+    *
+    * `withHist` adds the [[graft.functions.PowerHist]] quantile sketch
+    * (`hist_power: map<bin, count>`) — the column that lets the lattice
+    * serve percentile tiles. Opt-in: the purely additive/extremal queries
+    * never pay for it (the sketch would survive column pruning only as a
+    * dropped-join artifact otherwise).
     */
   def rollup1s(
       spark: SparkSession,
       sfDir: String,
-      preFilter: Option[Column] = None): DataFrame = {
+      preFilter: Option[Column] = None,
+      withHist: Boolean = false): DataFrame = {
     val readings = powerReadings(spark, sfDir)
+    val base = Seq(
+      count(lit(1)).as("cnt"),
+      // count/min/max of the measure ride along so the RollupRewrite rule
+      // can serve count(power) null-safely and min/max(power) exactly
+      count(col("power")).as("cnt_power"),
+      min(col("power")).as("min_power"),
+      max(col("power")).as("max_power"),
+      sum(col("power").cast(DecimalType(18, 2))).as("sum_power_dec"))
+    val aggs =
+      if (withHist) base :+ graft.functions.PowerHist.hist(col("power")).as("hist_power")
+      else base
     preFilter.fold(readings)(readings.filter)
       .groupBy(col("epoch_s"), col("house_id"), col("appliance_id"), col("appliance_name"))
-      .agg(
-        count(lit(1)).as("cnt"),
-        // count/min/max of the measure ride along so the RollupRewrite rule
-        // can serve count(power) null-safely and min/max(power) exactly
-        count(col("power")).as("cnt_power"),
-        min(col("power")).as("min_power"),
-        max(col("power")).as("max_power"),
-        sum(col("power").cast(DecimalType(18, 2))).as("sum_power_dec"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   def qRollup1s(spark: SparkSession, sfDir: String): DataFrame =
@@ -237,6 +248,73 @@ object Grid {
        |FROM power
        |GROUP BY 1, 2, 3, 4
        |ORDER BY epoch_s, appliance_id, appliance_name""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Percentile tiles served from the histogram lattice (VERDICT r5 #2)
+  // -------------------------------------------------------------------------
+
+  /** Percentile tiles computed from MERGED histogram sketches, never from raw
+    * rows — the serving path a 100 TB lattice needs (exact quantiles over raw
+    * would be a global sort per tile). One merge aggregate per group (maps
+    * bounded by value-range/BinWidth, with map-side partial merge), then the
+    * inverse CDF over the exploded bins: smallest bin whose cumulative count
+    * reaches `ceil(p·n)` — a rule DuckDB states verbatim, so the result is
+    * EXACTLY the percentile of the quantized measure at any lattice depth.
+    */
+  def percentilesFromHist(
+      hists: DataFrame, groupCol: String, ps: Seq[(String, Double)]): DataFrame = {
+    import graft.functions.PowerHist
+    val merged = hists.groupBy(col(groupCol))
+      .agg(PowerHist.merge(col("hist_power")).as("h"))
+    val byGroup = Window.partitionBy(groupCol)
+    val cum = merged
+      .select(col(groupCol), explode(col("h")).as(Seq("bin", "c")))
+      .withColumn("cum", sum("c").over(byGroup.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(byGroup))
+    val picks = ps.map { case (name, p) =>
+      (min(when(col("cum") >= ceil(lit(p) * col("n")), col("bin")))
+        * PowerHist.BinWidth).as(name)
+    }
+    cum.groupBy(col(groupCol))
+      .agg(max("n").as("n_power"), picks: _*)
+      .orderBy(groupCol)
+  }
+
+  private val TilePs = Seq("p50_w" -> 0.5, "p90_w" -> 0.9, "p99_w" -> 0.99)
+
+  /** Per-house p50/p90/p99 of (quantized) power from the 1 s rollup's
+    * sketches — raw rows are touched once, by the rollup build itself.
+    */
+  def percentileTile(spark: SparkSession, sfDir: String): DataFrame =
+    percentilesFromHist(rollup1s(spark, sfDir, withHist = true), "house_id", TilePs)
+
+  /** The same tiles from the 60 s lattice level — bit-identical to
+    * [[percentileTile]] under the SAME oracle, pinning that the sketch
+    * merges losslessly through `coarsen` (no decay with lattice depth).
+    */
+  def percentileTile60s(spark: SparkSession, sfDir: String): DataFrame =
+    percentilesFromHist(
+      graft.sources.RollupTable.coarsen(rollup1s(spark, sfDir, withHist = true), 60L),
+      "house_id", TilePs)
+
+  val percentileTileSql: String = {
+    val w = graft.functions.PowerHist.BinWidth
+    val picks = TilePs.map { case (name, p) =>
+      s"       min(CASE WHEN cum >= ceil($p * n) THEN bin END) * $w AS $name"
+    }.mkString(",\n")
+    s"""WITH $PowerCte,
+       |b AS (SELECT house_id, CAST(floor(power / $w) AS BIGINT) AS bin
+       |      FROM power WHERE power IS NOT NULL),
+       |g AS (SELECT house_id, bin, count(*) AS c FROM b GROUP BY 1, 2),
+       |cum AS (SELECT house_id, bin,
+       |               SUM(c) OVER (PARTITION BY house_id ORDER BY bin) AS cum,
+       |               SUM(c) OVER (PARTITION BY house_id) AS n
+       |        FROM g)
+       |SELECT house_id, CAST(max(n) AS BIGINT) AS n_power,
+       |$picks
+       |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   // -------------------------------------------------------------------------
   // History — time-of-day lookback average (W4 + A5 + A6, druid_batch.py:84-113)
@@ -664,6 +742,8 @@ object Grid {
     "q_duty_cycle_udaf" -> (dutyCycleUdaf(_, _)),
     "q_rollup_1s" -> (qRollup1s(_, _)),
     "q_rollup_60s" -> (qRollup60s(_, _)),
+    "q_percentile_tile" -> (percentileTile(_, _)),
+    "q_percentile_tile_60s" -> (percentileTile60s(_, _)),
     "q_history_avg" -> (historyAvg(_, _)),
     "q_total_power" -> (totalPower(_, _)),
     "q_power_by_appliance" -> (powerByDim(_, _, "appliance_name")),
@@ -688,6 +768,8 @@ object Grid {
     "q_duty_cycle_udaf" -> dutyCycleUdafSql,
     "q_rollup_1s" -> rollup1sSql,
     "q_rollup_60s" -> rollup60sSql,
+    "q_percentile_tile" -> percentileTileSql,
+    "q_percentile_tile_60s" -> percentileTileSql,
     "q_history_avg" -> historyAvgSql,
     "q_total_power" -> totalPowerSql,
     "q_power_by_appliance" -> powerByDimSql("appliance_name"),

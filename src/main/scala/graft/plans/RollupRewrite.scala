@@ -1,10 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, BinaryComparison, CaseWhen, Cast, Coalesce, Concat, CreateNamedStruct, Divide, ExprId, Expression, GreaterThan, GreaterThanOrEqual, If, In, IntegralDivide, IsNotNull, KnownNullable, LessThan, LessThanOrEqual, Literal, MicrosToTimestamp, Multiply, NamedExpression, Not, Or, Pmod, PreciseTimestampConversion, Remainder, Subtract, UnaryMinus}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, HyperLogLogPlusPlus, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, BinaryComparison, CaseWhen, Cast, Coalesce, Concat, CreateNamedStruct, Divide, ExprId, Expression, GreaterThan, GreaterThanOrEqual, If, In, IntegralDivide, IsNotNull, KnownNullable, LessThan, LessThanOrEqual, Literal, MicrosToTimestamp, Multiply, NamedExpression, Not, Or, Pmod, PreciseTimestampConversion, Remainder, ScalaUDF, Subtract, UnaryMinus}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Average, Complete, Count, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.aggregate.ScalaAggregator
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, TimestampType}
 
@@ -432,7 +434,11 @@ class RollupRewrite(
       Seq("cnt", "cnt_power", "min_power", "max_power", "sum_power_dec").map(rollupAttr)
     val measureIds = measures.map(_.exprId).toSet
     val extraKeys = keyArgAttrs.toSeq.filterNot(a => measureIds.contains(a.exprId))
-    val child = Project(pulled.map(_._2) ++ measures ++ extraKeys, filtered)
+    // the sketch column rides through ONLY when a quantile rewrite used it —
+    // it is the widest rollup column, and no later pruning pass runs
+    val usedHist = rollupAttr.get("hist_power").filter(h =>
+      newAggExprs.flatten.exists(_.references.exists(_.exprId == h.exprId)))
+    val child = Project(pulled.map(_._2) ++ measures ++ extraKeys ++ usedHist, filtered)
     Some(Aggregate(newGroups, newAggExprs.map(_.get), child))
   }
 
@@ -480,6 +486,35 @@ class RollupRewrite(
         If(GreaterThan(Coalesce(Seq(c, Literal(0L))), Literal(0L)),
           div, Literal.create(null, DoubleType)),
         resultType))
+    // percentile_approx(power, p[, accuracy]) served from the lattice's
+    // histogram sketch (tables that carry `hist_power`): merge the
+    // per-group maps (a ScalaAggregator with map-side partial merge — the
+    // shuffle carries one bounded map per group per partition), then a
+    // scalar inverse-CDF over the merged map (per OUTPUT group, so the UDF
+    // is off the row path). percentile_approx is approximate BY CONTRACT;
+    // this substitutes a different, documented error model: exact over
+    // BinWidth-quantized values, i.e. within one PowerHist.BinWidth of the
+    // exact DISCRETE percentile (the rank-ceil(p·n) value the function
+    // itself estimates), independent of the requested accuracy (ignored).
+    // Exact `percentile`/`median`, array percentages, and non-literal
+    // parameters are never routed.
+    case ap: ApproximatePercentile =>
+      (ap.first, ap.second) match {
+        case (a: AttributeReference, Literal(p: Double, DoubleType))
+            if isPower(a) && rollupAttr.contains("hist_power") =>
+          val mapEnc = ExpressionEncoder[Map[Long, Long]]().resolveAndBind()
+          val merged = ScalaAggregator(
+            Seq(rollupAttr("hist_power")), graft.functions.PowerHist.mergeAggregator,
+            mapEnc, mapEnc, aggregatorName = Some("hist_merge")
+          ).toAggregateExpression()
+          val quantile = (m: scala.collection.Map[Long, Long]) =>
+            graft.functions.PowerHist.quantileValue(m, p)
+          Some(Cast(
+            ScalaUDF(quantile, DoubleType, Seq(merged), Nil,
+              udfName = Some("hist_quantile")),
+            resultType))
+        case _ => None
+      }
     case _ => None
   }
 
@@ -555,7 +590,9 @@ class RollupRewrite(
     }
     if (newAggExprs.exists(_.isEmpty)) return None
 
-    val measures: Seq[Attribute] = measureNames.map(rollupAttr)
+    val usedHist = rollupAttr.get("hist_power").filter(h =>
+      newAggExprs.flatten.exists(_.references.exists(_.exprId == h.exprId))).toSeq
+    val measures: Seq[Attribute] = measureNames.map(rollupAttr) ++ usedHist
     val child = mappedConds.flatten
       .reduceOption(And)
       .map(Filter(_, rollup))

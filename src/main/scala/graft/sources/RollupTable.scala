@@ -23,7 +23,7 @@ object RollupTable {
     * exact) and its double rendering (presentation queries).
     */
   def materialize(spark: SparkSession, sfDir: String, outPath: String): Unit =
-    writeSegmented(Grid.rollup1s(spark, sfDir), outPath)
+    writeSegmented(Grid.rollup1s(spark, sfDir, withHist = true), outPath)
 
   /** A coarser granularity of the rollup lattice, built by re-aggregating a
     * STORED finer rollup — never the raw events (the Druid multi-granularity
@@ -49,17 +49,25 @@ object RollupTable {
     * granularities — and what `q_rollup_60s`'s DuckDB oracle pins by grouping
     * the raw events at the minute directly.
     */
-  def coarsen(rollup: DataFrame, granularitySec: Long): DataFrame =
+  def coarsen(rollup: DataFrame, granularitySec: Long): DataFrame = {
+    val base = Seq(
+      sum("cnt").as("cnt"),
+      sum("cnt_power").as("cnt_power"),
+      min("min_power").as("min_power"),
+      max("max_power").as("max_power"),
+      sum("sum_power_dec").as("sum_power_dec"))
+    // the quantile sketch merges bin-wise (sum of counts) — lossless at any
+    // composition of granularities, like every other measure here
+    val aggs =
+      if (rollup.columns.contains("hist_power"))
+        base :+ graft.functions.PowerHist.merge(col("hist_power")).as("hist_power")
+      else base
     rollup
       .groupBy(
         (expr(s"epoch_s div $granularitySec") * granularitySec).as("epoch_s"),
         col("house_id"), col("appliance_id"), col("appliance_name"))
-      .agg(
-        sum("cnt").as("cnt"),
-        sum("cnt_power").as("cnt_power"),
-        min("min_power").as("min_power"),
-        max("max_power").as("max_power"),
-        sum("sum_power_dec").as("sum_power_dec"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Incremental lattice maintenance: after [[materializeIncrement]] refreshes
     * the 1 s table's hour segments at/after `sinceEpochS`, this cascades the
@@ -136,7 +144,7 @@ object RollupTable {
       s"increment boundary must be hour-aligned, got $sinceEpochS")
     withDynamicOverwrite(spark) {
       writeSegmented(
-        Grid.rollup1s(spark, sfDir).filter(col("epoch_s") >= sinceEpochS),
+        Grid.rollup1s(spark, sfDir, withHist = true).filter(col("epoch_s") >= sinceEpochS),
         outPath)
     }
   }

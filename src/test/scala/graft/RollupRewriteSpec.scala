@@ -441,6 +441,64 @@ class RollupRewriteSpec extends AnyFunSuite with SharedSpark {
     } finally RollupRewrite.uninstall(spark)
   }
 
+  test("percentile_approx(power) serves from the histogram sketch lattice (VERDICT r5 #2)") {
+    val coarseDir = java.nio.file.Files.createTempDirectory("rw_rollup_60s_hist").toString
+    RollupTable.materializeCoarse(spark, rollupDir, coarseDir, 60L)
+    RollupRewrite.install(spark, rollupDir, raw, Seq((coarseDir, 60L)))
+    def scansCoarse(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains(
+        new java.io.File(coarseDir).getName)
+    def histRouted(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val plan = df.queryExecution.optimizedPlan.toString
+      plan.contains("hist_power") && !plan.contains("user_id")
+    }
+    try {
+      // a quantile tile: no epoch reference → the COARSEST sketch answers
+      def tile = raw.groupBy("house_id")
+        .agg(expr("percentile_approx(power, 0.9, 10000)").as("p90"),
+          sum("power").as("p"))
+        .orderBy("house_id")
+      val q = tile
+      assert(histRouted(q), s"expected sketch routing:\n${q.queryExecution.optimizedPlan}")
+      assert(scansCoarse(q), "dimension-only quantile tile must read the 60s table")
+      val served = q.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      RollupRewrite.uninstall(spark)
+      // documented error model: exact over BinWidth-quantized values ⇒
+      // within one BinWidth of the exact DISCRETE percentile (the value at
+      // rank ceil(p·n) — what percentile_approx itself estimates; the
+      // interpolating percentile() answers a different, continuous question)
+      val exact = raw.groupBy("house_id")
+        .agg(sort_array(collect_list("power")).as("vs"), sum("power").as("p"))
+        .orderBy("house_id")
+        .collect().map { r =>
+          val vs = r.getSeq[Double](1)
+          val disc = vs(math.ceil(0.9 * vs.length).toInt - 1)
+          (r.getString(0), disc, r.getDouble(2))
+        }
+      assert(served.length == exact.length && served.nonEmpty)
+      served.zip(exact).foreach { case ((h, p90, s), (hx, p90x, sx)) =>
+        assert(h == hx)
+        assert(p90 <= p90x && p90 > p90x - graft.functions.PowerHist.BinWidth,
+          s"$h: served $p90 vs exact-disc $p90x")
+        assert(math.abs(s - sx) <= 1e-9 * math.max(1.0, math.abs(sx))) // sums stay exact
+      }
+      RollupRewrite.install(spark, rollupDir, raw, Seq((coarseDir, 60L)))
+      // a 5 s bucketed quantile: 60 ∤ 5 → falls through to the 1 s sketch
+      val q5 = raw.groupBy(expr("epoch_s div 5").as("b"))
+        .agg(expr("percentile_approx(power, 0.5, 100)").as("med"))
+      assert(histRouted(q5) && !scansCoarse(q5),
+        "5s quantile buckets must use the 1s sketch")
+      // never routed: exact percentile, array percentages
+      val qExact = raw.groupBy("house_id").agg(expr("percentile(power, 0.9)").as("x"))
+      assert(qExact.queryExecution.optimizedPlan.toString.contains("user_id"),
+        "exact percentile must stay on raw")
+      val qArr = raw.groupBy("house_id")
+        .agg(expr("percentile_approx(power, array(0.5, 0.9), 100)").as("x"))
+      assert(qArr.queryExecution.optimizedPlan.toString.contains("user_id"),
+        "array percentages must stay on raw")
+    } finally RollupRewrite.uninstall(spark)
+  }
+
   test("rewrite keeps exact sums (decimal-backed rollup)") {
     install()
     try {
