@@ -9,13 +9,16 @@ import graft.Tables
   * columns with typed metadata, and a batched partition-level decode /
   * feature-extract stage.
   *
-  * The decode step itself is STUBBED (this container has no image/audio
-  * codecs): [[FakeDecoder.decode]] derives deterministic pseudo-features from
-  * the byte length. Everything around it is the real Spark shape a production
-  * pipeline needs: a typed `Dataset`, `mapPartitions` batching (the Scala
-  * analogue of `mapInPandas` — one iterator per partition, no per-row
-  * overhead), and schema/partitioning that survive a 1000-executor scale-up
-  * (media rows are value-heavy, so the stage is a narrow map with no shuffle).
+  * The decode is REAL: [[encodedMediaTable]] synthesizes complete, valid
+  * container bytes (binary PPM images, PCM WAV audio, YUV4MPEG2 video —
+  * [[MediaCodec]]) and [[decodeFeatures]] re-derives every feature by
+  * strictly parsing those bytes, so the oracle-checked features certify an
+  * actual byte-level decode round-trip. Around it is the Spark shape a
+  * production pipeline needs: a typed `Dataset`, `mapPartitions` batching
+  * (the Scala analogue of `mapInPandas` — one iterator per partition, no
+  * per-row overhead), and schema/partitioning that survive a 1000-executor
+  * scale-up (media rows are value-heavy, so both stages are narrow maps
+  * with no shuffle).
   */
 object MediaOps {
 
@@ -27,22 +30,6 @@ object MediaOps {
       width: Int,
       height: Int,
       duration_s: Double)
-
-  /** Stand-in decoder: replace with a real codec binding in production.
-    * Deterministic on byte length so tests and the oracle can pin it.
-    */
-  object FakeDecoder {
-    def decode(r: MediaRecord): MediaFeatures = {
-      val n = r.content.length.toLong
-      MediaFeatures(
-        r.doc_id,
-        r.media_type,
-        n,
-        width = (64 + n % 640).toInt,
-        height = (64 + n % 480).toInt,
-        duration_s = (n % 3600).toDouble / 10.0)
-    }
-  }
 
   /** Synthesize a media table from `documents`: UTF-8 bytes as the opaque
     * payload, media_type cycling by doc_id.
@@ -58,14 +45,51 @@ object MediaOps {
       .as[MediaRecord]
   }
 
-  /** The batched decode stage: one decoder instance per partition, iterator
-    * in / iterator out — the `mapInPandas` shape in Scala.
+  /** Deterministic media parameters from the opaque payload length `n` —
+    * what the oracle can restate in SQL. Dimensions stay small so a full
+    * valid payload per row is cheap (≤ ~30 KB) at any scale factor.
+    */
+  private[multimodal] def imageDims(n: Int): (Int, Int) = (16 + n % 48, 16 + n % 32)
+  private[multimodal] def audioSamples(n: Int): Int = (1 + n % 24) * 800
+  private[multimodal] def videoParams(n: Int): (Int, Int, Int) =
+    (16 + (n % 24) * 2, 16 + (n % 16) * 2, 1 + n % 6)
+
+  /** Replace each opaque payload with REAL container bytes of its media
+    * type, parameterized by the payload length (deterministic, so the
+    * decode's output is oracle-checkable end-to-end). Same narrow
+    * mapPartitions shape as the decode — at scale this stage stands in for
+    * the ingest fetch that produces genuine media bytes.
+    */
+  def encodedMediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).mapPartitions(_.map { r =>
+      val n = r.content.length
+      val bytes = r.media_type match {
+        case "image" =>
+          val (w, h) = imageDims(n); MediaCodec.encodePpm(w, h, r.doc_id)
+        case "audio" => MediaCodec.encodeWav(audioSamples(n), r.doc_id)
+        case _ =>
+          val (w, h, f) = videoParams(n); MediaCodec.encodeY4m(w, h, f, r.doc_id)
+      }
+      r.copy(content = bytes)
+    })
+  }
+
+  /** The batched decode stage: one decoder per partition, iterator in /
+    * iterator out — the `mapInPandas` shape in Scala. Features come
+    * exclusively from [[MediaCodec.decode]]'s strict header parse; a
+    * payload whose body contradicts its declaration fails the task rather
+    * than emitting fabricated features.
     */
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition setup (a real decoder would open codecs here, once)
-      rows.map(FakeDecoder.decode)
+      // per-partition setup would open native codec contexts here, once
+      rows.map { r =>
+        val d = MediaCodec.decode(r.content)
+        MediaFeatures(r.doc_id, r.media_type, r.content.length.toLong,
+          d.width, d.height, d.durationS)
+      }
     }
   }
 
@@ -88,18 +112,45 @@ object MediaOps {
       |       sha256(text) AS digest
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Decoded feature table through the mapPartitions stage. */
+  /** Decoded feature table: encode real containers, parse them back. The
+    * oracle restates the encoder's parameter derivation (including each
+    * format's exact header overhead), so a hash match proves the parser
+    * recovered every declared parameter from the bytes alone.
+    */
   def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
-    decodeFeatures(mediaTable(spark, sfDir)).toDF().orderBy("doc_id")
+    decodeFeatures(encodedMediaTable(spark, sfDir)).toDF().orderBy("doc_id")
+
+  /** Shared oracle CTE: media params re-derived from the document text
+    * length, per type (t: 1=image, 2=audio, 3=video).
+    */
+  private val ParamsCte: String =
+    """m AS (
+      |  SELECT doc_id, CAST(doc_id % 3 AS INT) + 1 AS t,
+      |         octet_length(encode(text)) AS n
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, t,
+      |         CAST(CASE t WHEN 1 THEN 16 + n % 48 WHEN 3 THEN 16 + (n % 24) * 2 ELSE 0 END AS INT) AS w,
+      |         CAST(CASE t WHEN 1 THEN 16 + n % 32 WHEN 3 THEN 16 + (n % 16) * 2 ELSE 0 END AS INT) AS h,
+      |         CAST((1 + n % 24) * 800 AS BIGINT) AS samples,
+      |         CAST(1 + n % 6 AS INT) AS frames
+      |  FROM m)""".stripMargin
 
   val mediaFeaturesSql: String =
-    """SELECT doc_id,
-      |       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
-      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |       CAST(64 + octet_length(encode(text)) % 640 AS INT) AS width,
-      |       CAST(64 + octet_length(encode(text)) % 480 AS INT) AS height,
-      |       CAST(octet_length(encode(text)) % 3600 AS DOUBLE) / 10.0 AS duration_s
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""WITH $ParamsCte
+       |SELECT doc_id,
+       |       ['image', 'audio', 'video'][t] AS media_type,
+       |       CAST(CASE t
+       |         WHEN 1 THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + w * h * 3
+       |         WHEN 2 THEN 44 + samples
+       |         ELSE 33 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+       |              + frames * (6 + (w * h * 3) // 2)
+       |       END AS BIGINT) AS n_bytes,
+       |       w AS width, h AS height,
+       |       CASE t WHEN 1 THEN 0.0
+       |              WHEN 2 THEN CAST(samples AS DOUBLE) / 8000.0
+       |              ELSE CAST(frames AS DOUBLE) / 10.0 END AS duration_s
+       |FROM p ORDER BY doc_id""".stripMargin
 
   /** Resize planning: aspect-preserving fit of each decoded frame into a
     * `box`×`box` target (the long side lands exactly on `box`), in pure
@@ -110,8 +161,12 @@ object MediaOps {
     */
   val ResizeBox = 224
 
+  /** Resize plans apply to the VISUAL types only (their decoded dims are
+    * real header parses now; audio has none).
+    */
   def mediaResize(spark: SparkSession, sfDir: String): DataFrame =
-    decodeFeatures(mediaTable(spark, sfDir)).toDF()
+    decodeFeatures(encodedMediaTable(spark, sfDir)).toDF()
+      .filter(col("media_type") =!= "audio")
       .select(col("doc_id"), col("media_type"), col("width"), col("height"))
       .withColumn("long_side", greatest(col("width"), col("height")))
       .withColumn("out_w", expr(s"CAST((width * $ResizeBox) div long_side AS INT)"))
@@ -121,25 +176,23 @@ object MediaOps {
       .orderBy("doc_id")
 
   val mediaResizeSql: String =
-    s"""WITH f AS (
-       |  SELECT doc_id,
-       |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
-       |         CAST(64 + octet_length(encode(text)) % 640 AS INT) AS width,
-       |         CAST(64 + octet_length(encode(text)) % 480 AS INT) AS height
-       |  FROM documents),
-       |g AS (SELECT *, greatest(width, height) AS long_side FROM f)
-       |SELECT doc_id, media_type, width, height,
-       |       CAST((width * $ResizeBox) // long_side AS INT) AS out_w,
-       |       CAST((height * $ResizeBox) // long_side AS INT) AS out_h,
-       |       CAST((width * $ResizeBox) // long_side AS INT)
-       |         * CAST((height * $ResizeBox) // long_side AS INT) * 3 AS out_bytes
+    s"""WITH $ParamsCte,
+       |g AS (SELECT *, greatest(w, h) AS long_side FROM p WHERE t != 2)
+       |SELECT doc_id,
+       |       ['image', 'audio', 'video'][t] AS media_type,
+       |       w AS width, h AS height,
+       |       CAST((w * $ResizeBox) // long_side AS INT) AS out_w,
+       |       CAST((h * $ResizeBox) // long_side AS INT) AS out_h,
+       |       CAST((w * $ResizeBox) // long_side AS INT)
+       |         * CAST((h * $ResizeBox) // long_side AS INT) * 3 AS out_bytes
        |FROM g ORDER BY doc_id""".stripMargin
 
   /** Frame sampling for video payloads: up to `maxFrames` stride-spaced
     * frames per clip (the uniform-sampling policy video training pipelines
-    * use before batched frame decode). The frame count derives from the
-    * decoded duration (fps × seconds); each sampled frame gets a
-    * deterministic fingerprint in place of decoded pixels. One
+    * use before batched frame decode). This is the PLANNING ledger computed
+    * from payload metadata before any decode runs (frame count derives
+    * deterministically from the opaque payload length); each sampled frame
+    * gets a deterministic fingerprint in place of decoded pixels. One
     * filter→explode pass, fanout ≤ maxFrames per video row — the frame
     * table a production pipeline would feed to the decode stage.
     */
@@ -187,9 +240,9 @@ object MediaOps {
     * payload — the speech-pipeline front-end (Whisper, wav2vec pretraining
     * batches audio exactly this way), with the final short segment padded to
     * the window length and the pad accounted per segment. The sample count
-    * derives deterministically from the payload (0.1 s duration units ×
-    * 16 000 Hz — same derivation as [[decodeFeatures]]' duration), so the
-    * segment ledger is oracle-exact. One filter→explode pass, fanout bounded
+    * derives deterministically from the opaque payload length (0.1 s
+    * duration units × 16 000 Hz — the pre-decode planning ledger, like
+    * [[frameSample]]), so the segment ledger is oracle-exact. One filter→explode pass, fanout bounded
     * by ceil(duration / 30 s) per clip; each segment carries a deterministic
     * fingerprint standing in for its decoded waveform slice.
     */

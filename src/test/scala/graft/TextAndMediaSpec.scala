@@ -131,9 +131,16 @@ class TextAndMediaSpec extends AnyFunSuite with SharedSpark {
     assert(a.sameElements(b))
     assert(a.nonEmpty)
     a.foreach { r =>
-      val nBytes = r.getLong(2)
-      assert(r.getInt(3) == 64 + (nBytes % 640).toInt)
-      assert(r.getInt(4) == 64 + (nBytes % 480).toInt)
+      val (w, h, dur) = (r.getInt(3), r.getInt(4), r.getDouble(5))
+      r.getString(1) match {
+        case "image" =>
+          assert(w >= 16 && w < 64 && h >= 16 && h < 48 && dur == 0.0, s"$r")
+        case "audio" =>
+          assert(w == 0 && h == 0 && dur > 0 && dur <= 2.4, s"$r")
+        case "video" =>
+          assert(w % 2 == 0 && h % 2 == 0 && w >= 16 && h >= 16, s"$r")
+          assert(dur > 0 && dur <= 0.6 && math.abs(dur * 10 - math.round(dur * 10)) < 1e-9, s"$r")
+      }
     }
   }
 
@@ -188,9 +195,42 @@ class TextAndMediaSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("media table partitioning survives the decode stage (narrow map, no shuffle)") {
-    val media = MediaOps.mediaTable(spark, sfDir)
+    val media = MediaOps.encodedMediaTable(spark, sfDir)
     val decoded = MediaOps.decodeFeatures(media)
     assert(decoded.rdd.getNumPartitions == media.rdd.getNumPartitions)
+  }
+
+  test("media codecs round-trip and the decoder rejects tampered bytes (VERDICT r5 #9)") {
+    import graft.multimodal.MediaCodec
+    // round-trips: every feature is recovered from the bytes alone
+    val ppm = MediaCodec.encodePpm(33, 21, seed = 7L)
+    assert(MediaCodec.decode(ppm) == MediaCodec.Decoded(33, 21, 0.0))
+    val wav = MediaCodec.encodeWav(12000, seed = 7L)
+    assert(MediaCodec.decode(wav) == MediaCodec.Decoded(0, 0, 1.5))
+    val y4m = MediaCodec.encodeY4m(32, 24, 4, seed = 7L)
+    assert(MediaCodec.decode(y4m) == MediaCodec.Decoded(32, 24, 0.4))
+    // strictness: a parser that ignored the bytes would accept all of these
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.decode(ppm.dropRight(1))).getMessage.contains("PPM"))
+    val badRiff = wav.clone(); badRiff(4) = (badRiff(4) + 1).toByte // RIFF size field
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.decode(badRiff)).getMessage.contains("WAV"))
+    val badFrame = y4m.clone()
+    val frameAt = new String(y4m, "ISO-8859-1").indexOf("FRAME")
+    badFrame(frameAt) = 'G'.toByte
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.decode(badFrame)).getMessage.contains("Y4M"))
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.decode("not media".getBytes)).getMessage.contains("unrecognized"))
+    // and the pipeline's features equal a direct parse of the same payloads
+    val enc = MediaOps.encodedMediaTable(spark, sfDir).collect()
+    assert(enc.length > 0)
+    val feats = MediaOps.mediaFeatures(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4), r.getDouble(5)))).toMap
+    enc.take(50).foreach { r =>
+      val d = MediaCodec.decode(r.content)
+      assert(feats(r.doc_id) == ((d.width, d.height, d.durationS)), s"doc ${r.doc_id}")
+    }
   }
   test("count-min sketch never under-counts and is exact-consistent") {
     val rows = graft.text.TextOps.cmsTopK(spark, sfDir).collect()
