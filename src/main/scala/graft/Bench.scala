@@ -43,6 +43,31 @@ object Bench {
         .join(o, col("c_custkey") === col("o_custkey"), "left").count()
     } catch { case _: Throwable => () }
 
+    // Contention self-identification (VERDICT r5 #5): the driver's bench can
+    // land on a contended box, producing phantom regressions that waste a
+    // round chasing noise. Two signals make a polluted run read as polluted
+    // from the JSON alone: the OS 1-min load average sampled before and
+    // after the run (a quiet 32-cpu box sits well under cpus; a contended
+    // one reads above it), and a fixed-cost CPU sentinel — an in-memory
+    // spark.range sum whose work is constant regardless of SF or code
+    // changes — timed at start AND end. Sentinel drift between the two
+    // samples, or a sentinel far above its historical ~0.1 s, means the
+    // per-query numbers of THIS run are not comparable across rounds.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    def sentinelSec(): Double = {
+      import org.apache.spark.sql.functions._
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(200L * 1000 * 1000)
+          .select(sum(col("id") % 7)).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val loadAvgStart = loadAvg()
+    val sentinelStartSec = sentinelSec()
+
     // Two executions per query, report the faster: the first pays one-off
     // whole-stage-codegen JIT (~0.3-1 s/plan), which amortizes to nothing on
     // a long-running engine — steady-state plan cost is the comparable number.
@@ -352,10 +377,30 @@ object Bench {
           new Timestamp((i % 86400) * 1000L),
           s"1_1_${i % 5}", "lamp", s"1_1_${i % 5}_${i % 50}", (i % 400).toDouble)
       }.repartition(16).write.mode("overwrite").parquet(dir)
+      // Planted-hot-key twin (VERDICT r5 missing #5: the batch skew probe
+      // had no streaming counterpart — these gates fed uniform keys only):
+      // 60% of all readings land on ONE appliance in ONE house, the rest
+      // spread as above. Same row count, same schema, same plan — the ratio
+      // uniform/hot isolates what a hot meter costs the stateful pipeline.
+      // Expected near 1: micro-batch execution plans partial aggregation
+      // before the state-store shuffle, so the hot (window, appliance) key
+      // collapses to one row per input partition per trigger rather than
+      // funneling raw readings through one state task.
+      val hotDir = java.nio.file.Files.createTempDirectory("graft_stream_hot").toString
+      spark.range(n).map { i =>
+        if (i % 10 < 6)
+          StreamingDutyCycle.PowerReading(
+            new Timestamp((i % 86400) * 1000L),
+            "1_1_0", "lamp", "1_1_0_0", (i % 400).toDouble)
+        else
+          StreamingDutyCycle.PowerReading(
+            new Timestamp((i % 86400) * 1000L),
+            s"1_1_${i % 5}", "lamp", s"1_1_${i % 5}_${i % 50}", (i % 400).toDouble)
+      }.repartition(16).write.mode("overwrite").parquet(hotDir)
       val schema = spark.read.parquet(dir).schema
-      def throughput(name: String,
+      def throughput(name: String, srcDir: String,
           planFn: DataFrame => DataFrame): Long = {
-        val stream = spark.readStream.schema(schema).parquet(dir)
+        val stream = spark.readStream.schema(schema).parquet(srcDir)
         val t0 = System.nanoTime()
         val query = planFn(stream)
           .writeStream.format("memory").queryName(name)
@@ -366,17 +411,30 @@ object Bench {
         } finally query.stop()
       }
       try {
-        val rps = throughput("graft_duty_bench",
+        val rps = throughput("graft_duty_bench", dir,
           StreamingDutyCycle.plan(_, GridConfig()))
         // the chained-stateful-agg form: 1 s pre-aggregate feeding the slide
-        val rpsPre = throughput("graft_duty_bench_prerolled",
+        val rpsPre = throughput("graft_duty_bench_prerolled", dir,
           StreamingDutyCycle.planPrerolled(_, GridConfig()))
+        val rpsHot = throughput("graft_duty_bench_hot", hotDir,
+          StreamingDutyCycle.plan(_, GridConfig()))
+        val hotRatio = if (rpsHot > 0) rps.toDouble / rpsHot else -1.0
         (s""","streaming":{"duty_cycle_rows_per_sec":$rps,""" +
           s""""duty_cycle_prerolled_rows_per_sec":$rpsPre,""" +
+          s""""duty_cycle_hot_key_rows_per_sec":$rpsHot,""" +
+          s""""hot_key_frac":0.6,"hot_key_slowdown":$hotRatio,""" +
           s""""input_rows":$n,"baseline_rows_per_sec":100000}""",
           math.max(rps, rpsPre))
-      } finally cleanup(dir)
+      } finally { cleanup(dir); cleanup(hotDir) }
     } catch { case t: Throwable => (s""","streaming":{"error":"${jsonErr(t)}"}""", -1L) }
+
+    // end-of-run contention sample: drift vs the start sample flags a run
+    // that degraded mid-flight (another tenant landed on the box)
+    val (loadAvgEnd, sentinelEndSec) = (loadAvg(), sentinelSec())
+    val contentionJson =
+      s""","contention":{"cpus":$cpus,"load_avg_start":$loadAvgStart,""" +
+        s""""load_avg_end":$loadAvgEnd,"sentinel_start_sec":$sentinelStartSec,""" +
+        s""""sentinel_end_sec":$sentinelEndSec}"""
 
     // headline numbers first, per-query detail in the middle, and the same
     // headline repeated as the final key — see the class doc
@@ -386,9 +444,10 @@ object Bench {
     val summary = s""""summary":{"total_sec":$total,"n_queries":${results.size},""" +
       s""""worst_probe_ratio":$probeWorst,"worst_uniform_ratio":$probeWorst,""" +
       s""""worst_twosided_per_unit":$probeTwoSidedPerUnit,"worst_skew_ratio":$skewWorst,""" +
-      s""""streaming_rows_per_sec":$streamingRps}"""
+      s""""streaming_rows_per_sec":$streamingRps,""" +
+      s""""load_avg_start":$loadAvgStart,"sentinel_start_sec":$sentinelStartSec}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-      s"""$summary$streamingJson$rollupServingJson$indexServingJson$probeJson$skewJson,"queries":$qs,$summary}""")
+      s"""$summary$contentionJson$streamingJson$rollupServingJson$indexServingJson$probeJson$skewJson,"queries":$qs,$summary}""")
     spark.stop()
   }
 }
