@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TESTDATA tables plus session tuning.
   *
@@ -42,8 +44,44 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
 
-  /** Event stream table; `ts` is epoch-nanosecond LongType (see [[tune]]). */
-  def events(s: SparkSession, d: String): DataFrame = read(s, d, "events")
+  /** Event stream table, normalized so `ts` is ALWAYS an epoch-nanosecond
+    * LongType regardless of how the parquet stores it. Generations of the
+    * TESTDATA have shipped `ts` as TIMESTAMP(NANOS) (which Spark's reader
+    * surfaces as a raw long via [[tune]]'s `nanosAsLong`) and as
+    * TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ). Downstream operators and
+    * every DuckDB oracle (`epoch_ns(ts)`) assume the nanosecond instant, so
+    * the micros case is widened here — exact, no precision caveat, and the
+    * extra Project costs one codegen'd multiply per row. Queries that want a
+    * parquet-pushable time-range filter should filter on the NATIVE column
+    * first (see [[graft.operators.Grid.recentRange]]) because a predicate on
+    * the derived long cannot reach the scan.
+    */
+  def events(s: SparkSession, d: String): DataFrame = events(s, d, Nil)
+
+  /** [[events]] with epoch-second `[start, end)` intervals applied to the
+    * NATIVE `ts` column — the predicate sits below the normalizing Project,
+    * so it reaches the parquet scan as a pushed filter (row-group min/max
+    * pruning; at cluster scale, partition pruning) in every storage
+    * generation. A predicate on the derived nanosecond long is row-equivalent
+    * but can never push past the `unix_micros` compute.
+    */
+  def events(s: SparkSession, d: String, tsIntervals: Seq[(Long, Long)]): DataFrame = {
+    val df = read(s, d, "events")
+    def filtered(tsLit: Long => Column): DataFrame =
+      if (tsIntervals.isEmpty) df
+      else df.filter(tsIntervals.map { case (a, b) =>
+        col("ts") >= tsLit(a) && col("ts") < tsLit(b)
+      }.reduce(_ || _))
+    df.schema("ts").dataType match {
+      case TimestampNTZType =>
+        filtered(sec => lit(java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)))
+          .withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case TimestampType =>
+        filtered(sec => lit(java.time.Instant.ofEpochSecond(sec)))
+          .withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => filtered(sec => lit(sec * 1000000000L))
+    }
+  }
 
   // LLM-pipeline tables
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")

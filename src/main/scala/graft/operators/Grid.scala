@@ -35,10 +35,19 @@ object Grid {
     * (SURVEY.md §1.1): house = user bucket, appliance = user, power = value.
     * `ts` arrives as epoch-nanosecond long (see [[Tables.tune]]).
     */
-  def powerReadings(spark: SparkSession, sfDir: String): DataFrame = {
+  def powerReadings(spark: SparkSession, sfDir: String): DataFrame =
+    powerReadings(spark, sfDir, Nil)
+
+  /** [[powerReadings]] with epoch-second `[start, end)` intervals pushed onto
+    * the NATIVE `ts` scan column (parquet row-group / partition pruning) —
+    * see [[graft.Tables.events]]. Time-filtered queries use this instead of a
+    * post-projection predicate so the filter reaches the scan.
+    */
+  def powerReadings(
+      spark: SparkSession, sfDir: String, tsIntervals: Seq[(Long, Long)]): DataFrame = {
     val house = concat(lit("1_1_"), (col("user_id") % 5).cast("string"))
     Tables
-      .events(spark, sfDir)
+      .events(spark, sfDir, tsIntervals)
       .select(
         col("event_id"),
         col("ts").as("ts_ns"),
@@ -196,8 +205,9 @@ object Grid {
       spark: SparkSession,
       sfDir: String,
       preFilter: Option[Column] = None,
-      withHist: Boolean = false): DataFrame = {
-    val readings = powerReadings(spark, sfDir)
+      withHist: Boolean = false,
+      tsIntervals: Seq[(Long, Long)] = Nil): DataFrame = {
+    val readings = powerReadings(spark, sfDir, tsIntervals)
     val base = Seq(
       count(lit(1)).as("cnt"),
       // count/min/max of the measure ride along so the RollupRewrite rule
@@ -333,11 +343,12 @@ object Grid {
     }
   }
 
-  /** Epoch-second interval predicate phrased on the RAW `ts` column (ns) so
-    * it reaches the parquet scan as a pushed filter (`PushedFilters:
-    * GreaterThanOrEqual(ts,...)`) and prunes row groups by min/max stats.
-    * A predicate on the derived `epoch_s = ts div 1e9` is equivalent row-wise
-    * (`ts` is a non-negative integer) but only evaluates post-scan.
+  /** Epoch-second interval predicate phrased on the normalized nanosecond
+    * `ts_ns`. Row-equivalent to the native-column intervals that
+    * [[powerReadings]]/[[graft.Tables.events]] push to the scan, and still
+    * understood by [[graft.plans.RollupRewrite]]'s ts-range mapping — but it
+    * evaluates post-scan, so prefer the `tsIntervals` parameter for queries
+    * that should prune parquet row groups.
     */
   def tsIntervalPredicate(intervals: Seq[(Long, Long)]): Column =
     intervals
@@ -353,7 +364,7 @@ object Grid {
     * key so Catalyst pushes it below the first aggregate into the scan.
     */
   def historyAvg(spark: SparkSession, sfDir: String): DataFrame = {
-    rollup1s(spark, sfDir, preFilter = Some(tsIntervalPredicate(historyIntervals)))
+    rollup1s(spark, sfDir, tsIntervals = historyIntervals)
       .groupBy("house_id", "appliance_id")
       .agg(
         sum("cnt").as("count_w"),
@@ -527,8 +538,7 @@ object Grid {
   val NowEpoch = 1706572800L // 2024-01-30T00:00:00Z
 
   def recentRange(spark: SparkSession, sfDir: String): DataFrame =
-    powerReadings(spark, sfDir)
-      .filter(tsIntervalPredicate(Seq((NowEpoch - 86400L, NowEpoch))))
+    powerReadings(spark, sfDir, Seq((NowEpoch - 86400L, NowEpoch)))
       .select("event_id", "house_id", "appliance_id", "power")
       .orderBy("event_id")
 
@@ -560,8 +570,7 @@ object Grid {
     * filter) — partition-prunable at scale.
     */
   def intervalUnionFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    powerReadings(spark, sfDir)
-      .filter(tsIntervalPredicate(historyIntervals))
+    powerReadings(spark, sfDir, historyIntervals)
       .groupBy("appliance_name")
       .agg(count(lit(1)).as("n"), dsum(col("power")).as("sum_power"))
       .orderBy("appliance_name")

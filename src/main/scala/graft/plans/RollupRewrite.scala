@@ -2,13 +2,13 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, BinaryComparison, CaseWhen, Cast, Coalesce, Concat, CreateNamedStruct, Divide, ExprId, Expression, GreaterThan, GreaterThanOrEqual, If, In, IntegralDivide, IsNotNull, KnownNullable, LessThan, LessThanOrEqual, Literal, MicrosToTimestamp, Multiply, NamedExpression, Not, Or, Pmod, PreciseTimestampConversion, Remainder, ScalaUDF, Subtract, UnaryMinus}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, BinaryComparison, CaseWhen, Cast, Coalesce, Concat, CreateNamedStruct, Divide, ExprId, Expression, GreaterThan, GreaterThanOrEqual, If, In, IntegralDivide, IsNotNull, KnownNullable, LessThan, LessThanOrEqual, Literal, MicrosToTimestamp, Multiply, NamedExpression, Not, Or, Pmod, PreciseTimestampConversion, Remainder, ScalaUDF, Subtract, UnaryMinus, UnixMicros}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Average, Complete, Count, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.aggregate.ScalaAggregator
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
 
 /** Rollup-aware aggregate routing (SURVEY.md §4 "materialized
   * pre-aggregation"): Druid answers dashboard aggregates from its ingest-time
@@ -628,6 +628,15 @@ class RollupRewrite(
     case _ => None
   }
 
+  /** A g·second-aligned TIMESTAMP/NTZ literal (Catalyst value: epoch micros)
+    * rendered as its epoch-second literal.
+    */
+  private def alignedMicrosSec(l: Literal, g: Long): Option[Literal] = l.value match {
+    case v: java.lang.Long if v >= 0 && v % (g * 1000000L) == 0 =>
+      Some(Literal(v / 1000000L))
+    case _ => None
+  }
+
   /** A non-negative epoch-second literal aligned to the table granularity:
     * over g-floored values, `epoch_s >= L` / `epoch_s < L` are exact iff
     * g | L (`floor(s/g)·g >= L ⟺ s >= L` for aligned L).
@@ -637,13 +646,12 @@ class RollupRewrite(
     case _ => None
   }
 
-  /** The raw scan's `ts` column (epoch ns): `epoch_s` is its second floor, so
+  /** The raw scan's nanosecond instant (either physical shape — see
+    * [[RollupRewrite.NsOfTs]]): `epoch_s` is its second floor, so
     * `>=`/`<`/`>`/`<=` with second-aligned bounds map exactly.
     */
-  private def isRawTs(e: Expression): Boolean = e match {
-    case a: AttributeReference => a.name == "ts"
-    case _ => false
-  }
+  private def isRawTs(e: Expression): Boolean =
+    RollupRewrite.NsOfTs.unapply(e).isDefined
 
   private def mapAtom(e: Expression, rollupAttr: Map[String, Attribute],
       g: Long): Option[Expression] =
@@ -682,6 +690,17 @@ class RollupRewrite(
                 alignedSec(lit, g).map(LessThan(es, _)) // ts < e·1e9
               case _ => None
             }
+          case None if tsRangeMappable && RollupRewrite.NativeTs.unapply(x).isDefined =>
+            // the parquet-pushable phrasing ([[graft.Tables.events]] interval
+            // filters): the NATIVE timestamp column against a second-aligned
+            // timestamp literal — same half-open forms, micros-valued literal
+            (cmp, flipped) match {
+              case (_: GreaterThanOrEqual, false) | (_: LessThanOrEqual, true) =>
+                alignedMicrosSec(lit, g).map(GreaterThanOrEqual(es, _))
+              case (_: LessThan, false) | (_: GreaterThan, true) =>
+                alignedMicrosSec(lit, g).map(LessThan(es, _))
+              case _ => None
+            }
           case None => None
         }
       case In(x, list) if list.forall(_.isInstanceOf[Literal]) =>
@@ -696,6 +715,11 @@ class RollupRewrite(
         x match {
           case a: AttributeReference if nullBijections.contains(a.name) =>
             Some(IsNotNull(rollupAttr(nullBijections(a.name))))
+          // the widened nanosecond instant is null exactly when the scan's
+          // `ts` is (cast ntz→ltz, unix_micros, ·1000 are all null-bijective
+          // in their input), so it rides the same proven ts bijection
+          case RollupRewrite.NsOfTs(_) if nullBijections.contains("ts") =>
+            Some(IsNotNull(rollupAttr(nullBijections("ts"))))
           // the canonical time column (TimeWindowing pushes isnotnull(time)
           // to the scan): time = timestamp_micros(ts div 1e3) and
           // epoch_s = ts div 1e9 are both null exactly when ts is — proven
@@ -844,6 +868,11 @@ object RollupRewrite {
     case l: Literal => l.value != null
     // numeric→string casts cannot fail; other casts may return null
     case Cast(child, StringType, _, _) => nonNullPreserving(child, src)
+    // timestamp_ntz→timestamp is a pure tz reinterpretation — cannot fail
+    case Cast(child, TimestampType, _, _) if child.dataType == TimestampNTZType =>
+      nonNullPreserving(child, src)
+    case UnixMicros(child) => nonNullPreserving(child, src)
+    case Multiply(l, r: Literal, _) if r.value != null => nonNullPreserving(l, src)
     case Remainder(l, Literal(d, _), _) if d != null && d != 0 && d != 0L =>
       nonNullPreserving(l, src)
     case IntegralDivide(l, Literal(d, _), _) if d != null && d != 0 && d != 0L =>
@@ -852,19 +881,60 @@ object RollupRewrite {
     case _ => false
   }
 
+  /** The scan-space epoch-nanosecond instant, in either physical shape the
+    * TESTDATA generations produced: the scan's own long `ts` column (a
+    * TIMESTAMP(NANOS) parquet read via `nanosAsLong`), or the exact widening
+    * `unix_micros(cast(ts as timestamp)) * 1000` that [[graft.Tables.events]]
+    * layers over a TIMESTAMP(MICROS) scan. Both denote the same non-negative
+    * integral nanosecond count and are null exactly when the scan column is —
+    * the two facts every ts proof below relies on.
+    */
+  private[plans] object NsOfTs {
+    def unapply(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference if a.name == "ts" && a.dataType == LongType =>
+        Some(a)
+      case Multiply(UnixMicros(Cast(a: AttributeReference, TimestampType, _, _)),
+            Literal(1000L, LongType), _)
+          if a.name == "ts" &&
+            (a.dataType == TimestampNTZType || a.dataType == TimestampType) =>
+        Some(a)
+      // same widening when the scan is already TIMESTAMP and the no-op cast
+      // was elided by the optimizer
+      case Multiply(UnixMicros(a: AttributeReference), Literal(1000L, LongType), _)
+          if a.name == "ts" && a.dataType == TimestampType =>
+        Some(a)
+      case _ => None
+    }
+  }
+
+  /** The scan's `ts` column when it is physically a timestamp: comparisons
+    * against second-aligned timestamp literals (whose Catalyst value is epoch
+    * micros; wall-clock-UTC micros for NTZ, matching the UTC session the
+    * engine pins in [[graft.Tables.tune]]) map exactly onto `epoch_s` bounds,
+    * exactly like the nanosecond-long range mapping.
+    */
+  private[plans] object NativeTs {
+    def unapply(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference
+          if a.name == "ts" &&
+            (a.dataType == TimestampNTZType || a.dataType == TimestampType) =>
+        Some(a)
+      case _ => None
+    }
+  }
+
   /** The ts≥s·1e9 ⟺ epoch_s≥s range mapping is sound only when epoch_s is
-    * EXACTLY the second floor of the scan's long `ts` — proven structurally,
-    * not assumed (ADVICE r2, medium).
+    * EXACTLY the second floor of the scan's nanosecond instant — proven
+    * structurally, not assumed (ADVICE r2, medium).
     */
   private[plans] def tsSecondFloorProven(defs: Map[String, Expression]): Boolean =
     defs.get("epoch_s").exists {
-      case IntegralDivide(a: AttributeReference, Literal(ns, LongType), _) =>
-        a.name == "ts" && a.dataType == LongType && ns == 1000000000L
+      case IntegralDivide(NsOfTs(_), Literal(ns, LongType), _) => ns == 1000000000L
       case _ => false
     }
 
-  /** The canonical `time` is EXACTLY `timestamp_micros(ts div 1e3)` over the
-    * scan's long nanosecond `ts` — with [[tsSecondFloorProven]], the floor
+  /** The canonical `time` is EXACTLY `timestamp_micros(ts_ns div 1e3)` over
+    * the scan's nanosecond instant — with [[tsSecondFloorProven]], the floor
     * identities that let event-time window structs be recomputed from
     * `epoch_s` (and `isnotnull(time)` map to `isnotnull(epoch_s)`: both are
     * null exactly when `ts` is, through null-propagating non-null-preserving
@@ -872,8 +942,8 @@ object RollupRewrite {
     */
   private[plans] def timeMicrosProven(defs: Map[String, Expression]): Boolean =
     defs.get("time").exists {
-      case MicrosToTimestamp(IntegralDivide(a: AttributeReference, Literal(us, LongType), _)) =>
-        a.name == "ts" && a.dataType == LongType && us == 1000L
+      case MicrosToTimestamp(IntegralDivide(NsOfTs(_), Literal(us, LongType), _)) =>
+        us == 1000L
       case _ => false
     }
 

@@ -111,7 +111,7 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
         "SELECT (epoch_s div 60) * 60 AS m, count(*) AS n FROM power GROUP BY 1")
       val before = tile.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       // raw grows: 7 fresh events land in a brand-new hour
-      val old = s.read.parquet(s"$raw/events.parquet") // ts reads back as ns long
+      val old = graft.Tables.events(s, raw) // ts normalized to ns long
       val maxTs = old.agg(max("ts")).head().getLong(0)
       val newHourS = (maxTs / 1000000000L / 3600L + 2L) * 3600L
       val fresh = s.range(7).select(
