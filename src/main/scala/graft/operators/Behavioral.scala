@@ -175,10 +175,19 @@ object Behavioral {
         count(lit(1)).as("frequency"),
         sum(col("value").cast(DecimalType(18, 2))).as("mon"))
     val lastDay = perUser.agg(max("last_day").as("_corpus_last_day"))
+    // Materialize the per-user frame ONCE before the triple quantile pass:
+    // each ntile4Distributed stage references its input several times
+    // (range-sampling pass, per-partition counts, the ranked frame itself),
+    // and the stages chain — without a materialization barrier the events
+    // aggregation would re-execute a dozen times. The user frame is the
+    // small side (users ≪ events) so pinning it is the cheap direction at
+    // 100 TB too; lineage-truncated executor storage, same trade the label
+    // propagation loop makes.
     val base = perUser
       .crossJoin(broadcast(lastDay))
       .withColumn("recency_days", col("_corpus_last_day") - col("last_day"))
       .drop("_corpus_last_day")
+      .localCheckpoint()
     val scored =
       Seq[(String, Seq[org.apache.spark.sql.Column])](
         ("r_score", Seq(asc("recency_days"), asc("user_id"))),
