@@ -19,15 +19,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Loud one-line verdict on BOTH streams: a query that fails here simply
+    // has no output dir, so it silently vanishes from the driver's
+    // correctness table (round 6 lost 34 rows to a testdata dtype change
+    // with zero surfaced signal). The summary makes a partial run
+    // self-identifying in any captured log.
+    val ran = SparkEntry.queries.count { case (n, _) => only.forall(_.contains(n)) }
+    val verdict =
+      s"[verify] SUMMARY: ${ran - failed.size}/$ran ok" +
+        (if (failed.isEmpty) "" else s"; FAILED: ${failed.sorted.mkString(",")}")
+    println(verdict)
+    System.err.println(verdict)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
