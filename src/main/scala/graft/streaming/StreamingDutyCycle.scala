@@ -128,6 +128,42 @@ object StreamingDutyCycle {
       .agg(count(lit(1)).as("cnt"), sum("power").as("sum_power"))
       .withColumn("bucket", col("window.start"))
       .drop("window")
+
+  /** [[rollupPlan]] upgraded to the FULL serving-lattice measure set — the
+    * exact aggregate columns [[graft.operators.Grid.rollup1s]] materializes
+    * batch-side (null-safe measure count, extrema, DECIMAL(18,2)-exact sum,
+    * [[graft.functions.PowerHist]] quantile sketch). Streaming-ingested
+    * segments written from this plan are bit-compatible with the batch
+    * lattice store: [[graft.sources.RollupTable.coarsen]] re-aggregates them
+    * (sketch bins merge by sum), percentile tiles serve from their merged
+    * histograms, and every value equals the batch rollup over the same rows
+    * (spec-pinned). This is the Druid ingest-time-sketch discipline
+    * (`database/Druid_conf_power_raw_avro`) in Structured Streaming: the
+    * sketch is built ONCE at ingest, inside the same watermarked stateful
+    * aggregation as the additive measures — never a post-hoc raw re-scan.
+    * State per open (second × appliance) group is the bounded histogram map
+    * plus five scalars, so RocksDB state size scales with active keys, not
+    * rows.
+    */
+  def rollupPlanFull(readings: DataFrame, watermarkSec: Int = 2): DataFrame =
+    readings
+      .withWatermark("time", s"$watermarkSec seconds")
+      .groupBy(
+        window(col("time"), "1 second"),
+        col("house_id"),
+        col("appliance_id"),
+        col("appliance_name"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        count(col("power")).as("cnt_power"),
+        min(col("power")).as("min_power"),
+        max(col("power")).as("max_power"),
+        sum(col("power").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .as("sum_power_dec"),
+        graft.functions.PowerHist.hist(col("power")).as("hist_power"))
+      .withColumn("bucket", col("window.start"))
+      .withColumn("epoch_s", col("window.start").cast("long"))
+      .drop("window")
 }
 
 /** Tunables mirroring `example config/config.ini` with the reference's

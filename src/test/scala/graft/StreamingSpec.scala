@@ -525,4 +525,64 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("full-schema streaming rollup segments match the batch lattice, sketch included") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val outDir = java.nio.file.Files.createTempDirectory("segf_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("segf_ckpt").toString
+    val rows = Seq(
+      reading(10, 1.2), reading(10, 2.4), reading(10, 7.2, "h0_a1"),
+      reading(11, 3.0), reading(11, 3.0), reading(11, 95.5, "h0_a1"))
+    val input = MemoryStream[PowerReading]
+    val q = graft.sources.RollupTable
+      .streamingWriter(StreamingDutyCycle.rollupPlanFull(input.toDF()), outDir, ckpt)
+      .start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData(reading(200, 0.0)) // advance watermark, close 10/11
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the batch twin: Grid.rollup1s's exact aggregate set over the same rows
+    def batchAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("time").cast("long").as("epoch_s"),
+        col("house_id"), col("appliance_id"), col("appliance_name"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        count(col("power")).as("cnt_power"),
+        min(col("power")).as("min_power"),
+        max(col("power")).as("max_power"),
+        sum(col("power").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .as("sum_power_dec"),
+        graft.functions.PowerHist.hist(col("power")).as("hist_power"))
+    type Key = (Long, String, String, String)
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Map[Key, (Long, Long, Double, Double, BigDecimal, Map[Long, Long])] =
+      df.collect().map { r =>
+        (r.getLong(r.fieldIndex("epoch_s")), r.getString(r.fieldIndex("house_id")),
+          r.getString(r.fieldIndex("appliance_id")), r.getString(r.fieldIndex("appliance_name"))) ->
+          ((r.getLong(r.fieldIndex("cnt")), r.getLong(r.fieldIndex("cnt_power")),
+            r.getDouble(r.fieldIndex("min_power")), r.getDouble(r.fieldIndex("max_power")),
+            BigDecimal(r.getDecimal(r.fieldIndex("sum_power_dec"))),
+            r.getMap[Long, Long](r.fieldIndex("hist_power")).toMap))
+      }.toMap
+
+    val seg = graft.sources.RollupTable.readSegments(spark, outDir)
+      .drop("bucket", "date", "hour")
+    val expected = rowsOf(batchAgg(rows.toDF()))
+    assert(rowsOf(seg) == expected,
+      "streaming-ingested full-schema segments must equal the batch rollup bit-for-bit")
+
+    // the same segments re-aggregate through the lattice step: coarsen to
+    // 60 s merges the sketch bin-wise, exactly like a batch-built level
+    val coarse = rowsOf(graft.sources.RollupTable.coarsen(seg, 60L))
+    val coarseExpected = rowsOf(graft.sources.RollupTable.coarsen(batchAgg(rows.toDF()), 60L))
+    assert(coarse == coarseExpected, "coarsened streaming segments must match batch coarsening")
+    // one (0, h0) minute bucket carrying all six readings; its merged sketch
+    // serves an exact quantized p50 with no raw re-scan
+    val h = coarse((0L, "h0", "h0_a1", "lamp"))._6
+    assert(h.values.sum == 2L, s"h0_a1 minute sketch must hold its two readings, got $h")
+  }
+
 }
