@@ -71,18 +71,27 @@ object Bench {
     // Two executions per query, report the faster: the first pays one-off
     // whole-stage-codegen JIT (~0.3-1 s/plan), which amortizes to nothing on
     // a long-running engine — steady-state plan cost is the comparable number.
+    // A failing catalog query must NOT record its fast failure as a timing:
+    // round 6's testdata dtype drift broke 34 queries whose ~0.08 s analysis
+    // errors read as GREAT times in the driver's bench, hiding the breakage.
+    // Failures time as -1.0 and surface in a top-level "errors" object.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case t: Throwable => errors(name) = jsonErr(t); -1.0 }
       }
       val a = once(); val b = once()
-      name -> math.min(a, b)
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => s""""$k":"$v"""" }
+        .mkString(""","errors":{""", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     val base = results.toMap
 
     // min-of-two timing of a probe plan; -1.0 sentinel on failure so a query
@@ -442,12 +451,13 @@ object Bench {
     // (100× work) probe is normalized per unit of expected work and emitted
     // under its own key so the headline never conflates the two scales
     val summary = s""""summary":{"total_sec":$total,"n_queries":${results.size},""" +
+      s""""n_errors":${errors.size},""" +
       s""""worst_probe_ratio":$probeWorst,"worst_uniform_ratio":$probeWorst,""" +
       s""""worst_twosided_per_unit":$probeTwoSidedPerUnit,"worst_skew_ratio":$skewWorst,""" +
       s""""streaming_rows_per_sec":$streamingRps,""" +
       s""""load_avg_start":$loadAvgStart,"sentinel_start_sec":$sentinelStartSec}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-      s"""$summary$contentionJson$streamingJson$rollupServingJson$indexServingJson$probeJson$skewJson,"queries":$qs,$summary}""")
+      s"""$summary$contentionJson$streamingJson$rollupServingJson$indexServingJson$probeJson$skewJson$errJson,"queries":$qs,$summary}""")
     spark.stop()
   }
 }
