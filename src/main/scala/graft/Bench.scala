@@ -428,10 +428,16 @@ object Bench {
         val rpsHot = throughput("graft_duty_bench_hot", hotDir,
           StreamingDutyCycle.plan(_, GridConfig()))
         val hotRatio = if (rpsHot > 0) rps.toDouble / rpsHot else -1.0
+        // the full-measure-set ingest rollup (decimal sum + extrema +
+        // PowerHist sketch in one stateful agg): its rows/s is the price of
+        // Druid-style ingest-time sketches vs the lean (cnt, sum) rollup
+        val rpsRollupFull = throughput("graft_rollup_full_bench", dir,
+          StreamingDutyCycle.rollupPlanFull(_))
         (s""","streaming":{"duty_cycle_rows_per_sec":$rps,""" +
           s""""duty_cycle_prerolled_rows_per_sec":$rpsPre,""" +
           s""""duty_cycle_hot_key_rows_per_sec":$rpsHot,""" +
           s""""hot_key_frac":0.6,"hot_key_slowdown":$hotRatio,""" +
+          s""""rollup_full_sketch_rows_per_sec":$rpsRollupFull,""" +
           s""""input_rows":$n,"baseline_rows_per_sec":100000}""",
           math.max(rps, rpsPre))
       } finally { cleanup(dir); cleanup(hotDir) }
