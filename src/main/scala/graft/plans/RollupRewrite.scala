@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, L
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.aggregate.ScalaAggregator
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
 
 /** Rollup-aware aggregate routing (SURVEY.md §4 "materialized
   * pre-aggregation"): Druid answers dashboard aggregates from its ingest-time
@@ -369,54 +369,69 @@ class RollupRewrite(
       mapped
     }
 
-    def rewriteNamed(ne: NamedExpression): Option[NamedExpression] = ne match {
-      case a: AttributeReference => groupAttrFor(a)
-      // count(DISTINCT f(keys…)) — the "active appliances per house" tile
-      // shape. Exact because the rollup keeps exactly one row per key
-      // combination that occurs in raw, and every argument is a
-      // deterministic g-invariant function of served keys, so the distinct
-      // value set per group is identical over raw rows and rollup rows.
-      // Arguments touching the measure (count(DISTINCT power)) fail
-      // mapScanExpr and reject the whole rewrite.
-      case al @ Alias(AggregateExpression(Count(args), Complete, true, None, _), name) =>
+    /** Map ONE aggregate call into rollup space, or None. The accepted
+      * shapes:
+      *  - count(DISTINCT f(keys…)) — the "active appliances per house" tile
+      *    shape. Exact because the rollup keeps exactly one row per key
+      *    combination that occurs in raw, and every argument is a
+      *    deterministic g-invariant function of served keys, so the distinct
+      *    value set per group is identical over raw rows and rollup rows.
+      *    Arguments touching the measure (count(DISTINCT power)) fail
+      *    mapScanExpr and reject.
+      *  - plain Complete aggregates over the measure ([[rewriteAggFunc]])
+      *    or min/max/HLL over key expressions ("first/last activity" tiles —
+      *    multiplicity-insensitive, so the extremum/sketch over rollup rows
+      *    is identical to raw's).
+      * Anything else — FILTER clauses, non-Complete modes, unmapped
+      * functions — returns None and rejects the whole rewrite.
+      */
+    def mapAggCall(ae: AggregateExpression): Option[Expression] = ae match {
+      case AggregateExpression(Count(args), Complete, true, None, _) =>
         val mappedArgs = args.map(mapKeyArg)
         if (mappedArgs.exists(_.isEmpty)) None
-        else Some(Alias(
-          Count(mappedArgs.map(_.get)).toAggregateExpression(isDistinct = true),
-          name)(exprId = al.exprId))
-      case al @ Alias(AggregateExpression(f, Complete, false, None, _), name) =>
-        rewriteAggFunc(f, al.dataType, isPower, isKey, rollupAttr)
+        else Some(Count(mappedArgs.map(_.get)).toAggregateExpression(isDistinct = true))
+      case AggregateExpression(f, Complete, false, None, _) =>
+        rewriteAggFunc(f, ae.dataType, isPower, isKey, rollupAttr)
           .orElse(f match {
-            // min/max over key expressions ("first/last activity" tiles) —
-            // multiplicity-insensitive, so the extremum over rollup rows
-            // equals the extremum over raw rows for any g-invariant key
-            // function. min/max(power) took the rewriteAggFunc path above.
             case Min(arg) =>
               mapKeyArg(arg).map(Min(_).toAggregateExpression())
             case Max(arg) =>
               mapKeyArg(arg).map(Max(_).toAggregateExpression())
-            // approx_count_distinct over key expressions: HLL registers take
-            // a max per hash bucket, so duplicates never move an estimate —
-            // the sketch over rollup rows is BIT-IDENTICAL to raw's, not
-            // merely close. Measure arguments fall through and reject.
             case h: HyperLogLogPlusPlus =>
               mapKeyArg(h.child).map(m => h.copy(child = m).toAggregateExpression())
             case _ => None
           })
-          .map(e => Alias(e, name)(exprId = al.exprId))
-      // non-aggregate alias: a (derived) grouping projection — every leaf
-      // must resolve to a grouping attribute. The no-aggregate guard is
-      // load-bearing: an alias whose child CONTAINS an aggregate in any
-      // shape the strict case above does not match (nested in arithmetic,
-      // FILTER clause, distinct) must reject the whole rewrite — treating it
-      // as a grouping projection would evaluate the aggregate over ROLLUP
-      // rows instead of raw rows.
-      case al @ Alias(child, name)
-          if !child.exists(_.isInstanceOf[AggregateExpression]) =>
-        val sub = child.transformDown {
+      case _ => None
+    }
+
+    // An output alias maps when EVERY aggregate call nested anywhere inside
+    // it maps (each replaced by its rollup-space twin, which evaluates to
+    // the same VALUE, so any scalar arithmetic wrapped around it — the
+    // engine's dsum cast-to-double, duty-cycle ratios — carries over
+    // unchanged) and every remaining leaf resolves to a grouping attribute
+    // or to a rollup column introduced by a mapped aggregate. A single
+    // unmapped aggregate (FILTER clause, distinct shape, unknown function)
+    // rejects the whole rewrite — substituting around it would evaluate it
+    // over ROLLUP rows instead of raw rows.
+    def rewriteNamed(ne: NamedExpression): Option[NamedExpression] = ne match {
+      case a: AttributeReference => groupAttrFor(a)
+      case al @ Alias(child, name) =>
+        var ok = true
+        // explicit pre-order substitution — NOT transformDown, which would
+        // recurse into a replacement and re-visit the rollup-space aggregate
+        // it just emitted (whose Sum(sum_power_dec) maps to nothing)
+        def go(e: Expression): Expression = e match {
+          case ae: AggregateExpression =>
+            mapAggCall(ae) match {
+              case Some(m) => m
+              case None => ok = false; ae
+            }
           case e if groupAttrFor(e).isDefined => groupAttrFor(e).get
+          case other => other.mapChildren(go)
         }
-        if (sub.references.forall(r => newGroupIds.contains(r.exprId)))
+        val sub = go(child)
+        val allowed = newGroupIds ++ rollupAttr.values.map(_.exprId)
+        if (ok && sub.references.forall(r => allowed.contains(r.exprId)))
           Some(Alias(sub, name)(exprId = al.exprId))
         else None
       case _ => None
@@ -468,6 +483,15 @@ class RollupRewrite(
     case Count(Seq(a: AttributeReference)) if isPower(a) =>
       Some(Cast(sumAsCount(rollupAttr("cnt_power")), resultType))
     case Sum(a: AttributeReference, _) if isPower(a) =>
+      Some(Cast(Sum(rollupAttr("sum_power_dec")).toAggregateExpression(), resultType))
+    // the engine's own exact-sum convention (Grid.dsum): sum(cast(power AS
+    // DECIMAL(18,2))) is PRECISELY the aggregation the stored sum_power_dec
+    // partials hold, so re-summing them is value-identical (decimal addition
+    // is associative; the 2-dp rounding already happened per raw row when
+    // the partial was built). Other decimal shapes (different scale = a
+    // different rounding of the measure) are never routed.
+    case Sum(Cast(a: AttributeReference, dt: DecimalType, _, _), _)
+        if isPower(a) && dt == DecimalType(18, 2) =>
       Some(Cast(Sum(rollupAttr("sum_power_dec")).toAggregateExpression(), resultType))
     case Min(a: AttributeReference) if isPower(a) =>
       Some(Cast(Min(rollupAttr("min_power")).toAggregateExpression(), resultType))

@@ -94,6 +94,26 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
     } finally graft.plans.RollupRewrite.uninstall(s)
   }
 
+  test("native-timestamp interval filters route to the rollup (parquet-pushable phrasing)") {
+    // Grid's time-filtered queries phrase their intervals on the NATIVE
+    // events ts column (below the ns-normalizing Project) so the predicate
+    // reaches the parquet scan — the rewrite must map those second-aligned
+    // timestamp-literal comparisons onto epoch_s exactly like the long-ns
+    // phrasing, or the pushdown-friendly form silently loses rollup serving.
+    val dir = java.nio.file.Files.createTempDirectory("open_native_ts").toString
+    val s = GraftSession.open(sfDir, dir)
+    try {
+      val q = graft.operators.Grid.intervalUnionFilter(s, sfDir)
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("sum_power_dec") && !plan.contains("user_id"),
+        s"native-ts interval aggregate must route to the rollup, got:\n$plan")
+      // and the routed result equals the raw computation bit-for-bit
+      graft.plans.RollupRewrite.uninstall(s)
+      val raw = graft.operators.Grid.intervalUnionFilter(s, sfDir).collect().toSeq
+      assert(q.collect().toSeq == raw, "routed result must equal raw result")
+    } finally graft.plans.RollupRewrite.uninstall(s)
+  }
+
   test("maintain refreshes the FULL installed lattice even with default args (ADVICE r5)") {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("maint_full").toString

@@ -537,13 +537,14 @@ class RollupRewriteSpec extends AnyFunSuite with SharedSpark {
       // a grouping on a NON-key column must still refuse the rewrite
       val reject = raw.groupBy(expr("cast(power as bigint)")).agg(count(lit(1)))
       assert(!routed(reject), "grouping by a measure function must not route")
-      // aggregates in shapes the strict rewrite does not handle must refuse
-      // the rewrite, not fall into the grouping-projection path (they would
-      // count ROLLUP rows): nested in arithmetic, and FILTER-clause
-      val rejectArith = raw.groupBy("appliance_name")
+      // aggregates nested in scalar arithmetic route through the mapped
+      // aggregate VALUE (count(*)*2 = sum(cnt)*2 — the wrapper carries
+      // over), never through the grouping-projection path (which would
+      // count ROLLUP rows); values must equal the raw computation
+      val arith = raw.groupBy("appliance_name")
         .agg((count(lit(1)) * 2).as("n2"))
-      assert(!routed(rejectArith), "count(*)*2 must not route")
-      val directArith = rejectArith.orderBy("appliance_name")
+      assert(routed(arith), "count(*)*2 must route via the mapped count value")
+      val directArith = arith.orderBy("appliance_name")
         .collect().map(r => (r.getString(0), r.getLong(1)))
       RollupRewrite.uninstall(spark)
       val expectArith = raw.groupBy("appliance_name")
