@@ -119,8 +119,10 @@ object Grid {
     * row per (second, appliance) instead of every raw reading, so Expand and
     * exchange volume drop by the readings-per-second factor. This is the same
     * discipline [[graft.plans.RollupRewrite]] applies automatically to
-    * unconditional count/sum/min/max windows — made explicit here because
-    * `c_duty` needs a threshold column the stored rollup does not carry.
+    * windowed aggregates — including, since the rollup carries the
+    * pre-aggregated `cnt_duty` filtered metric, this exact conditional-count
+    * shape (an installed lattice serves [[dutyCycle]] itself; this explicit
+    * twin remains the no-lattice-session form and the plan-shape document).
     */
   def dutyCyclePrerolled(spark: SparkSession, sfDir: String): DataFrame = {
     val perSec = powerReadings(spark, sfDir)
@@ -215,7 +217,13 @@ object Grid {
       count(col("power")).as("cnt_power"),
       min(col("power")).as("min_power"),
       max(col("power")).as("max_power"),
-      sum(col("power").cast(DecimalType(18, 2))).as("sum_power_dec"))
+      sum(col("power").cast(DecimalType(18, 2))).as("sum_power_dec"),
+      // pre-aggregated FILTERED metric (Druid's filtered-aggregator
+      // discipline): readings above the engine's duty threshold, counted at
+      // ingest so the duty-cycle tile — the reference's core metric — can
+      // serve entirely from the lattice (count(when(power > thr, true)) →
+      // sum(cnt_duty) when thr matches this materialized constant)
+      count(when(col("power") > PowerThreshold, true)).as("cnt_duty"))
     val aggs =
       if (withHist) base :+ graft.functions.PowerHist.hist(col("power")).as("hist_power")
       else base
@@ -227,7 +235,7 @@ object Grid {
   def qRollup1s(spark: SparkSession, sfDir: String): DataFrame =
     rollup1s(spark, sfDir)
       .withColumn("sum_power", col("sum_power_dec").cast(DoubleType))
-      .drop("sum_power_dec", "cnt_power", "min_power", "max_power")
+      .drop("sum_power_dec", "cnt_power", "min_power", "max_power", "cnt_duty")
       // appliance_name is part of the key: one appliance can emit two event
       // types in the same second, so (epoch_s, appliance_id) alone ties
       .orderBy("epoch_s", "appliance_id", "appliance_name")
@@ -248,7 +256,7 @@ object Grid {
   def qRollup60s(spark: SparkSession, sfDir: String): DataFrame =
     graft.sources.RollupTable.coarsen(rollup1s(spark, sfDir), 60L)
       .withColumn("sum_power", col("sum_power_dec").cast(DoubleType))
-      .drop("sum_power_dec", "cnt_power", "min_power", "max_power")
+      .drop("sum_power_dec", "cnt_power", "min_power", "max_power", "cnt_duty")
       .orderBy("epoch_s", "appliance_id", "appliance_name")
 
   val rollup60sSql: String =

@@ -449,11 +449,12 @@ class RollupRewrite(
       Seq("cnt", "cnt_power", "min_power", "max_power", "sum_power_dec").map(rollupAttr)
     val measureIds = measures.map(_.exprId).toSet
     val extraKeys = keyArgAttrs.toSeq.filterNot(a => measureIds.contains(a.exprId))
-    // the sketch column rides through ONLY when a quantile rewrite used it —
-    // it is the widest rollup column, and no later pruning pass runs
-    val usedHist = rollupAttr.get("hist_power").filter(h =>
-      newAggExprs.flatten.exists(_.references.exists(_.exprId == h.exprId)))
-    val child = Project(pulled.map(_._2) ++ measures ++ extraKeys ++ usedHist, filtered)
+    // OPTIONAL measure columns (sketch, filtered duty count) ride through
+    // ONLY when a rewrite used them — no later pruning pass runs
+    val usedOptional = Seq("hist_power", "cnt_duty").flatMap(n =>
+      rollupAttr.get(n).filter(h =>
+        newAggExprs.flatten.exists(_.references.exists(_.exprId == h.exprId))))
+    val child = Project(pulled.map(_._2) ++ measures ++ extraKeys ++ usedOptional, filtered)
     Some(Aggregate(newGroups, newAggExprs.map(_.get), child))
   }
 
@@ -482,6 +483,18 @@ class RollupRewrite(
     // count(power) with nullable power → the rollup's null-safe count
     case Count(Seq(a: AttributeReference)) if isPower(a) =>
       Some(Cast(sumAsCount(rollupAttr("cnt_power")), resultType))
+    // count(when(power > thr, <non-null literal>)) — the duty-cycle tile's
+    // conditional count — serves from the pre-aggregated FILTERED metric
+    // when the query's threshold literal is EXACTLY the one the lattice
+    // materialized (Grid.PowerThreshold). Any other predicate shape or
+    // constant keeps the query on raw.
+    case Count(Seq(CaseWhen(
+          Seq((GreaterThan(a: AttributeReference, Literal(thr, DoubleType)), v: Literal)),
+          None)))
+        if isPower(a) && v.value != null &&
+          thr == graft.operators.Grid.PowerThreshold &&
+          rollupAttr.contains("cnt_duty") =>
+      Some(Cast(sumAsCount(rollupAttr("cnt_duty")), resultType))
     case Sum(a: AttributeReference, _) if isPower(a) =>
       Some(Cast(Sum(rollupAttr("sum_power_dec")).toAggregateExpression(), resultType))
     // the engine's own exact-sum convention (Grid.dsum): sum(cast(power AS
@@ -597,26 +610,38 @@ class RollupRewrite(
       ServedKeys.exists(k => branches.forall { case (defs, _) => defMatches(a, k, defs) })
 
     val groupIds = groupAttrs.map(_.exprId).toSet
+    // Same general alias mapping as the non-Expand path: every nested
+    // aggregate call must map to its value-identical rollup twin (explicit
+    // pre-order substitution — never re-visits a replacement), and residual
+    // references must be grouping attributes (the new Expand re-emits them
+    // under the same ids) or rollup measure columns.
     val newAggExprs: Seq[Option[NamedExpression]] = aggExprs.map {
       // a grouping passthrough: the new Expand re-emits it under the same id
       case a: AttributeReference if groupIds.contains(a.exprId) => Some(a)
-      case al @ Alias(AggregateExpression(f, Complete, false, None, _), name) =>
-        rewriteAggFunc(f, al.dataType, isPowerAll, isKeyAll, rollupAttr)
-          .map(e => Alias(e, name)(exprId = al.exprId))
-      // a grouping projection over grouping attributes only (e.g. the
-      // collapsed `cast(window.start as bigint)`): the new Expand re-emits
-      // those attributes, so the alias carries over verbatim
-      case al @ Alias(child, _)
-          if !child.exists(_.isInstanceOf[AggregateExpression]) &&
-            child.references.forall(r => groupIds.contains(r.exprId)) =>
-        Some(al)
+      case al @ Alias(child, name) =>
+        var ok = true
+        def go(e: Expression): Expression = e match {
+          case ae @ AggregateExpression(f, Complete, false, None, _) =>
+            rewriteAggFunc(f, ae.dataType, isPowerAll, isKeyAll, rollupAttr) match {
+              case Some(m) => m
+              case None => ok = false; ae
+            }
+          case ae: AggregateExpression => ok = false; ae
+          case other => other.mapChildren(go)
+        }
+        val sub = go(child)
+        val allowed = groupIds ++ rollupAttr.values.map(_.exprId)
+        if (ok && sub.references.forall(r => allowed.contains(r.exprId)))
+          Some(Alias(sub, name)(exprId = al.exprId))
+        else None
       case _ => None
     }
     if (newAggExprs.exists(_.isEmpty)) return None
 
-    val usedHist = rollupAttr.get("hist_power").filter(h =>
-      newAggExprs.flatten.exists(_.references.exists(_.exprId == h.exprId))).toSeq
-    val measures: Seq[Attribute] = measureNames.map(rollupAttr) ++ usedHist
+    val usedOptional = Seq("hist_power", "cnt_duty").flatMap(n =>
+      rollupAttr.get(n).filter(h =>
+        newAggExprs.flatten.exists(_.references.exists(_.exprId == h.exprId))))
+    val measures: Seq[Attribute] = measureNames.map(rollupAttr) ++ usedOptional
     val child = mappedConds.flatten
       .reduceOption(And)
       .map(Filter(_, rollup))

@@ -56,12 +56,16 @@ object RollupTable {
       min("min_power").as("min_power"),
       max("max_power").as("max_power"),
       sum("sum_power_dec").as("sum_power_dec"))
-    // the quantile sketch merges bin-wise (sum of counts) — lossless at any
-    // composition of granularities, like every other measure here
-    val aggs =
-      if (rollup.columns.contains("hist_power"))
-        base :+ graft.functions.PowerHist.merge(col("hist_power")).as("hist_power")
-      else base
+    // optional measures ride when the source level carries them: the
+    // quantile sketch merges bin-wise (sum of counts) and the filtered
+    // duty count is additive — both lossless at any composition of
+    // granularities, like every other measure here
+    val opt =
+      (if (rollup.columns.contains("cnt_duty"))
+        Seq(sum("cnt_duty").as("cnt_duty")) else Nil) ++
+      (if (rollup.columns.contains("hist_power"))
+        Seq(graft.functions.PowerHist.merge(col("hist_power")).as("hist_power")) else Nil)
+    val aggs = base ++ opt
     rollup
       .groupBy(
         (expr(s"epoch_s div $granularitySec") * granularitySec).as("epoch_s"),

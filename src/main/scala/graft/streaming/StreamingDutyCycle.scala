@@ -160,6 +160,8 @@ object StreamingDutyCycle {
         max(col("power")).as("max_power"),
         sum(col("power").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .as("sum_power_dec"),
+        count(when(col("power") > graft.operators.Grid.PowerThreshold, true))
+          .as("cnt_duty"),
         graft.functions.PowerHist.hist(col("power")).as("hist_power"))
       .withColumn("bucket", col("window.start"))
       .withColumn("epoch_s", col("window.start").cast("long"))

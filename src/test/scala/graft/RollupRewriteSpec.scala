@@ -254,15 +254,51 @@ class RollupRewriteSpec extends AnyFunSuite with SharedSpark {
     } finally RollupRewrite.uninstall(spark)
   }
 
+  test("the duty-cycle tile routes end-to-end via the cnt_duty filtered metric") {
+    install()
+    try {
+      // the reference's core metric, whole: sliding window + conditional
+      // count at the MATERIALIZED threshold + post-aggregate ratio — every
+      // piece must map (Expand replay, cnt_duty, nested arithmetic)
+      def duty(src: org.apache.spark.sql.DataFrame) = src
+        .groupBy(window(col("time"), "25 seconds", "5 seconds"),
+          col("house_id"), col("appliance_id"))
+        .agg(
+          count("power").as("c_all"),
+          count(when(col("power") > graft.operators.Grid.PowerThreshold, true)).as("c_duty"))
+        .withColumn("duty_cycle", col("c_duty") / col("c_all"))
+        .select(col("window.start").cast("long").as("window_start"),
+          col("house_id"), col("appliance_id"), col("c_all"), col("c_duty"), col("duty_cycle"))
+        .orderBy("window_start", "appliance_id")
+      val q = duty(raw)
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(routed(q), s"duty-cycle tile must route, got:\n$plan")
+      assert(plan.contains("cnt_duty"), s"route must read the filtered metric:\n$plan")
+      val viaRollup = q.collect().map(_.toSeq)
+      RollupRewrite.uninstall(spark)
+      val direct = duty(raw).collect().map(_.toSeq)
+      assert(viaRollup.length == direct.length && viaRollup.length > 0)
+      viaRollup.zip(direct).foreach { case (a, b) =>
+        a.zip(b).foreach {
+          case (x: Double, y: Double) =>
+            assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)), s"$x vs $y")
+          case (x, y) => assert(x == y, s"$x vs $y")
+        }
+      }
+    } finally RollupRewrite.uninstall(spark)
+  }
+
   test("windowed aggregates outside the proven mapping are left on raw") {
     install()
     try {
-      // the duty cycle's conditional count needs per-reading thresholds the
-      // rollup cannot serve — the whole aggregate must stay on raw
+      // a conditional count at a threshold the lattice did NOT materialize
+      // needs per-reading data the rollup cannot serve — stays on raw
+      // (the materialized Grid.PowerThreshold constant routes via cnt_duty;
+      // see the duty-cycle tile test)
       val duty = raw
         .groupBy(window(col("time"), "25 seconds", "5 seconds"), col("house_id"))
-        .agg(count(when(col("power") > 5.0, true)).as("c_duty"))
-      assert(!routed(duty), "per-reading threshold count must not route")
+        .agg(count(when(col("power") > 6.0, true)).as("c_duty"))
+      assert(!routed(duty), "non-materialized threshold count must not route")
       assert(duty.queryExecution.optimizedPlan.toString.contains("user_id"))
       // sub-second window parameters epoch_s cannot express
       val subSec = raw

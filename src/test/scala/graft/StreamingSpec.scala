@@ -556,15 +556,18 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
         max(col("power")).as("max_power"),
         sum(col("power").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .as("sum_power_dec"),
+        count(when(col("power") > graft.operators.Grid.PowerThreshold, true))
+          .as("cnt_duty"),
         graft.functions.PowerHist.hist(col("power")).as("hist_power"))
     type Key = (Long, String, String, String)
-    def rowsOf(df: org.apache.spark.sql.DataFrame): Map[Key, (Long, Long, Double, Double, BigDecimal, Map[Long, Long])] =
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Map[Key, (Long, Long, Double, Double, BigDecimal, Long, Map[Long, Long])] =
       df.collect().map { r =>
         (r.getLong(r.fieldIndex("epoch_s")), r.getString(r.fieldIndex("house_id")),
           r.getString(r.fieldIndex("appliance_id")), r.getString(r.fieldIndex("appliance_name"))) ->
           ((r.getLong(r.fieldIndex("cnt")), r.getLong(r.fieldIndex("cnt_power")),
             r.getDouble(r.fieldIndex("min_power")), r.getDouble(r.fieldIndex("max_power")),
             BigDecimal(r.getDecimal(r.fieldIndex("sum_power_dec"))),
+            r.getLong(r.fieldIndex("cnt_duty")),
             r.getMap[Long, Long](r.fieldIndex("hist_power")).toMap))
       }.toMap
 
@@ -581,7 +584,7 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(coarse == coarseExpected, "coarsened streaming segments must match batch coarsening")
     // one (0, h0) minute bucket carrying all six readings; its merged sketch
     // serves an exact quantized p50 with no raw re-scan
-    val h = coarse((0L, "h0", "h0_a1", "lamp"))._6
+    val h = coarse((0L, "h0", "h0_a1", "lamp"))._7
     assert(h.values.sum == 2L, s"h0_a1 minute sketch must hold its two readings, got $h")
   }
 
