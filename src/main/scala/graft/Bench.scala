@@ -299,6 +299,20 @@ object Bench {
           .groupBy(window(col("time"), width, slide),
             col("house_id"), col("appliance_id"))
           .agg(count("power").as("c_all"))
+      // the flagship tile whole: conditional count via the cnt_duty
+      // filtered metric + post-aggregate ratio, over the sliding window.
+      // At the 25s/5s second level the group count dominates and serving is
+      // ~parity; the minute tile routes to the 60 s lattice level (cnt_duty
+      // coarsens additively) where the group reduction pays.
+      def dutyTile(width: String, slide: String) =
+        graft.operators.Grid.powerReadings(spark, denseDir)
+          .groupBy(window(col("time"), width, slide),
+            col("house_id"), col("appliance_id"))
+          .agg(
+            count("power").as("c_all"),
+            count(when(col("power") > graft.operators.Grid.PowerThreshold, true))
+              .as("c_duty"))
+          .withColumn("duty_cycle", col("c_duty") / col("c_all"))
       def time2(mk: => DataFrame): Double = {
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -309,10 +323,12 @@ object Bench {
       }
       val rawSecondSec = time2(windowed("25 seconds", "5 seconds"))
       val rawMinuteSec = time2(windowed("120 seconds", "60 seconds"))
+      val rawDutySec = time2(dutyTile("25 seconds", "5 seconds"))
+      val rawDutyMinSec = time2(dutyTile("120 seconds", "60 seconds"))
       graft.plans.RollupRewrite.install(
         spark, rollupDir, graft.operators.Grid.powerReadings(spark, denseDir),
         Seq((coarseDir, 60L)))
-      val (servedSecondSec, servedMinuteSec) =
+      val (servedSecondSec, servedMinuteSec, servedDutySec, servedDutyMinSec) =
         try {
           val planSecond = windowed("25 seconds", "5 seconds")
             .queryExecution.optimizedPlan.toString
@@ -322,8 +338,18 @@ object Bench {
             .queryExecution.executedPlan.toString
           require(planMinute.contains("_60s"),
             s"minute window did not route to the 60 s level:\n$planMinute")
+          val planDuty = dutyTile("25 seconds", "5 seconds")
+            .queryExecution.optimizedPlan.toString
+          require(planDuty.contains("cnt_duty") && !planDuty.contains("user_id"),
+            s"duty tile did not route via the filtered metric:\n$planDuty")
+          val planDutyMin = dutyTile("120 seconds", "60 seconds")
+            .queryExecution.executedPlan.toString
+          require(planDutyMin.contains("_60s"),
+            s"minute duty tile did not route to the 60 s level:\n$planDutyMin")
           (time2(windowed("25 seconds", "5 seconds")),
-            time2(windowed("120 seconds", "60 seconds")))
+            time2(windowed("120 seconds", "60 seconds")),
+            time2(dutyTile("25 seconds", "5 seconds")),
+            time2(dutyTile("120 seconds", "60 seconds")))
         } finally graft.plans.RollupRewrite.uninstall(spark)
       cleanup(denseDir)
       def leg(name: String, raw: Double, served: Double) =
@@ -331,7 +357,9 @@ object Bench {
           s""""speedup":${if (served > 0) raw / served else -1.0}}"""
       s""","rollup_serving":{"raw_rows":${secs * apps * perSec},""" +
         s"""${leg("window_25s_5s_via_1s", rawSecondSec, servedSecondSec)},""" +
-        s"""${leg("window_120s_60s_via_60s", rawMinuteSec, servedMinuteSec)}}"""
+        s"""${leg("window_120s_60s_via_60s", rawMinuteSec, servedMinuteSec)},""" +
+        s"""${leg("duty_tile_via_cnt_duty", rawDutySec, servedDutySec)},""" +
+        s"""${leg("duty_tile_60s_via_lattice", rawDutyMinSec, servedDutyMinSec)}}"""
     } catch { case t: Throwable => s""","rollup_serving":{"error":"${jsonErr(t)}"}""" }
 
     // Index-serving demonstration: per-batch cost against the durable LSH /
