@@ -48,7 +48,13 @@ object RollupProps extends Properties("rollup") {
     max("power").as("mx"),
     avg("power").as("av"),
     countDistinct(col("appliance_id")).as("nd"),
-    max(col("appliance_name")).as("mxa") // key extremum, granularity-neutral
+    max(col("appliance_name")).as("mxa"), // key extremum, granularity-neutral
+    // the late-r7 routable shapes: the engine's exact-sum convention,
+    // aggregates nested in scalar arithmetic, the cnt_duty filtered metric
+    Grid.dsum(col("power")).as("dsp"),
+    (count(lit(1)) * 2 + 1).as("n2"),
+    (sum("power") / count(lit(1))).as("ratio"),
+    count(when(col("power") > Grid.PowerThreshold, true)).as("cd")
   )).map(_.toList)
 
   private val genFilter: Gen[Option[Column]] = Gen.oneOf(
