@@ -89,6 +89,14 @@ object RollupTable {
     requireSegmentAligned(granularitySec)
     require(sinceEpochS % 3600 == 0,
       s"increment boundary must be hour-aligned, got $sinceEpochS")
+    if (schemaDrifted(spark, outPath,
+        coarsen(read(spark, rollupPath), granularitySec).columns)) {
+      // same mixed-generation hazard as materializeIncrement, one level up:
+      // a coarse store from an older measure set must rebuild whole, not
+      // upsert — absent additive columns would read NULL in old segments
+      materializeCoarse(spark, rollupPath, outPath, granularitySec)
+      return
+    }
     val sinceDate = java.time.Instant.ofEpochSecond(sinceEpochS)
       .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
     withDynamicOverwrite(spark) {
@@ -146,11 +154,32 @@ object RollupTable {
       spark: SparkSession, sfDir: String, outPath: String, sinceEpochS: Long): Unit = {
     require(sinceEpochS % 3600 == 0,
       s"increment boundary must be hour-aligned, got $sinceEpochS")
-    withDynamicOverwrite(spark) {
+    if (schemaDrifted(spark, outPath,
+        Grid.rollup1s(spark, sfDir, withHist = true).columns)) {
+      // the store was materialized by an earlier engine generation with a
+      // different measure set — a partition-level upsert would leave MIXED
+      // schemas, and an additive measure absent from old segments reads as
+      // NULL there, silently undercounting every tile served from it.
+      // Rebuild the whole store at the current schema instead.
+      materialize(spark, sfDir, outPath)
+    } else withDynamicOverwrite(spark) {
       writeSegmented(
         Grid.rollup1s(spark, sfDir, withHist = true).filter(col("epoch_s") >= sinceEpochS),
         outPath)
     }
+  }
+
+  /** The existing store's columns differ from what the current engine
+    * materializes (ignoring the derived segment-layout columns). A missing
+    * store is NOT drift — the increment write creates it.
+    */
+  private def schemaDrifted(
+      spark: SparkSession, outPath: String, currentCols: Seq[String]): Boolean = {
+    val layoutCols = Set("sum_power", "date", "hour")
+    try {
+      val stored = spark.read.parquet(outPath).columns.toSet -- layoutCols
+      stored != currentCols.toSet
+    } catch { case _: Exception => false } // no store yet
   }
 
   /** One streaming micro-batch of finalized rollup groups written as a

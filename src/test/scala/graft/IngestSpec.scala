@@ -273,4 +273,52 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
     } finally clean.unpersist()
   }
 
+  test("maintaining an older-generation rollup store rebuilds it whole (schema drift)") {
+    import java.nio.file.Files
+    // simulate a store materialized before the cnt_duty measure existed:
+    // same layout, one additive column missing
+    val dir = Files.createTempDirectory("rollup_drift").toString
+    RollupTable.materialize(spark, sfDir, dir)
+    val old = RollupTable.read(spark, dir).drop("cnt_duty").localCheckpoint()
+    deleteRec(new java.io.File(dir))
+    old.write.mode("overwrite").partitionBy("date", "hour").parquet(dir)
+    assert(!RollupTable.read(spark, dir).columns.contains("cnt_duty"))
+    // an hour-aligned increment against the drifted store must NOT leave a
+    // mixed-schema table (old segments would read cnt_duty as NULL and
+    // every duty tile served from them would silently undercount) — it
+    // rebuilds the whole store at the current schema
+    val anyHour = RollupTable.read(spark, dir)
+      .agg(org.apache.spark.sql.functions.max(
+        (col("epoch_s") - col("epoch_s") % 3600))).head().getLong(0)
+    RollupTable.materializeIncrement(spark, sfDir, dir, anyHour)
+    val healed = RollupTable.read(spark, dir)
+    assert(healed.columns.contains("cnt_duty"), "store must heal to the full measure set")
+    // no NULL cnt_duty anywhere — including segments BEFORE the boundary
+    assert(healed.filter(col("cnt_duty").isNull).count() == 0,
+      "pre-boundary segments must carry the new measure too")
+    // and the values equal a fresh materialization
+    val fresh = Files.createTempDirectory("rollup_fresh").toString
+    RollupTable.materialize(spark, sfDir, fresh)
+    def rows(p: String) = RollupTable.read(spark, p)
+      .select("epoch_s", "appliance_id", "appliance_name", "cnt", "cnt_duty")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(rows(dir).sameElements(rows(fresh)))
+    // the coarse level heals the same way
+    val coarseDir = Files.createTempDirectory("coarse_drift").toString
+    RollupTable.materializeCoarse(spark, dir, coarseDir, 60L)
+    val oldCoarse = RollupTable.read(spark, coarseDir).drop("cnt_duty").localCheckpoint()
+    deleteRec(new java.io.File(coarseDir))
+    oldCoarse.write.mode("overwrite").partitionBy("date", "hour").parquet(coarseDir)
+    RollupTable.materializeCoarseIncrement(spark, dir, coarseDir, 60L, anyHour)
+    val healedCoarse = RollupTable.read(spark, coarseDir)
+    assert(healedCoarse.columns.contains("cnt_duty") &&
+      healedCoarse.filter(col("cnt_duty").isNull).count() == 0,
+      "coarse store must heal whole, not upsert into a mixed schema")
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete(); ()
+  }
+
 }
