@@ -189,13 +189,42 @@ object RollupTable {
     * file-level idempotency discipline as [[graft.streaming.HistoryJob]]'s
     * producer, in Druid terms one segment per ingest task.
     */
-  def writeSegment(batch: DataFrame, outPath: String, batchId: Long): Unit =
+  def writeSegment(batch: DataFrame, outPath: String, batchId: Long): Unit = {
+    // A streaming store cannot heal like the batch one (no raw history to
+    // rebuild from), so appending a batch whose measure set differs from the
+    // existing segments — e.g. the full-sketch plan into a store written by
+    // the lean plan — must fail FAST: a mixed store would read the absent
+    // additive columns as NULL in old segments and silently undercount
+    // every tile served from them. Checked once per store per JVM (the
+    // first micro-batch), not per trigger.
+    val storeKey = outPath + "|" + batch.columns.sorted.mkString(",")
+    if (checkedSegmentStores.add(storeKey)) {
+      try {
+        val stored = batch.sparkSession.read
+          .option("basePath", outPath).parquet(outPath)
+          .columns.toSet -- Set("batch", "date", "hour")
+        val incoming = batch.columns.toSet
+        if (stored != incoming)
+          throw new IllegalStateException(
+            s"segment store $outPath holds measure set ${stored.toSeq.sorted.mkString(",")} " +
+              s"but this writer emits ${incoming.toSeq.sorted.mkString(",")} — a mixed " +
+              "store under-counts absent additive measures; write to a new path " +
+              "or migrate the store offline")
+      } catch {
+        case e: IllegalStateException => checkedSegmentStores.remove(storeKey); throw e
+        case _: Exception => () // no store yet — this batch creates it
+      }
+    }
     batch
       .withColumn("date", to_date(col("bucket")))
       .withColumn("hour", hour(col("bucket")))
       .write.mode("overwrite")
       .partitionBy("date", "hour")
       .parquet(s"$outPath/batch=$batchId")
+  }
+
+  private val checkedSegmentStores =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** The streaming counterpart of [[materialize]]: append-mode finalized 1 s
     * groups from [[graft.streaming.StreamingDutyCycle.rollupPlan]] land in

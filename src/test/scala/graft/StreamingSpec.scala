@@ -588,4 +588,29 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(h.values.sum == 2L, s"h0_a1 minute sketch must hold its two readings, got $h")
   }
 
+  test("a lean-schema segment store rejects full-schema appends (mixed-store guard)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("segmix_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("segmix_ckpt").toString
+    val input = MemoryStream[PowerReading]
+    val q = graft.sources.RollupTable
+      .streamingWriter(StreamingDutyCycle.rollupPlan(input.toDF()), outDir, ckpt)
+      .start()
+    try {
+      input.addData(reading(10, 1.0))
+      q.processAllAvailable()
+      input.addData(reading(100, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the full measure set cannot append into the lean store — fail fast,
+    // never leave old segments reading new additive columns as NULL
+    val fullBatch = StreamingDutyCycle
+      .rollupPlanFull(Seq(reading(10, 1.0), reading(11, 2.0)).toDF())
+    val ex = intercept[IllegalStateException] {
+      graft.sources.RollupTable.writeSegment(fullBatch, outDir, 99L)
+    }
+    assert(ex.getMessage.contains("mixed") || ex.getMessage.contains("measure set"))
+  }
+
 }
