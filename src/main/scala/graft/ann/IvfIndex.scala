@@ -51,12 +51,15 @@ object IvfIndex {
     * sees the previous — identical — set), then to the deterministic
     * md5-seeded [[SimilarityOps.centroids]] for an empty index.
     */
-  def currentCentroids(spark: SparkSession, indexPath: String): IndexedSeq[Array[Double]] = {
+  def currentCentroids(
+      spark: SparkSession, indexPath: String,
+      asOf: Option[Long] = None): IndexedSeq[Array[Double]] = {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return SimilarityOps.centroids
     val segs = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filter(s => asOf.forall(s.getPath.getName.stripPrefix("batch=").toLong <= _))
       .sortBy(-_.getPath.getName.stripPrefix("batch=").toLong)
     segs.iterator
       .map(s => new org.apache.hadoop.fs.Path(s.getPath, CentroidsFile))
@@ -101,6 +104,15 @@ object IvfIndex {
 
   def read(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.option("basePath", indexPath).parquet(indexPath).drop("batch")
+
+  /** Snapshot read — the index exactly as it stood after `maxBatch` was
+    * absorbed ([[graft.sources.Segments.readAsOf]] contract: live ids are
+    * valid snapshot points; compaction collapses older ones, and a collapsed
+    * request fails loudly). NOTE a [[recluster]] rewrites every segment into
+    * one, so it — like compaction — coarsens snapshot history.
+    */
+  def readAsOf(spark: SparkSession, indexPath: String, maxBatch: Long): DataFrame =
+    graft.sources.Segments.readAsOf(spark, indexPath, maxBatch)
 
   /** Bound the segment count accreted by incremental absorbs — same
     * crash-safe protocol as the rollup's compactor, repartitioned so each
@@ -171,17 +183,26 @@ object IvfIndex {
       queries: DataFrame,
       k: Int = 3,
       nprobe: Int = 2,
-      excludeSegment: Option[Long] = None): DataFrame = {
+      excludeSegment: Option[Long] = None,
+      asOf: Option[Long] = None): DataFrame = {
     VectorFunctions.register(spark)
+    // `asOf` pins BOTH the corpus rows and the centroid set (probes computed
+    // under a later recluster's centroids would hit the wrong cells of the
+    // snapshot) — so re-running a past search is bit-reproducible even after
+    // the index grew or re-fit.
     val probes = probeCells(
-      withNorm(queries, "qid", "qv", "qn"), nprobe, currentCentroids(spark, indexPath))
+      withNorm(queries, "qid", "qv", "qn"), nprobe, currentCentroids(spark, indexPath, asOf))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
-    val index = excludeSegment match {
-      // probe-before-absorb determinism under checkpoint replay (see
-      // [[streamingAbsorb]]): a replayed batch must not match itself
-      case Some(id) => spark.read.option("basePath", indexPath).parquet(indexPath)
-        .filter(col("batch") =!= id).drop("batch")
-      case None => read(spark, indexPath)
+    val index = (asOf, excludeSegment) match {
+      case (None, None) => read(spark, indexPath)
+      case _ =>
+        val snap = asOf
+          .map(graft.sources.Segments.readAsOf(spark, indexPath, _, dropBatch = false))
+          .getOrElse(spark.read.option("basePath", indexPath).parquet(indexPath))
+        // probe-before-absorb determinism under checkpoint replay (see
+        // [[streamingAbsorb]]): a replayed batch must not match itself
+        excludeSegment.map(id => snap.filter(col("batch") =!= id)).getOrElse(snap)
+          .drop("batch")
     }
     index
       .join(broadcast(probes),

@@ -78,6 +78,14 @@ object LshIndex {
   def read(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.option("basePath", indexPath).parquet(indexPath).drop("batch")
 
+  /** Snapshot read — the index exactly as it stood after `maxBatch` was
+    * absorbed (see [[graft.sources.Segments.readAsOf]] for the contract):
+    * the pin a curation run records so "the dedup decisions of run X" can be
+    * reproduced after the stream has absorbed further batches.
+    */
+  def readAsOf(spark: SparkSession, indexPath: String, maxBatch: Long): DataFrame =
+    graft.sources.Segments.readAsOf(spark, indexPath, maxBatch)
+
   /** Segment ids the streaming absorber writes under: offset past any batch
     * ids a bootstrap [[materialize]]/[[appendBatch]] call used, so a stream
     * attaching to a pre-built index never collides with its segments.
@@ -137,18 +145,26 @@ object LshIndex {
       indexPath: String,
       probeDocs: DataFrame,
       broadcastQuery: Boolean = true,
-      excludeSegment: Option[Long] = None): DataFrame = {
+      excludeSegment: Option[Long] = None,
+      asOf: Option[Long] = None): DataFrame = {
     val probe0 = bandTable(probeDocs).select(
       Seq(col("doc_id").as("probe_id"), col("sig").as("probe_sig"), col("band_idx")) ++
         keyCols.map(col): _*)
     val probe = if (broadcastQuery) broadcast(probe0) else probe0
-    val index = excludeSegment match {
-      // probe-before-absorb determinism: a checkpoint-replayed micro-batch
-      // probes an index that already contains its own segment; excluding it
-      // makes the replayed candidate set identical to the original
-      case Some(id) => spark.read.option("basePath", indexPath).parquet(indexPath)
-        .filter(col("batch") =!= id).drop("batch")
-      case None => read(spark, indexPath)
+    // `asOf` pins the index side to a snapshot (re-running a past probe
+    // after the stream moved on); `excludeSegment` is the replay-determinism
+    // exclusion — orthogonal, composable, both partition-pruned on `batch`
+    val index = (asOf, excludeSegment) match {
+      case (None, None) => read(spark, indexPath)
+      case _ =>
+        val snap = asOf
+          .map(graft.sources.Segments.readAsOf(spark, indexPath, _, dropBatch = false))
+          .getOrElse(spark.read.option("basePath", indexPath).parquet(indexPath))
+        // probe-before-absorb determinism: a checkpoint-replayed micro-batch
+        // probes an index that already contains its own segment; excluding it
+        // makes the replayed candidate set identical to the original
+        excludeSegment.map(id => snap.filter(col("batch") =!= id)).getOrElse(snap)
+          .drop("batch")
     }
     index
       .join(probe, Seq("band_idx") ++ keyCols)

@@ -90,7 +90,7 @@ object RollupTable {
     require(sinceEpochS % 3600 == 0,
       s"increment boundary must be hour-aligned, got $sinceEpochS")
     if (schemaDrifted(spark, outPath,
-        coarsen(read(spark, rollupPath), granularitySec).columns)) {
+        coarsen(read(spark, rollupPath), granularitySec).columns.toSeq)) {
       // same mixed-generation hazard as materializeIncrement, one level up:
       // a coarse store from an older measure set must rebuild whole, not
       // upsert — absent additive columns would read NULL in old segments
@@ -155,7 +155,7 @@ object RollupTable {
     require(sinceEpochS % 3600 == 0,
       s"increment boundary must be hour-aligned, got $sinceEpochS")
     if (schemaDrifted(spark, outPath,
-        Grid.rollup1s(spark, sfDir, withHist = true).columns)) {
+        Grid.rollup1s(spark, sfDir, withHist = true).columns.toSeq)) {
       // the store was materialized by an earlier engine generation with a
       // different measure set — a partition-level upsert would leave MIXED
       // schemas, and an additive measure absent from old segments reads as

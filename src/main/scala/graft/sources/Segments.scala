@@ -19,6 +19,53 @@ object Segments {
     */
   private val Manifest = "_ABSORBED"
 
+  /** Ids of the live `batch=<id>` segments, ascending. Empty for a missing
+    * or segment-less table.
+    */
+  def segmentIds(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .sorted.toSeq
+  }
+
+  /** Snapshot read: the table's rows as of the commit of batch `maxBatch` —
+    * exactly the segments with id ≤ `maxBatch`. Batch ids are monotone and a
+    * segment only ever holds rows of batches ≤ its own id (a [[compact]]ed
+    * segment absorbs every id below the surviving one), so any LIVE segment
+    * id is a valid snapshot point and reproduces the table bit-for-bit as it
+    * stood after that batch — the reproducibility pin a training run records
+    * ("built from index X as of batch N") so the exact corpus a model saw
+    * can be re-read later regardless of what the ingest stream absorbed
+    * since.
+    *
+    * Compaction COARSENS history the way `VACUUM` does elsewhere: absorbing
+    * batches 0..k into `batch=k` leaves snapshots at ≥ k servable and ones
+    * below k gone. Requesting a collapsed snapshot fails loudly (listing the
+    * ids still live) rather than silently serving a partial corpus: a
+    * reproducibility pin that cannot be honored must never degrade into
+    * "some rows".
+    *
+    * The `batch` partition column is pruned at planning time (`batch` is a
+    * directory key), so a snapshot read scans only its segments' files.
+    */
+  def readAsOf(
+      spark: SparkSession, path: String, maxBatch: Long,
+      dropBatch: Boolean = true): DataFrame = {
+    val ids = segmentIds(spark, path)
+    require(ids.nonEmpty, s"no segments under $path")
+    require(
+      ids.min <= maxBatch,
+      s"snapshot batch=$maxBatch predates live history (compaction collapsed it); " +
+        s"earliest available id: ${ids.min}, live ids: ${ids.mkString(", ")}")
+    val snap = spark.read.option("basePath", path).parquet(path)
+      .filter(col("batch") <= maxBatch)
+    if (dropBatch) snap.drop("batch") else snap
+  }
+
   /** A compaction that cannot lose rows to either failure mode a live
     * pipeline exposes:
     *
@@ -136,7 +183,7 @@ object Segments {
         // columns): a segment landing concurrently is not in this lineage
         // and is never deleted below
         val data = transform(spark.read.option("basePath", path)
-          .parquet(absorbed.map(_.toString): _*).drop("batch"))
+          .parquet(absorbed.map(_.toString).toSeq: _*).drop("batch"))
         val sized = // one task → one file per partition dir
           if (partitionCols.nonEmpty) data.repartition(partitionCols.map(col): _*)
           else data.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
@@ -146,7 +193,7 @@ object Segments {
         meta.foreach { case (name, content) => writeLines(fs, new Path(tmp, name), Seq(content)) }
         assertOwned() // abort BEFORE the commit point if usurped
         // the manifest IS the commit: recovery finishes everything after it
-        writeLines(fs, new Path(tmp, Manifest), absorbed.map(segId(_).toString))
+        writeLines(fs, new Path(tmp, Manifest), absorbed.map(segId(_).toString).toSeq)
         absorbed.foreach(fs.delete(_, true))
         fs.rename(tmp, new Path(root, s"batch=$target"))
         promoted = true

@@ -170,6 +170,27 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
       .forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("as-of search pins corpus AND centroids; recluster collapses snapshot history") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_asof").toString
+    IvfIndex.materialize(spark, embs.filter(col("vec_id") % 2 === 0), dir)
+    val qs = queries(10)
+    val runX = rows(IvfIndex.search(spark, dir, qs, k = 3, nprobe = 2))
+    IvfIndex.appendBatch(spark, dir, embs.filter(col("vec_id") % 2 === 1), batchId = 1L)
+    // the pinned search replays run X bit-for-bit; unpinned sees the growth
+    assert(rows(IvfIndex.search(spark, dir, qs, k = 3, nprobe = 2, asOf = Some(0L)))
+      .sameElements(runX), "asOf=0 must reproduce the pre-absorb top-k")
+    assert(!rows(IvfIndex.search(spark, dir, qs, k = 3, nprobe = 2)).sameElements(runX))
+    // recluster rewrites history into one segment: the old pin fails loudly,
+    // and the pinned-centroid path is what kept pre-recluster pins honest
+    IvfIndex.recluster(spark, dir)
+    intercept[IllegalArgumentException](
+      IvfIndex.search(spark, dir, qs, asOf = Some(0L)).collect())
+    val liveId = graft.sources.Segments.segmentIds(spark, dir).max
+    assert(rows(IvfIndex.search(spark, dir, qs, k = 3, nprobe = 2, asOf = Some(liveId)))
+      .sameElements(rows(IvfIndex.search(spark, dir, qs, k = 3, nprobe = 2))),
+      "a pin at the live frontier must equal the unpinned search")
+  }
+
   test("re-emitted vec_id: self-exclusion hides every stored copy from that id's own queries (ADVICE r4)") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_reemit").toString
     IvfIndex.materialize(spark, embs, dir)

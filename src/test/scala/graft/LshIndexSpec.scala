@@ -63,6 +63,27 @@ class LshIndexSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("as-of probe reproduces a past run's candidate set after the index grew") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_idx_asof").toString
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val later = docs.filter(col("doc_id") % 5 === 0)
+    val probe = docs.filter(col("doc_id") % 7 === 0)
+    LshIndex.materialize(spark, corpus, dir)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "index_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val runX = pairs(LshIndex.candidates(spark, dir, probe))
+    LshIndex.appendBatch(spark, dir, later, batchId = 1L)
+    // the snapshot pin replays run X exactly; an unpinned probe sees more
+    assert(pairs(LshIndex.candidates(spark, dir, probe, asOf = Some(0L))) == runX,
+      "asOf=0 must reproduce the pre-absorb candidate set")
+    assert(pairs(LshIndex.candidates(spark, dir, probe)).size > runX.size,
+      "the grown index must surface new candidates without the pin")
+    // readAsOf serves the signed band rows of the pinned corpus only
+    assert(LshIndex.readAsOf(spark, dir, 0L).select("doc_id").distinct().count() ==
+      corpus.count())
+  }
+
   test("appendBatch is replay-idempotent (same segment id overwrites)") {
     val dir = java.nio.file.Files.createTempDirectory("lsh_idx_replay").toString
     val batch = docs.filter(col("doc_id") < 50)

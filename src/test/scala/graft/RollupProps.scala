@@ -68,7 +68,7 @@ object RollupProps extends Properties("rollup") {
     val base = f.fold(raw)(raw.filter)
     val df = if (groups.isEmpty) base.agg(aggs.head, aggs.tail: _*)
     else base.groupBy(groups.map(expr): _*).agg(aggs.head, aggs.tail: _*)
-    df.orderBy(df.columns.map(col): _*)
+    df.orderBy(df.columns.map(col).toSeq: _*)
   }
 
   private def routed(df: DataFrame): Boolean = {

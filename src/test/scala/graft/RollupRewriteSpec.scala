@@ -61,9 +61,9 @@ class RollupRewriteSpec extends AnyFunSuite with SharedSpark {
           .groupBy("house_id").agg(max("power").as("mx"), min("power").as("mn")))
       tiles.foreach { q =>
         assert(routed(q), s"expected rollup routing, got:\n${q.queryExecution.optimizedPlan}")
-        val viaRollup = q.orderBy(q.columns.map(col): _*).collect().map(_.toSeq)
+        val viaRollup = q.orderBy(q.columns.map(col).toSeq: _*).collect().map(_.toSeq)
         RollupRewrite.uninstall(spark)
-        val direct = q.orderBy(q.columns.map(col): _*).collect().map(_.toSeq)
+        val direct = q.orderBy(q.columns.map(col).toSeq: _*).collect().map(_.toSeq)
         install()
         assert(viaRollup.length == direct.length, s"row count differs for:\n$q")
         viaRollup.zip(direct).foreach { case (a, b) =>
@@ -387,7 +387,7 @@ class RollupRewriteSpec extends AnyFunSuite with SharedSpark {
         new java.io.File(coarseDir).getName)
     def matchesRaw(mk: => org.apache.spark.sql.DataFrame): Unit = {
       val q = mk
-      val via = q.orderBy(q.columns.map(col): _*).collect().map(_.toSeq)
+      val via = q.orderBy(q.columns.map(col).toSeq: _*).collect().map(_.toSeq)
       RollupRewrite.uninstall(spark)
       val direct = mk.orderBy(mk.columns.map(col): _*).collect().map(_.toSeq)
       RollupRewrite.install(spark, rollupDir, raw, Seq((coarseDir, 60L)))
@@ -557,9 +557,9 @@ class RollupRewriteSpec extends AnyFunSuite with SharedSpark {
           .groupBy("house_id").agg(count(lit(1)).as("n")))
       tiles.foreach { q =>
         assert(routed(q), s"expected rollup routing, got:\n${q.queryExecution.optimizedPlan}")
-        val viaRollup = q.orderBy(q.columns.map(col): _*).collect().map(_.toSeq)
+        val viaRollup = q.orderBy(q.columns.map(col).toSeq: _*).collect().map(_.toSeq)
         RollupRewrite.uninstall(spark)
-        val direct = q.orderBy(q.columns.map(col): _*).collect().map(_.toSeq)
+        val direct = q.orderBy(q.columns.map(col).toSeq: _*).collect().map(_.toSeq)
         install()
         assert(viaRollup.length == direct.length, s"row count differs for:\n$q")
         viaRollup.zip(direct).foreach { case (a, b) =>

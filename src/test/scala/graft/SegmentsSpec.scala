@@ -166,4 +166,36 @@ class SegmentsSpec extends AnyFunSuite with SharedSpark {
     assert(contents(dir) == before)
     assert(table(dir).filter(col("p") === "1").count() == before.count(_._3 == "1"))
   }
+
+  test("readAsOf serves any live snapshot bit-for-bit; collapsed history fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("seg_asof").toString
+    // non-contiguous ids (a stream whose trigger skipped empty batches)
+    Seq(0L, 2L, 5L, 7L).zipWithIndex.foreach { case (id, i) =>
+      seg(dir, id, i * 10 until (i + 1) * 10)
+    }
+    def snapSet(df: DataFrame): Set[(Long, String, String)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.get(2).toString)).toSet
+    val upTo2 = snapSet(Segments.readAsOf(spark, dir, 2L))
+    assert(upTo2 == (0 until 20).map(i => (i.toLong, s"v$i", (i % 3).toString)).toSet)
+    // a snapshot point between live ids floors to the last committed batch
+    assert(snapSet(Segments.readAsOf(spark, dir, 4L)) == upTo2)
+    val full = snapSet(Segments.readAsOf(spark, dir, 7L))
+    assert(full == contents(dir))
+    // the snapshot read prunes at the batch partition: only ≤-maxBatch
+    // segment files appear in the scanned paths
+    val scanned = Segments.readAsOf(spark, dir, 2L)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(!scanned.contains("batch=5") && !scanned.contains("batch=7"),
+      s"snapshot scan must prune later segments:\n$scanned")
+    // compaction folds 0,2,5 into batch=5 (7 protected): pins at ≥ 5 survive,
+    // a pin below the fold is GONE and must fail — never silently partial
+    assert(Segments.compact(spark, dir, Seq("p")) == 3)
+    assert(snapSet(Segments.readAsOf(spark, dir, 5L)) == upTo2 ++
+      (20 until 30).map(i => (i.toLong, s"v$i", (i % 3).toString)).toSet)
+    assert(snapSet(Segments.readAsOf(spark, dir, 7L)) == full)
+    val err = intercept[IllegalArgumentException](Segments.readAsOf(spark, dir, 2L))
+    assert(err.getMessage.contains("compaction"), err.getMessage)
+    intercept[IllegalArgumentException](
+      Segments.readAsOf(spark, java.nio.file.Files.createTempDirectory("seg_empty").toString, 0L))
+  }
 }
