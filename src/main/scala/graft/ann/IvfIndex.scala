@@ -38,6 +38,14 @@ object IvfIndex {
     */
   private val CentroidsFile = "_CENTROIDS"
 
+  /** Per-segment fit-quality manifest: the mean squared residual (distance²
+    * to the assigned centroid) measured when the current centroid set was
+    * FIT — the denominator of [[driftRatio]]. Carried forward by
+    * [[appendBatch]] like the centroid manifest, replaced by
+    * [[recordBaseline]] (which [[materialize]] and [[recluster]] call).
+    */
+  private val ResidualFile = "_RESIDUAL"
+
   private def serializeCents(cents: IndexedSeq[Array[Double]]): String =
     cents.map(_.mkString(",")).mkString("\n")
 
@@ -51,29 +59,49 @@ object IvfIndex {
     * sees the previous — identical — set), then to the deterministic
     * md5-seeded [[SimilarityOps.centroids]] for an empty index.
     */
-  def currentCentroids(
-      spark: SparkSession, indexPath: String,
-      asOf: Option[Long] = None): IndexedSeq[Array[Double]] = {
+  /** Newest segment's copy of meta file `name` (respecting an `asOf` pin),
+    * falling back through older segments — the shared read side of the
+    * centroid and residual manifests.
+    */
+  private def newestMeta(
+      spark: SparkSession, indexPath: String, name: String,
+      asOf: Option[Long]): Option[String] = {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return SimilarityOps.centroids
-    val segs = fs.listStatus(root)
+    if (!fs.exists(root)) return None
+    fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
       .filter(s => asOf.forall(s.getPath.getName.stripPrefix("batch=").toLong <= _))
       .sortBy(-_.getPath.getName.stripPrefix("batch=").toLong)
-    segs.iterator
-      .map(s => new org.apache.hadoop.fs.Path(s.getPath, CentroidsFile))
+      .iterator
+      .map(s => new org.apache.hadoop.fs.Path(s.getPath, name))
       .find(fs.exists)
       .map { p =>
         val in = fs.open(p)
-        try parseCents(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       }
-      .getOrElse(SimilarityOps.centroids)
   }
 
-  def materialize(spark: SparkSession, embeddings: DataFrame, indexPath: String): Unit =
+  private def writeSegMeta(
+      spark: SparkSession, segDir: String, name: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(segDir, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  def currentCentroids(
+      spark: SparkSession, indexPath: String,
+      asOf: Option[Long] = None): IndexedSeq[Array[Double]] =
+    newestMeta(spark, indexPath, CentroidsFile, asOf)
+      .map(parseCents)
+      .getOrElse(SimilarityOps.centroids)
+
+  def materialize(spark: SparkSession, embeddings: DataFrame, indexPath: String): Unit = {
     appendBatch(spark, indexPath, embeddings, batchId = 0L)
+    recordBaseline(spark, indexPath)
+  }
 
   /** Assign ONLY `embeddings` (vec_id, embedding) under the index's current
     * centroid set and absorb them as the `batch=<id>` segment — overwritten
@@ -89,17 +117,19 @@ object IvfIndex {
       spark: SparkSession, indexPath: String, embeddings: DataFrame, batchId: Long): Unit = {
     VectorFunctions.register(spark)
     val cents = currentCentroids(spark, indexPath)
+    val baseline = baselineResidual(spark, indexPath)
     withCentroidAssignment(withNorm(embeddings, "vec_id", "v", "nn"), "v", cents)
       .select(col("vec_id"), col("v"), col("nn"), col("centroid_id"))
       .write.mode("overwrite")
       .partitionBy("centroid_id")
       .parquet(s"$indexPath/batch=$batchId")
     // recorded after the data so a half-written segment never becomes the
-    // centroid source of truth; identical to every live segment's set anyway
-    val seg = new org.apache.hadoop.fs.Path(s"$indexPath/batch=$batchId", CentroidsFile)
-    val fs = seg.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(seg, true)
-    try out.write(serializeCents(cents).getBytes("UTF-8")) finally out.close()
+    // centroid source of truth; identical to every live segment's set anyway.
+    // The fit-time residual baseline rides along unchanged: absorbing a batch
+    // does not re-fit, so the denominator of driftRatio must not move.
+    writeSegMeta(spark, s"$indexPath/batch=$batchId", CentroidsFile, serializeCents(cents))
+    baseline.foreach(r =>
+      writeSegMeta(spark, s"$indexPath/batch=$batchId", ResidualFile, r.toString))
   }
 
   def read(spark: SparkSession, indexPath: String): DataFrame =
@@ -113,6 +143,100 @@ object IvfIndex {
     */
   def readAsOf(spark: SparkSession, indexPath: String, maxBatch: Long): DataFrame =
     graft.sources.Segments.readAsOf(spark, indexPath, maxBatch)
+
+  // ---------------------------------------------------------------------------
+  // Drift detection — when is a recluster worth its full-index rewrite?
+  // ---------------------------------------------------------------------------
+
+  /** The deterministic md5 sample every fit/drift statistic runs on (same
+    * rule as [[recluster]]'s Lloyd sample): keyed on vec_id, so the sample is
+    * stable across runs and engines, and grows with the corpus.
+    */
+  private def sampled(df: DataFrame, samplePpm: Long): DataFrame =
+    if (samplePpm >= 1000000L) df
+    else df.filter(
+      expr(s"conv(substr(md5(cast(vec_id AS STRING)), 1, 6), 16, 10) % 1000000 < $samplePpm"))
+
+  /** Mean squared distance of stored vectors to their assigned centroid —
+    * the scalar that quantifies how well the current centroid set fits the
+    * corpus the index has grown into. One distributed aggregate over the
+    * (sampled) index; sums pass through DECIMAL so the statistic is
+    * bit-stable across partitionings.
+    */
+  def meanResidual(
+      spark: SparkSession, indexPath: String, samplePpm: Long = 1000000L): Double =
+    residualUnder(spark, read(spark, indexPath), currentCentroids(spark, indexPath), samplePpm)
+
+  private def residualUnder(
+      spark: SparkSession, index: DataFrame,
+      cents: IndexedSeq[Array[Double]], samplePpm: Long): Double = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    VectorFunctions.register(spark)
+    // nn (|v|²) is stored at index time; least-of-cells gives |c|²−2v·c of
+    // the ASSIGNED centroid, so nn + dmin is the true squared distance
+    val row = withCentroidAssignment(
+      sampled(index.select("vec_id", "v", "nn"), samplePpm),
+      "v", cents, keepDistance = Some("dmin"))
+      .select((col("nn") + col("dmin")).as("r2"))
+      .agg(
+        sum(col("r2").cast(DecimalType(28, 6))).cast(DoubleType).as("s"),
+        count(lit(1)).as("n"))
+      .head()
+    require(row.getLong(1) > 0, "empty index (or empty sample): no residual to measure")
+    row.getDouble(0) / row.getLong(1)
+  }
+
+  /** The residual recorded when the current centroid set was fit, if any. */
+  def baselineResidual(spark: SparkSession, indexPath: String): Option[Double] =
+    newestMeta(spark, indexPath, ResidualFile, asOf = None).map(_.trim.toDouble)
+
+  /** Measure the current residual and record it as the drift baseline in the
+    * newest segment (from where [[appendBatch]] carries it forward).
+    * [[materialize]] and [[recluster]] call this at fit time; call it
+    * manually only after attaching to an index built by an older engine
+    * generation that never recorded one.
+    */
+  def recordBaseline(
+      spark: SparkSession, indexPath: String, samplePpm: Long = 1000000L): Double = {
+    val r = meanResidual(spark, indexPath, samplePpm)
+    val newest = graft.sources.Segments.segmentIds(spark, indexPath).max
+    writeSegMeta(spark, s"$indexPath/batch=$newest", ResidualFile, r.toString)
+    r
+  }
+
+  /** Current mean residual over the fit-time baseline. ≈ 1 right after a
+    * fit; grows as absorbed batches drift away from the centroid set (the
+    * drifted mass sits far from every cell, degrading both recall and the
+    * evenness that partition pruning relies on). A ratio ≥ ~1.5 is the usual
+    * signal to [[recluster]]; [[maintainIfDrifted]] wires that policy.
+    */
+  def driftRatio(
+      spark: SparkSession, indexPath: String, samplePpm: Long = 1000000L): Double = {
+    val base = baselineResidual(spark, indexPath).getOrElse(
+      throw new IllegalStateException(
+        s"no fit-time residual recorded under $indexPath — call recordBaseline " +
+          "(indexes materialized by this engine record one automatically)"))
+    meanResidual(spark, indexPath, samplePpm) / base
+  }
+
+  /** The maintenance policy: recluster iff the corpus drifted past
+    * `threshold`. Cheap when healthy (one sampled aggregate); the
+    * full-index rewrite runs only when the fit genuinely degraded.
+    *
+    * @return the measured drift ratio and whether a recluster ran.
+    */
+  def maintainIfDrifted(
+      spark: SparkSession,
+      indexPath: String,
+      threshold: Double = 1.5,
+      maxIter: Int = 10,
+      samplePpm: Long = 1000000L): (Double, Boolean) = {
+    val ratio = driftRatio(spark, indexPath, samplePpm)
+    if (ratio >= threshold) {
+      recluster(spark, indexPath, maxIter = maxIter, samplePpm = samplePpm)
+      (ratio, true)
+    } else (ratio, false)
+  }
 
   /** Bound the segment count accreted by incremental absorbs — same
     * crash-safe protocol as the rollup's compactor, repartitioned so each
@@ -250,12 +374,8 @@ object IvfIndex {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     VectorFunctions.register(spark)
     var cents = currentCentroids(spark, indexPath)
-    val all = read(spark, indexPath).select("vec_id", "v")
-    val sample =
-      (if (samplePpm >= 1000000L) all
-       else all.filter( // md5-keyed: deterministic across runs and engines
-         expr(s"conv(substr(md5(cast(vec_id AS STRING)), 1, 6), 16, 10) % 1000000 < $samplePpm"))
-      ).cache()
+    // md5-keyed sample: deterministic across runs and engines
+    val sample = sampled(read(spark, indexPath).select("vec_id", "v"), samplePpm).cache()
     var iter = 0
     var moved = true
     while (iter < maxIter && moved) {
@@ -279,12 +399,19 @@ object IvfIndex {
     }
     sample.unpersist()
     val fitted = cents
+    // the post-fit residual baseline commits atomically with the swap: rows
+    // are identical before and after the rewrite, so measuring against the
+    // OLD segments under the FITTED centroids equals the post-commit value
+    val postFitResidual =
+      residualUnder(spark, read(spark, indexPath), fitted, samplePpm)
     graft.sources.Segments.compact(
       spark, indexPath, Seq("centroid_id"), protectLatest = false,
       transform = df =>
         withCentroidAssignment(df.drop("centroid_id"), "v", fitted)
           .select(col("vec_id"), col("v"), col("nn"), col("centroid_id")),
-      meta = Map(CentroidsFile -> serializeCents(fitted)),
+      meta = Map(
+        CentroidsFile -> serializeCents(fitted),
+        ResidualFile -> postFitResidual.toString),
       force = true)
     iter
   }

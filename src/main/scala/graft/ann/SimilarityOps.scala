@@ -283,7 +283,8 @@ object SimilarityOps {
     */
   private[ann] def withCentroidAssignment(
       df0: DataFrame, vCol: String,
-      cents: IndexedSeq[Array[Double]] = centroids): DataFrame = {
+      cents: IndexedSeq[Array[Double]] = centroids,
+      keepDistance: Option[String] = None): DataFrame = {
     val ks = cents.indices
     val withC = ks.foldLeft(df0) { (df, k) =>
       df.withColumn(s"c_$k", array(cents(k).toIndexedSeq.map(lit(_)): _*))
@@ -296,7 +297,13 @@ object SimilarityOps {
       val leAll = ks.drop(k + 1).map(o => col(s"d_$k") <= col(s"d_$o")).reduce(_ && _)
       when(leAll, lit(k)).otherwise(elseCol)
     }
-    scored.withColumn("centroid_id", assign)
+    val assigned = scored.withColumn("centroid_id", assign)
+    // the assigned cell's score is the minimum: least(d_*) = |c|² − 2v·c of
+    // the chosen centroid (add |v|² for the true squared distance) — kept
+    // only when a caller (the drift statistic) asks, so assignment-only
+    // plans stay unchanged
+    keepDistance.fold(assigned)(n =>
+      assigned.withColumn(n, least(ks.map(k => col(s"d_$k")): _*)))
       .drop(ks.map(k => s"c_$k") ++ ks.map(k => s"d_$k"): _*)
   }
 

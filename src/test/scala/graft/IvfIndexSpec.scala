@@ -170,6 +170,35 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
       .forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("driftRatio detects a shifted corpus; maintainIfDrifted reclusters it away") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_drift").toString
+    IvfIndex.materialize(spark, embs, dir)
+    // a fresh fit baseline: the ratio starts at exactly 1 (same sample, same
+    // centroids, same decimal-summed statistic)
+    assert(math.abs(IvfIndex.driftRatio(spark, dir) - 1.0) < 1e-12)
+    // a healthy maintenance pass is cheap and does NOT rewrite the index
+    val (r0, ran0) = IvfIndex.maintainIfDrifted(spark, dir)
+    assert(!ran0 && math.abs(r0 - 1.0) < 1e-12)
+    // absorbing an in-distribution batch barely moves the ratio — the
+    // baseline rides forward through appendBatch
+    IvfIndex.appendBatch(spark, dir,
+      embs.select((col("vec_id") + 50000L).as("vec_id"), col("embedding")), batchId = 1L)
+    val inDist = IvfIndex.driftRatio(spark, dir)
+    assert(inDist < 1.5, s"in-distribution growth must not read as drift: $inDist")
+    // a shifted population the install-time centroids never saw
+    val drifted = embs.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0)).as("embedding"))
+    IvfIndex.appendBatch(spark, dir, drifted, batchId = 2L)
+    val shifted = IvfIndex.driftRatio(spark, dir)
+    assert(shifted >= 1.5, s"a +3-offset third of the corpus must trip the drift gate: $shifted")
+    val (r2, ran2) = IvfIndex.maintainIfDrifted(spark, dir)
+    assert(ran2 && r2 == shifted)
+    // the recluster re-recorded the baseline: the index reads as healthy again
+    val after = IvfIndex.driftRatio(spark, dir)
+    assert(math.abs(after - 1.0) < 1e-12, s"post-recluster ratio must reset to 1, got $after")
+  }
+
   test("as-of search pins corpus AND centroids; recluster collapses snapshot history") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_asof").toString
     IvfIndex.materialize(spark, embs.filter(col("vec_id") % 2 === 0), dir)
