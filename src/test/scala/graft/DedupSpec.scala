@@ -242,6 +242,26 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(nFlagged <= nDelta)
   }
 
+  test("containment flags a doc fully quoted inside a larger one that jaccard misses") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup_containment").toString
+    val short = (0 until 20).map(i => s"a$i").mkString(" ")
+    val long = ((0 until 12).map(i => s"p$i") ++ (0 until 20).map(i => s"a$i") ++
+      (0 until 12).map(i => s"q$i")).mkString(" ")
+    val other = (0 until 20).map(i => s"z$i").mkString(" ")
+    import spark.implicits._
+    Seq((0L, short, "web"), (1L, long, "web"), (2L, other, "web"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // every shingle of doc 0 appears in doc 1 → containment 1.0 on the short
+    // side, and the pair surfaces
+    val cont = DedupOps.containmentPairs(spark, dir).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+    assert(cont.head.getAs[Double]("cont_a") == 1.0)
+    // ...while symmetric jaccard scores the same pair 16/40 = 0.4 and drops it
+    assert(DedupOps.ngramJaccardPairs(spark, dir).collect().isEmpty,
+      "jaccard at the default threshold must miss the quoted-inside pair")
+  }
+
   test("two-stage df: a hot shingle's postings never funnel through one task (VERDICT r4 #1)") {
     // Plant ONE boilerplate shingle in half of a synthetic corpus (df = 3000)
     // and pin the maximum per-task shuffle-read record count strictly below
