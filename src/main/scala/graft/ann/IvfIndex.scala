@@ -256,10 +256,21 @@ object IvfIndex {
     * (written to `neighborsOut/batch=<segment>`) and then absorbed as index
     * segment `StreamingSegmentBase + batchId`. Probe-before-absorb plus
     * own-segment exclusion keeps checkpoint replays deterministic.
+    *
+    * `driftMetricsOut` (optional) emits one `(segment, drift_ratio)` row per
+    * absorbed batch — the [[driftRatio]] statistic measured AFTER the absorb,
+    * written replay-idempotently to `driftMetricsOut/batch=<segment>`. The
+    * stream itself cannot recluster (the rewrite requires a quiesced index),
+    * so this is the signal an operator watches to decide when to stop the
+    * stream and run [[maintainIfDrifted]]. A stream bootstrapping an EMPTY
+    * index records its first batch's residual as the baseline ("the corpus
+    * as first fit"); an index built by [[materialize]]/[[recluster]] already
+    * carries one.
     */
   def streamingAbsorb(
       embStream: DataFrame, indexPath: String, neighborsOut: String, checkpoint: String,
-      k: Int = 3, nprobe: Int = 2)
+      k: Int = 3, nprobe: Int = 2,
+      driftMetricsOut: Option[String] = None, driftSamplePpm: Long = 1000000L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     embStream.writeStream
       .outputMode("append")
@@ -279,6 +290,14 @@ object IvfIndex {
                 org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType))))
         out.write.mode("overwrite").parquet(s"$neighborsOut/batch=$segment")
         appendBatch(spark, indexPath, batch, segment)
+        driftMetricsOut.foreach { metricsPath =>
+          if (baselineResidual(spark, indexPath).isEmpty)
+            recordBaseline(spark, indexPath, driftSamplePpm)
+          val ratio = driftRatio(spark, indexPath, driftSamplePpm)
+          import spark.implicits._
+          Seq((segment, ratio)).toDF("segment", "drift_ratio")
+            .write.mode("overwrite").parquet(s"$metricsPath/batch=$segment")
+        }
       }
 
   private def hasSegments(spark: SparkSession, indexPath: String): Boolean = {

@@ -94,6 +94,39 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
   private def docsToSrc(df: org.apache.spark.sql.DataFrame, src: String): Unit =
     df.write.mode("append").parquet(src)
 
+  test("streaming absorb emits the drift metric; a shifted batch trips it mid-stream") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("ivf_stream_drift").toString
+    val (src, idx, out, ckpt, met) =
+      (s"$base/src", s"$base/idx", s"$base/out", s"$base/ckpt", s"$base/metrics")
+    // empty-index bootstrap: the FIRST batch self-records the fit baseline
+    docsToSrc(embs, src)
+    val schema = spark.read.parquet(src).schema
+    def start() = IvfIndex.streamingAbsorb(
+      spark.readStream.schema(schema).parquet(src), idx, out, ckpt,
+      driftMetricsOut = Some(met)).start()
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    def metric(segment: Long): Double = spark.read
+      .option("basePath", met).parquet(s"$met/batch=$segment")
+      .head().getAs[Double]("drift_ratio")
+    val s0 = IvfIndex.StreamingSegmentBase
+    assert(math.abs(metric(s0) - 1.0) < 1e-12,
+      s"bootstrap batch must read as its own baseline, got ${metric(s0)}")
+    // a shifted second batch lands while the query is down
+    docsToSrc(embs.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      // cast back to float: the file source pins the first batch's schema
+      transform(col("embedding"), x => (x + lit(3.0)).cast("float")).as("embedding")), src)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(metric(s0 + 1) >= 1.5,
+      s"the shifted batch must trip the drift gate in-stream, got ${metric(s0 + 1)}")
+    // the metric is the same statistic the batch-side policy reads: an
+    // operator quiesces the stream and maintainIfDrifted reclusters
+    val (ratio, ran) = IvfIndex.maintainIfDrifted(spark, idx)
+    assert(ran && math.abs(ratio - metric(s0 + 1)) < 1e-12)
+    assert(math.abs(IvfIndex.driftRatio(spark, idx) - 1.0) < 1e-12)
+  }
+
   /** Brute-force cosine top-k over the STORED index (no cell restriction) —
     * the recall denominator for [[IvfIndex.search]].
     */
