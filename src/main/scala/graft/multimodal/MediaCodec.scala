@@ -97,6 +97,16 @@ object MediaCodec {
     new String(b, off, len, "US-ASCII")
 
   private def decodePpm(b: Array[Byte]): Decoded = {
+    val (w, h, _) = decodePpmBody(b)
+    Decoded(w, h, 0.0)
+  }
+
+  /** Strict PPM parse that also returns the pixel-body offset, for stages
+    * that read the RGB samples themselves (perceptual hashing, resize
+    * kernels). Same validation as the feature decode: header-declared
+    * dimensions must be backed by exactly w·h RGB triples.
+    */
+  def decodePpmBody(b: Array[Byte]): (Int, Int, Int) = {
     // P6, then three whitespace-separated ASCII ints: width height maxval
     var i = 2
     def token(): Int = {
@@ -111,7 +121,7 @@ object MediaCodec {
     i += 1 // single whitespace after maxval
     if (b.length - i != w * h * 3)
       fail(s"PPM: declared ${w}x$h needs ${w * h * 3} body bytes, got ${b.length - i}")
-    Decoded(w, h, 0.0)
+    (w, h, i)
   }
 
   private def decodeWav(b: Array[Byte]): Decoded = {

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -292,12 +292,179 @@ object MediaOps {
        |       md5(digest || '_s' || CAST(seg_idx AS VARCHAR)) AS seg_fp
        |FROM e ORDER BY doc_id, seg_idx""".stripMargin
 
+  // -------------------------------------------------------------------- aHash
+
+  case class ImageHash(doc_id: Long, width: Int, height: Int, ahash_hi: Long, ahash_lo: Long)
+
+  /** 64-bit average-hash of decoded RGB pixels: grayscale (integer channel
+    * sum, no division), an 8×8 block grid via the standard `x*8/w` floor
+    * mapping, one bit per block — set iff the block's gray mass exceeds the
+    * image mean (`S_b·N > T·C_b` in exact integers, so uneven block sizes at
+    * non-multiple-of-8 dims stay bias-free). Returned as two 32-bit words so
+    * neither engine touches the sign bit of a 64-bit value.
+    */
+  private[graft] def aHashOf(b: Array[Byte]): (Int, Int, Long, Long) = {
+    val (w, h, off) = MediaCodec.decodePpmBody(b)
+    val s = new Array[Long](64)
+    val c = new Array[Long](64)
+    var t = 0L
+    var p = 0
+    val n = w * h
+    while (p < n) {
+      val g = (b(off + 3 * p) & 0xff) + (b(off + 3 * p + 1) & 0xff) + (b(off + 3 * p + 2) & 0xff)
+      val idx = ((p / w) * 8 / h) * 8 + ((p % w) * 8 / w)
+      s(idx) += g; c(idx) += 1; t += g
+      p += 1
+    }
+    var hi = 0L; var lo = 0L
+    var idx = 0
+    while (idx < 64) {
+      if (s(idx) * n > t * c(idx)) {
+        if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
+      }
+      idx += 1
+    }
+    (w, h, hi, lo)
+  }
+
+  /** Perceptual hash table over the image payloads: encode real PPM bytes,
+    * parse them back strictly, hash the ACTUAL pixel samples. The oracle
+    * restates the whole computation from the deterministic pixel formula, so
+    * a hash match certifies the byte-level decode AND the 8×8 block
+    * arithmetic end-to-end. Narrow mapPartitions (encode → parse → hash in
+    * one pass, no shuffle); at 100 TB this is the embarrassingly parallel
+    * fingerprint stage that feeds the banded near-dup join below.
+    */
+  def imageAHash(spark: SparkSession, sfDir: String): Dataset[ImageHash] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .filter(col("media_type") === "image")
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val (w, h) = imageDims(r.content.length)
+        val bytes = MediaCodec.encodePpm(w, h, r.doc_id)
+        val (pw, ph, hi, lo) = aHashOf(bytes)
+        ImageHash(r.doc_id, pw, ph, hi, lo)
+      })
+  }
+
+  def qImageAHash(spark: SparkSession, sfDir: String): DataFrame =
+    imageAHash(spark, sfDir).toDF().orderBy("doc_id")
+
+  /** Shared oracle CTE chain ending in
+    * `hashed(doc_id, w, h, ahash_hi, ahash_lo)`: every pixel re-derived from
+    * the encoder's deterministic body formula `(seed·131 + i·31) & 255` —
+    * the decode side never sees this formula, only the container bytes.
+    */
+  private val AHashCte: String =
+    """imgs AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |dims AS (
+      |  SELECT doc_id, 16 + n % 48 AS w, 16 + n % 32 AS h FROM imgs),
+      |px AS (
+      |  SELECT d.doc_id, d.w, d.h, p.p,
+      |         ((d.doc_id*131 + (3*p.p  )*31) & 255)
+      |       + ((d.doc_id*131 + (3*p.p+1)*31) & 255)
+      |       + ((d.doc_id*131 + (3*p.p+2)*31) & 255) AS gray
+      |  FROM dims d, LATERAL (SELECT unnest(generate_series(0, d.w*d.h - 1)) AS p) p),
+      |blocks AS (
+      |  SELECT doc_id, w, h,
+      |         ((p // w) * 8 // h) * 8 + ((p % w) * 8 // w) AS idx,
+      |         sum(gray) AS s, count(*) AS c
+      |  FROM px GROUP BY 1,2,3,4),
+      |tot AS (SELECT doc_id, sum(s) AS t, sum(c) AS nn FROM blocks GROUP BY 1),
+      |bits AS (
+      |  SELECT b.doc_id, b.w, b.h, b.idx,
+      |         CASE WHEN b.s * t.nn > t.t * b.c THEN 1 ELSE 0 END AS bit
+      |  FROM blocks b JOIN tot t USING (doc_id)),
+      |hashed AS (
+      |  SELECT doc_id,
+      |         CAST(any_value(w) AS INT) AS w, CAST(any_value(h) AS INT) AS h,
+      |         CAST(sum(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |         CAST(sum(CASE WHEN idx <  32 THEN bit * (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS ahash_lo
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  val imageAHashSql: String =
+    s"""WITH $AHashCte
+       |SELECT doc_id, w AS width, h AS height, ahash_hi, ahash_lo
+       |FROM hashed ORDER BY doc_id""".stripMargin
+
+  /** Image near-duplicate pairs: hamming distance ≤ [[AHashMaxDist]] over
+    * the 64-bit aHash, candidates from a pigeonhole band equi-join — the
+    * hash splits into 8 disjoint bytes, and any pair within distance 7 must
+    * agree exactly on ≥ 1 byte, so candidates scale with images × bands
+    * instead of images². Each surviving pair is emitted once via the
+    * first-agreeing-band filter (computable from the xor words — no
+    * distinct() over the candidate set), the same discipline as the SimHash
+    * text pairs. At real corpus scale the 8-bit band alphabet is the known
+    * multi-index-hashing trade: wider hashes (256-bit) with 16-bit bands
+    * keep bucket occupancy flat; the join shape here is unchanged.
+    */
+  val AHashMaxDist = 7
+  private val AHashBands: Seq[(String, Int)] =
+    (0 until 4).map(k => ("ahash_lo", 8 * k)) ++ (0 until 4).map(k => ("ahash_hi", 8 * k))
+
+  def imageNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = imageAHash(spark, sfDir).toDF()
+    val blocks = fp.select(
+      col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+      explode(array(AHashBands.zipWithIndex.map { case ((word, off), b) =>
+        struct(
+          lit(b).as("band_idx"),
+          shiftright(col(word), off).bitwiseAND(255).as("band_val"))
+      }: _*)).as("blk"))
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+        col("blk.band_idx"), col("blk.band_val"))
+    val a = blocks.as("a")
+    val b = blocks.as("b")
+    def agreesAt(j: Int): Column = {
+      val (word, off) = AHashBands(j)
+      val x = if (word == "ahash_lo") col("xlo") else col("xhi")
+      shiftright(x, off).bitwiseAND(255) === 0
+    }
+    val isFirstAgreeingBand = AHashBands.indices.map { bIdx =>
+      val noEarlier = (0 until bIdx).map(j => !agreesAt(j)).reduceOption(_ && _).getOrElse(lit(true))
+      (col("band_idx") === bIdx) && noEarlier
+    }.reduce(_ || _)
+    a.join(
+        b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.band_idx").as("band_idx"),
+        expr("a.ahash_hi ^ b.ahash_hi").as("xhi"),
+        expr("a.ahash_lo ^ b.ahash_lo").as("xlo"))
+      .withColumn("hamming", (bit_count(col("xhi")) + bit_count(col("xlo"))).cast("int"))
+      .filter(col("hamming") <= AHashMaxDist && isFirstAgreeingBand)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** All-pairs oracle over the same aHash CTE — an independent derivation of
+    * the identical answer set (the pigeonhole banding is a strict superset
+    * generator at this distance bound, so the verified outputs coincide).
+    */
+  val imageNearDupSql: String =
+    s"""WITH $AHashCte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+       |          + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS INT) AS hamming
+       |FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+       |    + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= $AHashMaxDist
+       |ORDER BY id_a, id_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta" -> (mediaMeta(_, _)),
     "q_media_features" -> (mediaFeatures(_, _)),
     "q_media_resize" -> (mediaResize(_, _)),
     "q_frame_sample" -> (frameSample(_, _)),
-    "q_audio_segments" -> (audioSegments(_, _))
+    "q_audio_segments" -> (audioSegments(_, _)),
+    "q_image_ahash" -> (qImageAHash(_, _)),
+    "q_image_neardup" -> (imageNearDup(_, _))
   )
 
   def oracle: Map[String, String] = Map(
@@ -305,6 +472,8 @@ object MediaOps {
     "q_media_features" -> mediaFeaturesSql,
     "q_media_resize" -> mediaResizeSql,
     "q_frame_sample" -> frameSampleSql,
-    "q_audio_segments" -> audioSegmentsSql
+    "q_audio_segments" -> audioSegmentsSql,
+    "q_image_ahash" -> imageAHashSql,
+    "q_image_neardup" -> imageNearDupSql
   )
 }

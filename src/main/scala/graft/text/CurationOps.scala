@@ -680,6 +680,72 @@ object CurationOps {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** CROSS-document chunk dedup (the C4/CCNet corpus discipline, where
+    * [[dedupLines]] is the intra-document form): a chunk that occurs
+    * anywhere else in the corpus survives only at its globally first
+    * occurrence — ordered by (doc_id, chunk_idx), packed into one integer
+    * key (docs are bounded at 10⁶ chunks ≈ 10⁷ tokens, the practical
+    * pretraining ceiling). The first-occurrence table is a grouped `min` —
+    * map-side combinable, one row per DISTINCT chunk — joined back on the
+    * chunk text: the same compress-then-join shape as the two-stage df
+    * rework, so a corpus-dominating boilerplate chunk becomes one dimension
+    * row and an AQE-splittable probe side, never a single hot window
+    * partition. Emits per-doc survivor counts and the fingerprint of the
+    * reassembled text.
+    */
+  def lineDedupCross(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val chunks = Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(sequence(lit(1), size(toks), lit(LineChunk))).as("start"))
+      .select(
+        col("doc_id"),
+        ((col("start") - 1) / LineChunk).cast("int").as("chunk_idx"),
+        array_join(slice(TextOps.tokens(col("text")), col("start"), lit(LineChunk)), " ")
+          .as("chunk"))
+    val firsts = chunks
+      .groupBy("chunk")
+      .agg(min(col("doc_id") * 1000000 + col("chunk_idx")).as("first_key"))
+    chunks.join(firsts, Seq("chunk"))
+      .withColumn("kept", col("doc_id") * 1000000 + col("chunk_idx") === col("first_key"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("chunk_idx"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ")).as("kept_fp"))
+      .orderBy("doc_id")
+  }
+
+  val lineDedupCrossSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |chunks AS (
+       |  SELECT doc_id,
+       |         CAST((start - 1) // $LineChunk AS INT) AS chunk_idx,
+       |         array_to_string(list_slice(toks, start, start + ${LineChunk - 1}), ' ') AS chunk
+       |  FROM (SELECT doc_id, toks,
+       |               unnest(generate_series(1, len(toks), $LineChunk)) AS start
+       |        FROM t)),
+       |firsts AS (
+       |  SELECT chunk, min(doc_id * 1000000 + chunk_idx) AS first_key
+       |  FROM chunks GROUP BY chunk)
+       |SELECT c.doc_id,
+       |       count(*) AS n_chunks,
+       |       count(CASE WHEN c.doc_id * 1000000 + c.chunk_idx = f.first_key THEN 1 END) AS n_kept,
+       |       md5(coalesce(string_agg(
+       |         CASE WHEN c.doc_id * 1000000 + c.chunk_idx = f.first_key THEN c.chunk END,
+       |         ' ' ORDER BY c.chunk_idx), '')) AS kept_fp
+       |FROM chunks c JOIN firsts f USING (chunk)
+       |GROUP BY c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
   // Per-source quota capping
   // -------------------------------------------------------------------------
@@ -843,7 +909,8 @@ object CurationOps {
     "q_corpus_delta" -> (corpusDelta(_, _)),
     "q_vocab_drift" -> (vocabDrift(_, _)),
     "q_oov_rate" -> (oovRate(_, _)),
-    "q_dedup_lines" -> (dedupLines(_, _))
+    "q_dedup_lines" -> (dedupLines(_, _)),
+    "q_line_dedup_cross" -> (lineDedupCross(_, _))
   )
 
   def oracle: Map[String, String] = Map(
@@ -863,6 +930,7 @@ object CurationOps {
     "q_corpus_delta" -> corpusDeltaSql(),
     "q_vocab_drift" -> vocabDriftSql(),
     "q_oov_rate" -> oovRateSql,
-    "q_dedup_lines" -> dedupLinesSql
+    "q_dedup_lines" -> dedupLinesSql,
+    "q_line_dedup_cross" -> lineDedupCrossSql
   )
 }

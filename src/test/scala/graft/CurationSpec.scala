@@ -242,6 +242,28 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(got.getString(3) == md)
   }
 
+  test("cross-doc chunk dedup keeps each distinct chunk exactly once, at its first occurrence") {
+    val rows = CurationOps.lineDedupCross(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // global dedup is at least as strict as the intra-doc form, per doc
+    val intra = CurationOps.dedupLines(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"kept more than present: $r")
+      assert(r.getLong(2) <= intra(r.getLong(0)), s"looser than intra-doc dedup: $r")
+    }
+    // every distinct chunk in the corpus survives exactly once
+    val distinctChunks = Tables.documents(spark, sfDir)
+      .select(col("text"), explode(expr(
+        s"sequence(1, size(split(text, ' ')), ${CurationOps.LineChunk})")).as("start"))
+      .select(expr(s"array_join(slice(split(text, ' '), start, ${CurationOps.LineChunk}), ' ')"))
+      .distinct().count()
+    assert(rows.map(_.getLong(2)).sum == distinctChunks)
+    // the first doc (lowest doc_id) always keeps its full chunk list
+    val firstDoc = rows.minBy(_.getLong(0))
+    assert(firstDoc.getLong(2) == firstDoc.getLong(1))
+  }
+
   test("source cap never admits more than the quota and binds on big sources") {
     val rows = CurationOps.sourceCap(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -247,4 +247,46 @@ class TextAndMediaSpec extends AnyFunSuite with SharedSpark {
     rows.foreach(r => assert(exact(r.getString(0)) == r.getLong(1)))
   }
 
+  test("aHash of a flat image is all-zero; a half-bright image sets exactly the bottom rows") {
+    // uniform pixels: no block strictly exceeds the mean -> hash 0
+    val w = 16; val h = 16
+    val flat = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ Array.fill(w * h * 3)(77.toByte)
+    assert(MediaOps.aHashOf(flat) == ((w, h, 0L, 0L)))
+    // top half black, bottom half white: block rows 4..7 (bit indices 32..63)
+    // are exactly the above-mean blocks
+    val half = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate(w * h * 3)(i => if ((i / 3) / w < h / 2) 0.toByte else 255.toByte)
+    assert(MediaOps.aHashOf(half) == ((w, h, 0xFFFFFFFFL, 0L)))
+    // tampered payload (padded body) must be rejected, not silently hashed
+    intercept[IllegalArgumentException](MediaOps.aHashOf(flat :+ 0.toByte))
+  }
+
+  test("banded image near-dup equals the all-pairs answer (pigeonhole exactness)") {
+    // sf0.01 has a non-empty pair set; sf0.001's images are all far apart
+    val dir = "/root/testdata/sf0.01"
+    val hashes = MediaOps.imageAHash(spark, dir).collect()
+    val brute = (for {
+      a <- hashes; b <- hashes if a.doc_id < b.doc_id
+      d = java.lang.Long.bitCount(a.ahash_hi ^ b.ahash_hi) +
+        java.lang.Long.bitCount(a.ahash_lo ^ b.ahash_lo)
+      if d <= MediaOps.AHashMaxDist
+    } yield (a.doc_id, b.doc_id, d)).toSet
+    val banded = MediaOps.imageNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "test corpus should contain near-dup images")
+    assert(banded == brute)
+  }
+
+  test("distilled quality classifier tracks its weak label far above the base rate") {
+    val rows = graft.text.QualityClassifier.distillAndScore(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toDouble
+    val acc = rows.count(r => r.getInt(3) == r.getInt(4)) / n
+    val base = math.max(rows.count(_.getInt(3) == 1), rows.count(_.getInt(3) == 0)) / n
+    // non-degenerate predictions on both sides of the trained threshold
+    assert(rows.exists(_.getInt(4) == 1) && rows.exists(_.getInt(4) == 0))
+    assert(acc >= 0.9, s"accuracy $acc")
+    assert(acc > base, s"accuracy $acc does not beat majority vote $base")
+  }
+
 }
