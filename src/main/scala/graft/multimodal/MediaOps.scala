@@ -391,57 +391,28 @@ object MediaOps {
        |FROM hashed ORDER BY doc_id""".stripMargin
 
   /** Image near-duplicate pairs: hamming distance ≤ [[AHashMaxDist]] over
-    * the 64-bit aHash, candidates from a pigeonhole band equi-join — the
-    * hash splits into 8 disjoint bytes, and any pair within distance 7 must
-    * agree exactly on ≥ 1 byte, so candidates scale with images × bands
-    * instead of images². Each surviving pair is emitted once via the
-    * first-agreeing-band filter (computable from the xor words — no
-    * distinct() over the candidate set), the same discipline as the SimHash
-    * text pairs. At real corpus scale the 8-bit band alphabet is the known
-    * multi-index-hashing trade: wider hashes (256-bit) with 16-bit bands
-    * keep bucket occupancy flat; the join shape here is unchanged.
+    * the 64-bit aHash, via the pigeonhole band machinery shared with the
+    * durable index ([[graft.dedup.FingerprintIndex.pairsWithin]]): the hash
+    * splits into 8 disjoint bytes, any pair within distance 7 agrees on ≥ 1
+    * byte, so candidates scale with images × bands instead of images², and
+    * each pair is emitted once via the first-agreeing-band filter — no
+    * distinct() over the candidate set.
     */
   val AHashMaxDist = 7
-  private val AHashBands: Seq[(String, Int)] =
-    (0 until 4).map(k => ("ahash_lo", 8 * k)) ++ (0 until 4).map(k => ("ahash_hi", 8 * k))
 
-  def imageNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val fp = imageAHash(spark, sfDir).toDF()
-    val blocks = fp.select(
-      col("doc_id"), col("ahash_hi"), col("ahash_lo"),
-      explode(array(AHashBands.zipWithIndex.map { case ((word, off), b) =>
-        struct(
-          lit(b).as("band_idx"),
-          shiftright(col(word), off).bitwiseAND(255).as("band_val"))
-      }: _*)).as("blk"))
-      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
-        col("blk.band_idx"), col("blk.band_val"))
-    val a = blocks.as("a")
-    val b = blocks.as("b")
-    def agreesAt(j: Int): Column = {
-      val (word, off) = AHashBands(j)
-      val x = if (word == "ahash_lo") col("xlo") else col("xhi")
-      shiftright(x, off).bitwiseAND(255) === 0
-    }
-    val isFirstAgreeingBand = AHashBands.indices.map { bIdx =>
-      val noEarlier = (0 until bIdx).map(j => !agreesAt(j)).reduceOption(_ && _).getOrElse(lit(true))
-      (col("band_idx") === bIdx) && noEarlier
-    }.reduce(_ || _)
-    a.join(
-        b,
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.band_idx").as("band_idx"),
-        expr("a.ahash_hi ^ b.ahash_hi").as("xhi"),
-        expr("a.ahash_lo ^ b.ahash_lo").as("xlo"))
-      .withColumn("hamming", (bit_count(col("xhi")) + bit_count(col("xlo"))).cast("int"))
-      .filter(col("hamming") <= AHashMaxDist && isFirstAgreeingBand)
-      .select("id_a", "id_b", "hamming")
+  /** The aHash table in the (id, fp_hi, fp_lo) shape the fingerprint index
+    * family consumes.
+    */
+  def imageFingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    imageAHash(spark, sfDir).toDF().select(
+      col("doc_id").as("id"),
+      col("ahash_hi").as("fp_hi"),
+      col("ahash_lo").as("fp_lo"))
+
+  def imageNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.FingerprintIndex
+      .pairsWithin(imageFingerprints(spark, sfDir), AHashMaxDist)
       .orderBy("id_a", "id_b")
-  }
 
   /** All-pairs oracle over the same aHash CTE — an independent derivation of
     * the identical answer set (the pigeonhole banding is a strict superset
@@ -457,6 +428,23 @@ object MediaOps {
        |    + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= $AHashMaxDist
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** The [[graft.dedup.FingerprintIndex]] band-table schema as an
+    * oracle-checked query — the exact rows `appendBatch` persists for the
+    * image fingerprints (the hamming analogue of `q_lsh_band_index`).
+    */
+  def qFpBandIndex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.FingerprintIndex.bandTable(imageFingerprints(spark, sfDir))
+      .orderBy("id", "band_idx")
+
+  val fpBandIndexSql: String =
+    s"""WITH $AHashCte
+       |SELECT h.doc_id AS id, h.ahash_hi AS fp_hi, h.ahash_lo AS fp_lo,
+       |       CAST(b.band_idx AS INT) AS band_idx,
+       |       CAST(CASE WHEN b.band_idx < 4 THEN (h.ahash_lo >> (b.band_idx * 8)) & 255
+       |                 ELSE (h.ahash_hi >> ((b.band_idx - 4) * 8)) & 255 END AS INT) AS band_val
+       |FROM hashed h, (SELECT unnest(generate_series(0, 7)) AS band_idx) b
+       |ORDER BY id, band_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta" -> (mediaMeta(_, _)),
     "q_media_features" -> (mediaFeatures(_, _)),
@@ -464,7 +452,8 @@ object MediaOps {
     "q_frame_sample" -> (frameSample(_, _)),
     "q_audio_segments" -> (audioSegments(_, _)),
     "q_image_ahash" -> (qImageAHash(_, _)),
-    "q_image_neardup" -> (imageNearDup(_, _))
+    "q_image_neardup" -> (imageNearDup(_, _)),
+    "q_fp_band_index" -> (qFpBandIndex(_, _))
   )
 
   def oracle: Map[String, String] = Map(
@@ -474,6 +463,7 @@ object MediaOps {
     "q_frame_sample" -> frameSampleSql,
     "q_audio_segments" -> audioSegmentsSql,
     "q_image_ahash" -> imageAHashSql,
-    "q_image_neardup" -> imageNearDupSql
+    "q_image_neardup" -> imageNearDupSql,
+    "q_fp_band_index" -> fpBandIndexSql
   )
 }

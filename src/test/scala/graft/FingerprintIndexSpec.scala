@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.FingerprintIndex
+import graft.multimodal.MediaOps
+
+class FingerprintIndexSpec extends AnyFunSuite with SharedSpark {
+
+  // sf0.01's image corpus has a non-empty hamming-≤7 pair set (sf0.001's
+  // images are all far apart), so equivalence checks are non-vacuous
+  private val dataDir = "/root/testdata/sf0.01"
+  private def fps = MediaOps.imageFingerprints(spark, dataDir)
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("probe_id", "index_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("full-corpus index probe reproduces the one-shot near-dup pair set exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("fp_idx_full").toString
+    FingerprintIndex.materialize(spark, fps, dir)
+    val viaIndex = FingerprintIndex.candidates(spark, dir, fps)
+      .filter(col("probe_id") < col("index_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val oneShot = MediaOps.imageNearDup(spark, dataDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(oneShot.nonEmpty, "test corpus must contain near-dup images")
+    assert(viaIndex == oneShot)
+  }
+
+  test("batch probe against a partial index finds exactly the cross pairs; absorb surfaces the rest") {
+    val dir = java.nio.file.Files.createTempDirectory("fp_idx_part").toString
+    val corpus = fps.filter(col("id") % 5 =!= 0)
+    val batch = fps.filter(col("id") % 5 === 0)
+    FingerprintIndex.materialize(spark, corpus, dir)
+    val got = pairSet(FingerprintIndex.candidates(spark, dir, batch))
+    val full = MediaOps.imageNearDup(spark, dataDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = full.flatMap { case (a, b) =>
+      (a % 5 == 0, b % 5 == 0) match {
+        case (true, false) => Some((a, b))
+        case (false, true) => Some((b, a))
+        case _ => None
+      }
+    }.toSet
+    assert(got == expected, s"got ${got.size} cross pairs, expected ${expected.size}")
+    FingerprintIndex.appendBatch(spark, dir, batch, batchId = 1L)
+    val after = pairSet(FingerprintIndex.candidates(spark, dir, batch))
+    assert(after.forall { case (p, i) => p != i }, "self pairs must be dropped")
+    full.filter { case (a, b) => a % 5 == 0 && b % 5 == 0 }.foreach { case (a, b) =>
+      assert(after.contains((a, b)) && after.contains((b, a)),
+        s"absorbed batch pair ($a,$b) missing from re-probe")
+    }
+  }
+
+  test("as-of probe replays a past run after the index grew; appendBatch is replay-idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("fp_idx_asof").toString
+    val corpus = fps.filter(col("id") % 5 =!= 0)
+    FingerprintIndex.materialize(spark, corpus, dir)
+    val probe = fps.filter(col("id") % 7 === 0)
+    val runX = pairSet(FingerprintIndex.candidates(spark, dir, probe))
+    FingerprintIndex.appendBatch(spark, dir, fps.filter(col("id") % 5 === 0), batchId = 1L)
+    assert(pairSet(FingerprintIndex.candidates(spark, dir, probe, asOf = Some(0L))) == runX,
+      "asOf=0 must reproduce the pre-absorb candidate set")
+    assert(pairSet(FingerprintIndex.candidates(spark, dir, probe)).size >= runX.size)
+    val n1 = FingerprintIndex.read(spark, dir).count()
+    FingerprintIndex.appendBatch(spark, dir, fps.filter(col("id") % 5 === 0), batchId = 1L)
+    assert(FingerprintIndex.read(spark, dir).count() == n1, "replayed batch duplicated rows")
+  }
+
+  test("streaming absorb probes each micro-batch deterministically, then indexes it") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("fp_stream").toString
+    val (src, idx, cand, ckpt) = (s"$base/src", s"$base/idx", s"$base/cand", s"$base/ckpt")
+    FingerprintIndex.materialize(spark, fps.filter(col("id") % 5 >= 2), idx)
+    val full = MediaOps.imageNearDup(spark, dataDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    fps.filter(col("id") % 5 === 0).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def start() = FingerprintIndex.streamingAbsorb(
+      spark.readStream.schema(schema).parquet(src), idx, cand, ckpt).start()
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val seg0 = spark.read
+      .option("basePath", cand)
+      .parquet(s"$cand/batch=${FingerprintIndex.StreamingSegmentBase}")
+      .select("probe_id", "index_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected0 = full.flatMap { case (a, b) =>
+      if (a % 5 == 0 && b % 5 >= 2) Some((a, b))
+      else if (b % 5 == 0 && a % 5 >= 2) Some((b, a))
+      else None
+    }.toSet
+    assert(seg0 == expected0, s"batch-0 candidates: got ${seg0.size}, expected ${expected0.size}")
+    // second file lands while the query is down; restart resumes from ckpt
+    fps.filter(col("id") % 5 === 1).write.mode("append").parquet(src)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val probeAll = pairSet(
+      FingerprintIndex.candidates(spark, idx, fps)
+        .filter(col("probe_id") < col("index_id")))
+    assert(probeAll == full.toSet, "fully absorbed index must reproduce the one-shot pair set")
+  }
+
+  test("probe plan broadcasts the batch and runs with ZERO shuffles (no distinct pass)") {
+    val dir = java.nio.file.Files.createTempDirectory("fp_idx_plan").toString
+    FingerprintIndex.materialize(spark, fps, dir)
+    val probe = FingerprintIndex.candidates(spark, dir, fps.filter(col("id") < 60))
+    probe.collect()
+    val s = graft.plans.PlanAudit.summary(probe).head()
+    assert(s.getAs[Int]("n_broadcasts") >= 1, "batch side must broadcast")
+    // first-agreeing-band emission replaces the pair distinct(): the whole
+    // candidate path is scan -> broadcast join -> row-wise filter
+    assert(s.getAs[Int]("n_shuffles") == 0,
+      s"probe must not shuffle:\n${probe.queryExecution.executedPlan}")
+  }
+
+  test("compaction bounds segments and preserves every candidate") {
+    val dir = java.nio.file.Files.createTempDirectory("fp_idx_compact").toString
+    (0 until 3).foreach(i =>
+      FingerprintIndex.appendBatch(spark, dir, fps.filter(col("id") % 3 === i), i.toLong))
+    def probe() = FingerprintIndex.candidates(spark, dir, fps.filter(col("id") < 60))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(t => (t._1, t._2))
+    val before = probe()
+    assert(FingerprintIndex.compactSegments(spark, dir) == 2)
+    assert(probe().sameElements(before), "compaction changed candidates")
+    assert(FingerprintIndex.compactSegments(spark, dir, protectLatest = false) == 2)
+    assert(probe().sameElements(before), "full compaction changed candidates")
+  }
+}
