@@ -238,6 +238,89 @@ object TextOps {
        |ORDER BY pair_count DESC, pair
        |LIMIT $k""".stripMargin
 
+  /** Iterations of the full BPE trainer ([[bpeTrain]]). */
+  val BpeTrainIters = 6
+
+  /** FULL BPE vocabulary training, iterated: where [[bpeMergeStep]] reports
+    * one round's raw character-pair statistics, this runs the actual greedy
+    * merge loop a tokenizer trainer runs — each word held as a SEQUENCE OF
+    * SYMBOLS, the corpus-max adjacent symbol pair fused everywhere
+    * (left-to-right, non-overlapping), statistics recomputed over the merged
+    * sequences, k rounds. Later rounds therefore merge multi-character
+    * symbols (`m`+`er`→`mer`), which the single-step pair count can never
+    * see.
+    *
+    * Distributed shape: the corpus collapses once to the (distinct word,
+    * freq) table — vocabulary-sized regardless of corpus size — and every
+    * round is one grouped aggregate over it plus a narrow map. Symbol
+    * sequences ride in a bracket-delimited string (`low` → `[l][o][w]`), so
+    * the merge is a literal `replace(s, '[a][b]', '[ab]')`: leftmost
+    * non-overlapping replacement IS greedy BPE merge order, bracket
+    * alignment makes a cross-symbol false match impossible, and the engines
+    * agree byte-for-byte. The driver sees exactly one row per round (the
+    * argmax pair — the same scalar a single-node trainer materializes);
+    * `localCheckpoint` truncates lineage between rounds like the other
+    * iterative operators. Output: the learned merge ladder (iter, pair,
+    * merged symbol, corpus count).
+    */
+  def bpeTrain(spark: SparkSession, sfDir: String, k: Int = BpeTrainIters): DataFrame = {
+    import spark.implicits._
+    var words = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("s", regexp_replace(col("w"), "(.)", "[$1]"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (i <- 1 to k) {
+      val best = words
+        .select(col("freq"),
+          split(expr("substring(s, 2, length(s) - 2)"), "\\]\\[").as("syms"))
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "j -> concat('[', element_at(syms, j), '][', element_at(syms, j + 1), ']'))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("freq").as("pair_count"))
+        .orderBy(desc("pair_count"), asc("pair"))
+        .limit(1).collect()(0)
+      val pair = best.getString(0)
+      val fused = pair.replace("][", "")
+      merges += ((i, pair, fused.substring(1, fused.length - 1), best.getLong(1)))
+      words = words
+        .withColumn("s", expr(s"replace(s, '$pair', '$fused')"))
+        .localCheckpoint()
+    }
+    merges.result().toDF("iter", "pair", "merged", "pair_count").orderBy("iter")
+  }
+
+  /** Unrolled k-round oracle — an independent DuckDB derivation of the same
+    * merge ladder.
+    */
+  def bpeTrainSql(k: Int = BpeTrainIters): String = {
+    val cte = Seq.newBuilder[String]
+    cte += """w0 AS (
+      |  SELECT w, count(*) AS freq, regexp_replace(w, '(.)', '[\1]', 'g') AS s
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) >= 2 GROUP BY w)""".stripMargin
+    val sels = (1 to k).map { i =>
+      cte += s"""p$i AS (
+        |  SELECT '[' || syms[j] || '][' || syms[j+1] || ']' AS pair,
+        |         CAST(sum(freq) AS BIGINT) AS pair_count
+        |  FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), '][') AS syms FROM w${i - 1}),
+        |       LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS j) t
+        |  GROUP BY 1)""".stripMargin
+      cte += s"""b$i AS (
+        |  SELECT pair, pair_count FROM p$i ORDER BY pair_count DESC, pair LIMIT 1)""".stripMargin
+      cte += s"""w$i AS (
+        |  SELECT w, freq, replace(s, b.pair, replace(b.pair, '][', '')) AS s
+        |  FROM w${i - 1}, b$i b)""".stripMargin
+      s"SELECT $i AS iter, pair, " +
+        s"replace(replace(replace(pair, '][', ''), '[', ''), ']', '') AS merged, pair_count FROM b$i"
+    }
+    "WITH " + cte.result().mkString(",\n") + "\n" +
+      sels.mkString("\nUNION ALL\n") + "\nORDER BY iter"
+  }
+
   /** CCNet-style rarity scoring: how common is this document's vocabulary in
     * the corpus? Token document-frequencies are computed once (distinct
     * (doc, token) explode → grouped count — never a per-token id list), then
@@ -451,6 +534,7 @@ object TextOps {
     "q_cms_topk" -> (cmsTopK(_, _)),
     "q_term_match_rank" -> (termMatchRank(_, _)),
     "q_bpe_merge_step" -> (bpeMergeStep(_, _)),
+    "q_bpe_train" -> (bpeTrain(_, _)),
     "q_token_rarity" -> (tokenRarity(_, _)),
     "q_bpe_token_count" -> (bpeTokenCount(_, _)),
     "q_token_stats" -> (tokenStats(_, _)),
@@ -466,6 +550,7 @@ object TextOps {
     "q_cms_topk" -> cmsTopKSql(),
     "q_term_match_rank" -> termMatchRankSql(),
     "q_bpe_merge_step" -> bpeMergeStepSql(),
+    "q_bpe_train" -> bpeTrainSql(),
     "q_token_rarity" -> tokenRaritySql,
     "q_bpe_token_count" -> bpeTokenCountSql,
     "q_token_stats" -> tokenStatsSql,

@@ -247,6 +247,41 @@ class TextAndMediaSpec extends AnyFunSuite with SharedSpark {
     rows.foreach(r => assert(exact(r.getString(0)) == r.getLong(1)))
   }
 
+  test("iterated BPE training matches a driver-side greedy reference merge-for-merge") {
+    val got = graft.text.TextOps.bpeTrain(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getLong(3)))
+    assert(got.length == graft.text.TextOps.BpeTrainIters)
+    // reference: single-threaded greedy BPE over the same word-frequency table
+    import org.apache.spark.sql.functions.{col, explode, length, split}
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    var syms: Map[String, Vector[String]] = words.map { case (w, _) => w -> w.map(_.toString).toVector }.toMap
+    val freq = words.toMap
+    val ref = (1 to graft.text.TextOps.BpeTrainIters).map { it =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (w, s) =>
+        s.sliding(2).filter(_.length == 2).foreach { p =>
+          val k = (p(0), p(1)); counts(k) = counts.getOrElse(k, 0L) + freq(w)
+        }
+      }
+      val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, s"[$x][$y]") }
+      syms = syms.map { case (w, s) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+          else { out += s(i); i += 1 }
+        }
+        w -> out.result()
+      }
+      (it, a + b, c)
+    }
+    assert(got.toSeq == ref, s"ladder diverged:\n got ${got.toSeq}\n ref $ref")
+  }
+
   test("aHash of a flat image is all-zero; a half-bright image sets exactly the bottom rows") {
     // uniform pixels: no block strictly exceeds the mean -> hash 0
     val w = 16; val h = 16
