@@ -170,17 +170,141 @@ object CorpusPipeline {
       |FROM t GROUP BY term
       |ORDER BY tf DESC, term LIMIT 20""".stripMargin
 
+  /** The WHOLE curation pipeline as one audited funnel: near-dup cluster
+    * canonicalization (keep each cluster's highest-quality member — the
+    * shared CC core, which subsumes exact dedup since identical texts are
+    * jaccard-1.0 pairs) → quality gate → benchmark decontamination (flagged
+    * docs AND the benchmark slice itself leave the training set) → per-source
+    * quota cap (the md5-uniform draw, ranked over the docs still alive when
+    * the cap runs). Emits the stage-by-stage survivor ledger (docs + tokens
+    * after each stage) every production curation run reports.
+    *
+    * Shape: ONE pass assigns each document the first stage that drops it
+    * (joins on doc_id; the cap rank is a per-source window over survivors
+    * only), then the ledger folds from the ≤ 5-row drop histogram — the
+    * histogram is collected and cumulated driver-side (O(stages), the same
+    * scalar-per-round discipline as the iterative operators), so no
+    * non-equi join or global window ever appears in the plan.
+    */
+  def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      TextOps.qualityCol(col("text")).as("quality"))
+    val repW = Window.partitionBy("lbl").orderBy(desc("quality"), asc("doc_id"))
+    val clusterDrop = graft.dedup.DedupOps.nearDupLabels(spark, sfDir)
+      .join(base.select("doc_id", "quality"), "doc_id")
+      .withColumn("rn", row_number().over(repW))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), lit(1).as("dup_drop"))
+    val contDrop = CurationOps.contamination(spark, sfDir)
+      .select("doc_id").distinct().withColumn("cont_drop", lit(1))
+    val u = conv(substring(md5(concat(lit("cap_"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val flagged = base
+      .join(clusterDrop, Seq("doc_id"), "left")
+      .join(contDrop, Seq("doc_id"), "left")
+      .withColumn("dropped_at",
+        when(col("dup_drop") === 1, 1)
+          .when(col("quality") < QualityThreshold, 2)
+          .when(col("cont_drop") === 1 || col("doc_id") < CurationOps.BenchmarkMaxId, 3))
+      .withColumn("u", u)
+      .localCheckpoint() // referenced twice: survivor cap-rank + final union
+    val capW = Window.partitionBy("source").orderBy("u", "doc_id")
+    val capDrop = flagged.filter(col("dropped_at").isNull)
+      .withColumn("rn", row_number().over(capW))
+      .filter(col("rn") > CurationOps.SourceCap)
+      .select(col("doc_id"), lit(4).as("cap_drop"))
+    val hist = flagged.join(capDrop, Seq("doc_id"), "left")
+      .withColumn("dropped_at", coalesce(col("dropped_at"), col("cap_drop")))
+      .groupBy("dropped_at")
+      .agg(count(lit(1)).as("d_docs"), sum("n_tok").as("d_toks"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) Int.MaxValue else r.getInt(0), r.getLong(1), r.getLong(2)))
+    val totalDocs = hist.map(_._2).sum
+    val totalToks = hist.map(_._3).sum
+    val stages = Seq(0 -> "raw", 1 -> "near_dup", 2 -> "quality_gate",
+      3 -> "decontaminate", 4 -> "source_cap")
+    val ledger = stages.map { case (i, name) =>
+      val droppedDocs = hist.filter(h => h._1 <= i).map(_._2).sum
+      val droppedToks = hist.filter(h => h._1 <= i).map(_._3).sum
+      (i, name, totalDocs - droppedDocs, totalToks - droppedToks)
+    }
+    import spark.implicits._
+    ledger.toDF("stage_idx", "stage", "n_docs", "n_tokens").orderBy("stage_idx")
+  }
+
+  val curationFunnelSql: String = {
+    val qualityExpr =
+      """CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) * 0.7 +
+        |         (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |                                     t -> t = 'the' OR t = 'a')) AS DOUBLE)
+        |           / len(string_split(text, ' '))) * 0.3""".stripMargin
+    s"""WITH RECURSIVE ${graft.dedup.DedupOps.nearDupLabelCtes(0.6)},
+       |q AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         $qualityExpr AS quality
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT l.doc_id,
+       |         row_number() OVER (PARTITION BY l.lbl ORDER BY qq.quality DESC, l.doc_id) AS rn
+       |  FROM labels l JOIN q qq ON l.doc_id = qq.doc_id),
+       |cont AS (
+       |  SELECT DISTINCT t.doc_id FROM (
+       |    SELECT c.doc_id
+       |    FROM sh0 c JOIN sh0 b ON c.s = b.s
+       |    WHERE c.doc_id >= ${CurationOps.BenchmarkMaxId}
+       |      AND b.doc_id < ${CurationOps.BenchmarkMaxId}
+       |    GROUP BY c.doc_id, b.doc_id
+       |    HAVING count(*) >= ${CurationOps.ContaminationMinOverlap}) t),
+       |flagged AS (
+       |  SELECT q.doc_id, q.source, q.n_tok,
+       |         CAST('0x' || substr(md5('cap_' || CAST(q.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS u,
+       |         CASE WHEN r.rn > 1 THEN 1
+       |              WHEN q.quality < $QualityThreshold THEN 2
+       |              WHEN ct.doc_id IS NOT NULL
+       |                   OR q.doc_id < ${CurationOps.BenchmarkMaxId} THEN 3
+       |         END AS dropped_at
+       |  FROM q
+       |  LEFT JOIN ranked r ON q.doc_id = r.doc_id
+       |  LEFT JOIN cont ct ON q.doc_id = ct.doc_id),
+       |capped AS (
+       |  SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn_cap
+       |  FROM flagged WHERE dropped_at IS NULL),
+       |fin AS (
+       |  SELECT f.doc_id, f.n_tok,
+       |         coalesce(f.dropped_at,
+       |                  CASE WHEN c.rn_cap > ${CurationOps.SourceCap} THEN 4 END) AS dropped_at
+       |  FROM flagged f LEFT JOIN capped c ON f.doc_id = c.doc_id),
+       |stages(stage_idx, stage) AS (VALUES
+       |  (0, 'raw'), (1, 'near_dup'), (2, 'quality_gate'),
+       |  (3, 'decontaminate'), (4, 'source_cap'))
+       |SELECT s.stage_idx, s.stage,
+       |       CAST(count(*) FILTER (WHERE fin.dropped_at IS NULL
+       |                                OR fin.dropped_at > s.stage_idx) AS BIGINT) AS n_docs,
+       |       CAST(coalesce(sum(fin.n_tok) FILTER (WHERE fin.dropped_at IS NULL
+       |                                OR fin.dropped_at > s.stage_idx), 0) AS BIGINT) AS n_tokens
+       |FROM stages s, fin
+       |GROUP BY s.stage_idx, s.stage
+       |ORDER BY s.stage_idx""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_clean_corpus" -> (cleanCorpus(_, _)),
     "q_dataset_split" -> (datasetSplit(_, _)),
     "q_group_split" -> (groupSplit(_, _)),
-    "q_vocab_stats" -> (vocabStats(_, _))
+    "q_vocab_stats" -> (vocabStats(_, _)),
+    "q_curation_funnel" -> (curationFunnel(_, _))
   )
 
   def oracle: Map[String, String] = Map(
     "q_clean_corpus" -> cleanCorpusSql,
     "q_dataset_split" -> datasetSplitSql,
     "q_group_split" -> groupSplitSql,
-    "q_vocab_stats" -> vocabStatsSql
+    "q_vocab_stats" -> vocabStatsSql,
+    "q_curation_funnel" -> curationFunnelSql
   )
 }

@@ -264,6 +264,29 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(firstDoc.getLong(2) == firstDoc.getLong(1))
   }
 
+  test("curation funnel ledger is consistent with the standalone stage operators") {
+    val rows = graft.text.CorpusPipeline.curationFunnel(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (0 to 4), "one row per stage, ordered")
+    // survivors monotonically decrease, tokens move with docs
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"funnel not monotone: $a -> $b")
+    }
+    // stage 0 is the corpus; stage 1 drops exactly the non-representative
+    // near-dup cluster members
+    assert(rows(0)._3 == Tables.documents(spark, sfDir).count())
+    val clusterExtra = graft.dedup.DedupOps.nearDupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(1) - 1).sum
+    assert(rows(0)._3 - rows(1)._3 == clusterExtra,
+      s"near-dup stage dropped ${rows(0)._3 - rows(1)._3}, clusters imply $clusterExtra")
+    // decontamination removes at least the benchmark slice itself
+    assert(rows(2)._3 - rows(3)._3 >= 0)
+    // the cap binds: no source exceeds the quota afterwards
+    assert(rows(4)._3 <= rows(3)._3)
+    val nSources = Tables.documents(spark, sfDir).select("source").distinct().count()
+    assert(rows(4)._3 <= nSources * graft.text.CurationOps.SourceCap)
+  }
+
   test("source cap never admits more than the quota and binds on big sources") {
     val rows = CurationOps.sourceCap(spark, sfDir).collect()
     assert(rows.nonEmpty)
