@@ -167,7 +167,16 @@ object Bench {
         // the native merge as-of join: per-side exchange + sort over 10× events
         "q_asof_native",
         // PQ ADC search: the codes relation grows 10×, the per-query LUT doesn't
-        "q_pq_adc_topk")
+        "q_pq_adc_topk",
+        // cross-doc chunk dedup: grouped-min + join-back over 10× chunks
+        "q_line_dedup_cross",
+        // classifier distillation: 10× feature volume through the bounded
+        // hashed-model train + broadcast apply
+        "q_quality_classifier",
+        // iterated BPE: 6 rounds of grouped aggregates over a 10× vocabulary
+        "q_bpe_train",
+        // the composed curation funnel (CC + gate + decontaminate + cap)
+        "q_curation_funnel")
       val uniformRows = probeQueries.flatMap { name =>
         SparkEntry.queries.get(name).map(fn => probeRow(name, name, probeDir, fn))
       }
@@ -181,8 +190,16 @@ object Bench {
       val twoSided = probeRow("q_pq_adc_topk_bothsides", "q_pq_adc_topk", probeDir,
         (s, d) => graft.ann.SimilarityOps.pqAdcTopK(s, d, nQueries = 100),
         extra = s""","work_factor":${factor * factor}""")
+      // Hamming self-join with a FIXED 256-value band alphabet is O(n²/256)
+      // by design — at 10× rows the in-bucket candidate space grows 100×, so
+      // this is a two-sided-style row (per-unit bar, not the uniform max).
+      // The corpus-scale remedy is wider fingerprints with 16-bit bands, not
+      // a different join shape.
+      val imageFixedBands = probeRow("q_image_neardup_fixedbands", "q_image_neardup",
+        probeDir, graft.multimodal.MediaOps.imageNearDup(_, _),
+        extra = s""","work_factor":${factor * factor}""")
       cleanup(probeDir)
-      val rows = uniformRows :+ twoSided
+      val rows = uniformRows :+ twoSided :+ imageFixedBands
       val worst = uniformRows.map(_._1).filterNot(_ < 0).foldLeft(0.0)(math.max)
       val twoSidedPerUnit =
         if (twoSided._1 < 0) -1.0 else twoSided._1 / (factor.toDouble * factor)
@@ -254,6 +271,9 @@ object Bench {
         // hot-postings dedup family (all df-capped now)
         "q_ngram_jaccard_pairs", "q_jaccard_capped", "q_substr_dup",
         "q_shared_shingles",
+        // hot-chunk cross-doc dedup (grouped-min dimension side, AQE-split
+        // probe side) and hot-feature classifier (two-stage agg + broadcast)
+        "q_line_dedup_cross", "q_quality_classifier",
         // hot-orderkey join (AQE skew-join split)
         "q_star_join")
       val rows = skewQueries.flatMap { name =>

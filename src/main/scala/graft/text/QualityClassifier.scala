@@ -43,23 +43,33 @@ object QualityClassifier {
   private def featureHash(f: org.apache.spark.sql.Column) =
     conv(substring(md5(f), 1, 8), 16, 10).cast("long") % HashDim
 
-  def distillAndScore(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The weak stopword-gate label as a column over `text`. */
+  private def weakLabel = {
     val toks = TextOps.tokens(col("text"))
+    when(lit(10) * size(filter(toks, t => t === "the" || t === "a"))
+      < size(toks), 1L).otherwise(0L)
+  }
+
+  /** Hashed unigram+bigram feature rows: (doc_id, <carry...>, fh), one row
+    * per feature OCCURRENCE. Shared by training, batch scoring and the
+    * streaming inference sink, so the three paths cannot drift.
+    */
+  private def featuresWith(docs: DataFrame, carry: Seq[String]): DataFrame = {
+    val cc = col("doc_id") +: carry.map(col)
+    val base = docs.select(cc :+ TextOps.tokens(col("text")).as("toks"): _*)
+    val uni = base.select(cc :+ explode(col("toks")).as("f"): _*)
+    val bi = base.select(cc :+ explode(transform(
+      sequence(lit(1), size(col("toks")) - 1),
+      i => concat_ws("_", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+      .as("f"): _*)
+    uni.unionByName(bi).select(cc :+ featureHash(col("f")).as("fh"): _*)
+  }
+
+  def distillAndScore(spark: SparkSession, sfDir: String): DataFrame = {
     val labeled = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), toks.as("toks"))
-      .withColumn(
-        "hi",
-        when(lit(10) * size(filter(col("toks"), t => t === "the" || t === "a"))
-          < size(col("toks")), 1L).otherwise(0L))
-    val uni = labeled.select(col("doc_id"), col("hi"), explode(col("toks")).as("f"))
-    val bi = labeled.select(
-      col("doc_id"), col("hi"),
-      explode(transform(
-        sequence(lit(1), size(col("toks")) - 1),
-        i => concat_ws("_", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
-        .as("f"))
-    val feats = uni.unionByName(bi)
-      .select(col("doc_id"), col("hi"), featureHash(col("f")).as("fh"))
+      .select(col("doc_id"), col("text"))
+      .withColumn("hi", weakLabel)
+    val feats = featuresWith(labeled, Seq("hi"))
 
     val prior = feats.agg(expr("(1000000 * sum(hi)) div count(*)").as("p0_ppm"))
     // Per-feature counts compress the corpus to ≤ HashDim rows BEFORE the
@@ -129,6 +139,70 @@ object QualityClassifier {
        |       CAST(sc.label_hi AS INT) AS label_hi,
        |       CAST(CASE WHEN sc.s_ppm > t.mid THEN 1 ELSE 0 END AS INT) AS pred_hi
        |FROM scored sc, thr t ORDER BY sc.doc_id""".stripMargin
+
+  /** A trained model: the broadcastable weight table plus the two trained
+    * scalars (feature-occurrence prior and the class-midpoint operating
+    * point). The weights frame is lineage-truncated so a long-lived stream
+    * never re-derives the training plan.
+    */
+  final case class Model(weights: DataFrame, p0Ppm: Long, midPpm: Long)
+
+  /** Train the distilled model once over the batch corpus — the same
+    * pipeline [[distillAndScore]] runs, with the two scalars materialized to
+    * the driver (model state, O(1)) so [[score]] can apply the model to ANY
+    * relation, including each micro-batch of a stream.
+    */
+  def train(spark: SparkSession, sfDir: String): Model = {
+    val labeled = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("hi", weakLabel)
+    val feats = featuresWith(labeled, Seq("hi"))
+    val p0 = feats.agg(expr("(1000000 * sum(hi)) div count(*)")).head().getLong(0)
+    val weights = feats.groupBy("fh")
+      .agg(expr(s"(1000000 * sum(hi) + $SmoothK * ${p0}L) div (count(*) + $SmoothK)").as("w_ppm"))
+      .localCheckpoint()
+    val mid = feats.join(broadcast(weights), Seq("fh"))
+      .groupBy("doc_id")
+      .agg(max("hi").as("label_hi"), count(lit(1)).as("n_feats"), sum("w_ppm").as("sc"))
+      .select(col("label_hi"), expr("sc div n_feats").as("s_ppm"))
+      .agg(expr(
+        """((sum(CASE WHEN label_hi = 1 THEN s_ppm END) div sum(CASE WHEN label_hi = 1 THEN 1 END))
+          | + (sum(CASE WHEN label_hi = 0 THEN s_ppm END) div sum(CASE WHEN label_hi = 0 THEN 1 END))) div 2
+          |""".stripMargin))
+      .head().getLong(0)
+    Model(weights, p0, mid)
+  }
+
+  /** Apply a trained model to any (doc_id, text) relation: the broadcast
+    * model join + per-doc aggregate, no training-side state. Output matches
+    * [[distillAndScore]]'s scoring columns (minus the training label).
+    */
+  def score(docs: DataFrame, m: Model): DataFrame =
+    featuresWith(docs.select("doc_id", "text"), Seq.empty)
+      .join(broadcast(m.weights), Seq("fh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("w_ppm").as("sc"))
+      .select(
+        col("doc_id"),
+        col("n_feats").cast("int").as("n_feats"),
+        expr("sc div n_feats").cast("long").as("score_ppm"),
+        when(expr("sc div n_feats") > m.midPpm, 1).otherwise(0).cast("int").as("pred_hi"))
+
+  /** Streaming inference: score each micro-batch of documents with the
+    * frozen model and land the scores as a replay-idempotent `batch=<id>`
+    * segment — the train-batch/serve-stream split every production quality
+    * filter runs (the model is a broadcast join per batch; no streaming
+    * state at all, so a checkpoint replay rewrites identical rows).
+    */
+  def scoringSink(
+      docsStream: DataFrame, m: Model, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        score(batch, m).write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_classifier" -> (distillAndScore(_, _))

@@ -247,6 +247,30 @@ class TextAndMediaSpec extends AnyFunSuite with SharedSpark {
     rows.foreach(r => assert(exact(r.getString(0)) == r.getLong(1)))
   }
 
+  test("streaming model scoring equals the batch distillation and replays idempotently") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("qc_stream").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    val m = graft.text.QualityClassifier.train(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    docs.filter(col("doc_id") < 250).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def start() = graft.text.QualityClassifier.scoringSink(
+      spark.readStream.schema(schema).parquet(src), m, out, ckpt).start()
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // second file lands while the query is down; restart resumes from ckpt
+    docs.filter(col("doc_id") >= 250).write.mode("append").parquet(src)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val got = spark.read.option("basePath", out).parquet(out)
+      .select("doc_id", "score_ppm", "pred_hi").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val want = graft.text.QualityClassifier.distillAndScore(spark, sfDir)
+      .select("doc_id", "score_ppm", "pred_hi").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got == want, "streamed scores diverged from the batch distillation")
+  }
+
   test("iterated BPE training matches a driver-side greedy reference merge-for-merge") {
     val got = graft.text.TextOps.bpeTrain(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getString(2), r.getLong(3)))
