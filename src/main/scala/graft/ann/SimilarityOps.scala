@@ -387,6 +387,108 @@ object SimilarityOps {
        |GROUP BY 1 ORDER BY centroid_id""".stripMargin
   }
 
+  /** Recentering rounds for the iterated trainer ([[kmeansIter]]). */
+  val KmeansIters = 3
+
+  /** K-MEANS TRAINING ITERATED — the loop [[kmeansStep]] is one round of and
+    * [[IvfIndex.recluster]] runs over its sampled index rows, here as an
+    * oracle-checked operator over the embedding corpus: `iters` full Lloyd
+    * rounds (assign under the current centroids → per-cell decimal mean →
+    * recenter; an emptied cell keeps its old centroid), then the
+    * [[kmeansStep]]-shaped cell ledger under the TRAINED centroids.
+    *
+    * Every round is one assignment map plus one (cell, dim)-grouped decimal
+    * sum with map-side combine — the shuffle carries k·dim partial sums per
+    * partition, never vectors — and the driver holds exactly the k×dim mean
+    * matrix per round (model state, same discipline as the BPE and PageRank
+    * loops). Cross-engine exactness: per-row dot products fold dimensions in
+    * ascending order in both engines, cell sums go through DECIMAL(18,6),
+    * and the recentered coordinates are the IEEE quotient of that exact
+    * decimal by the exact count — so three rounds of float geometry stay
+    * bit-identical to the unrolled DuckDB restatement.
+    */
+  def kmeansIter(spark: SparkSession, sfDir: String, iters: Int = KmeansIters): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .localCheckpoint() // scanned once per round + once for the ledger
+    var cents: IndexedSeq[Array[Double]] = centroids
+    (1 to iters).foreach { _ =>
+      val stats = withCentroidAssignment(e, "v", cents)
+        .select(col("centroid_id").cast("int").as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(
+          sum(col("x").cast(DecimalType(18, 6))).cast(DoubleType).as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      cents = cents.indices.map { cell =>
+        val rows = stats.filter(_.getInt(0) == cell)
+        if (rows.isEmpty) cents(cell)
+        else rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toArray
+      }
+    }
+    def dsum6(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+    withCentroidAssignment(e, "v", cents)
+      .select(col("centroid_id"), col("v"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n"),
+        (1 to KmeansEmitDims).map(i => dsum6(element_at(col("v"), i)).as(s"s_$i")): _*)
+      .orderBy("centroid_id")
+  }
+
+  /** Unrolled Lloyd rounds in DuckDB: cents{r} re-derived from round r's
+    * exact decimal cell means, empty cells falling back to the prior
+    * coordinates, final ledger under cents{iters}.
+    */
+  def kmeansIterSql(iters: Int = KmeansIters): String = {
+    val kVals = (0 until NumCentroids).map(k => s"($k)").mkString(", ")
+    val cte = Seq.newBuilder[String]
+    cte += s"""e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |dims AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+      |cents_0 AS (
+      |  SELECT t.k,
+      |         list_transform(generate_series(1, $Dim), i ->
+      |           (CAST('0x' || substr(md5('ivf_' || t.k || '_' || i), 1, 8) AS BIGINT) / 4294967296.0) - 0.5) AS c
+      |  FROM (VALUES $kVals) AS t(k)),
+      |cc_0 AS (SELECT k, c, list_sum(list_transform(c, x -> x * x)) AS c2 FROM cents_0)""".stripMargin
+    def assignCte(r: Int, from: String): String =
+      s"""d_$r AS (
+        |  SELECT e.vec_id, e.v, cc.k,
+        |         cc.c2 - 2 * list_sum(list_transform(generate_series(1, $Dim), i -> e.v[i] * cc.c[i])) AS d
+        |  FROM e CROSS JOIN $from cc),
+        |a_$r AS (
+        |  SELECT vec_id, v, k AS centroid_id FROM (
+        |    SELECT vec_id, v, k, row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+        |    FROM d_$r)
+        |  WHERE rn = 1)""".stripMargin
+    (1 to iters).foreach { r =>
+      cte += assignCte(r, s"cc_${r - 1}")
+      cte += s"""m_$r AS (
+        |  SELECT centroid_id AS k, dims.i AS pos,
+        |         CAST(SUM(CAST(v[dims.i] AS DECIMAL(18,6))) AS DOUBLE) AS sx, count(*) AS n
+        |  FROM a_$r CROSS JOIN dims GROUP BY 1, 2),
+        |cx_$r AS (
+        |  SELECT pk.k, dims.i AS pos, coalesce(m.sx / m.n, pk.c[dims.i]) AS x
+        |  FROM cents_${r - 1} pk CROSS JOIN dims
+        |  LEFT JOIN m_$r m ON m.k = pk.k AND m.pos = dims.i),
+        |cents_$r AS (
+        |  SELECT k, list(x ORDER BY pos) AS c FROM cx_$r GROUP BY k),
+        |cc_$r AS (SELECT k, c, list_sum(list_transform(c, x -> x * x)) AS c2 FROM cents_$r)""".stripMargin
+    }
+    cte += assignCte(iters + 1, s"cc_$iters")
+    val sums = (1 to KmeansEmitDims)
+      .map(i => s"CAST(SUM(CAST(v[$i] AS DECIMAL(18,6))) AS DOUBLE) AS s_$i")
+      .mkString(",\n       ")
+    s"""WITH ${cte.result().mkString(",\n")}
+       |SELECT CAST(centroid_id AS INT) AS centroid_id, count(*) AS n,
+       |       $sums
+       |FROM a_${iters + 1}
+       |GROUP BY 1 ORDER BY centroid_id""".stripMargin
+  }
+
   /** Per-cell embedding outliers: inside each IVF cell, the vectors farthest
     * from their assigned centroid — the embedding-space analog of the
     * distance-based pruning step in curation pipelines (mislabeled or
@@ -1056,6 +1158,7 @@ object SimilarityOps {
     "q_pq_codes" -> (pqCodes(_, _)),
     "q_pq_adc_topk" -> (pqAdcTopK(_, _)),
     "q_kmeans_step" -> (kmeansStep(_, _)),
+    "q_kmeans_iter" -> (kmeansIter(_, _)),
     "q_semdedup" -> (semDedup(_, _)),
     "q_embed_outliers" -> (embedOutliers(_, _)),
     "q_quantize_sq8" -> (quantizeSq8(_, _)),
@@ -1075,6 +1178,7 @@ object SimilarityOps {
     "q_pq_codes" -> pqCodesSql,
     "q_pq_adc_topk" -> pqAdcTopKSql(),
     "q_kmeans_step" -> kmeansStepSql,
+    "q_kmeans_iter" -> kmeansIterSql(),
     "q_semdedup" -> semDedupSql(),
     "q_embed_outliers" -> embedOutliersSql(),
     "q_quantize_sq8" -> quantizeSq8Sql,

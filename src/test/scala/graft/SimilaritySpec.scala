@@ -116,6 +116,46 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("iterated kmeans strictly improves WCSS over the seed and matches a driver Lloyd loop") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def assign(cents: IndexedSeq[Array[Double]], v: Array[Double]): Int =
+      cents.indices.minBy { k =>
+        val c = cents(k)
+        (v.indices.map(i => (v(i) - c(i)) * (v(i) - c(i))).sum, k)
+      }
+    def wcss(cents: IndexedSeq[Array[Double]]): Double =
+      vecs.map { case (_, v) =>
+        val c = cents(assign(cents, v))
+        v.indices.map(i => (v(i) - c(i)) * (v(i) - c(i))).sum
+      }.sum
+    // driver-side Lloyd loop, same rounds (float means — reference is
+    // approximate, so counts are compared exactly and sums loosely)
+    var cents = SimilarityOps.centroids
+    (1 to SimilarityOps.KmeansIters).foreach { _ =>
+      val byCell = vecs.groupBy { case (_, v) => assign(cents, v) }
+      cents = cents.indices.map { k =>
+        byCell.get(k).fold(cents(k)) { vs =>
+          Array.tabulate(vs.head._2.length)(i => vs.map(_._2(i)).sum / vs.size)
+        }
+      }
+    }
+    assert(wcss(cents) < wcss(SimilarityOps.centroids),
+      "three Lloyd rounds must improve on the md5-seeded centroids")
+    val q = SimilarityOps.kmeansIter(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val refCounts = vecs.groupBy { case (_, v) => assign(cents, v) }
+      .map { case (k, vs) => k -> vs.length.toLong }
+    assert(q.view.mapValues(_._1).toMap == refCounts,
+      s"trained-cell populations diverged: $q vs $refCounts")
+    refCounts.foreach { case (k, _) =>
+      val refS1 = vecs.filter { case (_, v) => assign(cents, v) == k }.map(_._2(0)).sum
+      assert(math.abs(q(k)._2 - refS1) < 1e-3, s"cell $k dim-1 sum off")
+    }
+  }
+
   test("semdedup drops exactly the in-cell vectors with a lower-id near-dup") {
     import org.apache.spark.sql.functions._
     val cells = SimilarityOps.ivfAssignments(spark, sfDir).collect()
