@@ -125,12 +125,25 @@ object MediaCodec {
   }
 
   private def decodeWav(b: Array[Byte]): Decoded = {
+    val (rate, channels, bits, dataOff, dataSize) = decodeWavBody(b)
+    val _ = dataOff
+    Decoded(0, 0, dataSize.toDouble * 8 / (rate.toLong * channels * bits))
+  }
+
+  /** Strict RIFF/WAVE parse that also returns the PCM body location, for
+    * stages that read the samples themselves (audio fingerprinting).
+    * Returns (rate, channels, bits, dataOffset, dataSize); same validation
+    * as the feature decode.
+    */
+  def decodeWavBody(b: Array[Byte]): (Int, Int, Int, Int, Int) = {
     val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    if (b.length < 12 || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE")
+      fail("WAV: not a RIFF/WAVE container")
     val riffSize = buf.getInt(4)
     if (riffSize != b.length - 8) fail(s"WAV: RIFF size $riffSize vs ${b.length - 8}")
     // walk chunks for fmt and data
     var pos = 12
-    var rate = -1; var channels = -1; var bits = -1; var dataSize = -1
+    var rate = -1; var channels = -1; var bits = -1; var dataSize = -1; var dataOff = -1
     while (pos + 8 <= b.length) {
       val id = ascii(b, pos, 4)
       val size = buf.getInt(pos + 4)
@@ -141,13 +154,14 @@ object MediaCodec {
         bits = buf.getShort(pos + 22)
       } else if (id == "data") {
         dataSize = size
+        dataOff = pos + 8
         if (pos + 8 + size != b.length) fail("WAV: data chunk size mismatch")
       }
       pos += 8 + size + (size & 1) // chunks are word-aligned
     }
     if (rate <= 0 || channels <= 0 || bits <= 0 || dataSize < 0)
       fail("WAV: missing fmt or data chunk")
-    Decoded(0, 0, dataSize.toDouble * 8 / (rate.toLong * channels * bits))
+    (rate, channels, bits, dataOff, dataSize)
   }
 
   private def decodeY4m(b: Array[Byte]): Decoded = {

@@ -428,6 +428,110 @@ object MediaOps {
        |    + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= $AHashMaxDist
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ----------------------------------------------------------- audio fp
+
+  case class AudioFp(doc_id: Long, n_samples: Long, fp_hi: Long, fp_lo: Long)
+
+  /** 64-bit audio energy fingerprint from REAL decoded PCM samples: the
+    * track splits into 64 floor-grid windows, each window's summed
+    * amplitude-energy (|s−128| for 8-bit PCM) compares against the track
+    * mean in exact integers (`E_w·N > E·C_w` — the [[aHashOf]] bit rule in
+    * time rather than space). Robust to uniform gain in the same way aHash
+    * is robust to uniform brightness; the near-dup path reuses the same
+    * [[graft.dedup.FingerprintIndex]] banding.
+    */
+  private[graft] def audioFpOf(b: Array[Byte]): (Long, Long, Long) = {
+    val (_, channels, bits, off, dataSize) = MediaCodec.decodeWavBody(b)
+    if (channels != 1 || bits != 8) // the engine's wire format; other PCM
+      throw new IllegalArgumentException(s"audioFp: expect 8-bit mono, got ${bits}b×$channels")
+    val n = dataSize
+    val ew = new Array[Long](64)
+    val cw = new Array[Long](64)
+    var t = 0L
+    var i = 0
+    while (i < n) {
+      val e = math.abs((b(off + i) & 0xff) - 128).toLong
+      val w = (i.toLong * 64 / n).toInt
+      ew(w) += e; cw(w) += 1; t += e
+      i += 1
+    }
+    var hi = 0L; var lo = 0L
+    var w = 0
+    while (w < 64) {
+      if (ew(w) * n > t * cw(w)) {
+        if (w >= 32) hi |= 1L << (w - 32) else lo |= 1L << w
+      }
+      w += 1
+    }
+    (n.toLong, hi, lo)
+  }
+
+  /** Fingerprint table over the audio payloads: encode real WAV bytes,
+    * parse them back strictly, fingerprint the ACTUAL samples (oracle
+    * re-derives every sample from the generator formula — certifies the
+    * byte decode). Narrow mapPartitions, no shuffle.
+    */
+  def audioFingerprints(spark: SparkSession, sfDir: String): Dataset[AudioFp] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .filter(col("media_type") === "audio")
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val bytes = MediaCodec.encodeWav(audioSamples(r.content.length), r.doc_id)
+        val (n, hi, lo) = audioFpOf(bytes)
+        AudioFp(r.doc_id, n, hi, lo)
+      })
+  }
+
+  def qAudioFp(spark: SparkSession, sfDir: String): DataFrame =
+    audioFingerprints(spark, sfDir).toDF().orderBy("doc_id")
+
+  /** Shared oracle CTE ending in `afp(doc_id, ns, fp_hi, fp_lo)`. */
+  private val AudioFpCte: String =
+    """auds AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |par AS (SELECT doc_id, (1 + n % 24) * 800 AS ns FROM auds),
+      |sm AS (
+      |  SELECT p.doc_id, p.ns, s.i,
+      |         abs(((p.doc_id*131 + s.i*31) & 255) - 128) AS e
+      |  FROM par p, LATERAL (SELECT unnest(generate_series(0, p.ns - 1)) AS i) s),
+      |wins AS (
+      |  SELECT doc_id, ns, (i * 64) // ns AS w, sum(e) AS ew, count(*) AS cw
+      |  FROM sm GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, sum(ew) AS et, sum(cw) AS nn FROM wins GROUP BY 1),
+      |abits AS (
+      |  SELECT w.doc_id, w.ns, w.w, CASE WHEN w.ew * t.nn > t.et * w.cw THEN 1 ELSE 0 END AS bit
+      |  FROM wins w JOIN tot t USING (doc_id)),
+      |afp AS (
+      |  SELECT doc_id, CAST(any_value(ns) AS BIGINT) AS ns,
+      |         CAST(sum(CASE WHEN w >= 32 THEN bit * (1::BIGINT << (w - 32)) ELSE 0 END) AS BIGINT) AS fp_hi,
+      |         CAST(sum(CASE WHEN w <  32 THEN bit * (1::BIGINT << w) ELSE 0 END) AS BIGINT) AS fp_lo
+      |  FROM abits GROUP BY doc_id)""".stripMargin
+
+  val audioFpSql: String =
+    s"""WITH $AudioFpCte
+       |SELECT doc_id, ns AS n_samples, fp_hi, fp_lo
+       |FROM afp ORDER BY doc_id""".stripMargin
+
+  /** Audio near-duplicate pairs through the shared hamming band machinery. */
+  def audioNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.FingerprintIndex.pairsWithin(
+      audioFingerprints(spark, sfDir).toDF()
+        .select(col("doc_id").as("id"), col("fp_hi"), col("fp_lo")),
+      AHashMaxDist)
+      .orderBy("id_a", "id_b")
+
+  val audioNearDupSql: String =
+    s"""WITH $AudioFpCte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.fp_hi, b.fp_hi))
+       |          + bit_count(xor(a.fp_lo, b.fp_lo)) AS INT) AS hamming
+       |FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp_hi, b.fp_hi))
+       |    + bit_count(xor(a.fp_lo, b.fp_lo)) <= $AHashMaxDist
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** The [[graft.dedup.FingerprintIndex]] band-table schema as an
     * oracle-checked query — the exact rows `appendBatch` persists for the
     * image fingerprints (the hamming analogue of `q_lsh_band_index`).
@@ -453,7 +557,9 @@ object MediaOps {
     "q_audio_segments" -> (audioSegments(_, _)),
     "q_image_ahash" -> (qImageAHash(_, _)),
     "q_image_neardup" -> (imageNearDup(_, _)),
-    "q_fp_band_index" -> (qFpBandIndex(_, _))
+    "q_fp_band_index" -> (qFpBandIndex(_, _)),
+    "q_audio_fp" -> (qAudioFp(_, _)),
+    "q_audio_neardup" -> (audioNearDup(_, _))
   )
 
   def oracle: Map[String, String] = Map(
@@ -464,6 +570,8 @@ object MediaOps {
     "q_audio_segments" -> audioSegmentsSql,
     "q_image_ahash" -> imageAHashSql,
     "q_image_neardup" -> imageNearDupSql,
-    "q_fp_band_index" -> fpBandIndexSql
+    "q_fp_band_index" -> fpBandIndexSql,
+    "q_audio_fp" -> audioFpSql,
+    "q_audio_neardup" -> audioNearDupSql
   )
 }

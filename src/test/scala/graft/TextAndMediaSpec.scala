@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.text.TextOps
-import graft.multimodal.MediaOps
+import graft.multimodal.{MediaCodec, MediaOps}
 
 class TextAndMediaSpec extends AnyFunSuite with SharedSpark {
 
@@ -318,6 +318,35 @@ class TextAndMediaSpec extends AnyFunSuite with SharedSpark {
     assert(MediaOps.aHashOf(half) == ((w, h, 0xFFFFFFFFL, 0L)))
     // tampered payload (padded body) must be rejected, not silently hashed
     intercept[IllegalArgumentException](MediaOps.aHashOf(flat :+ 0.toByte))
+  }
+
+  test("audio fingerprint reads real PCM: silence is all-zero, a loud half sets its windows") {
+    // synthesize a valid WAV, then patch the PCM body through the strict
+    // parser's own offset: first half silence (128), second half full-swing
+    val bytes = MediaCodec.encodeWav(1600, seed = 9L)
+    val (_, _, _, off, n) = MediaCodec.decodeWavBody(bytes)
+    java.util.Arrays.fill(bytes, off, off + n / 2, 128.toByte)
+    (n / 2 until n).foreach(i => bytes(off + i) = (if (i % 2 == 0) 0 else 255).toByte)
+    val (ns, hi, lo) = MediaOps.audioFpOf(bytes)
+    assert(ns == 1600L && hi == 0xFFFFFFFFL && lo == 0L)
+    // all-silence track: no window exceeds the mean
+    java.util.Arrays.fill(bytes, off, off + n, 128.toByte)
+    assert(MediaOps.audioFpOf(bytes) == ((1600L, 0L, 0L)))
+    // tampered container (truncated) must be rejected, not silently hashed
+    intercept[IllegalArgumentException](MediaOps.audioFpOf(bytes.dropRight(1)))
+  }
+
+  test("banded audio near-dup equals the all-pairs answer") {
+    val dir = "/root/testdata/sf0.01"
+    val fps = MediaOps.audioFingerprints(spark, dir).collect()
+    val brute = (for {
+      a <- fps; b <- fps if a.doc_id < b.doc_id
+      d = java.lang.Long.bitCount(a.fp_hi ^ b.fp_hi) + java.lang.Long.bitCount(a.fp_lo ^ b.fp_lo)
+      if d <= MediaOps.AHashMaxDist
+    } yield (a.doc_id, b.doc_id, d)).toSet
+    val banded = MediaOps.audioNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty && banded == brute)
   }
 
   test("banded image near-dup equals the all-pairs answer (pigeonhole exactness)") {
