@@ -746,6 +746,67 @@ object CurationOps {
        |GROUP BY c.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
+  /** Negatives drawn per anchor and the anchor slice bound. */
+  val NegSamplesPerAnchor = 4
+  val NegAnchorMaxId = 50L
+
+  /** Deterministic negative sampling for contrastive training: each anchor
+    * document draws [[NegSamplesPerAnchor]] candidate ids from an
+    * md5-uniform hash of (anchor, draw index) over the dense doc-id space,
+    * then drops self-draws and — the part plain random sampling gets wrong —
+    * any candidate that is a NEAR-DUPLICATE of its anchor (anti-join against
+    * the symmetric jaccard pair set), so a "negative" is never secretly a
+    * positive. Draws are pure column arithmetic (reproducible across runs,
+    * engines and cluster layouts); the anti-join keys on (anchor, candidate)
+    * — pair-set sized, broadcastable at corpus scale since near-dup pairs
+    * are sparse. Survivor count per anchor varies (that is the honest
+    * contract of rejection sampling; a training loader draws more rounds as
+    * needed).
+    */
+  def negativeSamples(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val pairs = graft.dedup.DedupOps.ngramJaccardPairs(spark, sfDir)
+      .select(col("id_a"), col("id_b"))
+    val sym = pairs.unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val drawn = docs.filter(col("doc_id") < NegAnchorMaxId)
+      .select(col("doc_id").as("anchor_id"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("anchor_id"), explode(sequence(lit(1), lit(NegSamplesPerAnchor))).as("j"),
+        col("n_docs"))
+      .withColumn("neg_id",
+        conv(substring(md5(concat(lit("neg_"), col("anchor_id").cast("string"),
+          lit("_"), col("j").cast("string"))), 1, 8), 16, 10).cast("long") % col("n_docs"))
+      .filter(col("neg_id") =!= col("anchor_id"))
+    drawn.join(sym,
+        drawn("anchor_id") === sym("id_a") && drawn("neg_id") === sym("id_b"),
+        "left_anti")
+      .select(col("anchor_id"), col("j").cast("int").as("j"), col("neg_id"))
+      .orderBy("anchor_id", "j")
+  }
+
+  val negativeSamplesSql: String =
+    s"""WITH ${graft.dedup.DedupOps.jaccardCtes(0.6)},
+       |sym AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |drawn AS (
+       |  SELECT d.doc_id AS anchor_id, j.j,
+       |         CAST('0x' || substr(md5('neg_' || CAST(d.doc_id AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)), 1, 8) AS BIGINT)
+       |           % (SELECT n_docs FROM nd) AS neg_id
+       |  FROM documents d,
+       |       (SELECT unnest(generate_series(1, $NegSamplesPerAnchor)) AS j) j
+       |  WHERE d.doc_id < $NegAnchorMaxId)
+       |SELECT anchor_id, CAST(j AS INT) AS j, neg_id
+       |FROM drawn dr
+       |WHERE dr.neg_id != dr.anchor_id
+       |  AND NOT EXISTS (SELECT 1 FROM sym s
+       |                  WHERE s.id_a = dr.anchor_id AND s.id_b = dr.neg_id)
+       |ORDER BY anchor_id, j""".stripMargin
+
   // -------------------------------------------------------------------------
   // Per-source quota capping
   // -------------------------------------------------------------------------
@@ -910,7 +971,8 @@ object CurationOps {
     "q_vocab_drift" -> (vocabDrift(_, _)),
     "q_oov_rate" -> (oovRate(_, _)),
     "q_dedup_lines" -> (dedupLines(_, _)),
-    "q_line_dedup_cross" -> (lineDedupCross(_, _))
+    "q_line_dedup_cross" -> (lineDedupCross(_, _)),
+    "q_negative_samples" -> (negativeSamples(_, _))
   )
 
   def oracle: Map[String, String] = Map(
@@ -931,6 +993,7 @@ object CurationOps {
     "q_vocab_drift" -> vocabDriftSql(),
     "q_oov_rate" -> oovRateSql,
     "q_dedup_lines" -> dedupLinesSql,
-    "q_line_dedup_cross" -> lineDedupCrossSql
+    "q_line_dedup_cross" -> lineDedupCrossSql,
+    "q_negative_samples" -> negativeSamplesSql
   )
 }

@@ -287,6 +287,29 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(rows(4)._3 <= nSources * graft.text.CurationOps.SourceCap)
   }
 
+  test("negative samples are deterministic and never a self or near-dup positive") {
+    val rows = CurationOps.negativeSamples(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, j, n) =>
+      assert(a != n, s"self draw survived: $a")
+      assert(j >= 1 && j <= CurationOps.NegSamplesPerAnchor)
+    }
+    rows.groupBy(_._1).foreach { case (a, rs) =>
+      assert(rs.length <= CurationOps.NegSamplesPerAnchor, s"anchor $a over-drew")
+    }
+    // rejection really fires against the near-dup pair set
+    val positives = graft.dedup.DedupOps.ngramJaccardPairs(spark, sfDir).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    rows.foreach { case (a, _, n) =>
+      assert(!positives.contains((a, n)), s"near-dup ($a,$n) emitted as a negative")
+    }
+    // bit-for-bit reproducible across runs
+    val again = CurationOps.negativeSamples(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.sameElements(again))
+  }
+
   test("source cap never admits more than the quota and binds on big sources") {
     val rows = CurationOps.sourceCap(spark, sfDir).collect()
     assert(rows.nonEmpty)
