@@ -410,12 +410,23 @@ object Bench {
       graft.ann.IvfIndex.materialize(spark, embs, s"$base/ivf")
       val ivfSearchSec = time2(graft.ann.IvfIndex.search(
         spark, s"$base/ivf", embs.filter(col("vec_id") < 10), 3, 2).count())
+      // hamming fingerprint index: one-shot = rehash + all-band self-join of
+      // the whole image corpus; probe = a 2% batch against the stored bands
+      // (zero-shuffle broadcast probe)
+      val fps = graft.multimodal.MediaOps.imageFingerprints(spark, sfDir)
+      val fpFullSec = time2(
+        graft.multimodal.MediaOps.imageNearDup(spark, sfDir).count())
+      graft.dedup.FingerprintIndex.materialize(spark, fps, s"$base/fp")
+      val fpBatch = fps.filter(col("id") % 50 === 0)
+      val fpProbeSec = time2(graft.dedup.FingerprintIndex.candidates(
+        spark, s"$base/fp", fpBatch).count())
       cleanup(base)
       def leg(name: String, full: Double, probe: Double) =
         s""""$name":{"one_shot_sec":$full,"index_probe_sec":$probe,""" +
           s""""speedup":${if (probe > 0) full / probe else -1.0}}"""
       s""","index_serving":{${leg("lsh_batch_candidates", lshFullSec, lshProbeSec)},""" +
-        s"""${leg("ivf_topk_search", ivfFullSec, ivfSearchSec)}}"""
+        s"""${leg("ivf_topk_search", ivfFullSec, ivfSearchSec)},""" +
+        s"""${leg("fp_hamming_candidates", fpFullSec, fpProbeSec)}}"""
     } catch { case t: Throwable => s""","index_serving":{"error":"${jsonErr(t)}"}""" }
 
     // Streaming throughput vs BASELINE.md's one published number (≥100k
