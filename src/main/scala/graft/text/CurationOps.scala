@@ -683,9 +683,10 @@ object CurationOps {
   /** CROSS-document chunk dedup (the C4/CCNet corpus discipline, where
     * [[dedupLines]] is the intra-document form): a chunk that occurs
     * anywhere else in the corpus survives only at its globally first
-    * occurrence — ordered by (doc_id, chunk_idx), packed into one integer
-    * key (docs are bounded at 10⁶ chunks ≈ 10⁷ tokens, the practical
-    * pretraining ceiling). The first-occurrence table is a grouped `min` —
+    * occurrence — ordered by (doc_id, chunk_idx), carried as a STRUCT key so
+    * lexicographic min is exact at any chunk count (a packed
+    * doc_id·10⁶+idx integer would silently corrupt ordering past 10⁶
+    * chunks/doc). The first-occurrence table is a grouped `min` —
     * map-side combinable, one row per DISTINCT chunk — joined back on the
     * chunk text: the same compress-then-join shape as the two-stage df
     * rework, so a corpus-dominating boilerplate chunk becomes one dimension
@@ -707,9 +708,9 @@ object CurationOps {
           .as("chunk"))
     val firsts = chunks
       .groupBy("chunk")
-      .agg(min(col("doc_id") * 1000000 + col("chunk_idx")).as("first_key"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first_key"))
     chunks.join(firsts, Seq("chunk"))
-      .withColumn("kept", col("doc_id") * 1000000 + col("chunk_idx") === col("first_key"))
+      .withColumn("kept", struct(col("doc_id"), col("chunk_idx")) === col("first_key"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -734,13 +735,13 @@ object CurationOps {
        |               unnest(generate_series(1, len(toks), $LineChunk)) AS start
        |        FROM t)),
        |firsts AS (
-       |  SELECT chunk, min(doc_id * 1000000 + chunk_idx) AS first_key
+       |  SELECT chunk, min({'d': doc_id, 'c': chunk_idx}) AS first_key
        |  FROM chunks GROUP BY chunk)
        |SELECT c.doc_id,
        |       count(*) AS n_chunks,
-       |       count(CASE WHEN c.doc_id * 1000000 + c.chunk_idx = f.first_key THEN 1 END) AS n_kept,
+       |       count(CASE WHEN {'d': c.doc_id, 'c': c.chunk_idx} = f.first_key THEN 1 END) AS n_kept,
        |       md5(coalesce(string_agg(
-       |         CASE WHEN c.doc_id * 1000000 + c.chunk_idx = f.first_key THEN c.chunk END,
+       |         CASE WHEN {'d': c.doc_id, 'c': c.chunk_idx} = f.first_key THEN c.chunk END,
        |         ' ' ORDER BY c.chunk_idx), '')) AS kept_fp
        |FROM chunks c JOIN firsts f USING (chunk)
        |GROUP BY c.doc_id
@@ -779,8 +780,15 @@ object CurationOps {
         conv(substring(md5(concat(lit("neg_"), col("anchor_id").cast("string"),
           lit("_"), col("j").cast("string"))), 1, 8), 16, 10).cast("long") % col("n_docs"))
       .filter(col("neg_id") =!= col("anchor_id"))
-    drawn.join(sym,
-        drawn("anchor_id") === sym("id_a") && drawn("neg_id") === sym("id_b"),
+    // hash % count is a valid document reference ONLY on a dense id space;
+    // the join back to `documents` makes the contract structural — on a
+    // sparse space a drawn id that references no real document is rejected
+    // here instead of silently reaching the training loader. The drawn side
+    // is anchors × draws (tiny), so it broadcasts against the corpus scan.
+    val real = broadcast(drawn)
+      .join(docs.select(col("doc_id").as("neg_id")), Seq("neg_id"))
+    real.join(sym,
+        real("anchor_id") === sym("id_a") && real("neg_id") === sym("id_b"),
         "left_anti")
       .select(col("anchor_id"), col("j").cast("int").as("j"), col("neg_id"))
       .orderBy("anchor_id", "j")
@@ -803,6 +811,7 @@ object CurationOps {
        |SELECT anchor_id, CAST(j AS INT) AS j, neg_id
        |FROM drawn dr
        |WHERE dr.neg_id != dr.anchor_id
+       |  AND EXISTS (SELECT 1 FROM documents dd WHERE dd.doc_id = dr.neg_id)
        |  AND NOT EXISTS (SELECT 1 FROM sym s
        |                  WHERE s.id_a = dr.anchor_id AND s.id_b = dr.neg_id)
        |ORDER BY anchor_id, j""".stripMargin

@@ -58,8 +58,15 @@ object QualityClassifier {
     val cc = col("doc_id") +: carry.map(col)
     val base = docs.select(cc :+ TextOps.tokens(col("text")).as("toks"): _*)
     val uni = base.select(cc :+ explode(col("toks")).as("f"): _*)
+    // The bigram index range must be EMPTY for a 0/1-token document:
+    // Spark's 2-arg sequence(1, 0) infers step -1 and yields [1, 0], and
+    // element_at(toks, 0) then throws at runtime (DuckDB's generate_series
+    // is empty there — a crash AND a cross-engine divergence), so the
+    // degenerate case is guarded to an explicit empty array.
+    val biIdx = when(size(col("toks")) > 1, sequence(lit(1), size(col("toks")) - 1))
+      .otherwise(array().cast("array<int>"))
     val bi = base.select(cc :+ explode(transform(
-      sequence(lit(1), size(col("toks")) - 1),
+      biIdx,
       i => concat_ws("_", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
       .as("f"): _*)
     uni.unionByName(bi).select(cc :+ featureHash(col("f")).as("fh"): _*)
@@ -161,16 +168,28 @@ object QualityClassifier {
     val weights = feats.groupBy("fh")
       .agg(expr(s"(1000000 * sum(hi) + $SmoothK * ${p0}L) div (count(*) + $SmoothK)").as("w_ppm"))
       .localCheckpoint()
-    val mid = feats.join(broadcast(weights), Seq("fh"))
+    val midRow = feats.join(broadcast(weights), Seq("fh"))
       .groupBy("doc_id")
       .agg(max("hi").as("label_hi"), count(lit(1)).as("n_feats"), sum("w_ppm").as("sc"))
       .select(col("label_hi"), expr("sc div n_feats").as("s_ppm"))
-      .agg(expr(
-        """((sum(CASE WHEN label_hi = 1 THEN s_ppm END) div sum(CASE WHEN label_hi = 1 THEN 1 END))
-          | + (sum(CASE WHEN label_hi = 0 THEN s_ppm END) div sum(CASE WHEN label_hi = 0 THEN 1 END))) div 2
-          |""".stripMargin))
-      .head().getLong(0)
-    Model(weights, p0, mid)
+      .agg(
+        expr(
+          """((sum(CASE WHEN label_hi = 1 THEN s_ppm END) div sum(CASE WHEN label_hi = 1 THEN 1 END))
+            | + (sum(CASE WHEN label_hi = 0 THEN s_ppm END) div sum(CASE WHEN label_hi = 0 THEN 1 END))) div 2
+            |""".stripMargin),
+        expr("sum(CASE WHEN label_hi = 1 THEN 1 ELSE 0 END)"),
+        expr("sum(CASE WHEN label_hi = 0 THEN 1 ELSE 0 END)"))
+      .head()
+    // The class-midpoint operating point is undefined on a single-class
+    // corpus; the untrained NULL would otherwise surface far away as an NPE
+    // (or a silently-all-negative predictor) — name the failure here.
+    def cnt(i: Int) = if (midRow.isNullAt(i)) 0L else midRow.getLong(i)
+    if (midRow.isNullAt(0))
+      throw new IllegalArgumentException(
+        "QualityClassifier.train: degenerate corpus — weak label has " +
+          s"${cnt(1)} hi / ${cnt(2)} lo documents; the " +
+          "class-midpoint threshold needs at least one of each class")
+    Model(weights, p0, midRow.getLong(0))
   }
 
   /** Apply a trained model to any (doc_id, text) relation: the broadcast

@@ -265,9 +265,12 @@ object TextOps {
     */
   def bpeTrain(spark: SparkSession, sfDir: String, k: Int = BpeTrainIters): DataFrame = {
     import spark.implicits._
+    // Tokens carrying '[' or ']' would forge the bracket delimiters the
+    // merge invariant rests on (a corpus symbol indistinguishable from a
+    // boundary), so they are excluded from the vocabulary on BOTH engines.
     var words = Tables.documents(spark, sfDir)
       .select(explode(tokens(col("text"))).as("w"))
-      .filter(length(col("w")) >= 2)
+      .filter(length(col("w")) >= 2 && !col("w").contains("[") && !col("w").contains("]"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .withColumn("s", regexp_replace(col("w"), "(.)", "[$1]"))
       .localCheckpoint()
@@ -286,8 +289,11 @@ object TextOps {
       val pair = best.getString(0)
       val fused = pair.replace("][", "")
       merges += ((i, pair, fused.substring(1, fused.length - 1), best.getLong(1)))
+      // pair/fused ride as literal Columns, never spliced into SQL text — a
+      // corpus token containing a quote or backslash must not be able to
+      // alter the expression (it is data, not syntax)
       words = words
-        .withColumn("s", expr(s"replace(s, '$pair', '$fused')"))
+        .withColumn("s", call_function("replace", col("s"), lit(pair), lit(fused)))
         .localCheckpoint()
     }
     merges.result().toDF("iter", "pair", "merged", "pair_count").orderBy("iter")
@@ -301,7 +307,8 @@ object TextOps {
     cte += """w0 AS (
       |  SELECT w, count(*) AS freq, regexp_replace(w, '(.)', '[\1]', 'g') AS s
       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-      |  WHERE length(w) >= 2 GROUP BY w)""".stripMargin
+      |  WHERE length(w) >= 2 AND w NOT LIKE '%[%' AND w NOT LIKE '%]%'
+      |  GROUP BY w)""".stripMargin
     val sels = (1 to k).map { i =>
       cte += s"""p$i AS (
         |  SELECT '[' || syms[j] || '][' || syms[j+1] || ']' AS pair,

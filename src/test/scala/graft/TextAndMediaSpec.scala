@@ -377,4 +377,71 @@ class TextAndMediaSpec extends AnyFunSuite with SharedSpark {
     assert(acc > base, s"accuracy $acc does not beat majority vote $base")
   }
 
+  /** A minimal documents table for corpus-content edge cases. */
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("BPE training treats corpus content as data: quotes/backslashes merge, brackets are excluded") {
+    // "don't"-style tokens crashed the r7 trainer (merge pair spliced into
+    // SQL text); bracket tokens could forge the symbol delimiters
+    val dir = writeDocs(Seq(
+      1L -> "don't don't don't can't can't it's",
+      2L -> "back\\slash back\\slash don't it's we[ird] we]ird[",
+      3L -> "don't can't back\\slash plain words here"))
+    val ladder = TextOps.bpeTrain(spark, dir, k = 3).collect()
+    assert(ladder.length == 3)
+    // the top merge comes from the quoted tokens; bracket tokens never enter
+    ladder.foreach { r =>
+      val merged = r.getString(2)
+      assert(!merged.contains("w") || !merged.contains("d"), s"bracket token leaked: $merged")
+    }
+    assert(ladder.map(_.getLong(3)).forall(_ > 0))
+  }
+
+  test("classifier feature extraction survives empty and single-token documents") {
+    // sequence(1, 0) used to yield [1, 0] and element_at(toks, 0) threw;
+    // both engines must now emit zero bigrams for these docs
+    val dir = writeDocs(Seq(
+      1L -> "solo",
+      2L -> "",
+      3L -> "the a the a the a filler rows here",
+      4L -> "dense informative varied tokens without stopwords mostly",
+      5L -> "the a the a the a more filler",
+      6L -> "other crisp varied informative prose tokens"))
+    val rows = graft.text.QualityClassifier.distillAndScore(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // the single-token doc carries exactly its one unigram feature
+    assert(rows.find(_.getLong(0) == 1L).get.getInt(1) == 1)
+  }
+
+  test("classifier training fails loudly on a single-class corpus") {
+    val dir = writeDocs(Seq(
+      1L -> "the a the a the a filler",
+      2L -> "the a the a the a more filler"))
+    val e = intercept[IllegalArgumentException] {
+      graft.text.QualityClassifier.train(spark, dir)
+    }
+    assert(e.getMessage.contains("degenerate corpus"), e.getMessage)
+  }
+
+  test("negative sampling emits only ids of documents that exist (sparse id space)") {
+    // doc ids with gaps: hash % count lands on nonexistent ids, which the
+    // join-back must reject (r7 emitted them as phantom negatives)
+    val ids = (0L until 48L by 3L).toSeq
+    val dir = writeDocs(ids.map(i => i -> s"document number $i with some shared filler tokens"))
+    val got = graft.text.CurationOps.negativeSamples(spark, dir).collect()
+    assert(got.nonEmpty)
+    val idSet = ids.toSet
+    assert(got.forall(r => idSet.contains(r.getLong(2))),
+      s"phantom neg_id in ${got.map(_.getLong(2)).toSet -- idSet}")
+  }
+
 }
