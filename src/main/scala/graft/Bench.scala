@@ -420,13 +420,20 @@ object Bench {
       val fpBatch = fps.filter(col("id") % 50 === 0)
       val fpProbeSec = time2(graft.dedup.FingerprintIndex.candidates(
         spark, s"$base/fp", fpBatch).count())
+      // pair/label store: one-shot = the full jaccard-pair + CC-fixpoint
+      // recompute every consumer used to pay; served = reading the published
+      // label snapshot (the store itself was built once by the query
+      // catalog's first consumer, so `ensure` here is a lookup)
+      val pairFullSec = time2(graft.dedup.DedupOps.nearDupLabels(spark, sfDir).count())
+      val pairServedSec = time2(graft.dedup.PairStore.labelsFor(spark, sfDir).count())
       cleanup(base)
       def leg(name: String, full: Double, probe: Double) =
         s""""$name":{"one_shot_sec":$full,"index_probe_sec":$probe,""" +
           s""""speedup":${if (probe > 0) full / probe else -1.0}}"""
       s""","index_serving":{${leg("lsh_batch_candidates", lshFullSec, lshProbeSec)},""" +
         s"""${leg("ivf_topk_search", ivfFullSec, ivfSearchSec)},""" +
-        s"""${leg("fp_hamming_candidates", fpFullSec, fpProbeSec)}}"""
+        s"""${leg("fp_hamming_candidates", fpFullSec, fpProbeSec)},""" +
+        s"""${leg("neardup_labels_via_pairstore", pairFullSec, pairServedSec)}}"""
     } catch { case t: Throwable => s""","index_serving":{"error":"${jsonErr(t)}"}""" }
 
     // Streaming throughput vs BASELINE.md's one published number (≥100k

@@ -1,0 +1,155 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Segments
+
+/** Durable near-duplicate PAIR + CLUSTER-LABEL store — the candidate-pair
+  * materialization discipline the r7 verdict named as the engine's last
+  * recomputation hotspot: four of the five most expensive catalog queries
+  * (curation funnel, negative sampling, cluster ledger, best-representative
+  * selection) each re-derived the same jaccard pair set and connected-
+  * component labels from scratch. At 100 TB that sub-plan is hours of
+  * shingle joins; the decisions it feeds (drop/keep/canonicalize) are
+  * corpus-wide state that should materialize ONCE and be PROBED thereafter —
+  * the [[LshIndex]] segment discipline applied to the pair graph itself.
+  *
+  * Layout:
+  * {{{
+  *   <path>/pairs/batch=<id>    replay-idempotent pair segments (additive:
+  *                              each segment holds one ingest batch's new
+  *                              pairs; overwritten whole on checkpoint replay)
+  *   <path>/labels/batch=<w>    FULL label snapshots, keyed by the pair
+  *                              watermark they were derived from (labels are
+  *                              a global fixpoint — never additive)
+  * }}}
+  *
+  * Pairs absorb incrementally (a new batch's pairs come from an [[LshIndex]]
+  * probe against the corpus — O(batch), not O(corpus)); labels are a
+  * connected-component fixpoint over the WHOLE pair graph, so they refresh
+  * as an explicit maintenance step ([[refreshLabels]], the
+  * [[graft.ann.IvfIndex.recluster]] analogue) and every snapshot names the
+  * pair watermark it reflects — a consumer can pin "the dedup decisions as
+  * of batch N" ([[readLabels]] `asOf`) or demand freshness and fail loudly
+  * on a stale snapshot rather than silently serving labels that predate
+  * absorbed pairs.
+  */
+object PairStore {
+
+  private def pairsPath(path: String) = s"$path/pairs"
+  private def labelsPath(path: String) = s"$path/labels"
+
+  /** Columns a pair segment persists (the [[DedupOps.ngramJaccardPairs]]
+    * output contract).
+    */
+  private val PairCols = Seq("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
+
+  /** Absorb one batch of pair rows as the `batch=<id>` segment — overwritten
+    * whole, so a checkpoint-replayed batch rewrites the same rows.
+    */
+  def appendPairs(spark: SparkSession, path: String, pairs: DataFrame, batchId: Long): Unit =
+    pairs.select(PairCols.map(col): _*)
+      .write.mode("overwrite").parquet(s"${pairsPath(path)}/batch=$batchId")
+
+  /** Full build: the corpus pair set into segment 0. */
+  def materialize(spark: SparkSession, pairs: DataFrame, path: String): Unit =
+    appendPairs(spark, path, pairs, batchId = 0L)
+
+  /** The newest absorbed pair segment id. */
+  def pairsWatermark(spark: SparkSession, path: String): Long = {
+    val ids = Segments.segmentIds(spark, pairsPath(path))
+    require(ids.nonEmpty, s"no pair segments under $path")
+    ids.max
+  }
+
+  /** All pair rows, optionally pinned to the snapshot as of `asOf`. */
+  def readPairs(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame =
+    asOf match {
+      case Some(w) => Segments.readAsOf(spark, pairsPath(path), w)
+      case None =>
+        spark.read.option("basePath", pairsPath(path))
+          .parquet(pairsPath(path)).drop("batch")
+    }
+
+  /** Bound the segment count a long-running absorb loop accretes. */
+  def compactPairs(spark: SparkSession, path: String, protectLatest: Boolean = true): Int =
+    Segments.compact(spark, pairsPath(path), Seq.empty, protectLatest)
+
+  /** Recompute the connected-component labels over ALL live pairs and
+    * publish the snapshot under the current pair watermark. Returns the
+    * watermark. One distributed CC run; the snapshot write is atomic at the
+    * directory level (full overwrite of `labels/batch=<w>`), and re-running
+    * at an unchanged watermark rewrites identical rows.
+    */
+  def refreshLabels(spark: SparkSession, path: String): Long = {
+    val w = pairsWatermark(spark, path)
+    DedupOps.labelPropagation(spark, readPairs(spark, path, Some(w)))
+      .write.mode("overwrite").parquet(s"${labelsPath(path)}/batch=$w")
+    w
+  }
+
+  /** Watermark of the newest published label snapshot, if any. */
+  def labelsWatermark(spark: SparkSession, path: String): Option[Long] = {
+    val ids = Segments.segmentIds(spark, labelsPath(path))
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** The newest label snapshot at or below `asOf` (default: newest overall).
+    * Label snapshots are full replacements — exactly ONE snapshot directory
+    * is read, never a union. `requireFresh = true` fails loudly when pairs
+    * have been absorbed past the snapshot's watermark (the stale-read guard
+    * a curation run sets; default is serve-latest-published, the posture of
+    * every lagging-view store).
+    */
+  def readLabels(
+      spark: SparkSession,
+      path: String,
+      asOf: Option[Long] = None,
+      requireFresh: Boolean = false): DataFrame = {
+    val ids = Segments.segmentIds(spark, labelsPath(path))
+    require(ids.nonEmpty, s"no label snapshots under $path — run refreshLabels first")
+    val pick = asOf.map(a => ids.filter(_ <= a)).getOrElse(ids)
+    require(pick.nonEmpty,
+      s"no label snapshot at or below batch=${asOf.get}; live snapshots: ${ids.mkString(", ")}")
+    if (requireFresh) {
+      val pw = pairsWatermark(spark, path)
+      require(pick.max >= pw,
+        s"label snapshot batch=${pick.max} is stale: pairs absorbed through batch=$pw; " +
+          "run refreshLabels")
+    }
+    spark.read.parquet(s"${labelsPath(path)}/batch=${pick.max}")
+  }
+
+  // -------------------------------------------------------------------------
+  // Memoized corpus-serving store: the full-corpus pair set + labels
+  // materialize once per (corpus, threshold) in a process and every
+  // consumer probes the parquet segments — the cross-query sharing the
+  // catalog's four most expensive queries previously lacked.
+  // -------------------------------------------------------------------------
+
+  private val ensured = scala.collection.mutable.Map.empty[(String, Double), String]
+
+  /** Build (once per JVM per corpus+threshold) the corpus pair store:
+    * segment 0 = [[DedupOps.ngramJaccardPairs]], labels refreshed to it.
+    */
+  def ensure(spark: SparkSession, sfDir: String, threshold: Double = 0.6): String =
+    ensured.synchronized {
+      ensured.getOrElseUpdate((sfDir, threshold), {
+        val dir = java.nio.file.Files.createTempDirectory("graft_pairstore").toString
+        materialize(spark, DedupOps.ngramJaccardPairs(spark, sfDir, threshold), dir)
+        refreshLabels(spark, dir)
+        dir
+      })
+    }
+
+  /** Corpus near-dup pairs, served from the store. */
+  def pairsFor(spark: SparkSession, sfDir: String, threshold: Double = 0.6): DataFrame =
+    readPairs(spark, ensure(spark, sfDir, threshold))
+
+  /** Corpus CC labels (doc_id → min reachable doc id), served from the
+    * store.
+    */
+  def labelsFor(spark: SparkSession, sfDir: String, threshold: Double = 0.6): DataFrame =
+    readLabels(spark, ensure(spark, sfDir, threshold))
+}

@@ -193,7 +193,7 @@ object CorpusPipeline {
       size(split(col("text"), " ")).cast("long").as("n_tok"),
       TextOps.qualityCol(col("text")).as("quality"))
     val repW = Window.partitionBy("lbl").orderBy(desc("quality"), asc("doc_id"))
-    val clusterDrop = graft.dedup.DedupOps.nearDupLabels(spark, sfDir)
+    val clusterDrop = graft.dedup.PairStore.labelsFor(spark, sfDir)
       .join(base.select("doc_id", "quality"), "doc_id")
       .withColumn("rn", row_number().over(repW))
       .filter(col("rn") > 1)

@@ -767,7 +767,7 @@ object CurationOps {
   def negativeSamples(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val pairs = graft.dedup.DedupOps.ngramJaccardPairs(spark, sfDir)
+    val pairs = graft.dedup.PairStore.pairsFor(spark, sfDir)
       .select(col("id_a"), col("id_b"))
     val sym = pairs.unionByName(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))

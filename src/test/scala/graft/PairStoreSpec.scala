@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.{DedupOps, PairStore}
+
+class PairStoreSpec extends AnyFunSuite with SharedSpark {
+
+  private def pairRows(rows: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    rows.toDF("id_a", "id_b")
+      .withColumn("inter", lit(1L)).withColumn("n_a", lit(1L))
+      .withColumn("n_b", lit(1L)).withColumn("jaccard", lit(1.0))
+  }
+
+  test("stored corpus pairs and labels equal the one-shot derivations") {
+    val dir = java.nio.file.Files.createTempDirectory("ps_eq").toString
+    PairStore.materialize(spark, DedupOps.ngramJaccardPairs(spark, sfDir), dir)
+    PairStore.refreshLabels(spark, dir)
+    val storedPairs = PairStore.readPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).sorted.toSeq
+    val onePairs = DedupOps.ngramJaccardPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).sorted.toSeq
+    assert(storedPairs.nonEmpty && storedPairs == onePairs)
+    val storedLabels = PairStore.readLabels(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val oneLabels = DedupOps.nearDupLabels(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(storedLabels == oneLabels, "stored labels diverged from the direct fixpoint")
+  }
+
+  test("absorbing a bridging batch merges components only after refreshLabels; asOf pins the old view") {
+    val dir = java.nio.file.Files.createTempDirectory("ps_merge").toString
+    // two separate components
+    PairStore.appendPairs(spark, dir, pairRows(Seq(1L -> 2L, 10L -> 11L)), 0L)
+    val w0 = PairStore.refreshLabels(spark, dir)
+    assert(w0 == 0L)
+    val before = PairStore.readLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a new batch bridges them
+    PairStore.appendPairs(spark, dir, pairRows(Seq(2L -> 10L)), 1L)
+    // labels are a published snapshot: still the old view until refreshed...
+    assert(PairStore.labelsWatermark(spark, dir).contains(0L))
+    // ...and the freshness guard names the staleness instead of serving it
+    val stale = intercept[IllegalArgumentException] {
+      PairStore.readLabels(spark, dir, requireFresh = true)
+    }
+    assert(stale.getMessage.contains("stale"), stale.getMessage)
+    val w1 = PairStore.refreshLabels(spark, dir)
+    assert(w1 == 1L)
+    val after = PairStore.readLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L),
+      s"bridge did not merge: $after")
+    // the pre-bridge decision set stays reproducible
+    val pinned = PairStore.readLabels(spark, dir, asOf = Some(0L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pinned == before, "asOf snapshot must reproduce the pre-bridge labels")
+    // pair snapshot pinning composes the same way
+    assert(PairStore.readPairs(spark, dir, asOf = Some(0L)).count() == 2L)
+    assert(PairStore.readPairs(spark, dir).count() == 3L)
+  }
+
+  test("replayed segment overwrites idempotently; compaction preserves the pair set") {
+    val dir = java.nio.file.Files.createTempDirectory("ps_compact").toString
+    PairStore.appendPairs(spark, dir, pairRows(Seq(1L -> 2L)), 0L)
+    PairStore.appendPairs(spark, dir, pairRows(Seq(3L -> 4L)), 1L)
+    PairStore.appendPairs(spark, dir, pairRows(Seq(5L -> 6L)), 2L)
+    // checkpoint replay of batch 2 rewrites the same segment, not a dup
+    PairStore.appendPairs(spark, dir, pairRows(Seq(5L -> 6L)), 2L)
+    val before = PairStore.readPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(before == Seq(1L -> 2L, 3L -> 4L, 5L -> 6L))
+    assert(PairStore.compactPairs(spark, dir) == 2)
+    val after = PairStore.readPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(after == before, "compaction changed the pair set")
+    // labels refresh over the compacted layout still works
+    PairStore.refreshLabels(spark, dir)
+    assert(PairStore.readLabels(spark, dir).count() == 6L)
+  }
+}
