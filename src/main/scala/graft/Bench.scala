@@ -198,8 +198,16 @@ object Bench {
       val imageFixedBands = probeRow("q_image_neardup_fixedbands", "q_image_neardup",
         probeDir, graft.multimodal.MediaOps.imageNearDup(_, _),
         extra = s""","work_factor":${factor * factor}""")
+      // The wide (256-bit, 16-bit-band) variant's in-bucket candidate space
+      // stays ~flat at 10×: 2^16 buckets/band absorb the corpus growth the
+      // fixed 256-value alphabet cannot. Its ratio should sit measurably
+      // below the fixed-band row's — the r7 verdict's wide-band remedy,
+      // demonstrated rather than asserted.
+      val imageWideBands = probeRow("q_image_neardup_wideband", "q_image_neardup_wideband",
+        probeDir, graft.multimodal.MediaOps.imageNearDupWideband(_, _),
+        extra = s""","work_factor":${factor * factor}""")
       cleanup(probeDir)
-      val rows = uniformRows :+ twoSided :+ imageFixedBands
+      val rows = uniformRows :+ twoSided :+ imageFixedBands :+ imageWideBands
       val worst = uniformRows.map(_._1).filterNot(_ < 0).foldLeft(0.0)(math.max)
       val twoSidedPerUnit =
         if (twoSided._1 < 0) -1.0 else twoSided._1 / (factor.toDouble * factor)
@@ -420,6 +428,9 @@ object Bench {
       val fpBatch = fps.filter(col("id") % 50 === 0)
       val fpProbeSec = time2(graft.dedup.FingerprintIndex.candidates(
         spark, s"$base/fp", fpBatch).count())
+      // the hamming index's health signal (band-occupancy skew ≈ 1 means
+      // probe cost is uniform; a hot bucket inflates it quadratically)
+      val fpSkew = graft.dedup.FingerprintIndex.occupancySkew(spark, s"$base/fp")
       // pair/label store: one-shot = the full jaccard-pair + CC-fixpoint
       // recompute every consumer used to pay; served = reading the published
       // label snapshot (the store itself was built once by the query
@@ -433,7 +444,8 @@ object Bench {
       s""","index_serving":{${leg("lsh_batch_candidates", lshFullSec, lshProbeSec)},""" +
         s"""${leg("ivf_topk_search", ivfFullSec, ivfSearchSec)},""" +
         s"""${leg("fp_hamming_candidates", fpFullSec, fpProbeSec)},""" +
-        s"""${leg("neardup_labels_via_pairstore", pairFullSec, pairServedSec)}}"""
+        s"""${leg("neardup_labels_via_pairstore", pairFullSec, pairServedSec)},""" +
+        s""""fp_occupancy_skew":$fpSkew}"""
     } catch { case t: Throwable => s""","index_serving":{"error":"${jsonErr(t)}"}""" }
 
     // Streaming throughput vs BASELINE.md's one published number (≥100k

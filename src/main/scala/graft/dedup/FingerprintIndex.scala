@@ -3,88 +3,137 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** The shape of a hamming fingerprint: an ordered list of 32-bit word
+  * columns plus the band width in bits. Bands tile the words low-to-high
+  * (band j lives in word `j / bandsPerWord` at bit offset
+  * `bandBits·(j % bandsPerWord)`), so [[Fp64]]'s layout is byte-identical to
+  * the r7 fixed shape. Keeping words at 32 bits is deliberate: DuckDB's
+  * signed BIGINT overflows assembling bit 63, so every engine-visible
+  * fingerprint stays as sign-safe 32-bit values (STATE r8 gotcha).
+  *
+  * The band width is the multi-index-hashing occupancy knob: with B-bit
+  * bands each band hashes into 2^B buckets, and the band self-join's
+  * candidate volume is Σ occupancy² ≈ n²/2^B per band. 8-bit bands (256
+  * buckets) go quadratic at a ~10⁵ corpus; 16-bit bands (65 536 buckets)
+  * push the knee out 256×, which is why the wide image fingerprint uses
+  * them.
+  */
+final case class FpShape(wordCols: Seq[String], bandBits: Int) {
+  require(bandBits > 0 && 32 % bandBits == 0, s"band width $bandBits must divide 32")
+  val bandsPerWord: Int = 32 / bandBits
+  val nBands: Int = wordCols.size * bandsPerWord
+
+  /** Pigeonhole-guaranteed distance bound: pairs within hamming distance
+    * `nBands - 1` must agree exactly on ≥ 1 band.
+    */
+  val maxDist: Int = nBands - 1
+  val mask: Int = (1 << bandBits) - 1
+
+  /** Band j → (word column, bit offset). */
+  def band(j: Int): (String, Int) =
+    (wordCols(j / bandsPerWord), bandBits * (j % bandsPerWord))
+}
+
+object FpShape {
+  /** 64-bit (fp_lo, fp_hi) with 8-bit bands — the r7 layout: bytes 0..3 of
+    * fp_lo, then bytes 0..3 of fp_hi.
+    */
+  val Fp64: FpShape = FpShape(Seq("fp_lo", "fp_hi"), 8)
+
+  /** 256-bit (fp_w0..fp_w7) with 16-bit bands (2^16 buckets per band) — the
+    * corpus-scale shape for wide perceptual hashes.
+    */
+  val Fp256: FpShape = FpShape((0 until 8).map(i => s"fp_w$i"), 16)
+}
+
 /** Durable hamming-space fingerprint index — [[LshIndex]]'s discipline
   * (materialize once, probe per batch, replay-idempotent `batch=<id>`
-  * segments) applied to 64-bit perceptual/semantic fingerprints: image
-  * aHashes ([[graft.multimodal.MediaOps.imageAHash]]), text SimHashes, or
-  * any (id, fp_hi, fp_lo) relation of two 32-bit words.
+  * segments) applied to perceptual/semantic fingerprints: image hashes
+  * ([[graft.multimodal.MediaOps.imageAHash]] /
+  * [[graft.multimodal.MediaOps.imageWideHash]]), text SimHashes, or any
+  * relation of 32-bit fingerprint words keyed by `id`.
   *
-  * Candidates come from a pigeonhole band equi-join: the 64 bits split into
-  * [[NBands]] disjoint bytes, and any pair within hamming distance
-  * [[NBands]]−1 must agree exactly on ≥ 1 byte — candidate volume scales
+  * Candidates come from a pigeonhole band equi-join: the fingerprint splits
+  * into `shape.nBands` disjoint bands, and any pair within hamming distance
+  * `shape.maxDist` must agree exactly on ≥ 1 band — candidate volume scales
   * with rows × bands, never rows². A pair agreeing on k bands would surface
   * k times; keeping only the FIRST agreeing band (computable from the xor
   * words row-wise) emits each pair exactly once with NO distinct() — the
   * probe plan is scan → broadcast join → codegen'd filter, zero shuffles.
   *
-  * The 8-bit band alphabet (256 buckets per band) is the standard
-  * multi-index-hashing trade: at larger corpora, use wider fingerprints
-  * (e.g. 256-bit pHash) with 16-bit bands for flat bucket occupancy — every
-  * shape here is parameterized by the band list alone.
+  * Every operation takes the [[FpShape]]; the default is the 64-bit 8-bit-
+  * band layout. One index path holds ONE shape — band tables of different
+  * shapes must not share a directory.
   */
 object FingerprintIndex {
 
-  val NBands = 8
+  /** Compatibility aliases for the r7 fixed-64-bit surface. */
+  val NBands: Int = FpShape.Fp64.nBands
+  val MaxDist: Int = FpShape.Fp64.maxDist
 
-  /** Pigeonhole-guaranteed distance bound for [[NBands]] disjoint bands. */
-  val MaxDist: Int = NBands - 1
+  private def bandVal(word: Column, off: Int, mask: Int): Column =
+    shiftright(word, off).bitwiseAND(mask).cast("int")
 
-  /** Band k of a fingerprint: bytes 0..3 of fp_lo, then bytes 0..3 of fp_hi
-    * — the same order [[bandVal]] and the first-agreeing-band filter use.
-    */
-  private val Bands: Seq[(String, Int)] =
-    (0 until 4).map(k => ("fp_lo", 8 * k)) ++ (0 until 4).map(k => ("fp_hi", 8 * k))
-
-  private def bandVal(word: Column, off: Int): Column =
-    shiftright(word, off).bitwiseAND(255).cast("int")
-
-  /** One row per (id, band): id, fp_hi, fp_lo, band_idx, band_val. */
-  def bandTable(fps: DataFrame): DataFrame =
+  /** One row per (id, band): id, <fingerprint words>, band_idx, band_val. */
+  def bandTable(fps: DataFrame, shape: FpShape = FpShape.Fp64): DataFrame = {
+    val words = shape.wordCols.map(col)
     fps.select(
-      col("id"), col("fp_hi"), col("fp_lo"),
-      explode(array(Bands.zipWithIndex.map { case ((word, off), b) =>
-        struct(lit(b).as("band_idx"), bandVal(col(word), off).as("band_val"))
-      }: _*)).as("b"))
-      .select(col("id"), col("fp_hi"), col("fp_lo"), col("b.band_idx"), col("b.band_val"))
+      (col("id") +: words) :+
+        explode(array((0 until shape.nBands).map { b =>
+          val (word, off) = shape.band(b)
+          struct(lit(b).as("band_idx"), bandVal(col(word), off, shape.mask).as("band_val"))
+        }: _*)).as("b"): _*)
+      .select((col("id") +: words) :+ col("b.band_idx") :+ col("b.band_val"): _*)
+  }
 
   /** Keep exactly the row whose band_idx is the pair's first agreeing band.
-    * `xhi`/`xlo` are the xor words of the joined pair, so "band j agrees" is
-    * a row-wise bit test — no lookup, no distinct.
+    * `x<i>` are the xor words of the joined pair (in `shape.wordCols`
+    * order), so "band j agrees" is a row-wise bit test — no lookup, no
+    * distinct.
     */
-  private def isFirstAgreeingBand: Column = {
+  private def isFirstAgreeingBand(shape: FpShape): Column = {
     def agreesAt(j: Int): Column = {
-      val (word, off) = Bands(j)
-      val x = if (word == "fp_lo") col("xlo") else col("xhi")
-      shiftright(x, off).bitwiseAND(255) === 0
+      val (word, off) = shape.band(j)
+      val x = col(s"x${shape.wordCols.indexOf(word)}")
+      shiftright(x, off).bitwiseAND(shape.mask) === 0
     }
-    Bands.indices.map { b =>
+    (0 until shape.nBands).map { b =>
       val noEarlier = (0 until b).map(j => !agreesAt(j)).reduceOption(_ && _).getOrElse(lit(true))
       (col("band_idx") === b) && noEarlier
     }.reduce(_ || _)
   }
 
-  /** One-shot near-dup pairs within a fingerprint relation (id, fp_hi,
-    * fp_lo): hamming ≤ maxDist, each unordered pair once as id_a < id_b.
+  private def hammingOf(shape: FpShape): Column =
+    shape.wordCols.indices.map(i => bit_count(col(s"x$i"))).reduce(_ + _).cast("int")
+
+  /** One-shot near-dup pairs within a fingerprint relation: hamming ≤
+    * maxDist, each unordered pair once as id_a < id_b.
     */
-  def pairsWithin(fps: DataFrame, maxDist: Int = MaxDist): DataFrame = {
-    require(maxDist <= MaxDist, s"pigeonhole over $NBands bands covers distance ≤ $MaxDist")
-    val blocks = bandTable(fps)
+  def pairsWithin(
+      fps: DataFrame,
+      maxDist: Int = MaxDist,
+      shape: FpShape = FpShape.Fp64): DataFrame = {
+    require(maxDist <= shape.maxDist,
+      s"pigeonhole over ${shape.nBands} bands covers distance ≤ ${shape.maxDist}")
+    val blocks = bandTable(fps, shape)
     blocks.as("a").join(
         blocks.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.id") < col("b.id"))
       .select(
-        col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.band_idx").as("band_idx"),
-        expr("a.fp_hi ^ b.fp_hi").as("xhi"), expr("a.fp_lo ^ b.fp_lo").as("xlo"))
-      .withColumn("hamming", (bit_count(col("xhi")) + bit_count(col("xlo"))).cast("int"))
-      .filter(col("hamming") <= maxDist && isFirstAgreeingBand)
+        Seq(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.band_idx").as("band_idx")) ++
+          shape.wordCols.zipWithIndex.map { case (w, i) => expr(s"a.$w ^ b.$w").as(s"x$i") }: _*)
+      .withColumn("hamming", hammingOf(shape))
+      .filter(col("hamming") <= maxDist && isFirstAgreeingBand(shape))
       .select("id_a", "id_b", "hamming")
   }
 
   /** Full build: fingerprint relation into segment 0. */
-  def materialize(spark: SparkSession, fps: DataFrame, indexPath: String): Unit =
-    appendBatch(spark, indexPath, fps, batchId = 0L)
+  def materialize(
+      spark: SparkSession, fps: DataFrame, indexPath: String,
+      shape: FpShape = FpShape.Fp64): Unit =
+    appendBatch(spark, indexPath, fps, batchId = 0L, shape)
 
   /** Absorb `fps` as the `batch=<id>` segment — overwritten whole, so a
     * checkpoint-replayed batch rewrites the same rows (ingest idempotency).
@@ -92,8 +141,9 @@ object FingerprintIndex {
     * and [[compactSegments]] keeps the layout.
     */
   def appendBatch(
-      spark: SparkSession, indexPath: String, fps: DataFrame, batchId: Long): Unit =
-    bandTable(fps)
+      spark: SparkSession, indexPath: String, fps: DataFrame, batchId: Long,
+      shape: FpShape = FpShape.Fp64): Unit =
+    bandTable(fps, shape)
       .write.mode("overwrite")
       .partitionBy("band_idx")
       .parquet(s"$indexPath/batch=$batchId")
@@ -125,11 +175,14 @@ object FingerprintIndex {
       maxDist: Int = MaxDist,
       broadcastQuery: Boolean = true,
       excludeSegment: Option[Long] = None,
-      asOf: Option[Long] = None): DataFrame = {
-    require(maxDist <= MaxDist, s"pigeonhole over $NBands bands covers distance ≤ $MaxDist")
-    val probe0 = bandTable(probeFps).select(
-      col("id").as("probe_id"), col("fp_hi").as("p_hi"), col("fp_lo").as("p_lo"),
-      col("band_idx"), col("band_val"))
+      asOf: Option[Long] = None,
+      shape: FpShape = FpShape.Fp64): DataFrame = {
+    require(maxDist <= shape.maxDist,
+      s"pigeonhole over ${shape.nBands} bands covers distance ≤ ${shape.maxDist}")
+    val probe0 = bandTable(probeFps, shape).select(
+      Seq(col("id").as("probe_id")) ++
+        shape.wordCols.map(w => col(w).as(s"p_$w")) ++
+        Seq(col("band_idx"), col("band_val")): _*)
     val probe = if (broadcastQuery) broadcast(probe0) else probe0
     val index = (asOf, excludeSegment) match {
       case (None, None) => read(spark, indexPath)
@@ -144,11 +197,30 @@ object FingerprintIndex {
       .join(probe, Seq("band_idx", "band_val"))
       .filter(col("id") =!= col("probe_id"))
       .select(
-        col("probe_id"), col("id").as("index_id"), col("band_idx"),
-        expr("p_hi ^ fp_hi").as("xhi"), expr("p_lo ^ fp_lo").as("xlo"))
-      .withColumn("hamming", (bit_count(col("xhi")) + bit_count(col("xlo"))).cast("int"))
-      .filter(col("hamming") <= maxDist && isFirstAgreeingBand)
+        Seq(col("probe_id"), col("id").as("index_id"), col("band_idx")) ++
+          shape.wordCols.zipWithIndex.map { case (w, i) => expr(s"p_$w ^ $w").as(s"x$i") }: _*)
+      .withColumn("hamming", hammingOf(shape))
+      .filter(col("hamming") <= maxDist && isFirstAgreeingBand(shape))
       .select("probe_id", "index_id", "hamming")
+  }
+
+  /** Band-occupancy skew of the stored index: max bucket occupancy ÷ mean
+    * occupancy over all (band_idx, band_val) buckets. The hamming index's
+    * drift analogue of [[graft.ann.IvfIndex.driftRatio]]: the band self-join
+    * costs Σ occupancy² per band, so one hot bucket (a constant fingerprint
+    * region — black frames, silence, boilerplate) quadratically inflates
+    * probe cost long before it breaks correctness. ≈ 1 means uniform; the
+    * remedy for a persistently hot index is a wider shape ([[FpShape.Fp256]])
+    * or dropping the degenerate band value the way df-capped shingles drop
+    * boilerplate.
+    */
+  def occupancySkew(spark: SparkSession, indexPath: String): Double = {
+    val occ = read(spark, indexPath)
+      .groupBy("band_idx", "band_val").agg(count(lit(1)).as("occ"))
+      .agg(max("occ").cast("double").as("mx"), avg("occ").as("mean"))
+      .head()
+    if (occ.isNullAt(0) || occ.getDouble(1) == 0.0) 1.0
+    else occ.getDouble(0) / occ.getDouble(1)
   }
 
   /** Segment-id offset for streaming batches (see
@@ -160,9 +232,15 @@ object FingerprintIndex {
     * the stored index (candidates to `candOut/batch=<segment>`) then
     * absorbed as its own segment. Probe-before-absorb + own-segment
     * exclusion keep both writes deterministic under checkpoint replay.
+    * With `healthMetricsOut` set, each batch also publishes the index's
+    * [[occupancySkew]] — the health signal an operator alerts on before
+    * probe cost goes quadratic (the [[graft.ann.IvfIndex.streamingAbsorb]]
+    * drift-metric pattern).
     */
   def streamingAbsorb(
-      fpStream: DataFrame, indexPath: String, candOut: String, checkpoint: String)
+      fpStream: DataFrame, indexPath: String, candOut: String, checkpoint: String,
+      shape: FpShape = FpShape.Fp64,
+      healthMetricsOut: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     fpStream.writeStream
       .outputMode("append")
@@ -172,7 +250,8 @@ object FingerprintIndex {
         val segment = StreamingSegmentBase + batchId
         val cand =
           if (hasSegments(spark, indexPath))
-            candidates(spark, indexPath, batch, excludeSegment = Some(segment))
+            candidates(spark, indexPath, batch,
+              maxDist = shape.maxDist, excludeSegment = Some(segment), shape = shape)
           else
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -181,7 +260,13 @@ object FingerprintIndex {
                 org.apache.spark.sql.types.StructField("index_id", org.apache.spark.sql.types.LongType),
                 org.apache.spark.sql.types.StructField("hamming", org.apache.spark.sql.types.IntegerType))))
         cand.write.mode("overwrite").parquet(s"$candOut/batch=$segment")
-        appendBatch(spark, indexPath, batch, segment)
+        appendBatch(spark, indexPath, batch, segment, shape)
+        healthMetricsOut.foreach { metricsPath =>
+          val skew = occupancySkew(spark, indexPath)
+          import spark.implicits._
+          Seq((segment, skew)).toDF("segment", "occupancy_skew")
+            .write.mode("overwrite").parquet(s"$metricsPath/batch=$segment")
+        }
       }
 
   private def hasSegments(spark: SparkSession, indexPath: String): Boolean = {

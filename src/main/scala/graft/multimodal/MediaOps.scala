@@ -356,7 +356,7 @@ object MediaOps {
     * the encoder's deterministic body formula `(seed·131 + i·31) & 255` —
     * the decode side never sees this formula, only the container bytes.
     */
-  private val AHashCte: String =
+  private val PxCte: String =
     """imgs AS (
       |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
       |  FROM documents WHERE doc_id % 3 = 0),
@@ -367,7 +367,10 @@ object MediaOps {
       |         ((d.doc_id*131 + (3*p.p  )*31) & 255)
       |       + ((d.doc_id*131 + (3*p.p+1)*31) & 255)
       |       + ((d.doc_id*131 + (3*p.p+2)*31) & 255) AS gray
-      |  FROM dims d, LATERAL (SELECT unnest(generate_series(0, d.w*d.h - 1)) AS p) p),
+      |  FROM dims d, LATERAL (SELECT unnest(generate_series(0, d.w*d.h - 1)) AS p) p)""".stripMargin
+
+  private val AHashCte: String =
+    s"""$PxCte,
       |blocks AS (
       |  SELECT doc_id, w, h,
       |         ((p // w) * 8 // h) * 8 + ((p % w) * 8 // w) AS idx,
@@ -427,6 +430,126 @@ object MediaOps {
        |WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
        |    + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= $AHashMaxDist
        |ORDER BY id_a, id_b""".stripMargin
+
+  // ----------------------------------------------------------- wide hash
+
+  case class ImageWideHash(
+      doc_id: Long, width: Int, height: Int,
+      fp_w0: Long, fp_w1: Long, fp_w2: Long, fp_w3: Long,
+      fp_w4: Long, fp_w5: Long, fp_w6: Long, fp_w7: Long)
+
+  /** 256-bit perceptual hash: [[aHashOf]]'s exact-integer bit rule
+    * (`S_b·N > T·C_b`) on a 16×16 floor-grid instead of 8×8. Four times the
+    * spatial resolution — and, for the hamming index, the shape that unlocks
+    * 16-bit bands: the fixed-256-bucket 64-bit layout's band self-join is
+    * O(n²/256) in candidate volume, while 2^16 buckets/band push the
+    * quadratic knee out 256× (the r7 verdict's last `weak` margin). Emitted
+    * as eight 32-bit words so neither engine touches a 64-bit sign bit.
+    */
+  private[graft] def wideHashOf(b: Array[Byte]): (Int, Int, Array[Long]) = {
+    val (w, h, off) = MediaCodec.decodePpmBody(b)
+    val s = new Array[Long](256)
+    val c = new Array[Long](256)
+    var t = 0L
+    var p = 0
+    val n = w * h
+    while (p < n) {
+      val g = (b(off + 3 * p) & 0xff) + (b(off + 3 * p + 1) & 0xff) + (b(off + 3 * p + 2) & 0xff)
+      val idx = ((p / w) * 16 / h) * 16 + ((p % w) * 16 / w)
+      s(idx) += g; c(idx) += 1; t += g
+      p += 1
+    }
+    val words = new Array[Long](8)
+    var idx = 0
+    while (idx < 256) {
+      if (s(idx) * n > t * c(idx)) words(idx / 32) |= 1L << (idx % 32)
+      idx += 1
+    }
+    (w, h, words)
+  }
+
+  def imageWideHash(spark: SparkSession, sfDir: String): Dataset[ImageWideHash] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .filter(col("media_type") === "image")
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val (w, h) = imageDims(r.content.length)
+        val bytes = MediaCodec.encodePpm(w, h, r.doc_id)
+        val (pw, ph, ws) = wideHashOf(bytes)
+        ImageWideHash(r.doc_id, pw, ph,
+          ws(0), ws(1), ws(2), ws(3), ws(4), ws(5), ws(6), ws(7))
+      })
+  }
+
+  def qImageWideHash(spark: SparkSession, sfDir: String): DataFrame =
+    imageWideHash(spark, sfDir).toDF().orderBy("doc_id")
+
+  /** Wide-hash oracle chain ending in `whashed(doc_id, w, h, fp_w0..fp_w7)`
+    * — the [[AHashCte]] derivation at 16×16, every pixel re-derived from the
+    * encoder formula.
+    */
+  private val WideHashCte: String =
+    s"""$PxCte,
+       |wblocks AS (
+       |  SELECT doc_id, w, h,
+       |         ((p // w) * 16 // h) * 16 + ((p % w) * 16 // w) AS idx,
+       |         sum(gray) AS s, count(*) AS c
+       |  FROM px GROUP BY 1,2,3,4),
+       |wtot AS (SELECT doc_id, sum(s) AS t, sum(c) AS nn FROM wblocks GROUP BY 1),
+       |wbits AS (
+       |  SELECT b.doc_id, b.w, b.h, b.idx,
+       |         CASE WHEN b.s * t.nn > t.t * b.c THEN 1 ELSE 0 END AS bit
+       |  FROM wblocks b JOIN wtot t USING (doc_id)),
+       |whashed AS (
+       |  SELECT doc_id,
+       |         CAST(any_value(w) AS INT) AS w, CAST(any_value(h) AS INT) AS h,
+       |${(0 until 8).map(j =>
+          s"         CAST(sum(CASE WHEN idx // 32 = $j THEN bit * (1::BIGINT << (idx % 32)) ELSE 0 END) AS BIGINT) AS fp_w$j")
+            .mkString(",\n")}
+       |  FROM wbits GROUP BY doc_id)""".stripMargin
+
+  val imageWideHashSql: String =
+    s"""WITH $WideHashCte
+       |SELECT doc_id, w AS width, h AS height,
+       |       fp_w0, fp_w1, fp_w2, fp_w3, fp_w4, fp_w5, fp_w6, fp_w7
+       |FROM whashed ORDER BY doc_id""".stripMargin
+
+  /** Distance bound for the wide near-dup join: the 16-band pigeonhole
+    * guarantee. Scaled 2× past the 64-bit bound (7) — the 256-bit hash has
+    * 4× the bits, so equally-similar images sit proportionally further
+    * apart.
+    */
+  val WideMaxDist = 15
+
+  /** The wide hash in the word-column shape [[graft.dedup.FpShape.Fp256]]
+    * consumes.
+    */
+  def imageWideFingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    imageWideHash(spark, sfDir).toDF().select(
+      col("doc_id").as("id") +: (0 until 8).map(j => col(s"fp_w$j")): _*)
+
+  /** Image near-duplicates over the 256-bit hash via 16-bit pigeonhole
+    * bands — the corpus-scale variant of [[imageNearDup]]: same join shape,
+    * 2^16 buckets per band, so in-bucket candidate volume stays ~flat where
+    * the fixed-256 alphabet goes quadratic.
+    */
+  def imageNearDupWideband(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.FingerprintIndex
+      .pairsWithin(imageWideFingerprints(spark, sfDir), WideMaxDist, graft.dedup.FpShape.Fp256)
+      .orderBy("id_a", "id_b")
+
+  val imageNearDupWidebandSql: String = {
+    // DuckDB bit_count returns TINYINT; eight of them can sum past 127
+    val dist = (0 until 8)
+      .map(j => s"CAST(bit_count(xor(a.fp_w$j, b.fp_w$j)) AS INT)").mkString("\n          + ")
+    s"""WITH $WideHashCte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST($dist AS INT) AS hamming
+       |FROM whashed a JOIN whashed b ON a.doc_id < b.doc_id
+       |WHERE $dist <= $WideMaxDist
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   // ----------------------------------------------------------- audio fp
 
@@ -557,6 +680,8 @@ object MediaOps {
     "q_audio_segments" -> (audioSegments(_, _)),
     "q_image_ahash" -> (qImageAHash(_, _)),
     "q_image_neardup" -> (imageNearDup(_, _)),
+    "q_image_widehash" -> (qImageWideHash(_, _)),
+    "q_image_neardup_wideband" -> (imageNearDupWideband(_, _)),
     "q_fp_band_index" -> (qFpBandIndex(_, _)),
     "q_audio_fp" -> (qAudioFp(_, _)),
     "q_audio_neardup" -> (audioNearDup(_, _))
@@ -570,6 +695,8 @@ object MediaOps {
     "q_audio_segments" -> audioSegmentsSql,
     "q_image_ahash" -> imageAHashSql,
     "q_image_neardup" -> imageNearDupSql,
+    "q_image_widehash" -> imageWideHashSql,
+    "q_image_neardup_wideband" -> imageNearDupWidebandSql,
     "q_fp_band_index" -> fpBandIndexSql,
     "q_audio_fp" -> audioFpSql,
     "q_audio_neardup" -> audioNearDupSql

@@ -126,4 +126,77 @@ class FingerprintIndexSpec extends AnyFunSuite with SharedSpark {
     assert(FingerprintIndex.compactSegments(spark, dir, protectLatest = false) == 2)
     assert(probe().sameElements(before), "full compaction changed candidates")
   }
+
+  test("wide-shape (256-bit, 16-bit bands) index probe matches one-shot pairs, zero shuffles") {
+    import graft.dedup.FpShape
+    val dir = java.nio.file.Files.createTempDirectory("fp_idx_wide").toString
+    val wide = MediaOps.imageWideFingerprints(spark, dataDir)
+    FingerprintIndex.materialize(spark, wide, dir, FpShape.Fp256)
+    val probe = FingerprintIndex.candidates(
+      spark, dir, wide, maxDist = MediaOps.WideMaxDist, shape = FpShape.Fp256)
+    val viaIndex = probe.filter(col("probe_id") < col("index_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val oneShot = MediaOps.imageNearDupWideband(spark, dataDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(oneShot.nonEmpty, "test corpus must contain wide-hash near-dup images")
+    assert(viaIndex == oneShot)
+    // the wide shape keeps the zero-shuffle broadcast-probe plan
+    probe.collect()
+    val s = graft.plans.PlanAudit.summary(probe).head()
+    assert(s.getAs[Int]("n_broadcasts") >= 1 && s.getAs[Int]("n_shuffles") == 0,
+      s"wide probe must broadcast and not shuffle:\n${probe.queryExecution.executedPlan}")
+  }
+
+  test("occupancy skew reads ~1 on spread fingerprints and flags a planted hot bucket") {
+    import spark.implicits._
+    // spread: distinct values in every band
+    val spreadDir = java.nio.file.Files.createTempDirectory("fp_occ_spread").toString
+    val spread = (0 until 64).map { i =>
+      val v = (i.toLong * 0x01010101L) & 0xffffffffL
+      (i.toLong, v, (v ^ 0xffffffffL) & 0xffffffffL)
+    }.toDF("id", "fp_hi", "fp_lo")
+    FingerprintIndex.materialize(spark, spread, spreadDir)
+    val flat = FingerprintIndex.occupancySkew(spark, spreadDir)
+    // hot: every fingerprint identical -> each bucket holds all 64 rows, but
+    // only 8 of the 8×256 possible buckets are occupied... occupancy skew is
+    // max/mean over OCCUPIED buckets, so identical fps read as uniform-full;
+    // the operational hot case is MOST rows constant + a spread tail
+    val hotDir = java.nio.file.Files.createTempDirectory("fp_occ_hot").toString
+    val hot = (0 until 64).map { i =>
+      if (i < 48) (i.toLong, 0L, 0L) // constant region: black frames
+      else {
+        val v = (i.toLong * 0x01010101L) & 0xffffffffL
+        (i.toLong, v, (v ^ 0xffffffffL) & 0xffffffffL)
+      }
+    }.toDF("id", "fp_hi", "fp_lo")
+    FingerprintIndex.materialize(spark, hot, hotDir)
+    val skewed = FingerprintIndex.occupancySkew(spark, hotDir)
+    assert(flat < 2.0, s"spread corpus should be near-uniform, got $flat")
+    assert(skewed > 5.0, s"planted hot bucket must dominate, got $skewed")
+    assert(skewed > flat * 2)
+  }
+
+  test("streaming absorb publishes the occupancy-skew health metric per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("fp_health").toString
+    val (idx, cand, ckpt, metrics) =
+      (s"$base/idx", s"$base/cand", s"$base/ckpt", s"$base/metrics")
+    FingerprintIndex.materialize(spark, fps.filter(col("id") % 5 =!= 0), idx)
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Long)]
+    val q = FingerprintIndex.streamingAbsorb(
+      stream.toDF().toDF("id", "fp_hi", "fp_lo"), idx, cand, ckpt,
+      healthMetricsOut = Some(metrics)).start()
+    val batch = fps.filter(col("id") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    stream.addData(batch.toSeq)
+    q.processAllAvailable(); q.stop()
+    val m = spark.read.option("basePath", metrics).parquet(metrics)
+      .select("segment", "occupancy_skew").collect()
+    assert(m.length == 1 && m(0).getLong(0) == FingerprintIndex.StreamingSegmentBase)
+    val skew = m(0).getDouble(1)
+    assert(skew >= 1.0 && skew == FingerprintIndex.occupancySkew(spark, idx),
+      s"published skew $skew must equal the recomputed index skew")
+  }
 }

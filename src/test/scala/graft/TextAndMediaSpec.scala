@@ -365,6 +365,24 @@ class TextAndMediaSpec extends AnyFunSuite with SharedSpark {
     assert(banded == brute)
   }
 
+  test("wide-band (256-bit, 16-bit bands) image near-dup equals the all-pairs answer") {
+    val dir = "/root/testdata/sf0.01"
+    val hashes = MediaOps.imageWideHash(spark, dir).collect()
+    def words(h: MediaOps.ImageWideHash) =
+      Array(h.fp_w0, h.fp_w1, h.fp_w2, h.fp_w3, h.fp_w4, h.fp_w5, h.fp_w6, h.fp_w7)
+    val brute = (for {
+      a <- hashes; b <- hashes if a.doc_id < b.doc_id
+      d = words(a).zip(words(b)).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if d <= MediaOps.WideMaxDist
+    } yield (a.doc_id, b.doc_id, d)).toSet
+    val banded = MediaOps.imageNearDupWideband(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "test corpus should contain wide-hash near-dup images")
+    assert(banded == brute)
+    // every 32-bit word stays sign-safe (the DuckDB BIGINT bit-63 gotcha)
+    hashes.foreach(h => words(h).foreach(w => assert(w >= 0L && w <= 0xffffffffL)))
+  }
+
   test("distilled quality classifier tracks its weak label far above the base rate") {
     val rows = graft.text.QualityClassifier.distillAndScore(spark, sfDir).collect()
     assert(rows.nonEmpty)
