@@ -46,6 +46,36 @@ object IvfIndex {
     */
   private val ResidualFile = "_RESIDUAL"
 
+  /** Advisory lease a [[recluster]] holds for its WHOLE run (fit +
+    * swap), not just the final compact: the quiescence requirement the r7
+    * doc comment stated in prose, made structural. [[appendBatch]] refuses
+    * to absorb while the lease is fresh — a batch assigned under the
+    * outgoing centroid set that lands mid-recluster would survive the swap
+    * snapshot untouched and silently carry stale cell ids ever after. A
+    * lease whose heartbeat (mtime) stopped for [[ReclusterLeaseTtlMs]] is
+    * treated as a crashed run and ignored/reclaimed.
+    */
+  private val ReclusterLease = ".recluster_lease"
+  val ReclusterLeaseTtlMs: Long = 15L * 60 * 1000
+
+  private def leaseInfo(
+      spark: SparkSession, indexPath: String): Option[(org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, ReclusterLease)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some((fs, p, fs.getFileStatus(p).getModificationTime)) else None
+  }
+
+  /** Fails loudly when a live recluster holds the index. */
+  private def assertNotReclustering(spark: SparkSession, indexPath: String): Unit =
+    leaseInfo(spark, indexPath).foreach { case (_, _, mtime) =>
+      if (System.currentTimeMillis() - mtime < ReclusterLeaseTtlMs)
+        throw new IllegalStateException(
+          s"recluster in progress on $indexPath (lease heartbeat " +
+            s"${System.currentTimeMillis() - mtime} ms ago): absorbing now would land a " +
+            "segment assigned under the outgoing centroid set; retry after it completes " +
+            "(a streaming absorb fails its micro-batch and replays cleanly on restart)")
+    }
+
   private def serializeCents(cents: IndexedSeq[Array[Double]]): String =
     cents.map(_.mkString(",")).mkString("\n")
 
@@ -116,6 +146,7 @@ object IvfIndex {
   def appendBatch(
       spark: SparkSession, indexPath: String, embeddings: DataFrame, batchId: Long): Unit = {
     VectorFunctions.register(spark)
+    assertNotReclustering(spark, indexPath)
     val cents = currentCentroids(spark, indexPath)
     val baseline = baselineResidual(spark, indexPath)
     withCentroidAssignment(withNorm(embeddings, "vec_id", "v", "nn"), "v", cents)
@@ -377,10 +408,11 @@ object IvfIndex {
     * re-assigned under the new centroids, and committed as ONE segment
     * whose [[CentroidsFile]] manifest carries the new set — so a crash at
     * any point leaves either the complete old index or the complete new
-    * one, never a mix, and recovery finishes the commit. The index must be
-    * QUIESCED (no stream absorbing): a batch assigned under the old set
-    * that lands mid-recluster survives the snapshot untouched but would
-    * carry stale cell ids.
+    * one, never a mix, and recovery finishes the commit. Quiescence is
+    * ENFORCED, not assumed: the run holds [[ReclusterLease]] end-to-end and
+    * [[appendBatch]] fails loudly under it — a batch assigned under the old
+    * set that landed mid-recluster would survive the snapshot untouched but
+    * carry stale cell ids forever (the r7 advisory gap, closed).
     *
     * @return number of Lloyd iterations run.
     */
@@ -392,12 +424,35 @@ object IvfIndex {
       samplePpm: Long = 1000000L): Int = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     VectorFunctions.register(spark)
+    // Hold the recluster lease for the WHOLE run: concurrent absorbs fail
+    // loudly ([[assertNotReclustering]]) instead of landing segments whose
+    // cell ids the swap would silently invalidate. Exclusive-create wins the
+    // race between two reclusters; a stale lease (crashed run — its compact
+    // protocol left the data whole) is reclaimed by delete + retry.
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(root, ReclusterLease)
+    def tryAcquire(): Boolean =
+      try { val out = fs.create(lease, false); out.close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val fresh = leaseInfo(spark, indexPath)
+        .exists { case (_, _, m) => System.currentTimeMillis() - m < ReclusterLeaseTtlMs }
+      if (fresh)
+        throw new IllegalStateException(s"another recluster already holds $indexPath")
+      fs.delete(lease, false)
+      require(tryAcquire(), s"lost the recluster lease race on $indexPath")
+    }
+    def heartbeat(): Unit =
+      fs.setTimes(lease, System.currentTimeMillis(), -1)
+    try {
     var cents = currentCentroids(spark, indexPath)
     // md5-keyed sample: deterministic across runs and engines
     val sample = sampled(read(spark, indexPath).select("vec_id", "v"), samplePpm).cache()
     var iter = 0
     var moved = true
     while (iter < maxIter && moved) {
+      heartbeat()
       val stats = SimilarityOps.withCentroidAssignment(sample, "v", cents)
         .select(col("centroid_id").cast("int").as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
@@ -423,6 +478,7 @@ object IvfIndex {
     // OLD segments under the FITTED centroids equals the post-commit value
     val postFitResidual =
       residualUnder(spark, read(spark, indexPath), fitted, samplePpm)
+    heartbeat()
     graft.sources.Segments.compact(
       spark, indexPath, Seq("centroid_id"), protectLatest = false,
       transform = df =>
@@ -433,5 +489,6 @@ object IvfIndex {
         ResidualFile -> postFitResidual.toString),
       force = true)
     iter
+    } finally fs.delete(lease, false)
   }
 }

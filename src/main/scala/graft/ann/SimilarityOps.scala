@@ -281,7 +281,7 @@ object SimilarityOps {
     * [[ivfAssignments]] — [[IvfIndex]] applies it to incoming batches, with
     * `cents` overridden after an [[IvfIndex.recluster]].
     */
-  private[ann] def withCentroidAssignment(
+  private[graft] def withCentroidAssignment(
       df0: DataFrame, vCol: String,
       cents: IndexedSeq[Array[Double]] = centroids,
       keepDistance: Option[String] = None): DataFrame = {

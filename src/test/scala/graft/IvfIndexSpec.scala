@@ -288,4 +288,41 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"expected dynamic partition pruning on centroid_id:\n$plan")
   }
+
+  test("absorb racing a recluster fails loudly; a completed or crashed recluster frees the index") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_lease").toString
+    IvfIndex.materialize(spark, embs.filter(col("vec_id") % 4 =!= 0), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(dir, ".recluster_lease")
+    // a live recluster (fresh lease heartbeat) blocks the absorb — no
+    // segment may land assigned under the outgoing centroid set
+    fs.create(lease, false).close()
+    val e = intercept[IllegalStateException] {
+      IvfIndex.appendBatch(spark, dir, embs.filter(col("vec_id") % 4 === 0), batchId = 1L)
+    }
+    assert(e.getMessage.contains("recluster in progress"), e.getMessage)
+    assert(graft.sources.Segments.segmentIds(spark, dir) == Seq(0L),
+      "no segment may land under an active recluster lease")
+    // a crashed recluster (heartbeat older than the TTL) must not wedge
+    // ingest forever
+    fs.setTimes(lease, System.currentTimeMillis() - IvfIndex.ReclusterLeaseTtlMs - 1000L, -1)
+    IvfIndex.appendBatch(spark, dir, embs.filter(col("vec_id") % 4 === 0), batchId = 1L)
+    fs.delete(lease, false)
+    // a real recluster releases its lease and the absorbed rows search fine
+    IvfIndex.recluster(spark, dir, maxIter = 2)
+    assert(!fs.exists(lease), "recluster must release its lease")
+    IvfIndex.appendBatch(spark, dir, embs.filter(col("vec_id") % 4 === 0), batchId = 2L)
+    // every stored row's cell id agrees with the live centroid set — the
+    // stale-cell corruption the lease exists to prevent
+    graft.functions.VectorFunctions.register(spark)
+    val cents = IvfIndex.currentCentroids(spark, dir)
+    val stored = IvfIndex.read(spark, dir).select("vec_id", "v", "centroid_id")
+    val reassigned = graft.ann.SimilarityOps
+      .withCentroidAssignment(stored.select(col("vec_id"), col("v")), "v", cents)
+      .select(col("vec_id"), col("centroid_id").as("fresh_cid"))
+    val mismatches = stored.join(reassigned, "vec_id")
+      .filter(col("centroid_id") =!= col("fresh_cid")).count()
+    assert(mismatches == 0L, s"$mismatches rows carry stale cell ids")
+  }
 }
