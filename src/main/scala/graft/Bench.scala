@@ -511,11 +511,47 @@ object Bench {
         // Druid-style ingest-time sketches vs the lean (cnt, sum) rollup
         val rpsRollupFull = throughput("graft_rollup_full_bench", dir,
           StreamingDutyCycle.rollupPlanFull(_))
+        // State-scale probe (VERDICT r7 #4): the throughput gates above feed
+        // 5 distinct (house, appliance) state keys — they never test whether
+        // STATE CARDINALITY degrades the pipeline. Same plan, same row
+        // count, RocksDB state store (the bounded-memory provider a
+        // long-running deployment uses), 10× the key space: the ratio
+        // rows/s(10× keys) ÷ rows/s(base keys) near 1 means state lookups
+        // stay O(1) per row and the store absorbs cardinality; a ratio
+        // collapsing toward 1/10 would flag per-key costs serializing the
+        // pipeline.
+        val keysDir = java.nio.file.Files.createTempDirectory("graft_stream_keys").toString
+        spark.range(n).map { i =>
+          StreamingDutyCycle.PowerReading(
+            new Timestamp((i % 86400) * 1000L),
+            s"1_1_${i % 50}", "lamp", s"1_1_${i % 50}_${i % 50}", (i % 400).toDouble)
+        }.repartition(16).write.mode("overwrite").parquet(keysDir)
+        val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        val (rpsRocksBase, rpsRocks10x) =
+          try {
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+              "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+            (throughput("graft_duty_rocks_base", dir,
+              StreamingDutyCycle.plan(_, GridConfig())),
+              throughput("graft_duty_rocks_10x", keysDir,
+                StreamingDutyCycle.plan(_, GridConfig())))
+          } finally {
+            prevProvider match {
+              case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+              case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            }
+            cleanup(keysDir)
+          }
+        val stateScaleRatio =
+          if (rpsRocksBase > 0) rpsRocks10x.toDouble / rpsRocksBase else -1.0
         (s""","streaming":{"duty_cycle_rows_per_sec":$rps,""" +
           s""""duty_cycle_prerolled_rows_per_sec":$rpsPre,""" +
           s""""duty_cycle_hot_key_rows_per_sec":$rpsHot,""" +
           s""""hot_key_frac":0.6,"hot_key_slowdown":$hotRatio,""" +
           s""""rollup_full_sketch_rows_per_sec":$rpsRollupFull,""" +
+          s""""rocksdb_rows_per_sec_base_keys":$rpsRocksBase,""" +
+          s""""rocksdb_rows_per_sec_10x_keys":$rpsRocks10x,""" +
+          s""""state_keys_factor":10,"state_scale_ratio":$stateScaleRatio,""" +
           s""""input_rows":$n,"baseline_rows_per_sec":100000}""",
           math.max(rps, rpsPre))
       } finally { cleanup(dir); cleanup(hotDir) }

@@ -58,6 +58,53 @@ class RecoverySpec extends AnyFunSuite with SharedSpark {
     assert(dupes == 0, "recovery must not re-emit closed windows")
   }
 
+  test("RocksDB state at 10x key cardinality survives a restart without dupes or loss") {
+    // the bench's state-scale probe measures throughput at 10x keys; this
+    // pins its correctness side — grown RocksDB state reloads from the
+    // checkpoint and closed windows are not re-emitted
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("recov_rocks_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("recov_rocks_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("recov_rocks_out").toString
+    def readings(from: Int, until: Int) =
+      (from until until).map { i =>
+        StreamingDutyCycle.PowerReading(
+          new java.sql.Timestamp(i * 1000L), s"h${i % 30}", "lamp",
+          s"h${i % 30}_a${i % 3}", (i % 10).toDouble)
+      }
+    spark.createDataset(readings(0, 500)).toDF().write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def start() =
+        StreamingDutyCycle
+          .plan(spark.readStream.schema(schema).parquet(src),
+            GridConfig(windowMin = 2, playbackSpeed = 12, watermarkSec = 2))
+          .writeStream
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append)
+          .start()
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      val afterFirst = spark.read.parquet(outDir).count()
+      spark.createDataset(readings(500, 1000)).toDF().write.mode("append").parquet(src)
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      val out = spark.read.parquet(outDir)
+      assert(out.count() > afterFirst, "restart must process the new files")
+      assert(out.select("house_id").distinct().count() == 30,
+        "every key must surface")
+      val dupes = out.groupBy("time_end", "appliance_id", "house_id")
+        .count().filter(col("count") > 1).count()
+      assert(dupes == 0, "recovery must not re-emit closed windows")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("foreachBatch batchId-keyed overwrite: crash after write, before commit — no dupes") {
     // The T7 exactly-once proof: foreachBatch is at-least-once (the side
     // effect can land, then the query die before the offset commit), so the
