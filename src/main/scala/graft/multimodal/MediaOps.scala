@@ -551,6 +551,27 @@ object MediaOps {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** The Fp256 band-table schema as an oracle-checked query — the exact rows
+    * a wide-shape `appendBatch` persists (16 bands × 16 bits), the wide
+    * analogue of [[qFpBandIndex]].
+    */
+  def qFpWideBandIndex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.FingerprintIndex
+      .bandTable(imageWideFingerprints(spark, sfDir), graft.dedup.FpShape.Fp256)
+      .orderBy("id", "band_idx")
+
+  val fpWideBandIndexSql: String = {
+    val wordPick = (0 until 8)
+      .map(j => s"WHEN $j THEN h.fp_w$j").mkString("CASE b.band_idx // 2 ", " ", " END")
+    s"""WITH $WideHashCte
+       |SELECT h.doc_id AS id,
+       |       h.fp_w0, h.fp_w1, h.fp_w2, h.fp_w3, h.fp_w4, h.fp_w5, h.fp_w6, h.fp_w7,
+       |       CAST(b.band_idx AS INT) AS band_idx,
+       |       CAST((($wordPick) >> ((b.band_idx % 2) * 16)) & 65535 AS INT) AS band_val
+       |FROM whashed h, (SELECT unnest(generate_series(0, 15)) AS band_idx) b
+       |ORDER BY id, band_idx""".stripMargin
+  }
+
   // ----------------------------------------------------------- audio fp
 
   case class AudioFp(doc_id: Long, n_samples: Long, fp_hi: Long, fp_lo: Long)
@@ -655,6 +676,107 @@ object MediaOps {
        |    + bit_count(xor(a.fp_lo, b.fp_lo)) <= $AHashMaxDist
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ----------------------------------------------------- wide audio fp
+
+  case class AudioWideFp(
+      doc_id: Long, n_samples: Long,
+      fp_w0: Long, fp_w1: Long, fp_w2: Long, fp_w3: Long,
+      fp_w4: Long, fp_w5: Long, fp_w6: Long, fp_w7: Long)
+
+  /** 256-bit audio energy fingerprint: [[audioFpOf]]'s bit rule over 256
+    * time windows — the audio twin of [[imageWideHash]], feeding the same
+    * [[graft.dedup.FpShape.Fp256]] 16-bit-band index machinery. Tracks
+    * shorter than 256 samples leave their empty windows' bits clear (cw = 0
+    * never beats the mean), matching the oracle's empty-group semantics.
+    */
+  private[graft] def audioWideFpOf(b: Array[Byte]): (Long, Array[Long]) = {
+    val (_, channels, bits, off, dataSize) = MediaCodec.decodeWavBody(b)
+    if (channels != 1 || bits != 8)
+      throw new IllegalArgumentException(s"audioWideFp: expect 8-bit mono, got ${bits}b×$channels")
+    val n = dataSize
+    val ew = new Array[Long](256)
+    val cw = new Array[Long](256)
+    var t = 0L
+    var i = 0
+    while (i < n) {
+      val e = math.abs((b(off + i) & 0xff) - 128).toLong
+      val w = (i.toLong * 256 / n).toInt
+      ew(w) += e; cw(w) += 1; t += e
+      i += 1
+    }
+    val words = new Array[Long](8)
+    var w = 0
+    while (w < 256) {
+      if (cw(w) > 0 && ew(w) * n > t * cw(w)) words(w / 32) |= 1L << (w % 32)
+      w += 1
+    }
+    (n.toLong, words)
+  }
+
+  def audioWideFingerprints(spark: SparkSession, sfDir: String): Dataset[AudioWideFp] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .filter(col("media_type") === "audio")
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val bytes = MediaCodec.encodeWav(audioSamples(r.content.length), r.doc_id)
+        val (n, ws) = audioWideFpOf(bytes)
+        AudioWideFp(r.doc_id, n, ws(0), ws(1), ws(2), ws(3), ws(4), ws(5), ws(6), ws(7))
+      })
+  }
+
+  def qAudioWideFp(spark: SparkSession, sfDir: String): DataFrame =
+    audioWideFingerprints(spark, sfDir).toDF().orderBy("doc_id")
+
+  /** Wide-audio oracle chain ending in `wafp(doc_id, ns, fp_w0..fp_w7)`. */
+  private val AudioWideFpCte: String =
+    s"""auds AS (
+       |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |par AS (SELECT doc_id, (1 + n % 24) * 800 AS ns FROM auds),
+       |sm AS (
+       |  SELECT p.doc_id, p.ns, s.i,
+       |         abs(((p.doc_id*131 + s.i*31) & 255) - 128) AS e
+       |  FROM par p, LATERAL (SELECT unnest(generate_series(0, p.ns - 1)) AS i) s),
+       |wwins AS (
+       |  SELECT doc_id, ns, (i * 256) // ns AS w, sum(e) AS ew, count(*) AS cw
+       |  FROM sm GROUP BY 1, 2, 3),
+       |wtot AS (SELECT doc_id, sum(ew) AS et, sum(cw) AS nn FROM wwins GROUP BY 1),
+       |wabits AS (
+       |  SELECT w.doc_id, w.ns, w.w, CASE WHEN w.ew * t.nn > t.et * w.cw THEN 1 ELSE 0 END AS bit
+       |  FROM wwins w JOIN wtot t USING (doc_id)),
+       |wafp AS (
+       |  SELECT doc_id, CAST(any_value(ns) AS BIGINT) AS ns,
+       |${(0 until 8).map(j =>
+          s"         CAST(sum(CASE WHEN w // 32 = $j THEN bit * (1::BIGINT << (w % 32)) ELSE 0 END) AS BIGINT) AS fp_w$j")
+            .mkString(",\n")}
+       |  FROM wabits GROUP BY doc_id)""".stripMargin
+
+  val audioWideFpSql: String =
+    s"""WITH $AudioWideFpCte
+       |SELECT doc_id, ns AS n_samples,
+       |       fp_w0, fp_w1, fp_w2, fp_w3, fp_w4, fp_w5, fp_w6, fp_w7
+       |FROM wafp ORDER BY doc_id""".stripMargin
+
+  /** Wide audio near-duplicates through the shared 16-bit-band machinery. */
+  def audioNearDupWideband(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.FingerprintIndex.pairsWithin(
+      audioWideFingerprints(spark, sfDir).toDF()
+        .select(col("doc_id").as("id") +: (0 until 8).map(j => col(s"fp_w$j")): _*),
+      WideMaxDist, graft.dedup.FpShape.Fp256)
+      .orderBy("id_a", "id_b")
+
+  val audioNearDupWidebandSql: String = {
+    val dist = (0 until 8)
+      .map(j => s"CAST(bit_count(xor(a.fp_w$j, b.fp_w$j)) AS INT)").mkString("\n          + ")
+    s"""WITH $AudioWideFpCte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST($dist AS INT) AS hamming
+       |FROM wafp a JOIN wafp b ON a.doc_id < b.doc_id
+       |WHERE $dist <= $WideMaxDist
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** The [[graft.dedup.FingerprintIndex]] band-table schema as an
     * oracle-checked query — the exact rows `appendBatch` persists for the
     * image fingerprints (the hamming analogue of `q_lsh_band_index`).
@@ -683,8 +805,11 @@ object MediaOps {
     "q_image_widehash" -> (qImageWideHash(_, _)),
     "q_image_neardup_wideband" -> (imageNearDupWideband(_, _)),
     "q_fp_band_index" -> (qFpBandIndex(_, _)),
+    "q_fp_wide_band_index" -> (qFpWideBandIndex(_, _)),
     "q_audio_fp" -> (qAudioFp(_, _)),
-    "q_audio_neardup" -> (audioNearDup(_, _))
+    "q_audio_neardup" -> (audioNearDup(_, _)),
+    "q_audio_widefp" -> (qAudioWideFp(_, _)),
+    "q_audio_neardup_wideband" -> (audioNearDupWideband(_, _))
   )
 
   def oracle: Map[String, String] = Map(
@@ -698,7 +823,10 @@ object MediaOps {
     "q_image_widehash" -> imageWideHashSql,
     "q_image_neardup_wideband" -> imageNearDupWidebandSql,
     "q_fp_band_index" -> fpBandIndexSql,
+    "q_fp_wide_band_index" -> fpWideBandIndexSql,
     "q_audio_fp" -> audioFpSql,
-    "q_audio_neardup" -> audioNearDupSql
+    "q_audio_neardup" -> audioNearDupSql,
+    "q_audio_widefp" -> audioWideFpSql,
+    "q_audio_neardup_wideband" -> audioNearDupWidebandSql
   )
 }
