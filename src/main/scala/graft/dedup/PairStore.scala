@@ -121,6 +121,36 @@ object PairStore {
     spark.read.parquet(s"${labelsPath(path)}/batch=${pick.max}")
   }
 
+  /** Segment-id offset for streaming batches (the [[LshIndex]] convention —
+    * never collides with bootstrap batch ids).
+    */
+  val StreamingSegmentBase = 1000000000L
+
+  /** Streaming ingest of pair rows (e.g. the verified output of an
+    * [[LshIndex.streamingAbsorb]] candidate stream): each micro-batch lands
+    * as its own replay-idempotent segment, and every `refreshEvery`-th batch
+    * republishes the label snapshot — the lagging-view cadence (labels are a
+    * global fixpoint, so refreshing per micro-batch would re-run CC on every
+    * trigger; a consumer that needs exactness over freshness reads with
+    * `requireFresh`/`asOf`). Replay safety: the segment write is an
+    * overwrite, and a replayed refresh recomputes an identical snapshot
+    * under the same watermark.
+    */
+  def streamingAbsorb(
+      pairStream: DataFrame, path: String, checkpoint: String, refreshEvery: Int = 5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(refreshEvery >= 1, "refreshEvery must be >= 1")
+    pairStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        appendPairs(spark, path, batch, StreamingSegmentBase + batchId)
+        if (batchId % refreshEvery == refreshEvery - 1) refreshLabels(spark, path)
+        ()
+      }
+  }
+
   // -------------------------------------------------------------------------
   // Memoized corpus-serving store: the full-corpus pair set + labels
   // materialize once per (corpus, threshold) in a process and every

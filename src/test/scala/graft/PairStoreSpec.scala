@@ -81,4 +81,29 @@ class PairStoreSpec extends AnyFunSuite with SharedSpark {
     PairStore.refreshLabels(spark, dir)
     assert(PairStore.readLabels(spark, dir).count() == 6L)
   }
+
+  test("streaming pair absorb lands idempotent segments and refreshes labels on cadence") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ps_stream").toString
+    val (dir, ckpt) = (s"$base/store", s"$base/ckpt")
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)]
+    val pairs = stream.toDF().toDF("id_a", "id_b")
+      .withColumn("inter", lit(1L)).withColumn("n_a", lit(1L))
+      .withColumn("n_b", lit(1L)).withColumn("jaccard", lit(1.0))
+    val q = PairStore.streamingAbsorb(pairs, dir, ckpt, refreshEvery = 2).start()
+    stream.addData((1L, 2L)); q.processAllAvailable()    // batch 0: no refresh yet
+    assert(PairStore.readPairs(spark, dir).count() == 1L)
+    assert(PairStore.labelsWatermark(spark, dir).isEmpty,
+      "labels must refresh on cadence, not per trigger")
+    stream.addData((2L, 3L)); q.processAllAvailable()    // batch 1: refresh fires
+    q.stop()
+    assert(PairStore.labelsWatermark(spark, dir)
+      .contains(PairStore.StreamingSegmentBase + 1L))
+    val labels = PairStore.readLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"streamed pairs must merge transitively: $labels")
+  }
 }
