@@ -91,31 +91,92 @@ object FingerprintIndex {
     * order), so "band j agrees" is a row-wise bit test — no lookup, no
     * distinct.
     */
-  private def isFirstAgreeingBand(shape: FpShape): Column = {
+  /** With a hot-bucket map, the emitting band is the first agreeing band
+    * whose bucket SURVIVES the cap — agreeing bands dropped as hot cannot
+    * emit (their rows are gone), so treating them as non-candidates keeps
+    * exactly-once emission through the remaining bands. `wordOf` resolves a
+    * fingerprint word column in the joined row (agreeing bands have equal
+    * values on both sides, so either side decides hot-ness).
+    */
+  private def isFirstAgreeingBand(
+      shape: FpShape,
+      hot: Map[Int, Set[Int]] = Map.empty,
+      wordOf: String => Column = col(_)): Column = {
     def agreesAt(j: Int): Column = {
       val (word, off) = shape.band(j)
       val x = col(s"x${shape.wordCols.indexOf(word)}")
       shiftright(x, off).bitwiseAND(shape.mask) === 0
     }
     (0 until shape.nBands).map { b =>
-      val noEarlier = (0 until b).map(j => !agreesAt(j)).reduceOption(_ && _).getOrElse(lit(true))
+      val noEarlier = (0 until b)
+        .map(j => !(agreesAt(j) && !hotAt(shape, hot, wordOf)(j)))
+        .reduceOption(_ && _).getOrElse(lit(true))
       (col("band_idx") === b) && noEarlier
     }.reduce(_ || _)
   }
 
+  /** A band-table row sitting in a hot bucket (its own (band_idx, band_val)
+    * is over the cap).
+    */
+  private def rowInHotBucket(hot: Map[Int, Set[Int]]): Column =
+    hot.toSeq.sortBy(_._1).map { case (j, vals) =>
+      col("band_idx") === j &&
+        vals.toSeq.sorted.map(v => col("band_val") === v).reduce(_ || _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+
   private def hammingOf(shape: FpShape): Column =
     shape.wordCols.indices.map(i => bit_count(col(s"x$i"))).reduce(_ + _).cast("int")
+
+  /** Over-occupied (band_idx → band_vals) buckets of a band relation — the
+    * hamming analogue of the shingle df table, collected to the driver as
+    * bounded model state (a bucket is "hot" only past `occupancyCap`, so the
+    * list is the handful of degenerate fingerprint regions — black frames,
+    * silence, boilerplate — not data).
+    */
+  private def hotBucketsOf(bands: DataFrame, occupancyCap: Int): Map[Int, Set[Int]] =
+    bands.groupBy("band_idx", "band_val").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > occupancyCap)
+      .select("band_idx", "band_val").collect()
+      .groupBy(_.getInt(0)).map { case (b, rows) => b -> rows.map(_.getInt(1)).toSet }
+
+  /** Row-wise "band j's bucket is hot" test, evaluated from the fingerprint
+    * words themselves (agreeing bands share their value on both sides, so
+    * the index side's words decide) — hot-bucket suppression stays a
+    * codegen'd filter, never a join or shuffle.
+    */
+  private def hotAt(shape: FpShape, hot: Map[Int, Set[Int]], wordOf: String => Column)(j: Int): Column =
+    hot.get(j).filter(_.nonEmpty) match {
+      case None => lit(false)
+      case Some(vals) =>
+        val (word, off) = shape.band(j)
+        val v = shiftright(wordOf(word), off).bitwiseAND(shape.mask)
+        vals.toSeq.sorted.map(h => v === h).reduce(_ || _)
+    }
 
   /** One-shot near-dup pairs within a fingerprint relation: hamming ≤
     * maxDist, each unordered pair once as id_a < id_b.
     */
+  /** With `occupancyCap` set, buckets holding more than that many rows are
+    * dropped BEFORE the self-join — the df-cap discipline applied to
+    * fingerprint space. A degenerate region (black frames, silence,
+    * boilerplate) costs occupancy²/2 join rows per hot bucket; capping drops
+    * exactly those candidates while every pair with at least one surviving
+    * agreeing band still surfaces exactly once. The trade is explicit:
+    * pairs whose EVERY agreeing band is degenerate (e.g. two all-black
+    * frames) are suppressed, the same judgment df-capped shingles make for
+    * boilerplate-only matches. Hot buckets are bounded driver state (only
+    * over-cap buckets), so the plan stays join + codegen'd filter.
+    */
   def pairsWithin(
       fps: DataFrame,
       maxDist: Int = MaxDist,
-      shape: FpShape = FpShape.Fp64): DataFrame = {
+      shape: FpShape = FpShape.Fp64,
+      occupancyCap: Option[Int] = None): DataFrame = {
     require(maxDist <= shape.maxDist,
       s"pigeonhole over ${shape.nBands} bands covers distance ≤ ${shape.maxDist}")
-    val blocks = bandTable(fps, shape)
+    val blocks0 = bandTable(fps, shape)
+    val hot = occupancyCap.map(hotBucketsOf(blocks0, _)).getOrElse(Map.empty)
+    val blocks = if (hot.isEmpty) blocks0 else blocks0.filter(!rowInHotBucket(hot))
     blocks.as("a").join(
         blocks.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -123,9 +184,10 @@ object FingerprintIndex {
           col("a.id") < col("b.id"))
       .select(
         Seq(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.band_idx").as("band_idx")) ++
+          shape.wordCols.map(w => col(s"a.$w").as(w)) ++
           shape.wordCols.zipWithIndex.map { case (w, i) => expr(s"a.$w ^ b.$w").as(s"x$i") }: _*)
       .withColumn("hamming", hammingOf(shape))
-      .filter(col("hamming") <= maxDist && isFirstAgreeingBand(shape))
+      .filter(col("hamming") <= maxDist && isFirstAgreeingBand(shape, hot))
       .select("id_a", "id_b", "hamming")
   }
 
@@ -176,15 +238,11 @@ object FingerprintIndex {
       broadcastQuery: Boolean = true,
       excludeSegment: Option[Long] = None,
       asOf: Option[Long] = None,
-      shape: FpShape = FpShape.Fp64): DataFrame = {
+      shape: FpShape = FpShape.Fp64,
+      occupancyCap: Option[Int] = None): DataFrame = {
     require(maxDist <= shape.maxDist,
       s"pigeonhole over ${shape.nBands} bands covers distance ≤ ${shape.maxDist}")
-    val probe0 = bandTable(probeFps, shape).select(
-      Seq(col("id").as("probe_id")) ++
-        shape.wordCols.map(w => col(w).as(s"p_$w")) ++
-        Seq(col("band_idx"), col("band_val")): _*)
-    val probe = if (broadcastQuery) broadcast(probe0) else probe0
-    val index = (asOf, excludeSegment) match {
+    val index0 = (asOf, excludeSegment) match {
       case (None, None) => read(spark, indexPath)
       case _ =>
         val snap = asOf
@@ -193,14 +251,25 @@ object FingerprintIndex {
         excludeSegment.map(id => snap.filter(col("batch") =!= id)).getOrElse(snap)
           .drop("batch")
     }
+    // hot buckets are judged against the STORED index (the side whose
+    // occupancy the skew metric watches); the probe batch rides the same cap
+    val hot = occupancyCap.map(hotBucketsOf(index0, _)).getOrElse(Map.empty)
+    val index = if (hot.isEmpty) index0 else index0.filter(!rowInHotBucket(hot))
+    val probe0a = bandTable(probeFps, shape).select(
+      Seq(col("id").as("probe_id")) ++
+        shape.wordCols.map(w => col(w).as(s"p_$w")) ++
+        Seq(col("band_idx"), col("band_val")): _*)
+    val probe0 = if (hot.isEmpty) probe0a else probe0a.filter(!rowInHotBucket(hot))
+    val probe = if (broadcastQuery) broadcast(probe0) else probe0
     index
       .join(probe, Seq("band_idx", "band_val"))
       .filter(col("id") =!= col("probe_id"))
       .select(
         Seq(col("probe_id"), col("id").as("index_id"), col("band_idx")) ++
+          shape.wordCols.map(w => col(w)) ++
           shape.wordCols.zipWithIndex.map { case (w, i) => expr(s"p_$w ^ $w").as(s"x$i") }: _*)
       .withColumn("hamming", hammingOf(shape))
-      .filter(col("hamming") <= maxDist && isFirstAgreeingBand(shape))
+      .filter(col("hamming") <= maxDist && isFirstAgreeingBand(shape, hot))
       .select("probe_id", "index_id", "hamming")
   }
 
@@ -211,7 +280,8 @@ object FingerprintIndex {
     * region — black frames, silence, boilerplate) quadratically inflates
     * probe cost long before it breaks correctness. ≈ 1 means uniform; the
     * remedy for a persistently hot index is a wider shape ([[FpShape.Fp256]])
-    * or dropping the degenerate band value the way df-capped shingles drop
+    * or the `occupancyCap` option on [[pairsWithin]]/[[candidates]], which
+    * drops the degenerate buckets the way df-capped shingles drop
     * boilerplate.
     */
   def occupancySkew(spark: SparkSession, indexPath: String): Double = {

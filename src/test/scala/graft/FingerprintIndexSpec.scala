@@ -176,6 +176,51 @@ class FingerprintIndexSpec extends AnyFunSuite with SharedSpark {
     assert(skewed > flat * 2)
   }
 
+  test("occupancy cap drops degenerate-region candidates, keeps all other pairs exactly once") {
+    import spark.implicits._
+    import graft.dedup.FpShape
+    // 40 constant fingerprints (black frames: every band bucket hot) + 24
+    // spread ones, of which 59/60 and 61/62 are genuine near-dup pairs
+    def spreadFp(i: Long): (Long, Long, Long) = {
+      val v = (i * 0x01010101L) & 0xffffffffL
+      (i, v, (v ^ 0x55aa55aaL) & 0xffffffffL)
+    }
+    val rows =
+      (0L until 40L).map(i => (i, 0L, 0L)) ++
+        (40L until 64L).map {
+          case 60L => val (_, h, l) = spreadFp(59L); (60L, h, l ^ 1L) // dist 1 from 59
+          case 62L => val (_, h, l) = spreadFp(61L); (62L, h ^ 2L, l) // dist 1 from 61
+          case i => spreadFp(i)
+        }
+    val fps = rows.toDF("id", "fp_hi", "fp_lo")
+    val uncapped = graft.dedup.FingerprintIndex.pairsWithin(fps)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all 40×39/2 constant pairs + the planted spread pairs, plus the two
+    // incidental distance-7 pairs the ^1/^2 perturbations create with their
+    // byte neighbours (58^59=1 and 61^63=2 leave one band agreeing)
+    val spreadPairs = Set((58L, 60L), (59L, 60L), (61L, 62L), (62L, 63L))
+    assert(uncapped.size == 40 * 39 / 2 + spreadPairs.size, s"got ${uncapped.size}")
+    assert(spreadPairs.subsetOf(uncapped))
+    val capped = graft.dedup.FingerprintIndex
+      .pairsWithin(fps, occupancyCap = Some(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == spreadPairs,
+      s"cap must keep exactly the non-degenerate pairs: $capped")
+    // emitted exactly once each (no first-band double emission under caps)
+    val cappedRows = graft.dedup.FingerprintIndex
+      .pairsWithin(fps, occupancyCap = Some(8)).collect()
+    assert(cappedRows.length == spreadPairs.size)
+    // the capped probe path agrees with the capped one-shot
+    val dir = java.nio.file.Files.createTempDirectory("fp_cap_idx").toString
+    graft.dedup.FingerprintIndex.materialize(spark, fps, dir)
+    val viaIdx = graft.dedup.FingerprintIndex
+      .candidates(spark, dir, fps, occupancyCap = Some(8))
+      .filter(org.apache.spark.sql.functions.col("probe_id")
+        < org.apache.spark.sql.functions.col("index_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIdx == capped)
+  }
+
   test("streaming absorb publishes the occupancy-skew health metric per batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
