@@ -431,6 +431,53 @@ object MediaOps {
        |    + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= $AHashMaxDist
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Occupancy cap for [[imageNearDupCapped]] — small enough to bite on the
+    * synthetic corpus (the aHash band alphabet is only 256 values, so
+    * benign buckets collect several images even at sf0.01).
+    */
+  val ImageBucketCap = 4
+
+  /** [[imageNearDup]] under the hamming index's hot-bucket cap: buckets
+    * holding more than [[ImageBucketCap]] fingerprints are treated as
+    * degenerate regions and excluded from candidate generation — a pair
+    * survives iff at least one of its agreeing bands sits in a surviving
+    * bucket. The oracle restates that semantic as an EXISTS over the 8
+    * bands, independent of the first-surviving-band emission trick.
+    */
+  def imageNearDupCapped(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.FingerprintIndex
+      .pairsWithin(imageFingerprints(spark, sfDir), AHashMaxDist,
+        occupancyCap = Some(ImageBucketCap))
+      .orderBy("id_a", "id_b")
+
+  val imageNearDupCappedSql: String = {
+    def bandVal(side: String) =
+      s"""CASE WHEN j < 4 THEN ($side.ahash_lo >> (j * 8)) & 255
+         |            ELSE ($side.ahash_hi >> ((j - 4) * 8)) & 255 END""".stripMargin
+    s"""WITH $AHashCte,
+       |bandrows AS (
+       |  SELECT doc_id, b.j AS band_idx,
+       |         CASE WHEN b.j < 4 THEN (ahash_lo >> (b.j * 8)) & 255
+       |              ELSE (ahash_hi >> ((b.j - 4) * 8)) & 255 END AS band_val
+       |  FROM hashed, (SELECT unnest(generate_series(0, 7)) AS j) b),
+       |hot AS (
+       |  SELECT band_idx, band_val FROM bandrows
+       |  GROUP BY 1, 2 HAVING count(*) > $ImageBucketCap)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+       |          + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS INT) AS hamming
+       |FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+       |    + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= $AHashMaxDist
+       |  AND EXISTS (
+       |    SELECT 1 FROM (SELECT unnest(generate_series(0, 7)) AS j) bj
+       |    WHERE (${bandVal("a")}) = (${bandVal("b")})
+       |      AND NOT EXISTS (SELECT 1 FROM hot h
+       |                      WHERE h.band_idx = bj.j
+       |                        AND h.band_val = (${bandVal("a")})))
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ----------------------------------------------------------- wide hash
 
   case class ImageWideHash(
@@ -802,6 +849,7 @@ object MediaOps {
     "q_audio_segments" -> (audioSegments(_, _)),
     "q_image_ahash" -> (qImageAHash(_, _)),
     "q_image_neardup" -> (imageNearDup(_, _)),
+    "q_image_neardup_capped" -> (imageNearDupCapped(_, _)),
     "q_image_widehash" -> (qImageWideHash(_, _)),
     "q_image_neardup_wideband" -> (imageNearDupWideband(_, _)),
     "q_fp_band_index" -> (qFpBandIndex(_, _)),
@@ -820,6 +868,7 @@ object MediaOps {
     "q_audio_segments" -> audioSegmentsSql,
     "q_image_ahash" -> imageAHashSql,
     "q_image_neardup" -> imageNearDupSql,
+    "q_image_neardup_capped" -> imageNearDupCappedSql,
     "q_image_widehash" -> imageWideHashSql,
     "q_image_neardup_wideband" -> imageNearDupWidebandSql,
     "q_fp_band_index" -> fpBandIndexSql,
