@@ -107,12 +107,19 @@ object FingerprintIndex {
       val x = col(s"x${shape.wordCols.indexOf(word)}")
       shiftright(x, off).bitwiseAND(shape.mask) === 0
     }
-    (0 until shape.nBands).map { b =>
-      val noEarlier = (0 until b)
-        .map(j => !(agreesAt(j) && !hotAt(shape, hot, wordOf)(j)))
-        .reduceOption(_ && _).getOrElse(lit(true))
-      (col("band_idx") === b) && noEarlier
-    }.reduce(_ || _)
+    // Linear form: build the bitmask of (surviving) agreeing bands — one
+    // term per band — and keep the row whose band is its LOWEST set bit
+    // (mask & -mask). The per-pair boolean "band b and no earlier surviving
+    // agreeing band" expands to O(nBands²) terms (≈136 at 16 bands), big
+    // enough to fall off whole-stage codegen and run interpreted per
+    // candidate — measured 1.3 µs/candidate on the wide shape before this
+    // rewrite. The joined row's own band always contributes a bit (it
+    // agreed, and hot rows were filtered before the join), so mask ≥ 1.
+    val agreeMask = (0 until shape.nBands).map { j =>
+      when(agreesAt(j) && !hotAt(shape, hot, wordOf)(j), lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    call_function("shiftleft", lit(1), col("band_idx")) ===
+      agreeMask.bitwiseAND(-agreeMask)
   }
 
   /** A band-table row sitting in a hot bucket (its own (band_idx, band_val)
