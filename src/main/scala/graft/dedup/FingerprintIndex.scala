@@ -127,8 +127,7 @@ object FingerprintIndex {
     */
   private def rowInHotBucket(hot: Map[Int, Set[Int]]): Column =
     hot.toSeq.sortBy(_._1).map { case (j, vals) =>
-      col("band_idx") === j &&
-        vals.toSeq.sorted.map(v => col("band_val") === v).reduce(_ || _)
+      col("band_idx") === j && col("band_val").isin(vals.toSeq.sorted: _*)
     }.reduceOption(_ || _).getOrElse(lit(false))
 
   private def hammingOf(shape: FpShape): Column =
@@ -157,7 +156,9 @@ object FingerprintIndex {
       case Some(vals) =>
         val (word, off) = shape.band(j)
         val v = shiftright(wordOf(word), off).bitwiseAND(shape.mask)
-        vals.toSeq.sorted.map(h => v === h).reduce(_ || _)
+        // isin compiles to In/InSet (hash lookup under codegen) — an
+        // OR-chain over a large hot set runs interpreted per candidate
+        v.isin(vals.toSeq.sorted: _*)
     }
 
   /** One-shot near-dup pairs within a fingerprint relation: hamming ≤

@@ -431,30 +431,40 @@ object MediaOps {
        |    + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= $AHashMaxDist
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** Occupancy cap for [[imageNearDupCapped]] — small enough to bite on the
-    * synthetic corpus (the aHash band alphabet is only 256 values, so
-    * benign buckets collect several images even at sf0.01).
+  /** Relative occupancy threshold for [[imageNearDupCapped]]: a bucket is
+    * hot past 4× the MEAN per-bucket occupancy (n/256 per 8-bit band),
+    * floored at 4 so a small corpus never caps benign buckets. A fixed cap
+    * cannot survive corpus growth — at sf0.1 the mean occupancy alone is
+    * ~6.5, so r8's first fixed cap of 4 declared most of fingerprint space
+    * degenerate (hundreds of hot values per band) and the query spent 19 s
+    * filtering; the relative form keeps "hot" meaning OUTLIER at every
+    * scale.
     */
-  val ImageBucketCap = 4
+  def imageBucketCap(nImages: Long): Int =
+    math.max(4, math.ceil(nImages / 64.0).toInt)
 
   /** [[imageNearDup]] under the hamming index's hot-bucket cap: buckets
-    * holding more than [[ImageBucketCap]] fingerprints are treated as
+    * holding more than [[imageBucketCap]] fingerprints are treated as
     * degenerate regions and excluded from candidate generation — a pair
     * survives iff at least one of its agreeing bands sits in a surviving
     * bucket. The oracle restates that semantic as an EXISTS over the 8
     * bands, independent of the first-surviving-band emission trick.
     */
-  def imageNearDupCapped(spark: SparkSession, sfDir: String): DataFrame =
+  def imageNearDupCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = imageFingerprints(spark, sfDir)
+    val cap = imageBucketCap(fps.count()) // one scalar to the driver
     graft.dedup.FingerprintIndex
-      .pairsWithin(imageFingerprints(spark, sfDir), AHashMaxDist,
-        occupancyCap = Some(ImageBucketCap))
+      .pairsWithin(fps, AHashMaxDist, occupancyCap = Some(cap))
       .orderBy("id_a", "id_b")
+  }
 
   val imageNearDupCappedSql: String = {
     def bandVal(side: String) =
       s"""CASE WHEN j < 4 THEN ($side.ahash_lo >> (j * 8)) & 255
          |            ELSE ($side.ahash_hi >> ((j - 4) * 8)) & 255 END""".stripMargin
     s"""WITH $AHashCte,
+       |cap AS (
+       |  SELECT GREATEST(4, CAST(ceil(count(*) / 64.0) AS INT)) AS c FROM hashed),
        |bandrows AS (
        |  SELECT doc_id, b.j AS band_idx,
        |         CASE WHEN b.j < 4 THEN (ahash_lo >> (b.j * 8)) & 255
@@ -462,7 +472,7 @@ object MediaOps {
        |  FROM hashed, (SELECT unnest(generate_series(0, 7)) AS j) b),
        |hot AS (
        |  SELECT band_idx, band_val FROM bandrows
-       |  GROUP BY 1, 2 HAVING count(*) > $ImageBucketCap)
+       |  GROUP BY 1, 2 HAVING count(*) > (SELECT c FROM cap))
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |       CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
        |          + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS INT) AS hamming
