@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Behavioral, Dashboard, Extended, GraphOps, Grid, QualityChecks, Relational}
-import graft.text.{CorpusPipeline, CurationOps, QualityClassifier, TextOps}
+import graft.text.{CorpusPipeline, CurationOps, FilterRules, QualityClassifier, TextOps}
 import graft.dedup.DedupOps
 import graft.ann.SimilarityOps
 import graft.multimodal.MediaOps
@@ -30,6 +30,7 @@ object SparkEntry {
       (TextOps.queries, TextOps.oracle),
       (CorpusPipeline.queries, CorpusPipeline.oracle),
       (CurationOps.queries, CurationOps.oracle),
+      (FilterRules.queries, FilterRules.oracle),
       (QualityClassifier.queries, QualityClassifier.oracle),
       (DedupOps.queries, DedupOps.oracle),
       (SimilarityOps.queries, SimilarityOps.oracle),

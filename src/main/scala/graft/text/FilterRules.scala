@@ -1,0 +1,174 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Rule-based document filters and a count-based language-model scorer —
+  * the two filter families every public pretraining recipe layers on top of
+  * dedup (Gopher's quality heuristics, Rae et al. 2021 §A1.1; C4's line
+  * rules, Raffel et al. 2020; CCNet's LM-perplexity gate, Wenzek et al.
+  * 2020), re-expressed as single-pass columnar plans.
+  *
+  * Everything here is exact integer/ratio arithmetic — no floats beyond
+  * final ratios, no log() (cross-engine libm last-bit drift would break the
+  * oracle hash), so both engines agree bit-for-bit.
+  */
+object FilterRules {
+
+  // Gopher-style rule thresholds, scaled to the synthetic corpus (real
+  // deployments read these from config; the PLAN is threshold-independent).
+  val MinWords = 5
+  val MaxWords = 1000
+  val MinMeanWordLen = 2
+  val MaxMeanWordLen = 12
+  /** Max fraction (ppm) of tokens that repeat the doc's most frequent
+    * token — Gopher's "fraction of duplicate n-grams" at n = 1.
+    */
+  val MaxTopTokenPpm = 300000L
+  /** Min fraction (ppm) of distinct tokens. */
+  val MinDistinctPpm = 200000L
+
+  /** Per-document Gopher-style rule flags, one row per doc with each rule's
+    * pass/fail plus the overall verdict — kept as separate columns (not a
+    * pre-folded boolean) because curation pipelines tune and ablate rules
+    * independently. One pass over the corpus: every statistic derives from
+    * the token array inside a single projection (no explode, no shuffle —
+    * embarrassingly parallel at 100 TB), using exact integer ppm ratios.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    // total characters across tokens (text length minus separators)
+    val charSum = (length(col("text")) - (nTok - 1)).cast("long")
+    // most-frequent-token count via aggregate over the distinct tokens —
+    // still per-row array work, no explode
+    val topCnt = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t)))).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        nTok.as("n_words"),
+        charSum.as("n_chars_tok"),
+        topCnt.as("top_token_cnt"),
+        nDistinct.as("n_distinct"))
+      .select(
+        col("doc_id"), col("n_words"),
+        (col("n_words") >= MinWords && col("n_words") <= MaxWords).as("ok_words"),
+        (col("n_chars_tok") >= col("n_words") * MinMeanWordLen &&
+          col("n_chars_tok") <= col("n_words") * MaxMeanWordLen).as("ok_word_len"),
+        (col("top_token_cnt") * 1000000L <= col("n_words") * MaxTopTokenPpm)
+          .as("ok_top_token"),
+        (col("n_distinct") * 1000000L >= col("n_words") * MinDistinctPpm)
+          .as("ok_distinct"))
+      .withColumn("keep",
+        col("ok_words") && col("ok_word_len") && col("ok_top_token") && col("ok_distinct"))
+      .orderBy("doc_id")
+  }
+
+  val gopherRulesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT) AS n_chars_tok
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n_words, n_chars_tok,
+       |         CAST((SELECT max(c) FROM (
+       |            SELECT count(*) AS c FROM unnest(toks) AS u(tok) GROUP BY tok)) AS BIGINT)
+       |           AS top_token_cnt,
+       |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+       |  FROM t)
+       |SELECT doc_id, n_words,
+       |       n_words >= $MinWords AND n_words <= $MaxWords AS ok_words,
+       |       n_chars_tok >= $MinMeanWordLen * n_words
+       |         AND n_chars_tok <= $MaxMeanWordLen * n_words AS ok_word_len,
+       |       top_token_cnt * 1000000 <= $MaxTopTokenPpm * n_words AS ok_top_token,
+       |       n_distinct * 1000000 >= $MinDistinctPpm * n_words AS ok_distinct,
+       |       (n_words >= $MinWords AND n_words <= $MaxWords)
+       |         AND (n_chars_tok >= $MinMeanWordLen * n_words
+       |              AND n_chars_tok <= $MaxMeanWordLen * n_words)
+       |         AND top_token_cnt * 1000000 <= $MaxTopTokenPpm * n_words
+       |         AND n_distinct * 1000000 >= $MinDistinctPpm * n_words AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Count-based LM coherence scorer (the CCNet gate without the float LM)
+  // -------------------------------------------------------------------------
+
+  /** Laplace pseudo-count for the transition model. */
+  val LmSmoothK = 1
+
+  /** Per-document mean bigram transition probability, in exact ppm: the
+    * corpus-level bigram model P(w2|w1) = (c(w1,w2)+k)/(c(w1·)+k·V) is fit
+    * over ALL documents (two grouped counts — map-side combinable,
+    * vocabulary-sized results), then each document scores as the integer
+    * mean of its transitions' ppm probabilities. CCNet's insight with a
+    * count model instead of a float LM: documents whose word-to-word
+    * transitions are corpus-typical score high; shuffled/garbage text
+    * scores near the smoothing floor. No log(): integer ppm survives the
+    * cross-engine hash compare where libm's last bit would not.
+    *
+    * Scale shape: transitions explode once (corpus-token-sized, the same
+    * volume every shingle operator handles), both model tables compress to
+    * vocabulary size before the broadcast-sized join back, and the per-doc
+    * mean is one grouped aggregate.
+    */
+  def lmTransitionScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val base = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      explode(when(size(toks) > 1,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val pairCnt = base.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val headCnt = pairCnt.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = pairCnt.agg(countDistinct("w2").as("v"))
+    // NO broadcast hint on the model: bigram TYPES can approach corpus
+    // scale, and the probe join on (w1, w2) shares its exchange with
+    // pairCnt's aggregation (ReuseExchange — the df-table discipline), so
+    // Catalyst/AQE picks broadcast only when the model actually fits
+    val model = pairCnt.join(headCnt, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        expr(s"(1000000 * (c12 + $LmSmoothK)) div (c1 + $LmSmoothK * v)").as("p_ppm"))
+    base.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_transitions"), expr("sum(p_ppm) div count(*)").as("score_ppm"))
+      .select(col("doc_id"), col("n_transitions"),
+        col("score_ppm").cast("long").as("score_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val lmTransitionScoreSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         toks[i] AS w1, toks[i+1] AS w2
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |       LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) t
+       |  WHERE len(toks) > 1),
+       |pc AS (SELECT w1, w2, count(*) AS c12 FROM base GROUP BY 1, 2),
+       |hc AS (SELECT w1, sum(c12) AS c1 FROM pc GROUP BY 1),
+       |v AS (SELECT count(DISTINCT w2) AS v FROM pc),
+       |model AS (
+       |  SELECT pc.w1, pc.w2,
+       |         (1000000 * (c12 + $LmSmoothK)) // (c1 + $LmSmoothK * (SELECT v FROM v)) AS p_ppm
+       |  FROM pc JOIN hc ON pc.w1 = hc.w1)
+       |SELECT b.doc_id, count(*) AS n_transitions,
+       |       CAST(sum(p_ppm) // count(*) AS BIGINT) AS score_ppm
+       |FROM base b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gopher_rules" -> (gopherRules(_, _)),
+    "q_lm_transition_score" -> (lmTransitionScore(_, _))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_gopher_rules" -> gopherRulesSql,
+    "q_lm_transition_score" -> lmTransitionScoreSql
+  )
+}

@@ -265,6 +265,17 @@ object TextOps {
     */
   def bpeTrain(spark: SparkSession, sfDir: String, k: Int = BpeTrainIters): DataFrame = {
     import spark.implicits._
+    bpeTrainLoop(spark, sfDir, k)._2
+      .toDF("iter", "pair", "merged", "pair_count").orderBy("iter")
+  }
+
+  /** The shared trainer loop: returns the FINAL (w, freq, s) word table —
+    * every learned merge applied — plus the merge ladder. [[bpeTrain]]
+    * reports the ladder; [[bpeEncode]] applies the word table to the
+    * corpus.
+    */
+  private def bpeTrainLoop(
+      spark: SparkSession, sfDir: String, k: Int): (DataFrame, Seq[(Int, String, String, Long)]) = {
     // Tokens carrying '[' or ']' would forge the bracket delimiters the
     // merge invariant rests on (a corpus symbol indistinguishable from a
     // boundary), so they are excluded from the vocabulary on BOTH engines.
@@ -296,13 +307,48 @@ object TextOps {
         .withColumn("s", call_function("replace", col("s"), lit(pair), lit(fused)))
         .localCheckpoint()
     }
-    merges.result().toDF("iter", "pair", "merged", "pair_count").orderBy("iter")
+    (words, merges.result())
+  }
+
+  /** TOKENIZER APPLY — the stage [[bpeTrain]] feeds: encode every document
+    * with the learned merge ladder. The trained word table (w → merged
+    * symbol string, vocabulary-sized) joins against the corpus's exploded
+    * tokens; words outside the trained vocabulary (length < 2 or carrying
+    * the bracket delimiters) fall back to their raw character symbols —
+    * they have no adjacent-pair statistics, so no merge could apply to
+    * them. Output per document: the BPE token count (what sequence packing
+    * and token-budget operators consume) and an order-pinned fingerprint of
+    * the full symbol sequence (position rides a struct sort, not a window).
+    *
+    * Scale shape: explode → vocabulary-sized equi-join → grouped agg; the
+    * word table is df-bounded and broadcasts when small, and the symbol
+    * count per word is pure string arithmetic (count of '[').
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String, k: Int = BpeTrainIters): DataFrame = {
+    val vocab = bpeTrainLoop(spark, sfDir, k)._1.select("w", "s")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    docs.join(vocab, Seq("w"), "left")
+      .withColumn("s", coalesce(col("s"), regexp_replace(col("w"), "(.)", "[$1]")))
+      .withColumn("n_sym",
+        length(col("s")) - length(call_function("replace", col("s"), lit("["), lit(""))))
+      .groupBy("doc_id")
+      .agg(
+        sum("n_sym").cast("long").as("n_bpe_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+            x => x.getField("s")), "")).as("tokens_fp"))
+      .orderBy("doc_id")
   }
 
   /** Unrolled k-round oracle — an independent DuckDB derivation of the same
     * merge ladder.
     */
-  def bpeTrainSql(k: Int = BpeTrainIters): String = {
+  /** The unrolled k-round trainer CTE chain (ending in table `w<k>`, the
+    * fully-merged word table) plus the per-round ladder SELECTs — shared by
+    * the train and encode oracles.
+    */
+  private def bpeCtes(k: Int): (String, Seq[String]) = {
     val cte = Seq.newBuilder[String]
     cte += """w0 AS (
       |  SELECT w, count(*) AS freq, regexp_replace(w, '(.)', '[\1]', 'g') AS s
@@ -324,8 +370,33 @@ object TextOps {
       s"SELECT $i AS iter, pair, " +
         s"replace(replace(replace(pair, '][', ''), '[', ''), ']', '') AS merged, pair_count FROM b$i"
     }
-    "WITH " + cte.result().mkString(",\n") + "\n" +
-      sels.mkString("\nUNION ALL\n") + "\nORDER BY iter"
+    (cte.result().mkString(",\n"), sels)
+  }
+
+  def bpeTrainSql(k: Int = BpeTrainIters): String = {
+    val (ctes, sels) = bpeCtes(k)
+    "WITH " + ctes + "\n" + sels.mkString("\nUNION ALL\n") + "\nORDER BY iter"
+  }
+
+  /** Encode oracle: the same unrolled trainer chain, with the final word
+    * table applied to every document's token stream (out-of-vocabulary
+    * words fall back to raw character symbols, exactly as the engine does).
+    */
+  def bpeEncodeSql(k: Int = BpeTrainIters): String = {
+    val (ctes, _) = bpeCtes(k)
+    s"""WITH $ctes,
+       |doctoks AS (
+       |  SELECT doc_id, o.ord, toks[o.ord] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |       LATERAL (SELECT unnest(generate_series(1, len(toks))) AS ord) o),
+       |enc AS (
+       |  SELECT d.doc_id, d.ord,
+       |         coalesce(v.s, regexp_replace(d.w, '(.)', '[\\1]', 'g')) AS s
+       |  FROM doctoks d LEFT JOIN w$k v ON d.w = v.w)
+       |SELECT doc_id,
+       |       CAST(sum(length(s) - length(replace(s, '[', ''))) AS BIGINT) AS n_bpe_tokens,
+       |       md5(string_agg(s, '' ORDER BY ord)) AS tokens_fp
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** CCNet-style rarity scoring: how common is this document's vocabulary in
@@ -542,6 +613,7 @@ object TextOps {
     "q_term_match_rank" -> (termMatchRank(_, _)),
     "q_bpe_merge_step" -> (bpeMergeStep(_, _)),
     "q_bpe_train" -> (bpeTrain(_, _)),
+    "q_bpe_encode" -> (bpeEncode(_, _)),
     "q_token_rarity" -> (tokenRarity(_, _)),
     "q_bpe_token_count" -> (bpeTokenCount(_, _)),
     "q_token_stats" -> (tokenStats(_, _)),
@@ -558,6 +630,7 @@ object TextOps {
     "q_term_match_rank" -> termMatchRankSql(),
     "q_bpe_merge_step" -> bpeMergeStepSql(),
     "q_bpe_train" -> bpeTrainSql(),
+    "q_bpe_encode" -> bpeEncodeSql(),
     "q_token_rarity" -> tokenRaritySql,
     "q_bpe_token_count" -> bpeTokenCountSql,
     "q_token_stats" -> tokenStatsSql,

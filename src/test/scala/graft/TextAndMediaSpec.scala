@@ -395,6 +395,61 @@ class TextAndMediaSpec extends AnyFunSuite with SharedSpark {
     assert(acc > base, s"accuracy $acc does not beat majority vote $base")
   }
 
+  test("BPE encode applies the trained ladder: per-word symbols match a driver-side re-merge") {
+    import org.apache.spark.sql.functions.col
+    // reference: apply the reported merge ladder greedily to each word
+    val merges = graft.text.TextOps.bpeTrain(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2))) // bracketed pair -> merged
+    def encodeWord(w: String): Vector[String] = {
+      if (w.length < 2 || w.contains("[") || w.contains("]"))
+        return w.map(_.toString).toVector
+      var s = w.map(c => s"[$c]").mkString
+      merges.foreach { case (pair, fused) => s = s.replace(pair, s"[$fused]") }
+      s.substring(1, s.length - 1).split("\\]\\[").toVector
+    }
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = graft.text.TextOps.bpeEncode(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (id, text) =>
+      val want = text.split(" ", -1).map(w => encodeWord(w).length.toLong).sum
+      assert(got(id) == want, s"doc $id: got ${got(id)} tokens, reference $want")
+    }
+    // merges genuinely compress: fewer BPE tokens than characters overall
+    val totalTok = got.values.sum
+    val totalChars = docs.values.map(t => t.count(_ != ' ').toLong).sum
+    assert(totalTok < totalChars, s"$totalTok tokens vs $totalChars chars — no merge applied?")
+  }
+
+  test("gopher rules: clean docs pass, planted degenerate docs fail the right rule") {
+    val dir = writeDocs(Seq(
+      1L -> "a perfectly ordinary document with enough distinct tokens here",
+      2L -> "spam spam spam spam spam spam spam spam spam spam",     // top-token + distinct
+      3L -> "ok",                                                     // too few words
+      4L -> "supercalifragilisticexpialidocious anotherextremelylongtokenhere thirdoverlongtokens fourthgigantictokenx fifthelongatedtoken"))
+    val rows = graft.text.FilterRules.gopherRules(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getBoolean(6), "clean doc must keep")
+    assert(!rows(2L).getBoolean(4) && !rows(2L).getBoolean(6), "repeated token must fail ok_top_token")
+    assert(!rows(3L).getBoolean(2) && !rows(3L).getBoolean(6), "short doc must fail ok_words")
+    assert(!rows(4L).getBoolean(3) && !rows(4L).getBoolean(6), "overlong words must fail ok_word_len")
+  }
+
+  test("lm transition score: corpus-typical text outscores a shuffled-vocabulary doc") {
+    // 20 docs share the same phrasing (high-probability transitions); one
+    // doc uses the same vocabulary in a scrambled, never-seen order
+    val common = (1L to 20L).map(i => i -> "the power grid reports a steady load today")
+    val scrambled = Seq(21L -> "load the today grid steady a power reports")
+    val dir = writeDocs(common ++ scrambled)
+    val rows = graft.text.FilterRules.lmTransitionScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val typical = rows(1L)
+    val odd = rows(21L)
+    assert(typical > odd * 5,
+      s"typical doc ppm $typical must dwarf scrambled $odd")
+  }
+
   /** A minimal documents table for corpus-content edge cases. */
   private def writeDocs(rows: Seq[(Long, String)]): String = {
     import spark.implicits._
