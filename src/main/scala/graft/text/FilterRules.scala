@@ -125,13 +125,18 @@ object FilterRules {
           i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
       .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    // pairCnt is VOCABULARY-sized (bigram types) and feeds three consumers
+    // (head counts, vocab size, the model join) — materialize it once
+    // rather than re-deriving the corpus-sized explode per consumer
+    // (measured: 4 parquet scans → 2, no ReusedExchange fires here because
+    // the aggregate and join exchanges differ in schema)
     val pairCnt = base.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
     val headCnt = pairCnt.groupBy("w1").agg(sum("c12").as("c1"))
     val vocab = pairCnt.agg(countDistinct("w2").as("v"))
     // NO broadcast hint on the model: bigram TYPES can approach corpus
-    // scale, and the probe join on (w1, w2) shares its exchange with
-    // pairCnt's aggregation (ReuseExchange — the df-table discipline), so
-    // Catalyst/AQE picks broadcast only when the model actually fits
+    // scale — Catalyst/AQE picks broadcast only when the model actually
+    // fits
     val model = pairCnt.join(headCnt, "w1").crossJoin(broadcast(vocab))
       .select(col("w1"), col("w2"),
         expr(s"(1000000 * (c12 + $LmSmoothK)) div (c1 + $LmSmoothK * v)").as("p_ppm"))
