@@ -116,15 +116,27 @@ object FilterRules {
     * vocabulary size before the broadcast-sized join back, and the per-doc
     * mean is one grouped aggregate.
     */
-  def lmTransitionScore(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The (doc_id, w1, w2) transition stream of a (doc_id, text) relation —
+    * shared by training, batch scoring and the streaming sink so the three
+    * cannot drift.
+    */
+  private def bigramsOf(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    val base = Tables.documents(spark, sfDir).select(
+    docs.select(
       col("doc_id"),
       explode(when(size(toks) > 1,
         transform(sequence(lit(1), size(toks) - 1),
           i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
       .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+  }
+
+  /** Fit the transition model over the corpus: (w1, w2, p_ppm),
+    * vocabulary-sized and lineage-truncated — frozen model state a
+    * long-lived scoring stream can broadcast per micro-batch.
+    */
+  def lmModel(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = bigramsOf(Tables.documents(spark, sfDir).select("doc_id", "text"))
     // pairCnt is VOCABULARY-sized (bigram types) and feeds three consumers
     // (head counts, vocab size, the model join) — materialize it once
     // rather than re-deriving the corpus-sized explode per consumer
@@ -137,16 +149,41 @@ object FilterRules {
     // NO broadcast hint on the model: bigram TYPES can approach corpus
     // scale — Catalyst/AQE picks broadcast only when the model actually
     // fits
-    val model = pairCnt.join(headCnt, "w1").crossJoin(broadcast(vocab))
+    pairCnt.join(headCnt, "w1").crossJoin(broadcast(vocab))
       .select(col("w1"), col("w2"),
         expr(s"(1000000 * (c12 + $LmSmoothK)) div (c1 + $LmSmoothK * v)").as("p_ppm"))
-    base.join(model, Seq("w1", "w2"))
+      .localCheckpoint()
+  }
+
+  /** Score ANY (doc_id, text) relation under a frozen model — unseen
+    * transitions contribute nothing (they are absent from the join), the
+    * same out-of-model semantics the batch query has.
+    */
+  def lmScore(docs: DataFrame, model: DataFrame): DataFrame =
+    bigramsOf(docs.select("doc_id", "text")).join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_transitions"), expr("sum(p_ppm) div count(*)").as("score_ppm"))
       .select(col("doc_id"), col("n_transitions"),
         col("score_ppm").cast("long").as("score_ppm"))
+
+  def lmTransitionScore(spark: SparkSession, sfDir: String): DataFrame =
+    lmScore(Tables.documents(spark, sfDir), lmModel(spark, sfDir))
       .orderBy("doc_id")
-  }
+
+  /** Streaming inference with the frozen transition model — the
+    * [[QualityClassifier.scoringSink]] discipline: replay-idempotent
+    * `batch=<id>` score segments, no streaming state (a broadcast-able
+    * model join per micro-batch).
+    */
+  def lmScoringSink(
+      docsStream: DataFrame, model: DataFrame, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lmScore(batch, model).write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
 
   val lmTransitionScoreSql: String =
     s"""WITH base AS (

@@ -450,6 +450,28 @@ class TextAndMediaSpec extends AnyFunSuite with SharedSpark {
       s"typical doc ppm $typical must dwarf scrambled $odd")
   }
 
+  test("streaming LM scoring equals the batch query and resumes from checkpoint") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("lm_stream").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    val model = graft.text.FilterRules.lmModel(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    docs.filter(col("doc_id") < 250).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def start() = graft.text.FilterRules.lmScoringSink(
+      spark.readStream.schema(schema).parquet(src), model, out, ckpt).start()
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    docs.filter(col("doc_id") >= 250).write.mode("append").parquet(src)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val got = spark.read.option("basePath", out).parquet(out)
+      .select("doc_id", "n_transitions", "score_ppm").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = graft.text.FilterRules.lmTransitionScore(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want, "streamed LM scores diverged from the batch query")
+  }
+
   /** A minimal documents table for corpus-content edge cases. */
   private def writeDocs(rows: Seq[(Long, String)]): String = {
     import spark.implicits._
