@@ -25,8 +25,11 @@ import graft.sources.Segments
   *                              a global fixpoint — never additive)
   * }}}
   *
-  * Pairs absorb incrementally (a new batch's pairs come from an [[LshIndex]]
-  * probe against the corpus — O(batch), not O(corpus)); labels are a
+  * Pairs absorb incrementally — a new batch's pairs come from
+  * [[DedupOps.ngramJaccardPairsIncremental]] (exact: the union of every
+  * batch's pairs IS the one-shot pair set, so the label fixpoint matches a
+  * full rebuild — PairStoreSpec pins this) or from an [[LshIndex]] probe
+  * (recall-bounded, cheaper); labels are a
   * connected-component fixpoint over the WHOLE pair graph, so they refresh
   * as an explicit maintenance step ([[refreshLabels]], the
   * [[graft.ann.IvfIndex.recluster]] analogue) and every snapshot names the

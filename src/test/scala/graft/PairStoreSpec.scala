@@ -82,6 +82,29 @@ class PairStoreSpec extends AnyFunSuite with SharedSpark {
     assert(PairStore.readLabels(spark, dir).count() == 6L)
   }
 
+  test("incremental absorbs reach the one-shot CC fixpoint exactly") {
+    // timeline: the corpus starts as docs with doc_id % 5 != 0 (their pairs
+    // are segment 0); the % 5 == 0 docs arrive as one batch whose pairs
+    // come from the EXACT incremental generator. Union of segments = the
+    // one-shot pair set, so refreshed labels must equal the full fixpoint.
+    val dir = java.nio.file.Files.createTempDirectory("ps_incr").toString
+    val full = DedupOps.ngramJaccardPairs(spark, sfDir)
+    PairStore.appendPairs(spark, dir,
+      full.filter(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0), 0L)
+    PairStore.appendPairs(spark, dir,
+      DedupOps.ngramJaccardPairsIncremental(spark, sfDir, _ % 5 === 0), 1L)
+    PairStore.refreshLabels(spark, dir)
+    val stored = PairStore.readPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val oneShot = full.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(stored == oneShot, "segment union must equal the one-shot pair set, each pair once")
+    val viaStore = PairStore.readLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = DedupOps.nearDupLabels(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStore == direct, "incremental fixpoint diverged from the one-shot labels")
+  }
+
   test("streaming pair absorb lands idempotent segments and refreshes labels on cadence") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
