@@ -437,6 +437,11 @@ object Bench {
       // catalog's first consumer, so `ensure` here is a lookup)
       val pairFullSec = time2(graft.dedup.DedupOps.nearDupLabels(spark, sfDir).count())
       val pairServedSec = time2(graft.dedup.PairStore.labelsFor(spark, sfDir).count())
+      // incremental absorb: pairs of a 2% document batch (exact, vs the
+      // full-corpus pair join an index-less pipeline re-runs per batch)
+      val incrFullSec = time2(graft.dedup.DedupOps.ngramJaccardPairs(spark, sfDir).count())
+      val incrBatchSec = time2(graft.dedup.DedupOps
+        .ngramJaccardPairsIncremental(spark, sfDir, _ % 50 === 0).count())
       cleanup(base)
       def leg(name: String, full: Double, probe: Double) =
         s""""$name":{"one_shot_sec":$full,"index_probe_sec":$probe,""" +
@@ -445,6 +450,7 @@ object Bench {
         s"""${leg("ivf_topk_search", ivfFullSec, ivfSearchSec)},""" +
         s"""${leg("fp_hamming_candidates", fpFullSec, fpProbeSec)},""" +
         s"""${leg("neardup_labels_via_pairstore", pairFullSec, pairServedSec)},""" +
+        s"""${leg("jaccard_pairs_incremental_batch", incrFullSec, incrBatchSec)},""" +
         s""""fp_occupancy_skew":$fpSkew}"""
     } catch { case t: Throwable => s""","index_serving":{"error":"${jsonErr(t)}"}""" }
 

@@ -124,6 +124,23 @@ object PairStore {
     spark.read.parquet(s"${labelsPath(path)}/batch=${pick.max}")
   }
 
+  /** Bound the label-snapshot history a long-running refresh cadence
+    * accretes: keep the newest `keep` snapshots, delete the rest. The
+    * [[Segments.compact]] trade stated for pair segments applies here as
+    * history COARSENING — an `asOf` pin below the oldest surviving snapshot
+    * fails loudly in [[readLabels]] rather than serving a partial view.
+    * Returns the number of snapshots deleted.
+    */
+  def pruneLabelSnapshots(spark: SparkSession, path: String, keep: Int = 2): Int = {
+    require(keep >= 1, "must keep at least the newest snapshot")
+    val ids = Segments.segmentIds(spark, labelsPath(path))
+    val drop = ids.sorted.dropRight(keep)
+    val root = new org.apache.hadoop.fs.Path(labelsPath(path))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drop.foreach(id => fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$id"), true))
+    drop.length
+  }
+
   /** Segment-id offset for streaming batches (the [[LshIndex]] convention —
     * never collides with bootstrap batch ids).
     */

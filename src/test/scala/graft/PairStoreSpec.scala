@@ -82,6 +82,23 @@ class PairStoreSpec extends AnyFunSuite with SharedSpark {
     assert(PairStore.readLabels(spark, dir).count() == 6L)
   }
 
+  test("label-snapshot pruning keeps the newest views; collapsed asOf pins fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("ps_prune").toString
+    (0L to 3L).foreach { i =>
+      PairStore.appendPairs(spark, dir, pairRows(Seq((10 * i + 1) -> (10 * i + 2))), i)
+      PairStore.refreshLabels(spark, dir)
+    }
+    assert(PairStore.pruneLabelSnapshots(spark, dir, keep = 2) == 2)
+    // newest two survive and still read
+    assert(PairStore.readLabels(spark, dir).count() == 8L)
+    assert(PairStore.readLabels(spark, dir, asOf = Some(2L)).count() == 6L)
+    // a pin below the surviving history must fail loudly, never serve less
+    val e = intercept[IllegalArgumentException] {
+      PairStore.readLabels(spark, dir, asOf = Some(1L))
+    }
+    assert(e.getMessage.contains("snapshot"), e.getMessage)
+  }
+
   test("incremental absorbs reach the one-shot CC fixpoint exactly") {
     // timeline: the corpus starts as docs with doc_id % 5 != 0 (their pairs
     // are segment 0); the % 5 == 0 docs arrive as one batch whose pairs
