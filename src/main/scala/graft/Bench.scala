@@ -175,6 +175,9 @@ object Bench {
         "q_quality_classifier",
         // iterated BPE: 6 rounds of grouped aggregates over a 10× vocabulary
         "q_bpe_train",
+        // count-LM fit + score: 10× transition volume through the
+        // vocabulary-sized model tables
+        "q_lm_transition_score",
         // the composed curation funnel (CC + gate + decontaminate + cap)
         "q_curation_funnel")
       val uniformRows = probeQueries.flatMap { name =>
@@ -282,6 +285,10 @@ object Bench {
         // hot-chunk cross-doc dedup (grouped-min dimension side, AQE-split
         // probe side) and hot-feature classifier (two-stage agg + broadcast)
         "q_line_dedup_cross", "q_quality_classifier",
+        // hot-bigram LM: the boilerplate sentence dominates the transition
+        // counts — the model stays vocabulary-sized, the probe join hot key
+        // AQE-splits
+        "q_lm_transition_score",
         // hot-orderkey join (AQE skew-join split)
         "q_star_join")
       val rows = skewQueries.flatMap { name =>
