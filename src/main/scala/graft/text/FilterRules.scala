@@ -97,6 +97,68 @@ object FilterRules {
        |         AND n_distinct * 1000000 >= $MinDistinctPpm * n_words AS keep
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** N-gram width for [[dupNgramCoverage]]. */
+  val DupNgramN = 3
+
+  /** Gopher's "fraction of characters in duplicate n-grams", in token form:
+    * the ppm fraction of a document's token POSITIONS covered by any n-gram
+    * occurring ≥ 2 times within the document — the within-doc repetition
+    * signal [[gopherRules]]' top-token rule cannot see (a looping paragraph
+    * repeats no single token often, but its trigrams all duplicate).
+    * Coverage is the UNION of the duplicated grams' position spans
+    * (overlaps counted once), so the fraction is a true ≤ 1 ratio.
+    *
+    * Shape: grams explode once with their position, per-doc gram counts are
+    * map-side combinable, the join back is on (doc_id, gram) — the same
+    * compress-then-probe discipline as the shingle family — and the span
+    * union is a per-doc distinct over exploded positions (bounded by doc
+    * length × n).
+    */
+  def dupNgramCoverage(spark: SparkSession, sfDir: String, n: Int = DupNgramN): DataFrame = {
+    val toksDf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+    val base = toksDf.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    val grams = toksDf.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), size(col("toks")) - n),
+        p => struct(p.as("pos"),
+          array_join(slice(col("toks"), p + 1, lit(n)), " ").as("g")))).as("pg"))
+      .select(col("doc_id"), col("pg.pos"), col("pg.g"))
+    val dup = grams.groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select("doc_id", "g")
+    val covered = grams.join(dup, Seq("doc_id", "g"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("i"))
+      .groupBy("doc_id").agg(countDistinct("i").as("n_dup_covered"))
+    base.join(covered, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_covered"), lit(0L)).as("n_dup_covered"),
+        expr("1000000 * coalesce(n_dup_covered, 0) div n_tokens").as("dup_frac_ppm"))
+      .orderBy("doc_id")
+  }
+
+  def dupNgramCoverageSql(n: Int = DupNgramN): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $n),
+       |g AS (
+       |  SELECT doc_id, p.p AS pos,
+       |         array_to_string(list_slice(toks, p.p + 1, p.p + $n), ' ') AS g
+       |  FROM t, LATERAL (SELECT unnest(generate_series(0, len(toks) - $n)) AS p) p),
+       |d AS (SELECT doc_id, g FROM g GROUP BY 1, 2 HAVING count(*) >= 2),
+       |cov AS (
+       |  SELECT g.doc_id, count(DISTINCT ii.i) AS n_cov
+       |  FROM g JOIN d USING (doc_id, g),
+       |       LATERAL (SELECT unnest(generate_series(g.pos, g.pos + ${n - 1})) AS i) ii
+       |  GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(n_cov, 0) AS BIGINT) AS n_dup_covered,
+       |       CAST(1000000 * coalesce(n_cov, 0) // len(toks) AS BIGINT) AS dup_frac_ppm
+       |FROM t LEFT JOIN cov USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
   // Count-based LM coherence scorer (the CCNet gate without the float LM)
   // -------------------------------------------------------------------------
@@ -214,11 +276,13 @@ object FilterRules {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gopher_rules" -> (gopherRules(_, _)),
+    "q_dup_ngram_coverage" -> (dupNgramCoverage(_, _)),
     "q_lm_transition_score" -> (lmTransitionScore(_, _))
   )
 
   def oracle: Map[String, String] = Map(
     "q_gopher_rules" -> gopherRulesSql,
+    "q_dup_ngram_coverage" -> dupNgramCoverageSql(),
     "q_lm_transition_score" -> lmTransitionScoreSql
   )
 }

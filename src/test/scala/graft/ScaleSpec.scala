@@ -260,4 +260,16 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     assert(!rr.contains("props"), "recent_range reads the unused props column")
   }
 
+  test("gopher rules run shuffle-free: the only exchange is the output sort") {
+    import graft.plans.PlanAudit
+    val df = SparkEntry.queries("q_gopher_rules")(spark, sfDir)
+    df.collect()
+    val s = PlanAudit.summary(df).head()
+    // every statistic derives from per-row array work — a shuffle before
+    // the final orderBy would mean the plan regressed to an explode+agg
+    assert(s.getAs[Int]("n_shuffles") <= 1,
+      s"gopher rules must not shuffle before the sort:\n${df.queryExecution.executedPlan}")
+    assert(s.getAs[Int]("n_scans") == 1)
+  }
+
 }

@@ -450,6 +450,20 @@ class TextAndMediaSpec extends AnyFunSuite with SharedSpark {
       s"typical doc ppm $typical must dwarf scrambled $odd")
   }
 
+  test("dup-ngram coverage: repeated spans cover the union of their positions, clean docs read 0") {
+    val dir = writeDocs(Seq(
+      // "a b c" occurs at positions 0 and 5 -> covers {0,1,2} ∪ {5,6,7} = 6 of 8
+      1L -> "a b c x y a b c",
+      2L -> "all tokens here are fully distinct everywhere",
+      // overlapping duplicated trigrams ("a a a" at 0,1,2,3): union is all 6
+      3L -> "a a a a a a"))
+    val rows = graft.text.FilterRules.dupNgramCoverage(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(1L) == ((8L, 6L, 750000L)), s"${rows(1L)}")
+    assert(rows(2L)._2 == 0L && rows(2L)._3 == 0L)
+    assert(rows(3L) == ((6L, 6L, 1000000L)), s"${rows(3L)}")
+  }
+
   test("streaming LM scoring equals the batch query and resumes from checkpoint") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.col
