@@ -387,6 +387,62 @@ object SimilarityOps {
        |GROUP BY 1 ORDER BY centroid_id""".stripMargin
   }
 
+  /** Per-cell quota for [[clusterBalancedSample]]. */
+  val ClusterCap = 40
+
+  /** TOPIC-BALANCED SAMPLING: cap every k-means cell's contribution at
+    * [[ClusterCap]] vectors, membership decided by a deterministic
+    * md5-uniform draw — the embedding-space twin of the per-source quota
+    * ([[graft.text.CurationOps.sourceCap]]): a corpus dominated by one
+    * semantic cluster (SEO boilerplate, one template family) gets trimmed to
+    * the quota while small clusters survive whole, flattening the topic
+    * distribution a sampler would otherwise inherit. The kept subset comes
+    * from a rank FILTER (not an aggregate over the full window), so Spark's
+    * WindowGroupLimit prunes each cell's stream to the top `cap` before the
+    * full per-cell sort; totals ride a separate grouped count and join back
+    * on the cell id (k rows). Membership is pinned by an order-independent
+    * fingerprint, never an id list.
+    */
+  def clusterBalancedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigns = ivfAssignments(spark, sfDir)
+      .withColumn("u",
+        conv(substring(md5(concat(lit("cbal_"), col("vec_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long"))
+    val totals = assigns.groupBy("centroid_id").agg(count(lit(1)).as("n_members"))
+    val w = Window.partitionBy("centroid_id").orderBy(col("u"), col("vec_id"))
+    val kept = assigns
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= ClusterCap)
+      .groupBy("centroid_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws(",", sort_array(collect_list(col("vec_id"))))).as("kept_fp"))
+    totals.join(kept, "centroid_id")
+      .select(col("centroid_id").cast("int").as("centroid_id"),
+        col("n_members"), col("n_kept"), col("kept_fp"))
+      .orderBy("centroid_id")
+  }
+
+  val clusterBalancedSampleSql: String =
+    s"""WITH $assignCtes,
+       |drawn AS (
+       |  SELECT centroid_id, vec_id,
+       |         CAST('0x' || substr(md5('cbal_' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS u
+       |  FROM assigned),
+       |rk AS (
+       |  SELECT centroid_id, vec_id,
+       |         row_number() OVER (PARTITION BY centroid_id ORDER BY u, vec_id) AS rn
+       |  FROM drawn)
+       |SELECT CAST(t.centroid_id AS INT) AS centroid_id,
+       |       t.n_members, k.n_kept, k.kept_fp
+       |FROM (SELECT centroid_id, count(*) AS n_members FROM drawn GROUP BY 1) t
+       |JOIN (SELECT centroid_id, count(*) AS n_kept,
+       |             md5(array_to_string(list_sort(list(vec_id)), ',')) AS kept_fp
+       |      FROM rk WHERE rn <= $ClusterCap GROUP BY 1) k
+       |  ON t.centroid_id = k.centroid_id
+       |ORDER BY centroid_id""".stripMargin
+
   /** Recentering rounds for the iterated trainer ([[kmeansIter]]). */
   val KmeansIters = 3
 
@@ -1159,6 +1215,7 @@ object SimilarityOps {
     "q_pq_adc_topk" -> (pqAdcTopK(_, _)),
     "q_kmeans_step" -> (kmeansStep(_, _)),
     "q_kmeans_iter" -> (kmeansIter(_, _)),
+    "q_cluster_balanced_sample" -> (clusterBalancedSample(_, _)),
     "q_semdedup" -> (semDedup(_, _)),
     "q_embed_outliers" -> (embedOutliers(_, _)),
     "q_quantize_sq8" -> (quantizeSq8(_, _)),
@@ -1179,6 +1236,7 @@ object SimilarityOps {
     "q_pq_adc_topk" -> pqAdcTopKSql(),
     "q_kmeans_step" -> kmeansStepSql,
     "q_kmeans_iter" -> kmeansIterSql(),
+    "q_cluster_balanced_sample" -> clusterBalancedSampleSql,
     "q_semdedup" -> semDedupSql(),
     "q_embed_outliers" -> embedOutliersSql(),
     "q_quantize_sq8" -> quantizeSq8Sql,

@@ -288,4 +288,22 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       "top fused score below a rank-1 single-ranker score")
   }
 
+  test("cluster-balanced sample binds the quota per cell and rank-prunes before the sort") {
+    val df = SimilarityOps.clusterBalancedSample(spark, "/root/testdata/sf0.01")
+    val rows = df.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (cell, members, kept) =>
+      assert(kept == math.min(members, SimilarityOps.ClusterCap.toLong),
+        s"cell $cell: kept $kept of $members under cap ${SimilarityOps.ClusterCap}")
+    }
+    // the corpus must exercise BOTH branches: a trimmed cell and a whole one
+    assert(rows.exists(_._2 > SimilarityOps.ClusterCap), "no cell above the cap — vacuous")
+    assert(rows.exists(_._2 <= SimilarityOps.ClusterCap), "no small cell — vacuous")
+    // the rank filter must reach WindowGroupLimit (pre-sort pruning)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
+
 }
