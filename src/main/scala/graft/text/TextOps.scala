@@ -341,6 +341,53 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer FERTILITY by source — BPE tokens emitted per whitespace
+    * token, the diagnostic that tells a pipeline whether its tokenizer
+    * serves each domain equally (a source whose fertility is far above the
+    * corpus mean is paying more sequence length per word — classic symptom
+    * of a vocabulary trained on a different register). Rides [[bpeEncode]]'s
+    * per-document counts joined back to the document dimension; integer ppm
+    * so the engines agree exactly.
+    */
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = bpeEncode(spark, sfDir)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    val dims = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_words"))
+    perDoc.join(dims, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"),
+        expr("(1000000 * sum(n_bpe_tokens)) div sum(n_words)").as("fertility_ppm"))
+      .orderBy("source")
+  }
+
+  def tokenizerFertilitySql(k: Int = BpeTrainIters): String = {
+    val (ctes, _) = bpeCtes(k)
+    s"""WITH $ctes,
+       |doctoks AS (
+       |  SELECT doc_id, o.ord, toks[o.ord] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |       LATERAL (SELECT unnest(generate_series(1, len(toks))) AS ord) o),
+       |enc AS (
+       |  SELECT d.doc_id,
+       |         coalesce(v.s, regexp_replace(d.w, '(.)', '[\\1]', 'g')) AS s
+       |  FROM doctoks d LEFT JOIN w$k v ON d.w = v.w),
+       |perdoc AS (
+       |  SELECT doc_id,
+       |         CAST(sum(length(s) - length(replace(s, '[', ''))) AS BIGINT) AS n_bpe_tokens
+       |  FROM enc GROUP BY doc_id)
+       |SELECT dd.source, count(*) AS n_docs,
+       |       CAST(sum(len(string_split(dd.text, ' '))) AS BIGINT) AS n_words,
+       |       CAST(sum(p.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       |       CAST((1000000 * sum(p.n_bpe_tokens)) // sum(len(string_split(dd.text, ' '))) AS BIGINT) AS fertility_ppm
+       |FROM perdoc p JOIN documents dd ON p.doc_id = dd.doc_id
+       |GROUP BY dd.source ORDER BY dd.source""".stripMargin
+  }
+
   /** Unrolled k-round oracle — an independent DuckDB derivation of the same
     * merge ladder.
     */
@@ -614,6 +661,7 @@ object TextOps {
     "q_bpe_merge_step" -> (bpeMergeStep(_, _)),
     "q_bpe_train" -> (bpeTrain(_, _)),
     "q_bpe_encode" -> (bpeEncode(_, _)),
+    "q_tokenizer_fertility" -> (tokenizerFertility(_, _)),
     "q_token_rarity" -> (tokenRarity(_, _)),
     "q_bpe_token_count" -> (bpeTokenCount(_, _)),
     "q_token_stats" -> (tokenStats(_, _)),
@@ -631,6 +679,7 @@ object TextOps {
     "q_bpe_merge_step" -> bpeMergeStepSql(),
     "q_bpe_train" -> bpeTrainSql(),
     "q_bpe_encode" -> bpeEncodeSql(),
+    "q_tokenizer_fertility" -> tokenizerFertilitySql(),
     "q_token_rarity" -> tokenRaritySql,
     "q_bpe_token_count" -> bpeTokenCountSql,
     "q_token_stats" -> tokenStatsSql,
