@@ -292,12 +292,93 @@ object CorpusPipeline {
        |ORDER BY s.stage_idx""".stripMargin
   }
 
+  /** DATA CARD — the one-table corpus summary a training run records
+    * alongside its snapshot pins (the executable core of "Datasheets for
+    * Datasets", Gebru et al. 2021): volume, composition, dedup pressure,
+    * quality-gate yield and the rule-filter yield, every value an exact
+    * integer so two engines — or two runs — can diff cards cell-for-cell.
+    * Each metric is a bounded aggregate unioned into (metric, value) rows;
+    * the expensive members (near-dup pairs) come from the shared stores the
+    * pipeline already maintains, so the card costs little beyond the
+    * aggregates a curation run produces anyway.
+    */
+  def dataCard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    def one(name: String, v: org.apache.spark.sql.Column): DataFrame =
+      docs.agg(v.cast("long").as("value")).select(lit(name).as("metric"), col("value"))
+    val toks = TextOps.tokens(col("text"))
+    val base = Seq(
+      one("docs_total", count(lit(1))),
+      one("tokens_total", sum(size(toks))),
+      one("chars_total", sum(length(col("text")))),
+      one("sources_distinct", countDistinct(col("source"))),
+      one("langs_distinct", countDistinct(col("lang"))),
+      // mean quality through per-row DECIMAL quantization (the dsum rule:
+      // a raw double sum's fold order differs across engines and a last-bit
+      // wobble would flip the integer cast)
+      docs.select(TextOps.qualityCol(col("text")).as("q"))
+        .agg(expr("cast(sum(cast(q * 1000000 as decimal(18,6))) as bigint) div count(*)")
+          .cast("long").as("value"))
+        .select(lit("quality_mean_ppm").as("metric"), col("value")),
+      one("quality_gate_kept",
+        count(when(TextOps.qualityCol(col("text")) >= QualityThreshold, 1))))
+    val pairs = graft.dedup.PairStore.pairsFor(spark, sfDir)
+    val dedup = Seq(
+      pairs.agg(count(lit(1)).cast("long").as("value"))
+        .select(lit("neardup_pairs").as("metric"), col("value")),
+      pairs.select(col("id_a").as("d")).unionByName(pairs.select(col("id_b").as("d")))
+        .agg(countDistinct("d").cast("long").as("value"))
+        .select(lit("neardup_docs").as("metric"), col("value")))
+    val gopher = graft.text.FilterRules.gopherRules(spark, sfDir)
+      .agg(count(when(col("keep"), 1)).cast("long").as("value"))
+      .select(lit("gopher_rules_kept").as("metric"), col("value"))
+    (base ++ dedup :+ gopher).reduce(_ unionByName _).orderBy("metric")
+  }
+
+  val dataCardSql: String =
+    s"""WITH ${graft.dedup.DedupOps.jaccardCtes(0.6)},
+       |q AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |           / len(string_split(text, ' ')) * 0.7 +
+       |         (1.0 - CAST(len(list_filter(string_split(text, ' '),
+       |                                     t -> t = 'the' OR t = 'a')) AS DOUBLE)
+       |           / len(string_split(text, ' '))) * 0.3 AS quality
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT) AS n_chars_tok,
+       |         CAST((SELECT max(c) FROM (
+       |            SELECT count(*) AS c FROM unnest(string_split(text, ' ')) AS u(tok) GROUP BY tok)) AS BIGINT) AS top_cnt,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+       |  FROM documents)
+       |SELECT 'chars_total' AS metric, CAST(sum(length(text)) AS BIGINT) AS value FROM documents
+       |UNION ALL SELECT 'docs_total', count(*) FROM documents
+       |UNION ALL SELECT 'tokens_total', CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM documents
+       |UNION ALL SELECT 'sources_distinct', count(DISTINCT source) FROM documents
+       |UNION ALL SELECT 'langs_distinct', count(DISTINCT lang) FROM documents
+       |UNION ALL SELECT 'quality_mean_ppm',
+       |          CAST(CAST(sum(CAST(quality * 1000000 AS DECIMAL(18,6))) AS BIGINT) // count(*) AS BIGINT) FROM q
+       |UNION ALL SELECT 'quality_gate_kept', count(CASE WHEN quality >= $QualityThreshold THEN 1 END) FROM q
+       |UNION ALL SELECT 'neardup_pairs', count(*) FROM pairs
+       |UNION ALL SELECT 'neardup_docs', count(DISTINCT d)
+       |          FROM (SELECT id_a AS d FROM pairs UNION ALL SELECT id_b FROM pairs)
+       |UNION ALL SELECT 'gopher_rules_kept',
+       |          count(CASE WHEN n_words BETWEEN ${graft.text.FilterRules.MinWords} AND ${graft.text.FilterRules.MaxWords}
+       |                      AND n_chars_tok BETWEEN ${graft.text.FilterRules.MinMeanWordLen} * n_words AND ${graft.text.FilterRules.MaxMeanWordLen} * n_words
+       |                      AND top_cnt * 1000000 <= ${graft.text.FilterRules.MaxTopTokenPpm} * n_words
+       |                      AND n_distinct * 1000000 >= ${graft.text.FilterRules.MinDistinctPpm} * n_words THEN 1 END) FROM g
+       |ORDER BY metric""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_clean_corpus" -> (cleanCorpus(_, _)),
     "q_dataset_split" -> (datasetSplit(_, _)),
     "q_group_split" -> (groupSplit(_, _)),
     "q_vocab_stats" -> (vocabStats(_, _)),
-    "q_curation_funnel" -> (curationFunnel(_, _))
+    "q_curation_funnel" -> (curationFunnel(_, _)),
+    "q_data_card" -> (dataCard(_, _))
   )
 
   def oracle: Map[String, String] = Map(
@@ -305,6 +386,7 @@ object CorpusPipeline {
     "q_dataset_split" -> datasetSplitSql,
     "q_group_split" -> groupSplitSql,
     "q_vocab_stats" -> vocabStatsSql,
-    "q_curation_funnel" -> curationFunnelSql
+    "q_curation_funnel" -> curationFunnelSql,
+    "q_data_card" -> dataCardSql
   )
 }
