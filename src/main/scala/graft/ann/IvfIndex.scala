@@ -154,6 +154,21 @@ object IvfIndex {
       .write.mode("overwrite")
       .partitionBy("centroid_id")
       .parquet(s"$indexPath/batch=$batchId")
+    // Close the check-then-act window (r8 advisory): the lease was absent at
+    // entry, but a recluster acquiring it DURING our write job would swap the
+    // index under a segment it never saw — that segment would survive the
+    // snapshot with stale cell ids. Re-verify after the write; if a fresh
+    // lease appeared, our segment must not become live: delete it and fail
+    // (a streaming absorb's micro-batch fails and replays cleanly).
+    leaseInfo(spark, indexPath).foreach { case (fs, _, mtime) =>
+      if (System.currentTimeMillis() - mtime < ReclusterLeaseTtlMs) {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/batch=$batchId"), true)
+        throw new IllegalStateException(
+          s"recluster acquired $indexPath while batch=$batchId was being written: " +
+            "the segment was assigned under the outgoing centroid set and has been " +
+            "deleted; retry after the recluster completes")
+      }
+    }
     // recorded after the data so a half-written segment never becomes the
     // centroid source of truth; identical to every live segment's set anyway.
     // The fit-time residual baseline rides along unchanged: absorbing a batch
@@ -443,8 +458,22 @@ object IvfIndex {
       fs.delete(lease, false)
       require(tryAcquire(), s"lost the recluster lease race on $indexPath")
     }
-    def heartbeat(): Unit =
-      fs.setTimes(lease, System.currentTimeMillis(), -1)
+    // Heartbeat from a DAEMON THREAD for the whole run — Lloyd iterations,
+    // the residual measurement, AND Segments.compact (r8 advisory: a
+    // per-iteration heartbeat left the compact uncovered, so a swap longer
+    // than the TTL — plausible at full-index-rewrite scale — let concurrent
+    // absorbs classify the lease as crashed and land stale-cell segments
+    // mid-swap). Liveness, not phase structure, keeps the lease fresh.
+    val beat = new Thread(() => {
+      val interval = math.max(50L, ReclusterLeaseTtlMs / 4)
+      try while (!Thread.interrupted()) {
+        Thread.sleep(interval)
+        try fs.setTimes(lease, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () }
+      } catch { case _: InterruptedException => () }
+    }, s"ivf-recluster-heartbeat-${root.getName}")
+    beat.setDaemon(true)
+    beat.start()
     try {
     var cents = currentCentroids(spark, indexPath)
     // md5-keyed sample: deterministic across runs and engines
@@ -452,7 +481,6 @@ object IvfIndex {
     var iter = 0
     var moved = true
     while (iter < maxIter && moved) {
-      heartbeat()
       val stats = SimilarityOps.withCentroidAssignment(sample, "v", cents)
         .select(col("centroid_id").cast("int").as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
@@ -478,7 +506,6 @@ object IvfIndex {
     // OLD segments under the FITTED centroids equals the post-commit value
     val postFitResidual =
       residualUnder(spark, read(spark, indexPath), fitted, samplePpm)
-    heartbeat()
     graft.sources.Segments.compact(
       spark, indexPath, Seq("centroid_id"), protectLatest = false,
       transform = df =>
@@ -489,6 +516,9 @@ object IvfIndex {
         ResidualFile -> postFitResidual.toString),
       force = true)
     iter
-    } finally fs.delete(lease, false)
+    } finally {
+      beat.interrupt()
+      fs.delete(lease, false)
+    }
   }
 }

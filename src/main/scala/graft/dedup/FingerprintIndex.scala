@@ -177,10 +177,15 @@ object FingerprintIndex {
     */
   def pairsWithin(
       fps: DataFrame,
-      maxDist: Int = MaxDist,
+      maxDist: Int = -1,
       shape: FpShape = FpShape.Fp64,
       occupancyCap: Option[Int] = None): DataFrame = {
-    require(maxDist <= shape.maxDist,
+    // -1 (the default) resolves to the SHAPE's pigeonhole bound — the r8
+    // advisory gap: a fixed default of Fp64's 7 silently narrowed Fp256
+    // callers from distance-15 to distance-7 matching unless they remembered
+    // to pass maxDist themselves (streamingAbsorb had to work around it).
+    val dist = if (maxDist < 0) shape.maxDist else maxDist
+    require(dist <= shape.maxDist,
       s"pigeonhole over ${shape.nBands} bands covers distance ≤ ${shape.maxDist}")
     val blocks0 = bandTable(fps, shape)
     val hot = occupancyCap.map(hotBucketsOf(blocks0, _)).getOrElse(Map.empty)
@@ -195,7 +200,7 @@ object FingerprintIndex {
           shape.wordCols.map(w => col(s"a.$w").as(w)) ++
           shape.wordCols.zipWithIndex.map { case (w, i) => expr(s"a.$w ^ b.$w").as(s"x$i") }: _*)
       .withColumn("hamming", hammingOf(shape))
-      .filter(col("hamming") <= maxDist && isFirstAgreeingBand(shape, hot))
+      .filter(col("hamming") <= dist && isFirstAgreeingBand(shape, hot))
       .select("id_a", "id_b", "hamming")
   }
 
@@ -242,13 +247,15 @@ object FingerprintIndex {
       spark: SparkSession,
       indexPath: String,
       probeFps: DataFrame,
-      maxDist: Int = MaxDist,
+      maxDist: Int = -1,
       broadcastQuery: Boolean = true,
       excludeSegment: Option[Long] = None,
       asOf: Option[Long] = None,
       shape: FpShape = FpShape.Fp64,
       occupancyCap: Option[Int] = None): DataFrame = {
-    require(maxDist <= shape.maxDist,
+    // -1 resolves to the shape's bound (see [[pairsWithin]])
+    val dist = if (maxDist < 0) shape.maxDist else maxDist
+    require(dist <= shape.maxDist,
       s"pigeonhole over ${shape.nBands} bands covers distance ≤ ${shape.maxDist}")
     val index0 = (asOf, excludeSegment) match {
       case (None, None) => read(spark, indexPath)
@@ -277,7 +284,7 @@ object FingerprintIndex {
           shape.wordCols.map(w => col(w)) ++
           shape.wordCols.zipWithIndex.map { case (w, i) => expr(s"p_$w ^ $w").as(s"x$i") }: _*)
       .withColumn("hamming", hammingOf(shape))
-      .filter(col("hamming") <= maxDist && isFirstAgreeingBand(shape, hot))
+      .filter(col("hamming") <= dist && isFirstAgreeingBand(shape, hot))
       .select("probe_id", "index_id", "hamming")
   }
 
@@ -329,7 +336,7 @@ object FingerprintIndex {
         val cand =
           if (hasSegments(spark, indexPath))
             candidates(spark, indexPath, batch,
-              maxDist = shape.maxDist, excludeSegment = Some(segment), shape = shape)
+              excludeSegment = Some(segment), shape = shape)
           else
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
