@@ -58,11 +58,39 @@ object IvfIndex {
   private val ReclusterLease = ".recluster_lease"
   val ReclusterLeaseTtlMs: Long = 15L * 60 * 1000
 
+  /** The lease's liveness timestamp is its CONTENT (a millis payload the
+    * holder rewrites on every heartbeat), falling back to file mtime when
+    * the payload is absent/unreadable (the instant between exclusive-create
+    * and the first payload write, or a lease left by an older engine
+    * generation). Content, not `setTimes`: the Hadoop FileSystem base class
+    * implements setTimes as a silent no-op on object stores (S3A et al.),
+    * where an mtime heartbeat never refreshes and any recluster longer than
+    * the TTL is misclassified as crashed — the r9 advisory's exact gap.
+    */
   private def leaseInfo(
       spark: SparkSession, indexPath: String): Option[(org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path, Long)] = {
     val p = new org.apache.hadoop.fs.Path(indexPath, ReclusterLease)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some((fs, p, fs.getFileStatus(p).getModificationTime)) else None
+    if (!fs.exists(p)) None
+    else {
+      val fromPayload =
+        try {
+          val in = fs.open(p)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          text.trim.toLongOption
+        } catch { case _: java.io.IOException => None }
+      val mtime = try fs.getFileStatus(p).getModificationTime
+        catch { case _: java.io.IOException => 0L }
+      Some((fs, p, fromPayload.getOrElse(mtime)))
+    }
+  }
+
+  private def writeLeasePayload(
+      fs: org.apache.hadoop.fs.FileSystem, lease: org.apache.hadoop.fs.Path): Unit = {
+    val out = fs.create(lease, true)
+    try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Fails loudly when a live recluster holds the index. */
@@ -95,13 +123,14 @@ object IvfIndex {
     */
   private def newestMeta(
       spark: SparkSession, indexPath: String, name: String,
-      asOf: Option[Long]): Option[String] = {
+      asOf: Option[Long], excludeBatch: Option[Long] = None): Option[String] = {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return None
     fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
       .filter(s => asOf.forall(s.getPath.getName.stripPrefix("batch=").toLong <= _))
+      .filter(s => !excludeBatch.contains(s.getPath.getName.stripPrefix("batch=").toLong))
       .sortBy(-_.getPath.getName.stripPrefix("batch=").toLong)
       .iterator
       .map(s => new org.apache.hadoop.fs.Path(s.getPath, name))
@@ -176,6 +205,30 @@ object IvfIndex {
     writeSegMeta(spark, s"$indexPath/batch=$batchId", CentroidsFile, serializeCents(cents))
     baseline.foreach(r =>
       writeSegMeta(spark, s"$indexPath/batch=$batchId", ResidualFile, r.toString))
+    // Final verification (r9 advisory): the lease re-check above cannot see
+    // a recluster that acquired AND released entirely within our write
+    // window — its compacted segment carries the NEW centroid set while our
+    // (possibly newer-numbered) segment carries the OLD one, silently
+    // reverting the recluster for every subsequent reader. So after OUR
+    // manifest is down, re-read the newest manifest among all OTHER
+    // segments and compare it to the set we assigned under; on mismatch our
+    // segment must not stay live: delete it and fail (a streaming absorb's
+    // micro-batch replays cleanly against the post-recluster index).
+    val liveCents = newestMeta(
+      spark, indexPath, CentroidsFile, asOf = None, excludeBatch = Some(batchId))
+      .map(parseCents)
+      .getOrElse(SimilarityOps.centroids)
+    val agree = liveCents.size == cents.size &&
+      liveCents.zip(cents).forall { case (a, b) => a.sameElements(b) }
+    if (!agree) {
+      val fs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/batch=$batchId"), true)
+      throw new IllegalStateException(
+        s"a recluster swapped $indexPath's centroid set while batch=$batchId was " +
+          "being absorbed: the segment was assigned under the outgoing set and has " +
+          "been deleted; retry against the re-fit index")
+    }
   }
 
   def read(spark: SparkSession, indexPath: String): DataFrame =
@@ -458,18 +511,35 @@ object IvfIndex {
       fs.delete(lease, false)
       require(tryAcquire(), s"lost the recluster lease race on $indexPath")
     }
+    // the exclusive-create above wins the acquire race; the payload carries
+    // the liveness timestamp from here on (see [[leaseInfo]])
+    writeLeasePayload(fs, lease)
     // Heartbeat from a DAEMON THREAD for the whole run — Lloyd iterations,
     // the residual measurement, AND Segments.compact (r8 advisory: a
     // per-iteration heartbeat left the compact uncovered, so a swap longer
     // than the TTL — plausible at full-index-rewrite scale — let concurrent
     // absorbs classify the lease as crashed and land stale-cell segments
-    // mid-swap). Liveness, not phase structure, keeps the lease fresh.
+    // mid-swap). Liveness, not phase structure, keeps the lease fresh. The
+    // beat REWRITES the payload (object-store-sound — see [[leaseInfo]]);
+    // repeated failures are logged and counted, never silently swallowed
+    // forever: a heartbeat that cannot write is a lease about to be
+    // misclassified as crashed, which an operator must see.
+    val beatFailures = new java.util.concurrent.atomic.AtomicLong(0)
     val beat = new Thread(() => {
+      val log = org.slf4j.LoggerFactory.getLogger(IvfIndex.getClass)
       val interval = math.max(50L, ReclusterLeaseTtlMs / 4)
       try while (!Thread.interrupted()) {
         Thread.sleep(interval)
-        try fs.setTimes(lease, System.currentTimeMillis(), -1)
-        catch { case _: java.io.IOException => () }
+        try {
+          writeLeasePayload(fs, lease)
+          beatFailures.set(0)
+        } catch {
+          case e: java.io.IOException =>
+            val n = beatFailures.incrementAndGet()
+            log.warn(s"ivf recluster lease heartbeat failed $n time(s) on " +
+              s"$lease — concurrent absorbs will misclassify this run as " +
+              s"crashed after ${ReclusterLeaseTtlMs} ms: $e")
+        }
       } catch { case _: InterruptedException => () }
     }, s"ivf-recluster-heartbeat-${root.getName}")
     beat.setDaemon(true)

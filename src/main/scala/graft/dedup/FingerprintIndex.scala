@@ -162,7 +162,9 @@ object FingerprintIndex {
     }
 
   /** One-shot near-dup pairs within a fingerprint relation: hamming ≤
-    * maxDist, each unordered pair once as id_a < id_b.
+    * maxDist, each unordered pair once as id_a < id_b. `maxDist = -1` (the
+    * default sentinel) resolves to the shape's pigeonhole bound
+    * ([[FpShape.maxDist]]); any other negative value fails loudly.
     */
   /** With `occupancyCap` set, buckets holding more than that many rows are
     * dropped BEFORE the self-join — the df-cap discipline applied to
@@ -180,11 +182,17 @@ object FingerprintIndex {
       maxDist: Int = -1,
       shape: FpShape = FpShape.Fp64,
       occupancyCap: Option[Int] = None): DataFrame = {
-    // -1 (the default) resolves to the SHAPE's pigeonhole bound — the r8
-    // advisory gap: a fixed default of Fp64's 7 silently narrowed Fp256
-    // callers from distance-15 to distance-7 matching unless they remembered
-    // to pass maxDist themselves (streamingAbsorb had to work around it).
-    val dist = if (maxDist < 0) shape.maxDist else maxDist
+    // -1 (the SENTINEL, and the default) resolves to the SHAPE's pigeonhole
+    // bound — the r8 advisory gap: a fixed default of Fp64's 7 silently
+    // narrowed Fp256 callers from distance-15 to distance-7 matching unless
+    // they remembered to pass maxDist themselves. ONLY -1 means "shape
+    // bound": any other negative value is a caller bug (e.g. a computed
+    // x - y going negative) that must fail, not silently widen matching to
+    // the bound (r9 advisory).
+    require(maxDist == -1 || maxDist >= 0,
+      s"maxDist must be -1 (resolve to the shape's pigeonhole bound " +
+        s"${shape.maxDist}) or >= 0; got $maxDist")
+    val dist = if (maxDist == -1) shape.maxDist else maxDist
     require(dist <= shape.maxDist,
       s"pigeonhole over ${shape.nBands} bands covers distance ≤ ${shape.maxDist}")
     val blocks0 = bandTable(fps, shape)
@@ -241,7 +249,9 @@ object FingerprintIndex {
     * band emission — no distinct, so the probe plan has zero shuffles when
     * the batch broadcasts). `excludeSegment`/`asOf` compose as in
     * [[LshIndex.candidates]]: replay determinism and snapshot pinning, both
-    * partition-pruned on `batch`.
+    * partition-pruned on `batch`. `maxDist = -1` (the default sentinel)
+    * resolves to the shape's pigeonhole bound; any other negative value
+    * fails loudly.
     */
   def candidates(
       spark: SparkSession,
@@ -253,8 +263,12 @@ object FingerprintIndex {
       asOf: Option[Long] = None,
       shape: FpShape = FpShape.Fp64,
       occupancyCap: Option[Int] = None): DataFrame = {
-    // -1 resolves to the shape's bound (see [[pairsWithin]])
-    val dist = if (maxDist < 0) shape.maxDist else maxDist
+    // -1 is the only sentinel: it resolves to the shape's bound; any other
+    // negative maxDist fails loudly (see [[pairsWithin]])
+    require(maxDist == -1 || maxDist >= 0,
+      s"maxDist must be -1 (resolve to the shape's pigeonhole bound " +
+        s"${shape.maxDist}) or >= 0; got $maxDist")
+    val dist = if (maxDist == -1) shape.maxDist else maxDist
     require(dist <= shape.maxDist,
       s"pigeonhole over ${shape.nBands} bands covers distance ≤ ${shape.maxDist}")
     val index0 = (asOf, excludeSegment) match {

@@ -302,6 +302,20 @@ object CorpusPipeline {
     * pipeline already maintains, so the card costs little beyond the
     * aggregates a curation run produces anyway.
     */
+  /** The data card's mean-quality row over any (text) relation. The summed
+    * DECIMAL(18,6) goes through an explicit `floor` BEFORE the BIGINT cast:
+    * Spark's decimal→bigint cast truncates toward zero while DuckDB's
+    * rounds half away — a corpus whose summed ppm fraction lands ≥ 0.5
+    * would flip the oracle hash without the floor (r9 advisory; the oracle
+    * carries the same floor). Spec-pinned on such a corpus.
+    */
+  private[text] def qualityMeanPpmRow(docs: DataFrame): DataFrame =
+    docs.select(TextOps.qualityCol(col("text")).as("q"))
+      .agg(expr(
+        "cast(floor(sum(cast(q * 1000000 as decimal(18,6)))) as bigint) div count(*)")
+        .cast("long").as("value"))
+      .select(lit("quality_mean_ppm").as("metric"), col("value"))
+
   def dataCard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
@@ -317,10 +331,7 @@ object CorpusPipeline {
       // mean quality through per-row DECIMAL quantization (the dsum rule:
       // a raw double sum's fold order differs across engines and a last-bit
       // wobble would flip the integer cast)
-      docs.select(TextOps.qualityCol(col("text")).as("q"))
-        .agg(expr("cast(sum(cast(q * 1000000 as decimal(18,6))) as bigint) div count(*)")
-          .cast("long").as("value"))
-        .select(lit("quality_mean_ppm").as("metric"), col("value")),
+      qualityMeanPpmRow(docs),
       one("quality_gate_kept",
         count(when(TextOps.qualityCol(col("text")) >= QualityThreshold, 1))))
     val pairs = graft.dedup.PairStore.pairsFor(spark, sfDir)
@@ -360,7 +371,7 @@ object CorpusPipeline {
        |UNION ALL SELECT 'sources_distinct', count(DISTINCT source) FROM documents
        |UNION ALL SELECT 'langs_distinct', count(DISTINCT lang) FROM documents
        |UNION ALL SELECT 'quality_mean_ppm',
-       |          CAST(CAST(sum(CAST(quality * 1000000 AS DECIMAL(18,6))) AS BIGINT) // count(*) AS BIGINT) FROM q
+       |          CAST(CAST(floor(sum(CAST(quality * 1000000 AS DECIMAL(18,6)))) AS BIGINT) // count(*) AS BIGINT) FROM q
        |UNION ALL SELECT 'quality_gate_kept', count(CASE WHEN quality >= $QualityThreshold THEN 1 END) FROM q
        |UNION ALL SELECT 'neardup_pairs', count(*) FROM pairs
        |UNION ALL SELECT 'neardup_docs', count(DISTINCT d)

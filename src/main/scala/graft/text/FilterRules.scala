@@ -44,19 +44,37 @@ object FilterRules {
     val nTok = size(toks).cast("long")
     // total characters across tokens (text length minus separators)
     val charSum = (length(col("text")) - (nTok - 1)).cast("long")
-    // most-frequent-token count via aggregate over the distinct tokens —
-    // still per-row array work, no explode
-    val topCnt = array_max(transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t)))).cast("long")
-    val nDistinct = size(array_distinct(toks)).cast("long")
+    // top-token count AND distinct count in ONE O(n log n) pass: sort the
+    // tokens, then a linear run-length aggregate tracks the longest run
+    // (= max frequency) and the number of runs (= distinct tokens). The r8
+    // form — array_max over per-distinct-token filter() — was
+    // O(n_distinct × n_tokens) per ROW: invisible at ~54 tokens/doc, ~30M
+    // comparisons for a 10k-token page with 3k distinct tokens (the bench's
+    // longdoc probe pins this cost class). First element: prev is NULL, so
+    // `t === prev` is NULL and both whens fall to their otherwise branch.
+    val scan = aggregate(
+      array_sort(toks),
+      struct(
+        lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit(0L).as("nd")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(
+          t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"),
+          (acc.getField("nd") +
+            when(t === acc.getField("prev"), 0L).otherwise(1L)).as("nd"))
+      })
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), col("toks"), scan.as("scan"))
       .select(
         col("doc_id"),
         nTok.as("n_words"),
         charSum.as("n_chars_tok"),
-        topCnt.as("top_token_cnt"),
-        nDistinct.as("n_distinct"))
+        col("scan.best").as("top_token_cnt"),
+        col("scan.nd").as("n_distinct"))
       .select(
         col("doc_id"), col("n_words"),
         (col("n_words") >= MinWords && col("n_words") <= MaxWords).as("ok_words"),
