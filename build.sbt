@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // deep-but-legal Catalyst plans (PQ encode = 72 derived columns feeding
+  // joins) recurse in the planner; the default 1M thread stack is tight
+  "-Xss32m",
 )

@@ -56,7 +56,13 @@ object IvfIndex {
     * treated as a crashed run and ignored/reclaimed.
     */
   private val ReclusterLease = ".recluster_lease"
-  val ReclusterLeaseTtlMs: Long = 15L * 60 * 1000
+
+  /** Heartbeat staleness horizon. The `graft.ivf.leaseTtlMs` system property
+    * override exists so the spec can pin the liveness semantics (a heartbeat
+    * outliving the TTL keeps absorbs failing) without a 15-minute test.
+    */
+  def ReclusterLeaseTtlMs: Long =
+    sys.props.get("graft.ivf.leaseTtlMs").map(_.toLong).getOrElse(15L * 60 * 1000)
 
   /** The lease's liveness timestamp is its CONTENT (a millis payload the
     * holder rewrites on every heartbeat), falling back to file mtime when
@@ -178,8 +184,14 @@ object IvfIndex {
     assertNotReclustering(spark, indexPath)
     val cents = currentCentroids(spark, indexPath)
     val baseline = baselineResidual(spark, indexPath)
-    withCentroidAssignment(withNorm(embeddings, "vec_id", "v", "nn"), "v", cents)
-      .select(col("vec_id"), col("v"), col("nn"), col("centroid_id"))
+    // `pq` = the vector's 8-code PQ vector, encoded once at absorb time (the
+    // IVFADC layout — [[searchAdc]] ranks candidates from these ~3 bytes
+    // without touching `v`). Codes depend only on the FIXED codebook, never
+    // on the centroid set, so a recluster re-assigns cells but carries codes.
+    SimilarityOps.withPqCodes(
+        withCentroidAssignment(withNorm(embeddings, "vec_id", "v", "nn"), "v", cents),
+        "v", "pq")
+      .select(col("vec_id"), col("v"), col("nn"), col("pq"), col("centroid_id"))
       .write.mode("overwrite")
       .partitionBy("centroid_id")
       .parquet(s"$indexPath/batch=$batchId")
@@ -435,18 +447,7 @@ object IvfIndex {
     val probes = probeCells(
       withNorm(queries, "qid", "qv", "qn"), nprobe, currentCentroids(spark, indexPath, asOf))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
-    val index = (asOf, excludeSegment) match {
-      case (None, None) => read(spark, indexPath)
-      case _ =>
-        val snap = asOf
-          .map(graft.sources.Segments.readAsOf(spark, indexPath, _, dropBatch = false))
-          .getOrElse(spark.read.option("basePath", indexPath).parquet(indexPath))
-        // probe-before-absorb determinism under checkpoint replay (see
-        // [[streamingAbsorb]]): a replayed batch must not match itself
-        excludeSegment.map(id => snap.filter(col("batch") =!= id)).getOrElse(snap)
-          .drop("batch")
-    }
-    index
+    indexFrame(spark, indexPath, asOf, excludeSegment)
       .join(broadcast(probes),
         col("probe") === col("centroid_id") && col("qid") =!= col("vec_id"))
       .withColumn("cos",
@@ -454,6 +455,81 @@ object IvfIndex {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id").as("cid"))
+      .orderBy("qid", "rank")
+  }
+
+  /** The stored rows a search runs against: live index, `asOf` snapshot,
+    * and/or own-segment exclusion (see [[streamingAbsorb]]'s probe-before-
+    * absorb replay determinism).
+    */
+  private def indexFrame(
+      spark: SparkSession, indexPath: String,
+      asOf: Option[Long], excludeSegment: Option[Long]): DataFrame =
+    (asOf, excludeSegment) match {
+      case (None, None) => read(spark, indexPath)
+      case _ =>
+        val snap = asOf
+          .map(graft.sources.Segments.readAsOf(spark, indexPath, _, dropBatch = false))
+          .getOrElse(spark.read.option("basePath", indexPath).parquet(indexPath))
+        excludeSegment.map(id => snap.filter(col("batch") =!= id)).getOrElse(snap)
+          .drop("batch")
+    }
+
+  /** IVFADC search over the stored index — identical probe schedule to
+    * [[search]], but the probed cells rank from their stored `pq` codes via
+    * the broadcast per-query ADC LUT, and only the per-query top-`rerank`
+    * survivors pay an exact full-width cosine. Same results as the one-shot
+    * [[SimilarityOps.ivfAdcTopK]] when the index holds the embeddings corpus
+    * (spec-pinned, like search ≡ ivfTopKMultiProbe).
+    *
+    * Scale shape — why this is THE billion-scale serving plan: the candidate
+    * scan selects only `(vec_id, pq, centroid_id)`, so Parquet column
+    * pruning keeps the full float vectors out of the probe read entirely
+    * (~3 code bytes vs 512 vector bytes per row, a ~100× byte reduction on
+    * the dominant scan); the exact phase re-reads `v` for just
+    * rerank × |queries| rows via a broadcast semi-join. Memory bandwidth,
+    * not compute, bounds ANN serving at 100 TB — this plan spends it only
+    * where ranking genuinely needs it.
+    */
+  def searchAdc(
+      spark: SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      k: Int = 3,
+      nprobe: Int = 2,
+      rerank: Int = SimilarityOps.AdcRerank,
+      excludeSegment: Option[Long] = None,
+      asOf: Option[Long] = None): DataFrame = {
+    VectorFunctions.register(spark)
+    val q = withNorm(queries, "qid", "qv", "qn")
+    val probes = probeCells(q, nprobe, currentCentroids(spark, indexPath, asOf))
+    val lut = SimilarityOps.adcLut(q.select(col("qid"), col("qv")), "qid", "qv")
+      .select(col("qid").as("lqid"), col("m").as("lm"), col("k").as("lk"), col("l"))
+    val index = indexFrame(spark, indexPath, asOf, excludeSegment)
+    // ADC phase: codes only — column pruning keeps `v` out of this scan
+    val adc = index.select(col("vec_id"), col("pq"), col("centroid_id"))
+      .join(broadcast(probes.select("qid", "probe")),
+        col("probe") === col("centroid_id") && col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"), posexplode(col("pq")).as(Seq("m", "code")))
+      .join(broadcast(lut),
+        col("lqid") === col("qid") && col("lm") === col("m") && col("lk") === col("code"))
+      .groupBy("qid", "cid")
+      .agg(sum("l").as("adc"))
+    val wAdc = Window.partitionBy("qid").orderBy(asc("adc"), asc("cid"))
+    val pool = adc
+      .withColumn("prn", row_number().over(wAdc))
+      .filter(col("prn") <= rerank)
+      .select(col("qid").as("pqid"), col("cid").as("pcid"))
+    // exact rerank: full vectors for ONLY the pooled candidates
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    index.select(col("vec_id"), col("v"), col("nn"))
+      .join(broadcast(pool), col("vec_id") === col("pcid"))
+      .join(broadcast(q.select(col("qid"), col("qv"), col("qn"))), col("qid") === col("pqid"))
+      .withColumn("cos", SimilarityOps.dot("qv", "v") / (sqrt(col("qn")) * sqrt(col("nn"))))
+      .withColumn("cid", col("pcid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid")
       .orderBy("qid", "rank")
   }
 
@@ -578,9 +654,17 @@ object IvfIndex {
       residualUnder(spark, read(spark, indexPath), fitted, samplePpm)
     graft.sources.Segments.compact(
       spark, indexPath, Seq("centroid_id"), protectLatest = false,
-      transform = df =>
-        withCentroidAssignment(df.drop("centroid_id"), "v", fitted)
-          .select(col("vec_id"), col("v"), col("nn"), col("centroid_id")),
+      transform = { df =>
+        // PQ codes are centroid-independent — carry them through the
+        // re-assignment; re-encode only for segments written by a pre-PQ
+        // engine generation (codes derive from v + the fixed codebook alone,
+        // so the recomputation is exact).
+        val withPq =
+          if (df.columns.contains("pq")) df
+          else SimilarityOps.withPqCodes(df, "v", "pq")
+        withCentroidAssignment(withPq.drop("centroid_id"), "v", fitted)
+          .select(col("vec_id"), col("v"), col("nn"), col("pq"), col("centroid_id"))
+      },
       meta = Map(
         CentroidsFile -> serializeCents(fitted),
         ResidualFile -> postFitResidual.toString),

@@ -285,26 +285,34 @@ object SimilarityOps {
       df0: DataFrame, vCol: String,
       cents: IndexedSeq[Array[Double]] = centroids,
       keepDistance: Option[String] = None): DataFrame = {
-    val ks = cents.indices
-    val withC = ks.foldLeft(df0) { (df, k) =>
-      df.withColumn(s"c_$k", array(cents(k).toIndexedSeq.map(lit(_)): _*))
-    }
-    val scored = ks.foldLeft(withC) { (df, k) =>
-      df.withColumn(s"d_$k",
-        lit(selfDot(cents(k))) - lit(2.0) * expr(s"dot_arrays($vCol, c_$k)"))
-    }
-    val assign = ks.init.foldRight(lit(ks.last)) { case (k, elseCol) =>
-      val leAll = ks.drop(k + 1).map(o => col(s"d_$k") <= col(s"d_$o")).reduce(_ && _)
-      when(leAll, lit(k)).otherwise(elseCol)
-    }
-    val assigned = scored.withColumn("centroid_id", assign)
-    // the assigned cell's score is the minimum: least(d_*) = |c|² − 2v·c of
-    // the chosen centroid (add |v|² for the true squared distance) — kept
-    // only when a caller (the drift statistic) asks, so assignment-only
-    // plans stay unchanged
-    keepDistance.fold(assigned)(n =>
-      assigned.withColumn(n, least(ks.map(k => col(s"d_$k")): _*)))
-      .drop(ks.map(k => s"c_$k") ++ ks.map(k => s"d_$k"): _*)
+    val (assign, minD) = argminDist(col(vCol), cents)
+    val assigned = df0.withColumn("centroid_id", assign)
+    // the assigned cell's score is array_min(d) = |c|² − 2v·c of the chosen
+    // centroid (add |v|² for the true squared distance) — kept only when a
+    // caller (the drift statistic) asks, so assignment-only plans stay
+    // unchanged
+    keepDistance.fold(assigned)(n => assigned.withColumn(n, minD))
+  }
+
+  /** (argmin index, min value) over the distance vector of `vecCol` against
+    * literal codebook `cb` — the shared shape of centroid assignment and PQ
+    * encode. The distances form ONE `array(...)` expression and the winner
+    * is `array_position(d, array_min(d)) − 1`, which picks the FIRST
+    * (lowest-k) minimum — the tie rule every oracle pins via
+    * `ORDER BY d, k`. No intermediate distance COLUMNS: the earlier
+    * d_0…d_{K−1} / d_{m}_{k} attribute scaffolding made composed plans
+    * (assignment × 64-entry PQ encode × probe joins in one tree) blow the
+    * optimizer's memory once alias inlining and constraint propagation
+    * multiplied the per-column expressions. dot_arrays stays the codegen'd
+    * kernel, so the hot path remains whole-stage-compiled.
+    */
+  private def argminDist(
+      vecCol: Column, cb: IndexedSeq[Array[Double]]): (Column, Column) = {
+    val dists = array(cb.map { c =>
+      lit(selfDot(c)) - lit(2.0) *
+        call_function("dot_arrays", vecCol, array(c.toIndexedSeq.map(lit(_)): _*))
+    }: _*)
+    ((array_position(dists, array_min(dists)) - 1).cast("int"), array_min(dists))
   }
 
   def ivfBuckets(spark: SparkSession, sfDir: String): DataFrame =
@@ -902,30 +910,40 @@ object SimilarityOps {
     }
   }
 
+  /** Adds the [[PqM]] subvector columns (`v_0`…`v_7`) of double-array
+    * column `vCol` — the slice step every PQ encode/LUT build starts from.
+    */
+  private[ann] def addSubvectors(df: DataFrame, vCol: String): DataFrame =
+    // one Project, not PqM nested ones — withColumn-per-column chains make
+    // Catalyst's constraint propagation quadratic in depth and (composed
+    // with the 64 distance columns) overflow the planner stack
+    df.select(col("*") +: (0 until PqM).map(m =>
+      slice(col(vCol), m * PqSubDim + 1, PqSubDim).as(s"v_$m")): _*)
+
   /** Vectors with their 8 subvector columns materialized (`v_0`…`v_7`). */
   private def withSubvectors(spark: SparkSession, sfDir: String): DataFrame = {
     VectorFunctions.register(spark)
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    (0 until PqM).foldLeft(e) { (df, m) =>
-      df.withColumn(s"v_$m", slice(col("v"), m * PqSubDim + 1, PqSubDim))
-    }
+    addSubvectors(
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")),
+      "v")
   }
 
   /** Per-(vector, subspace) monotone distance columns `d_{m}_{k}` =
     * |c_mk|² − 2·v_m·c_mk (true squared distance minus the |v_m|² constant).
     */
-  private def withPqDists(df: DataFrame): DataFrame =
-    (0 until PqM).foldLeft(df) { (acc, m) =>
-      (0 until PqK).foldLeft(acc) { (acc2, k) =>
-        val c = pqCodebook(m)(k)
-        // literal array via lit() — an inline SQL `array(0.44, …)` would
-        // parse its literals as DecimalType and fail dot_arrays' type check
-        val cArr = array(c.toIndexedSeq.map(lit(_)): _*)
-        acc2.withColumn(s"d_${m}_$k",
-          lit(selfDot(c)) - lit(2.0) * call_function("dot_arrays", col(s"v_$m"), cArr))
-      }
+  private def withPqDists(df: DataFrame): DataFrame = {
+    val dCols = for { m <- 0 until PqM; k <- 0 until PqK } yield {
+      val c = pqCodebook(m)(k)
+      // literal array via lit() — an inline SQL `array(0.44, …)` would
+      // parse its literals as DecimalType and fail dot_arrays' type check
+      val cArr = array(c.toIndexedSeq.map(lit(_)): _*)
+      (lit(selfDot(c)) - lit(2.0) * call_function("dot_arrays", col(s"v_$m"), cArr))
+        .as(s"d_${m}_$k")
     }
+    // single Project for all 64 distance columns (see [[addSubvectors]])
+    df.select(col("*") +: dCols: _*)
+  }
 
   private def pqArgmin(m: Int): Column = {
     val ks = 0 until PqK
@@ -934,6 +952,19 @@ object SimilarityOps {
       when(leAll, lit(k)).otherwise(elseCol)
     }
   }
+
+  /** Adds `outCol` = the PQ code vector of double-array column `vCol`
+    * (array<int>, one code per subspace, ties → lowest k like every argmin
+    * here) — the per-row encode step [[IvfIndex.appendBatch]] runs at
+    * absorb time, one self-contained [[argminDist]] expression per subspace
+    * (no scaffolding columns). Codes depend only on the FIXED codebook,
+    * never on the IVF centroid set, so a recluster carries them through
+    * unchanged.
+    */
+  private[ann] def withPqCodes(df: DataFrame, vCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, array((0 until PqM).map { m =>
+      argminDist(slice(col(vCol), m * PqSubDim + 1, PqSubDim), pqCodebook(m))._1
+    }: _*))
 
   /** PQ encoding of the corpus: the 3-bit-per-subspace code vector (8 codes
     * ≈ 3 bytes vs 256 float bytes — the compression that makes a 100 TB
@@ -963,13 +994,13 @@ object SimilarityOps {
 
   /** Shared oracle CTEs: the derived codebook (one row per (m, k)), each
     * vector's subvectors, and the per-(vector, m) distances + argmin code.
+    * [[pqTailCtes]] assumes a CTE `e(vec_id, v)` is already in scope, so it
+    * composes with [[assignCtes]] (which defines the identical `e`) for the
+    * IVFADC oracle; [[pqCtes]] is the standalone form.
     */
-  private val pqCtes: String = {
+  private val pqTailCtes: String = {
     val mkVals = (for (m <- 0 until PqM; k <- 0 until PqK) yield s"($m, $k)").mkString(", ")
-    s"""e AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
-       |sub AS (
+    s"""sub AS (
        |  SELECT vec_id, t.m, v[t.m * $PqSubDim + 1 : t.m * $PqSubDim + $PqSubDim] AS vm
        |  FROM e CROSS JOIN (VALUES ${(0 until PqM).map(m => s"($m)").mkString(", ")}) AS t(m)),
        |cb AS (
@@ -993,6 +1024,12 @@ object SimilarityOps {
        |  WHERE rn = 1)""".stripMargin
   }
 
+  private val pqCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |$pqTailCtes""".stripMargin
+
   val pqCodesSql: String =
     s"""WITH $pqCtes
        |SELECT vec_id,
@@ -1014,16 +1051,14 @@ object SimilarityOps {
     * the join is an equi-join on (m, k) against a broadcast LUT, and the
     * per-(query, candidate) state is one partial sum.
     */
-  def pqAdcTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
+  /** Per-query ADC lookup table over double-array query column `vCol`:
+    * one row per (query, subspace, codebook entry) — `(qid, m, k, l)` with
+    * `l` the exact |c_mk|² − 2·q_m·c_mk distance, DECIMAL(18,6)-pinned so
+    * the grouped ADC sum is bit-stable cross-engine. 64 rows per query —
+    * always broadcastable.
+    */
+  private[ann] def adcLut(queries: DataFrame, idCol: String, vCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    // candidate codes, exploded to (cid, m, code)
-    val codes = withPqDists(withSubvectors(spark, sfDir))
-      .select(col("vec_id").as("cid"),
-        explode(array((0 until PqM).map(m =>
-          struct(lit(m).as("m"), pqArgmin(m).as("code"))): _*)).as("mc"))
-      .select(col("cid"), col("mc.m").as("m"), col("mc.code").as("code"))
-    // per-query LUT: exact subvector-to-centroid distances, decimal-pinned
-    val queries = withSubvectors(spark, sfDir).filter(col("vec_id") < nQueries)
     val lutRows = (for (m <- 0 until PqM; kk <- 0 until PqK) yield {
       val c = pqCodebook(m)(kk)
       val cArr = array(c.toIndexedSeq.map(lit(_)): _*)
@@ -1031,9 +1066,23 @@ object SimilarityOps {
         (lit(selfDot(c)) - lit(2.0) * call_function("dot_arrays", col(s"v_$m"), cArr))
           .cast(DecimalType(18, 6)).as("l"))
     })
-    val lut = queries.select(col("vec_id").as("qid"),
-        explode(array(lutRows: _*)).as("e"))
+    addSubvectors(queries, vCol)
+      .select(col(idCol).as("qid"), explode(array(lutRows: _*)).as("e"))
       .select(col("qid"), col("e.m").as("m"), col("e.k").as("k"), col("e.l").as("l"))
+  }
+
+  def pqAdcTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    // candidate codes, exploded to (cid, m, code)
+    val codes = withPqDists(withSubvectors(spark, sfDir))
+      .select(col("vec_id").as("cid"),
+        explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"), pqArgmin(m).as("code"))): _*)).as("mc"))
+      .select(col("cid"), col("mc.m").as("m"), col("mc.code").as("code"))
+    // per-query LUT: exact subvector-to-centroid distances, decimal-pinned
+    val lut = adcLut(
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")),
+      "vec_id", "v")
     val w = Window.partitionBy("qid").orderBy(asc("adc"), asc("cid"))
     codes
       .join(broadcast(lut), codes("m") === lut("m") && codes("code") === lut("k") &&
@@ -1063,6 +1112,152 @@ object SimilarityOps {
        |  FROM adc)
        |WHERE rank <= $k
        |ORDER BY qid, rank""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // IVFADC — IVF cell pruning × PQ asymmetric-distance ranking (Jégou et al.
+  // 2011, the composition FAISS calls IndexIVFPQ): the billion-scale serving
+  // shape. The probe stage prunes the corpus to nprobe cells per query
+  // (partition pruning); the ADC stage ranks those candidates from their
+  // ~3-byte PQ codes via the broadcast per-query LUT — never touching the
+  // full float vectors; only the top `rerank` survivors per query pay an
+  // exact full-width cosine. At 100 TB the candidate scan therefore reads
+  // ~1% of the bytes the float probe reads, and the exact reads are bounded
+  // by rerank × |queries|.
+  // -------------------------------------------------------------------------
+
+  /** ADC-pool size the exact rerank re-scores (FAISS' `k_factor × k`). */
+  val AdcRerank = 10
+
+  def ivfAdcTopK(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 3, nprobe: Int = 2,
+      rerank: Int = AdcRerank): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    // corpus side at vector granularity: cell id + the 8-code PQ vector
+    val coded = withPqCodes(withCentroidAssignment(e, "v"), "v", "pq")
+      .select(col("vec_id").as("cid"), col("centroid_id").as("cc"), col("pq"))
+    val q = withNorm(Tables.embeddings(spark, sfDir).filter(col("vec_id") < nQueries),
+      "qid", "qv", "qn")
+    val probes = probeCells(q, nprobe)
+    val lut = adcLut(q.select(col("qid"), col("qv")), "qid", "qv")
+      .select(col("qid").as("lqid"), col("m").as("lm"), col("k").as("lk"), col("l"))
+    // candidate selection BEFORE the 8-way code explode, so the probe join
+    // runs at vector granularity
+    val adc = coded
+      .join(broadcast(probes.select("qid", "probe")),
+        col("probe") === col("cc") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), posexplode(col("pq")).as(Seq("m", "code")))
+      .join(broadcast(lut),
+        col("lqid") === col("qid") && col("lm") === col("m") && col("lk") === col("code"))
+      .groupBy("qid", "cid")
+      .agg(sum("l").as("adc"))
+    val wAdc = Window.partitionBy("qid").orderBy(asc("adc"), asc("cid"))
+    val pool = adc
+      .withColumn("prn", row_number().over(wAdc))
+      .filter(col("prn") <= rerank)
+      .select(col("qid").as("pqid"), col("cid").as("pcid"))
+    // exact rerank: full-width cosine for ONLY the pooled candidates
+    val full = withNorm(Tables.embeddings(spark, sfDir), "vec_id", "v", "nn")
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    full
+      .join(broadcast(pool), col("vec_id") === col("pcid"))
+      .join(broadcast(q.select(col("qid"), col("qv"), col("qn"))), col("qid") === col("pqid"))
+      .withColumn("cos", dot("qv", "v") / (sqrt(col("qn")) * sqrt(col("nn"))))
+      .withColumn("cid", col("pcid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid")
+      .orderBy("qid", "rank")
+  }
+
+  /** Oracle CTE chain ending in `adc_topk(qid, rank, cid)` — shared by the
+    * top-k query and the recall ledger. Composes [[assignCtes]] (cells +
+    * per-query probe distances) with [[pqTailCtes]] (codes) over the same
+    * `e`.
+    */
+  private def ivfAdcCtes(nQueries: Int, k: Int, nprobe: Int, rerank: Int): String =
+    s"""$assignCtes,
+       |$pqTailCtes,
+       |normed AS (
+       |  SELECT vec_id, v, centroid_id,
+       |         list_sum(list_transform(v, x -> x * x)) AS nn
+       |  FROM assigned),
+       |probes AS (
+       |  SELECT vec_id AS qid, k AS probe FROM (
+       |    SELECT vec_id, k,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS prn
+       |    FROM dists WHERE vec_id < $nQueries)
+       |  WHERE prn <= $nprobe),
+       |lut AS (
+       |  SELECT s.vec_id AS qid, cb2.m, cb2.k,
+       |         CAST(cb2.c2 - 2 * list_sum(list_transform(generate_series(1, $PqSubDim),
+       |                                                   i -> s.vm[i] * cb2.c[i])) AS DECIMAL(18,6)) AS l
+       |  FROM sub s JOIN cb2 ON s.m = cb2.m
+       |  WHERE s.vec_id < $nQueries),
+       |adc AS (
+       |  SELECT p.qid, a.vec_id AS cid, sum(l.l) AS adc
+       |  FROM probes p
+       |  JOIN assigned a ON a.centroid_id = p.probe AND a.vec_id <> p.qid
+       |  JOIN coded c ON c.vec_id = a.vec_id
+       |  JOIN lut l ON l.qid = p.qid AND l.m = c.m AND l.k = c.code
+       |  GROUP BY 1, 2),
+       |pool AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS prn
+       |    FROM adc)
+       |  WHERE prn <= $rerank),
+       |rer AS (
+       |  SELECT p.qid, p.cid,
+       |         list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+       |           / (sqrt(q.nn) * sqrt(c.nn)) AS cos
+       |  FROM pool p
+       |  JOIN normed q ON q.vec_id = p.qid
+       |  JOIN normed c ON c.vec_id = p.cid),
+       |adc_topk AS (
+       |  SELECT qid, rank, cid FROM (
+       |    SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+       |    FROM rer)
+       |  WHERE rank <= $k)""".stripMargin
+
+  def ivfAdcTopKSql(
+      nQueries: Int = 10, k: Int = 3, nprobe: Int = 2, rerank: Int = AdcRerank): String =
+    s"""WITH ${ivfAdcCtes(nQueries, k, nprobe, rerank)}
+       |SELECT qid, rank, cid FROM adc_topk ORDER BY qid, rank""".stripMargin
+
+  /** Recall@k of the full IVFADC pipeline against exact brute force — the
+    * acceptance gate for the compound approximation (cell pruning × PQ
+    * ranking × bounded rerank). Same integer-exact hit ledger as
+    * [[ivfRecall]].
+    */
+  def ivfAdcRecall(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val exact = annTopK(spark, sfDir, nQueries, k).select(col("qid"), col("cid"))
+    val approx = ivfAdcTopK(spark, sfDir, nQueries, k)
+      .select(col("qid").as("aqid"), col("cid").as("acid"))
+    exact
+      .join(approx, col("qid") === col("aqid") && col("cid") === col("acid"), "left")
+      .groupBy("qid")
+      .agg(
+        count(lit(1)).as("k_exact"),
+        count(col("acid")).as("hits"))
+      .orderBy("qid")
+  }
+
+  def ivfAdcRecallSql(
+      nQueries: Int = 10, k: Int = 3, nprobe: Int = 2, rerank: Int = AdcRerank): String =
+    s"""WITH ${ivfAdcCtes(nQueries, k, nprobe, rerank)},
+       |exact AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+       |               / (sqrt(q.nn) * sqrt(c.nn)) DESC, c.vec_id) AS rank
+       |    FROM normed q JOIN normed c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id)
+       |  WHERE rank <= $k)
+       |SELECT e.qid AS qid, count(*) AS k_exact, count(a.cid) AS hits
+       |FROM exact e LEFT JOIN adc_topk a ON e.qid = a.qid AND e.cid = a.cid
+       |GROUP BY 1 ORDER BY e.qid""".stripMargin
 
   /** Recall@k of the IVF (nprobe=1) search against the exact brute-force
     * baseline — the measurement every ANN deployment runs before trusting an
@@ -1213,6 +1408,8 @@ object SimilarityOps {
     "q_ivf_probe2" -> (ivfTopKMultiProbe(_, _)),
     "q_pq_codes" -> (pqCodes(_, _)),
     "q_pq_adc_topk" -> (pqAdcTopK(_, _)),
+    "q_ivf_adc_topk" -> (ivfAdcTopK(_, _)),
+    "q_ivf_adc_recall" -> (ivfAdcRecall(_, _)),
     "q_kmeans_step" -> (kmeansStep(_, _)),
     "q_kmeans_iter" -> (kmeansIter(_, _)),
     "q_cluster_balanced_sample" -> (clusterBalancedSample(_, _)),
@@ -1234,6 +1431,8 @@ object SimilarityOps {
     "q_ivf_probe2" -> ivfTopKMultiProbeSql(),
     "q_pq_codes" -> pqCodesSql,
     "q_pq_adc_topk" -> pqAdcTopKSql(),
+    "q_ivf_adc_topk" -> ivfAdcTopKSql(),
+    "q_ivf_adc_recall" -> ivfAdcRecallSql(),
     "q_kmeans_step" -> kmeansStepSql,
     "q_kmeans_iter" -> kmeansIterSql(),
     "q_cluster_balanced_sample" -> clusterBalancedSampleSql,
