@@ -81,20 +81,47 @@ object PairStore {
 
   /** Recompute the connected-component labels over ALL live pairs and
     * publish the snapshot under the current pair watermark. Returns the
-    * watermark. One distributed CC run; the snapshot write is atomic at the
-    * directory level (full overwrite of `labels/batch=<w>`), and re-running
-    * at an unchanged watermark rewrites identical rows.
+    * watermark. One distributed CC run. Publication is write-temp-then-
+    * rename: the fixpoint lands complete (with its `_SUCCESS` marker) in a
+    * dot-prefixed temp dir invisible to listings, and only then renames to
+    * `labels/batch=<w>` — a crash mid-write can never destroy the previous
+    * complete snapshot at the same watermark, and a crash mid-publication
+    * leaves only a markerless orphan that every reader skips (ADVICE r8:
+    * "served latest" must mean "served latest COMPLETE"). Re-running at an
+    * unchanged watermark republishes identical rows.
     */
   def refreshLabels(spark: SparkSession, path: String): Long = {
     val w = pairsWatermark(spark, path)
+    val root = new org.apache.hadoop.fs.Path(labelsPath(path))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".tmp_${w}_${java.util.UUID.randomUUID()}")
     DedupOps.labelPropagation(spark, readPairs(spark, path, Some(w)))
-      .write.mode("overwrite").parquet(s"${labelsPath(path)}/batch=$w")
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.exists(new org.apache.hadoop.fs.Path(tmp, SuccessMarker)),
+      s"label fixpoint write left no $SuccessMarker under $tmp")
+    val target = new org.apache.hadoop.fs.Path(root, s"batch=$w")
+    fs.delete(target, true)
+    require(fs.rename(tmp, target), s"failed to promote $tmp to $target")
     w
   }
 
-  /** Watermark of the newest published label snapshot, if any. */
+  private val SuccessMarker = "_SUCCESS"
+
+  /** Ids of the COMPLETE label snapshots: `batch=<id>` dirs carrying the
+    * `_SUCCESS` marker. A refresh that died mid-write leaves a markerless
+    * dir (or a dot-prefixed temp orphan) — both are invisible here, so the
+    * served "latest" is always a complete fixpoint.
+    */
+  private def completeLabelIds(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(labelsPath(path))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Segments.segmentIds(spark, labelsPath(path)).filter(id =>
+      fs.exists(new org.apache.hadoop.fs.Path(root, s"batch=$id/$SuccessMarker")))
+  }
+
+  /** Watermark of the newest COMPLETE published label snapshot, if any. */
   def labelsWatermark(spark: SparkSession, path: String): Option[Long] = {
-    val ids = Segments.segmentIds(spark, labelsPath(path))
+    val ids = completeLabelIds(spark, path)
     if (ids.isEmpty) None else Some(ids.max)
   }
 
@@ -110,8 +137,8 @@ object PairStore {
       path: String,
       asOf: Option[Long] = None,
       requireFresh: Boolean = false): DataFrame = {
-    val ids = Segments.segmentIds(spark, labelsPath(path))
-    require(ids.nonEmpty, s"no label snapshots under $path — run refreshLabels first")
+    val ids = completeLabelIds(spark, path)
+    require(ids.nonEmpty, s"no complete label snapshots under $path — run refreshLabels first")
     val pick = asOf.map(a => ids.filter(_ <= a)).getOrElse(ids)
     require(pick.nonEmpty,
       s"no label snapshot at or below batch=${asOf.get}; live snapshots: ${ids.mkString(", ")}")
@@ -133,8 +160,11 @@ object PairStore {
     */
   def pruneLabelSnapshots(spark: SparkSession, path: String, keep: Int = 2): Int = {
     require(keep >= 1, "must keep at least the newest snapshot")
-    val ids = Segments.segmentIds(spark, labelsPath(path))
-    val drop = ids.sorted.dropRight(keep)
+    val complete = completeLabelIds(spark, path)
+    // incomplete (markerless) dirs are crash debris, never servable — always
+    // collected; the `keep` budget spends only on complete snapshots
+    val drop = Segments.segmentIds(spark, labelsPath(path))
+      .filterNot(complete.sorted.takeRight(keep).contains)
     val root = new org.apache.hadoop.fs.Path(labelsPath(path))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     drop.foreach(id => fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$id"), true))
@@ -178,19 +208,48 @@ object PairStore {
   // catalog's four most expensive queries previously lacked.
   // -------------------------------------------------------------------------
 
-  private val ensured = scala.collection.mutable.Map.empty[(String, Double), String]
+  private val ensured = scala.collection.mutable.Map.empty[(String, Double, String), String]
 
-  /** Build (once per JVM per corpus+threshold) the corpus pair store:
-    * segment 0 = [[DedupOps.ngramJaccardPairs]], labels refreshed to it.
+  /** Fingerprint of the corpus the store derives from: every
+    * `documents.parquet` data file's (name, length, mtime). A rewritten
+    * corpus under the same path changes the fingerprint, so a memoized
+    * store can never silently serve pairs/labels of the OLD corpus
+    * (ADVICE r8: the ensure cache had no staleness guard).
+    */
+  private def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
+    val root = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(root)
+      .filter(_.isFile)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted
+    java.util.UUID.nameUUIDFromBytes(parts.mkString("\n").getBytes("UTF-8")).toString
+  }
+
+  /** Build (once per JVM per corpus-CONTENT + threshold) the corpus pair
+    * store: segment 0 = [[DedupOps.ngramJaccardPairs]], labels refreshed to
+    * it. Keyed by [[corpusFingerprint]], not the path string alone — a
+    * corpus rewritten in place triggers a fresh build instead of serving
+    * decisions from data that no longer exists.
     */
   def ensure(spark: SparkSession, sfDir: String, threshold: Double = 0.6): String =
     ensured.synchronized {
-      ensured.getOrElseUpdate((sfDir, threshold), {
+      ensured.getOrElseUpdate((sfDir, threshold, corpusFingerprint(spark, sfDir)), {
         val dir = java.nio.file.Files.createTempDirectory("graft_pairstore").toString
         materialize(spark, DedupOps.ngramJaccardPairs(spark, sfDir, threshold), dir)
         refreshLabels(spark, dir)
         dir
       })
+    }
+
+  /** Drop every memoized store for `sfDir` (all thresholds and corpus
+    * generations) — the explicit escape hatch for a caller that knows the
+    * corpus changed and wants the stale temp dirs unreferenced now rather
+    * than at JVM exit.
+    */
+  def invalidate(sfDir: String): Unit =
+    ensured.synchronized {
+      ensured.keys.filter(_._1 == sfDir).toSeq.foreach(ensured.remove)
     }
 
   /** Corpus near-dup pairs, served from the store. */

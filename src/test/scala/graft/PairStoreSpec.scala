@@ -122,6 +122,66 @@ class PairStoreSpec extends AnyFunSuite with SharedSpark {
     assert(viaStore == direct, "incremental fixpoint diverged from the one-shot labels")
   }
 
+  test("a refresh that died mid-write is invisible: markerless snapshots are never served (ADVICE r8)") {
+    val dir = java.nio.file.Files.createTempDirectory("ps_partial").toString
+    PairStore.appendPairs(spark, dir, pairRows(Seq(1L -> 2L)), 0L)
+    PairStore.refreshLabels(spark, dir)
+    // pairs advance, then a refresh "crashes": a batch=1 labels dir exists
+    // but carries no _SUCCESS (partial parquet debris)
+    PairStore.appendPairs(spark, dir, pairRows(Seq(3L -> 4L)), 1L)
+    val root = new org.apache.hadoop.fs.Path(s"$dir/labels/batch=1")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val junk = fs.create(new org.apache.hadoop.fs.Path(root, "part-00000.parquet"), true)
+    junk.write("not parquet".getBytes("UTF-8")); junk.close()
+    // the partial snapshot is NOT the watermark and NOT served
+    assert(PairStore.labelsWatermark(spark, dir).contains(0L),
+      "a markerless snapshot dir must not become the served watermark")
+    assert(PairStore.readLabels(spark, dir).count() == 2L)
+    // freshness still reports honestly: the only COMPLETE snapshot is stale
+    val e = intercept[IllegalArgumentException] {
+      PairStore.readLabels(spark, dir, requireFresh = true)
+    }
+    assert(e.getMessage.contains("stale"), e.getMessage)
+    // a successful re-refresh replaces the debris and serves
+    assert(PairStore.refreshLabels(spark, dir) == 1L)
+    assert(PairStore.labelsWatermark(spark, dir).contains(1L))
+    assert(PairStore.readLabels(spark, dir, requireFresh = true).count() == 4L)
+    // pruning collects markerless debris without spending the keep budget
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/labels/batch=99"))
+    assert(PairStore.pruneLabelSnapshots(spark, dir, keep = 2) == 1)
+    assert(PairStore.labelsWatermark(spark, dir).contains(1L))
+  }
+
+  test("ensure() rebuilds when the corpus under the same path changes (ADVICE r8 staleness guard)") {
+    val base = java.nio.file.Files.createTempDirectory("ps_stale").toString
+    // a private corpus copy this test can rewrite in place
+    graft.Tables.documents(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val store1 = PairStore.ensure(spark, base)
+    assert(store1 == PairStore.ensure(spark, base), "unchanged corpus must hit the memo")
+    val pairs1 = PairStore.pairsFor(spark, base).count()
+    // the corpus is rewritten IN PLACE: half the docs vanish
+    val kept = graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 0)
+    val tmp = s"$base/docs_tmp"
+    kept.write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/documents.parquet"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$base/documents.parquet"))
+    // same path, new content: the fingerprint key forces a fresh build
+    val store2 = PairStore.ensure(spark, base)
+    assert(store2 != store1,
+      "a rewritten corpus must not be served from the old store")
+    val pairs2 = PairStore.pairsFor(spark, base).count()
+    val direct = DedupOps.ngramJaccardPairs(spark, base).count()
+    assert(pairs2 == direct,
+      s"store must reflect the live corpus: served $pairs2, direct $direct (old corpus: $pairs1)")
+    PairStore.invalidate(base)
+    assert(PairStore.ensure(spark, base) != store2, "invalidate must drop the memo")
+  }
+
   test("streaming pair absorb lands idempotent segments and refreshes labels on cadence") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
