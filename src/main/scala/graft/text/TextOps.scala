@@ -276,25 +276,10 @@ object TextOps {
     */
   private def bpeTrainLoop(
       spark: SparkSession, sfDir: String, k: Int): (DataFrame, Seq[(Int, String, String, Long)]) = {
-    // Tokens carrying '[' or ']' would forge the bracket delimiters the
-    // merge invariant rests on (a corpus symbol indistinguishable from a
-    // boundary), so they are excluded from the vocabulary on BOTH engines.
-    var words = Tables.documents(spark, sfDir)
-      .select(explode(tokens(col("text"))).as("w"))
-      .filter(length(col("w")) >= 2 && !col("w").contains("[") && !col("w").contains("]"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .withColumn("s", regexp_replace(col("w"), "(.)", "[$1]"))
-      .localCheckpoint()
+    var words = bpeWords0(spark, sfDir)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (i <- 1 to k) {
-      val best = words
-        .select(col("freq"),
-          split(expr("substring(s, 2, length(s) - 2)"), "\\]\\[").as("syms"))
-        .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), " +
-            "j -> concat('[', element_at(syms, j), '][', element_at(syms, j + 1), ']'))"))
-          .as("pair"))
-        .groupBy("pair").agg(sum("freq").as("pair_count"))
+      val best = bpePairCounts(words)
         .orderBy(desc("pair_count"), asc("pair"))
         .limit(1).collect()(0)
       val pair = best.getString(0)
@@ -306,6 +291,96 @@ object TextOps {
       words = words
         .withColumn("s", call_function("replace", col("s"), lit(pair), lit(fused)))
         .localCheckpoint()
+    }
+    (words, merges.result())
+  }
+
+  /** The (distinct word, freq, symbol string) table every trainer round
+    * iterates over. Tokens carrying '[' or ']' would forge the bracket
+    * delimiters the merge invariant rests on (a corpus symbol
+    * indistinguishable from a boundary), so they are excluded from the
+    * vocabulary on BOTH engines.
+    */
+  private def bpeWords0(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2 && !col("w").contains("[") && !col("w").contains("]"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("s", regexp_replace(col("w"), "(.)", "[$1]"))
+      .localCheckpoint()
+
+  /** One round's adjacent-symbol-pair statistics over the word table —
+    * `(pair, pair_count)`, corpus-frequency-weighted.
+    */
+  private def bpePairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("freq"),
+        split(expr("substring(s, 2, length(s) - 2)"), "\\]\\[").as("syms"))
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "j -> concat('[', element_at(syms, j), '][', element_at(syms, j + 1), ']'))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("freq").as("pair_count"))
+
+  /** Rounds / per-round candidate window of the BATCHED trainer. */
+  val BpeBatchRounds = 3
+  val BpeBatchSize = 3
+
+  /** BATCHED BPE training (VERDICT r8 #5): [[bpeTrain]] pays one driver
+    * round-trip per merge — a 32k-merge vocabulary would run 32k sequential
+    * jobs. Here each round computes the pair statistics ONCE, takes the top
+    * `batch` candidates by (count desc, pair asc), and applies every
+    * candidate whose two symbols are disjoint from those of ALL
+    * higher-ranked candidates in the window (the SentencePiece-style
+    * compatibility rule): merging `[a][b]` cannot change the corpus count
+    * of `[c][d]` when {a,b} ∩ {c,d} = ∅, so each accepted pair's recorded
+    * count is its TRUE corpus count, and the disjoint replaces commute —
+    * batched greedy is exact for the accepted set. Driver round-trips drop
+    * from `vocab` to `vocab / ~batch` (rounds are FIXED, so the unrolled
+    * oracle is static; a conflicted candidate simply waits for the next
+    * round's fresh statistics, exactly as the sequential trainer would
+    * re-rank it). Output: (iter, round, pair, merged, pair_count) — the
+    * ladder in application order.
+    */
+  def bpeTrainBatched(
+      spark: SparkSession, sfDir: String,
+      rounds: Int = BpeBatchRounds, batch: Int = BpeBatchSize): DataFrame = {
+    import spark.implicits._
+    bpeTrainBatchedLoop(spark, sfDir, rounds, batch)._2
+      .toDF("iter", "round", "pair", "merged", "pair_count").orderBy("iter")
+  }
+
+  private def bpeTrainBatchedLoop(
+      spark: SparkSession, sfDir: String, rounds: Int, batch: Int)
+      : (DataFrame, Seq[(Int, Int, String, String, Long)]) = {
+    var words = bpeWords0(spark, sfDir)
+    val merges = Seq.newBuilder[(Int, Int, String, String, Long)]
+    var iter = 0
+    for (r <- 1 to rounds) {
+      // the candidate window is top-`batch` rows — bounded driver state
+      val cands = bpePairCounts(words)
+        .orderBy(desc("pair_count"), asc("pair"))
+        .limit(batch).collect()
+        .map(row => (row.getString(0), row.getLong(1)))
+      def syms(p: String) = p.substring(1, p.length - 1).split("\\]\\[").toSet
+      // accept a candidate iff disjoint from EVERY higher-ranked candidate
+      // in the window (accepted or not — the conservative rule keeps the
+      // oracle's NOT EXISTS self-join simple and is still always-progress:
+      // rank 1 has no higher-ranked candidate)
+      val accepted = cands.zipWithIndex.collect {
+        case ((p, c), i)
+            if cands.take(i).forall { case (q, _) => syms(p).intersect(syms(q)).isEmpty } =>
+          (p, c)
+      }
+      accepted.foreach { case (p, c) =>
+        iter += 1
+        val fused = p.replace("][", "")
+        merges += ((iter, r, p, fused.substring(1, fused.length - 1), c))
+      }
+      if (accepted.nonEmpty)
+        words = words.withColumn("s", accepted.foldLeft(col("s")) { case (cc, (p, _)) =>
+          call_function("replace", cc, lit(p), lit(p.replace("][", "")))
+        }).localCheckpoint()
     }
     (words, merges.result())
   }
@@ -324,8 +399,18 @@ object TextOps {
     * word table is df-bounded and broadcasts when small, and the symbol
     * count per word is pure string arithmetic (count of '[').
     */
-  def bpeEncode(spark: SparkSession, sfDir: String, k: Int = BpeTrainIters): DataFrame = {
-    val vocab = bpeTrainLoop(spark, sfDir, k)._1.select("w", "s")
+  def bpeEncode(spark: SparkSession, sfDir: String, k: Int = BpeTrainIters): DataFrame =
+    bpeEncodeWith(spark, sfDir, bpeTrainLoop(spark, sfDir, k)._1.select("w", "s"))
+
+  /** [[bpeEncode]] over the BATCHED trainer's word table — the proof the
+    * encoder consumes either ladder unchanged (the word table contract is
+    * identical: w → fully-merged symbol string).
+    */
+  def bpeEncodeBatched(spark: SparkSession, sfDir: String): DataFrame =
+    bpeEncodeWith(spark, sfDir,
+      bpeTrainBatchedLoop(spark, sfDir, BpeBatchRounds, BpeBatchSize)._1.select("w", "s"))
+
+  private def bpeEncodeWith(spark: SparkSession, sfDir: String, vocab: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
     docs.join(vocab, Seq("w"), "left")
@@ -424,6 +509,80 @@ object TextOps {
     val (ctes, sels) = bpeCtes(k)
     "WITH " + ctes + "\n" + sels.mkString("\nUNION ALL\n") + "\nORDER BY iter"
   }
+
+  /** The unrolled BATCHED-trainer CTE chain (ending in the fully-merged word
+    * table `w<rounds>`): per round, the top-`batch` candidate window `c<r>`
+    * (rank = (count desc, pair asc)), the disjointness-accepted subset
+    * `a<r>` (NOT EXISTS a higher-ranked window candidate sharing a symbol),
+    * and the word table with every accepted merge applied via a
+    * `list_reduce` fold — the same commuting-replace composition the engine
+    * runs.
+    */
+  private def bpeBatchedCtes(rounds: Int, batch: Int): String = {
+    val cte = Seq.newBuilder[String]
+    cte += """w0 AS (
+      |  SELECT w, count(*) AS freq, regexp_replace(w, '(.)', '[\1]', 'g') AS s
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) >= 2 AND w NOT LIKE '%[%' AND w NOT LIKE '%]%'
+      |  GROUP BY w)""".stripMargin
+    def symsOf(a: String) =
+      s"string_split(substr($a.pair, 2, length($a.pair) - 2), '][')"
+    (1 to rounds).foreach { r =>
+      cte += s"""p$r AS (
+        |  SELECT '[' || syms[j] || '][' || syms[j+1] || ']' AS pair,
+        |         CAST(sum(freq) AS BIGINT) AS pair_count
+        |  FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), '][') AS syms FROM w${r - 1}),
+        |       LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS j) t
+        |  GROUP BY 1)""".stripMargin
+      cte += s"""c$r AS (
+        |  SELECT pair, pair_count,
+        |         row_number() OVER (ORDER BY pair_count DESC, pair) AS rn
+        |  FROM p$r ORDER BY pair_count DESC, pair LIMIT $batch)""".stripMargin
+      cte += s"""a$r AS (
+        |  SELECT c1.pair, c1.pair_count, c1.rn FROM c$r c1
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM c$r c2 WHERE c2.rn < c1.rn
+        |      AND len(list_intersect(${symsOf("c1")}, ${symsOf("c2")})) > 0))""".stripMargin
+      cte += s"""w$r AS (
+        |  SELECT ww.w, ww.freq,
+        |         list_reduce(list_prepend(ww.s, ps.l),
+        |                     (acc, p) -> replace(acc, p, replace(p, '][', ''))) AS s
+        |  FROM w${r - 1} ww CROSS JOIN
+        |       (SELECT coalesce(list(pair ORDER BY rn), []) AS l FROM a$r) ps)""".stripMargin
+    }
+    cte.result().mkString(",\n")
+  }
+
+  def bpeTrainBatchedSql(
+      rounds: Int = BpeBatchRounds, batch: Int = BpeBatchSize): String = {
+    val ladder = (1 to rounds)
+      .map(r => s"SELECT $r AS round, rn, pair, " +
+        "replace(replace(replace(pair, '][', ''), '[', ''), ']', '') AS merged, " +
+        s"pair_count FROM a$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeBatchedCtes(rounds, batch)}
+       |SELECT CAST(row_number() OVER (ORDER BY round, rn) AS INT) AS iter,
+       |       round, pair, merged, pair_count
+       |FROM ($ladder)
+       |ORDER BY iter""".stripMargin
+  }
+
+  /** Encode oracle over the batched trainer's final word table. */
+  def bpeEncodeBatchedSql(
+      rounds: Int = BpeBatchRounds, batch: Int = BpeBatchSize): String =
+    s"""WITH ${bpeBatchedCtes(rounds, batch)},
+       |doctoks AS (
+       |  SELECT doc_id, o.ord, toks[o.ord] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |       LATERAL (SELECT unnest(generate_series(1, len(toks))) AS ord) o),
+       |enc AS (
+       |  SELECT d.doc_id, d.ord,
+       |         coalesce(v.s, regexp_replace(d.w, '(.)', '[\\1]', 'g')) AS s
+       |  FROM doctoks d LEFT JOIN w$rounds v ON d.w = v.w)
+       |SELECT doc_id,
+       |       CAST(sum(length(s) - length(replace(s, '[', ''))) AS BIGINT) AS n_bpe_tokens,
+       |       md5(string_agg(s, '' ORDER BY ord)) AS tokens_fp
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Encode oracle: the same unrolled trainer chain, with the final word
     * table applied to every document's token stream (out-of-vocabulary
@@ -660,7 +819,9 @@ object TextOps {
     "q_term_match_rank" -> (termMatchRank(_, _)),
     "q_bpe_merge_step" -> (bpeMergeStep(_, _)),
     "q_bpe_train" -> (bpeTrain(_, _)),
+    "q_bpe_train_batched" -> (bpeTrainBatched(_, _)),
     "q_bpe_encode" -> (bpeEncode(_, _)),
+    "q_bpe_encode_batched" -> (bpeEncodeBatched(_, _)),
     "q_tokenizer_fertility" -> (tokenizerFertility(_, _)),
     "q_token_rarity" -> (tokenRarity(_, _)),
     "q_bpe_token_count" -> (bpeTokenCount(_, _)),
@@ -678,7 +839,9 @@ object TextOps {
     "q_term_match_rank" -> termMatchRankSql(),
     "q_bpe_merge_step" -> bpeMergeStepSql(),
     "q_bpe_train" -> bpeTrainSql(),
+    "q_bpe_train_batched" -> bpeTrainBatchedSql(),
     "q_bpe_encode" -> bpeEncodeSql(),
+    "q_bpe_encode_batched" -> bpeEncodeBatchedSql(),
     "q_tokenizer_fertility" -> tokenizerFertilitySql(),
     "q_token_rarity" -> tokenRaritySql,
     "q_bpe_token_count" -> bpeTokenCountSql,

@@ -306,6 +306,67 @@ class TextAndMediaSpec extends AnyFunSuite with SharedSpark {
     assert(got.toSeq == ref, s"ladder diverged:\n got ${got.toSeq}\n ref $ref")
   }
 
+  test("batched BPE matches a driver-side batched-greedy reference; rounds accept disjoint merges (VERDICT r8 #5)") {
+    import graft.text.TextOps
+    val got = TextOps.bpeTrainBatched(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.nonEmpty && got.map(_._1).toSeq == (1 to got.length),
+      "iter must be the contiguous application order")
+    assert(got.map(_._2).distinct.length <= TextOps.BpeBatchRounds)
+    // batching must beat one-merge-per-round: more merges than driver rounds
+    assert(got.length > got.map(_._2).distinct.length,
+      s"batched rounds should accept >1 merge somewhere: $got")
+    // within a round, accepted pairs are pairwise symbol-disjoint (the
+    // condition that makes their recorded counts the TRUE corpus counts)
+    def syms(p: String) = p.substring(1, p.length - 1).split("\\]\\[").toSet
+    got.groupBy(_._2).values.foreach { rnd =>
+      rnd.combinations(2).foreach { case Array(a, b) =>
+        assert(syms(a._3).intersect(syms(b._3)).isEmpty,
+          s"round ${a._2} accepted overlapping pairs ${a._3} / ${b._3}")
+      }
+    }
+    // driver-side batched-greedy reference, word table as in the sequential test
+    import org.apache.spark.sql.functions.{col, explode, length, split}
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    var sy: Map[String, Vector[String]] = words.map { case (w, _) => w -> w.map(_.toString).toVector }.toMap
+    val freq = words.toMap
+    val ref = Seq.newBuilder[(Int, String, Long)]
+    var iter = 0
+    for (r <- 1 to TextOps.BpeBatchRounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      sy.foreach { case (w, s) =>
+        s.sliding(2).filter(_.length == 2).foreach { p =>
+          val k = (p(0), p(1)); counts(k) = counts.getOrElse(k, 0L) + freq(w)
+        }
+      }
+      val window = counts.toSeq
+        .sortBy { case ((x, y), n) => (-n, s"[$x][$y]") }.take(TextOps.BpeBatchSize)
+      val accepted = window.zipWithIndex.collect {
+        case (((a, b), n), i)
+            if window.take(i).forall { case ((x, y), _) =>
+              Set(a, b).intersect(Set(x, y)).isEmpty } => ((a, b), n)
+      }
+      accepted.foreach { case ((a, b), n) =>
+        iter += 1; ref += ((r, a + b, n))
+        sy = sy.map { case (w, s) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+            else { out += s(i); i += 1 }
+          }
+          w -> out.result()
+        }
+      }
+    }
+    assert(got.map(t => (t._2, t._4, t._5)).toSeq == ref.result(),
+      "batched ladder diverged from the driver-side reference")
+  }
+
   test("aHash of a flat image is all-zero; a half-bright image sets exactly the bottom rows") {
     // uniform pixels: no block strictly exceeds the mean -> hash 0
     val w = 16; val h = 16
