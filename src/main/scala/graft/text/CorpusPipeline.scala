@@ -347,6 +347,58 @@ object CorpusPipeline {
     (base ++ dedup :+ gopher).reduce(_ unionByName _).orderBy("metric")
   }
 
+  /** INFRA-HEALTH companion to [[dataCard]] (VERDICT r8 #9): the serving
+    * stores' freshness/skew signals as the same exact-integer (metric,
+    * value) rows, so a training run's card records not just WHAT the corpus
+    * is but whether the machinery it was curated through was healthy —
+    * stale labels or a drifted index silently change which documents
+    * survive. Each metric is a bounded aggregate over an EXISTING store
+    * (nothing recomputes corpus state); doubles are floor-quantized to ppm
+    * so cards diff cell-for-cell. Emits rows only for the stores passed —
+    * the card never guesses at paths. Not SQL-expressible over the raw
+    * tables (the values ARE store state), so it is spec-pinned rather than
+    * oracle-checked.
+    *
+    *  - `fp_occupancy_skew_ppm`   hamming-index hot-bucket skew × 1e6
+    *     (1e6 = uniform; see [[graft.dedup.FingerprintIndex.occupancySkew]])
+    *  - `ivf_drift_ppm`           residual-vs-fit ratio × 1e6 (1e6 = fresh
+    *     fit; ≥ ~1.5e6 is the usual recluster trigger)
+    *  - `pair_watermark` / `label_watermark` / `pair_label_lag_batches`
+    *     pair-segment vs label-snapshot watermarks; lag 0 = every absorbed
+    *     pair is reflected in the served dedup decisions (−1 label
+    *     watermark = no complete snapshot yet, making the lag `pw + 1`)
+    *  - `lattice_lag_sec`         newest raw event second minus newest
+    *     materialized rollup second — how far the serving lattice trails
+    *     the stream feeding it
+    */
+  def dataCardHealth(
+      spark: SparkSession,
+      fpIndex: Option[String] = None,
+      ivfIndex: Option[String] = None,
+      pairStore: Option[String] = None,
+      rollup: Option[(String, String)] = None): DataFrame = {
+    import spark.implicits._
+    def ppm(v: Double): Long = math.floor(v * 1e6).toLong
+    val fp = fpIndex.toSeq.map(p =>
+      "fp_occupancy_skew_ppm" -> ppm(graft.dedup.FingerprintIndex.occupancySkew(spark, p)))
+    val ivf = ivfIndex.toSeq.map(p =>
+      "ivf_drift_ppm" -> ppm(graft.ann.IvfIndex.driftRatio(spark, p)))
+    val pair = pairStore.toSeq.flatMap { p =>
+      val pw = graft.dedup.PairStore.pairsWatermark(spark, p)
+      val lw = graft.dedup.PairStore.labelsWatermark(spark, p).getOrElse(-1L)
+      Seq("pair_watermark" -> pw, "label_watermark" -> lw,
+        "pair_label_lag_batches" -> (pw - lw))
+    }
+    val lattice = rollup.toSeq.map { case (rollupPath, sf) =>
+      val rawMax = Tables.events(spark, sf)
+        .agg(max(col("ts")).as("m")).head().getLong(0) / 1000000000L
+      val servedMax = graft.sources.RollupTable.read(spark, rollupPath)
+        .agg(max(col("epoch_s")).as("m")).head().getLong(0)
+      "lattice_lag_sec" -> (rawMax - servedMax)
+    }
+    (fp ++ ivf ++ pair ++ lattice).toDF("metric", "value").orderBy("metric")
+  }
+
   val dataCardSql: String =
     s"""WITH ${graft.dedup.DedupOps.jaccardCtes(0.6)},
        |q AS (

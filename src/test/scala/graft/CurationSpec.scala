@@ -358,4 +358,46 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(rows.map(_.getLong(2)).sum == distinctShingles)
   }
 
+  test("infra health card detects stale labels and recovers; index rows report fresh stores (VERDICT r8 #9)") {
+    import graft.text.CorpusPipeline
+    val base = java.nio.file.Files.createTempDirectory("health_card").toString
+    // pair store: absorbed pairs, labels refreshed → lag 0
+    val ps = s"$base/pairs"
+    graft.dedup.PairStore.appendPairs(spark,
+      ps, graft.dedup.DedupOps.ngramJaccardPairs(spark, sfDir), 0L)
+    graft.dedup.PairStore.refreshLabels(spark, ps)
+    def metric(df: org.apache.spark.sql.DataFrame, m: String): Long =
+      df.filter(col("metric") === m).head().getLong(1)
+    val fresh = CorpusPipeline.dataCardHealth(spark, pairStore = Some(ps))
+    assert(metric(fresh, "pair_label_lag_batches") == 0L)
+    assert(metric(fresh, "pair_watermark") == 0L && metric(fresh, "label_watermark") == 0L)
+    // pairs absorbed past the snapshot: the card must SAY so
+    graft.dedup.PairStore.appendPairs(spark, ps,
+      graft.dedup.DedupOps.ngramJaccardPairsIncremental(spark, sfDir, _ % 7 === 0), 1L)
+    val stale = CorpusPipeline.dataCardHealth(spark, pairStore = Some(ps))
+    assert(metric(stale, "pair_label_lag_batches") == 1L,
+      "absorbed-but-unlabeled pairs must surface as positive lag")
+    graft.dedup.PairStore.refreshLabels(spark, ps)
+    assert(metric(CorpusPipeline.dataCardHealth(spark, pairStore = Some(ps)),
+      "pair_label_lag_batches") == 0L)
+    // index + lattice rows: freshly built stores read healthy (skew ≥ 1e6
+    // by construction, drift ≈ 1e6 right after fit, lattice lag 0 when the
+    // rollup covers the whole corpus)
+    graft.dedup.FingerprintIndex.materialize(spark,
+      graft.multimodal.MediaOps.imageFingerprints(spark, sfDir), s"$base/fp")
+    graft.ann.IvfIndex.materialize(spark,
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")), s"$base/ivf")
+    graft.sources.RollupTable.materialize(spark, sfDir, s"$base/rollup")
+    val card = CorpusPipeline.dataCardHealth(spark,
+      fpIndex = Some(s"$base/fp"), ivfIndex = Some(s"$base/ivf"),
+      pairStore = Some(ps), rollup = Some((s"$base/rollup", sfDir)))
+    assert(card.count() == 6L, "one row per provided store metric")
+    assert(metric(card, "fp_occupancy_skew_ppm") >= 1000000L)
+    val drift = metric(card, "ivf_drift_ppm")
+    assert(drift >= 900000L && drift <= 1100000L,
+      s"a just-fit index must read ≈1e6 ppm drift, got $drift")
+    assert(metric(card, "lattice_lag_sec") == 0L,
+      "a full-corpus rollup must trail the raw stream by nothing")
+  }
+
 }
