@@ -168,6 +168,9 @@ object Bench {
         "q_asof_native",
         // PQ ADC search: the codes relation grows 10×, the per-query LUT doesn't
         "q_pq_adc_topk",
+        // IVFADC: cells prune the 10× corpus, ADC ranks codes, bounded
+        // rerank — the compound approximation's scale shape end-to-end
+        "q_ivf_adc_topk",
         // cross-doc chunk dedup: grouped-min + join-back over 10× chunks
         "q_line_dedup_cross",
         // classifier distillation: 10× feature volume through the bounded
@@ -425,6 +428,13 @@ object Bench {
       graft.ann.IvfIndex.materialize(spark, embs, s"$base/ivf")
       val ivfSearchSec = time2(graft.ann.IvfIndex.search(
         spark, s"$base/ivf", embs.filter(col("vec_id") < 10), 3, 2).count())
+      // IVFADC over the SAME index: the probed cells rank from stored PQ
+      // codes (pq-only column-pruned scan) with bounded exact rerank; vs
+      // the float probe above, the candidate scan reads ~1% of the bytes —
+      // the gap widens with corpus size (memory bandwidth, not compute,
+      // bounds ANN serving)
+      val ivfAdcSearchSec = time2(graft.ann.IvfIndex.searchAdc(
+        spark, s"$base/ivf", embs.filter(col("vec_id") < 10), 3, 2).count())
       // hamming fingerprint index: one-shot = rehash + all-band self-join of
       // the whole image corpus; probe = a 2% batch against the stored bands
       // (zero-shuffle broadcast probe)
@@ -444,6 +454,18 @@ object Bench {
       // catalog's first consumer, so `ensure` here is a lookup)
       val pairFullSec = time2(graft.dedup.DedupOps.nearDupLabels(spark, sfDir).count())
       val pairServedSec = time2(graft.dedup.PairStore.labelsFor(spark, sfDir).count())
+      // the honest COLD build cost the min-of-two serving rows can never
+      // show (VERDICT r8 #6): pair join + CC fixpoint + snapshot publish
+      // into a fresh store, timed once — this is what the FIRST consumer
+      // (or a corpus-change rebuild) actually pays before the 30× serving
+      // legs exist
+      val coldDir = java.nio.file.Files.createTempDirectory("graft_pairstore_cold").toString
+      val tBuild = System.nanoTime()
+      graft.dedup.PairStore.materialize(
+        spark, graft.dedup.DedupOps.ngramJaccardPairs(spark, sfDir), coldDir)
+      graft.dedup.PairStore.refreshLabels(spark, coldDir)
+      val pairBuildSec = (System.nanoTime() - tBuild) / 1e9
+      cleanup(coldDir)
       // incremental absorb: pairs of a 2% document batch (exact, vs the
       // full-corpus pair join an index-less pipeline re-runs per batch)
       val incrFullSec = time2(graft.dedup.DedupOps.ngramJaccardPairs(spark, sfDir).count())
@@ -455,11 +477,109 @@ object Bench {
           s""""speedup":${if (probe > 0) full / probe else -1.0}}"""
       s""","index_serving":{${leg("lsh_batch_candidates", lshFullSec, lshProbeSec)},""" +
         s"""${leg("ivf_topk_search", ivfFullSec, ivfSearchSec)},""" +
+        s"""${leg("ivf_adc_search", ivfFullSec, ivfAdcSearchSec)},""" +
+        s""""ivf_adc_vs_float_probe":${
+          if (ivfSearchSec > 0) ivfAdcSearchSec / ivfSearchSec else -1.0},""" +
         s"""${leg("fp_hamming_candidates", fpFullSec, fpProbeSec)},""" +
         s"""${leg("neardup_labels_via_pairstore", pairFullSec, pairServedSec)},""" +
         s"""${leg("jaccard_pairs_incremental_batch", incrFullSec, incrBatchSec)},""" +
+        s""""pairstore_build_sec":$pairBuildSec,""" +
         s""""fp_occupancy_skew":$fpSkew}"""
     } catch { case t: Throwable => s""","index_serving":{"error":"${jsonErr(t)}"}""" }
+
+    // PairStore streaming absorb under skew (VERDICT r8 #8): micro-batch
+    // pair absorbs with the cadenced in-stream label refresh, once over
+    // uniform pairs (disjoint 2-node components) and once with 30% of every
+    // batch's pairs landing on ONE hot doc — the star a viral page's
+    // near-dups build. Reported per feed: absorbed pair rows/s INCLUDING
+    // the cadenced refreshes, plus the explicit full-fixpoint refresh
+    // second at the end. hot/uniform near 1 means the CC fixpoint and the
+    // segment absorbs don't serialize on the hot key.
+    val pairStreamingJson = try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val nPairs = 100000
+      val batches = 5
+      def feed(hot: Boolean): (Double, Double) = {
+        val base = java.nio.file.Files.createTempDirectory("graft_ps_stream").toString
+        implicit val sc = spark.sqlContext
+        val stream = MemoryStream[(Long, Long)]
+        val pairs = stream.toDF().toDF("id_a", "id_b")
+          .withColumn("inter", lit(1L)).withColumn("n_a", lit(1L))
+          .withColumn("n_b", lit(1L)).withColumn("jaccard", lit(1.0))
+        val q = graft.dedup.PairStore
+          .streamingAbsorb(pairs, s"$base/store", s"$base/ckpt", refreshEvery = 2)
+          .start()
+        val per = nPairs / batches
+        val t0 = System.nanoTime()
+        try {
+          (0 until batches).foreach { b =>
+            val rows = (0 until per).map { i =>
+              val j = (b.toLong * per + i)
+              if (hot && i % 10 < 3) (0L, j + 1) else (2 * j + 1, 2 * j + 2)
+            }
+            stream.addData(rows)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        val absorbSec = (System.nanoTime() - t0) / 1e9
+        val tr = System.nanoTime()
+        graft.dedup.PairStore.refreshLabels(spark, s"$base/store")
+        val refreshSec = (System.nanoTime() - tr) / 1e9
+        cleanup(base)
+        (nPairs / absorbSec, refreshSec)
+      }
+      val (uniRps, uniRefresh) = feed(hot = false)
+      val (hotRps, hotRefresh) = feed(hot = true)
+      s""","pairstore_streaming":{"pair_rows":$nPairs,"micro_batches":$batches,""" +
+        s""""refresh_every":2,"hot_pair_frac":0.3,""" +
+        s""""uniform_rows_per_sec":${uniRps.toLong},"hot_rows_per_sec":${hotRps.toLong},""" +
+        s""""hot_slowdown":${if (hotRps > 0) uniRps / hotRps else -1.0},""" +
+        s""""refresh_sec_uniform":$uniRefresh,"refresh_sec_hot":$hotRefresh,""" +
+        s""""refresh_hot_ratio":${if (uniRefresh > 0) hotRefresh / uniRefresh else -1.0}}"""
+    } catch { case t: Throwable => s""","pairstore_streaming":{"error":"${jsonErr(t)}"}""" }
+
+    // Long-document probe (VERDICT r8 #2): per-row lambda costs are
+    // invisible at the corpus's ~54 tokens/doc — plant 200 docs × 2k and
+    // × 10k tokens (~3k distinct, the shape of a big web page) and time the
+    // gopher-rule scan on each. sec_per_token_ratio near 1 certifies the
+    // top-token statistic stays LINEAR in document length; the quadratic
+    // form this replaced (array_max over per-distinct-token filters) would
+    // read ~5× here (25× work / 5× tokens).
+    val longDocJson = try {
+      import spark.implicits._
+      def mk(tokensPerDoc: Int): String = {
+        val dir = java.nio.file.Files.createTempDirectory("graft_longdoc").toString
+        spark.range(200).map { d =>
+          val sb = new StringBuilder
+          var i = 0
+          while (i < tokensPerDoc) {
+            if (i > 0) sb.append(' ')
+            sb.append('t'); sb.append((d * 17 + i.toLong * 31) % 3000)
+            i += 1
+          }
+          (d, sb.toString, "en", "web", sb.length.toLong)
+        }.toDF("doc_id", "text", "lang", "source", "n_chars")
+          .repartition(8).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        dir
+      }
+      def t(dir: String): Double = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          graft.text.FilterRules.gopherRules(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(once(), once())
+      }
+      val dShort = mk(2000); val sShort = t(dShort)
+      val dLong = mk(10000); val sLong = t(dLong)
+      cleanup(dShort); cleanup(dLong)
+      val perTok = if (sShort > 0) (sLong / 5.0) / sShort else -1.0
+      s""","long_doc_probe":{"docs":200,"tokens_short":2000,"tokens_long":10000,""" +
+        s""""gopher_sec_short":$sShort,"gopher_sec_long":$sLong,""" +
+        s""""sec_per_token_ratio":$perTok}"""
+    } catch { case t: Throwable => s""","long_doc_probe":{"error":"${jsonErr(t)}"}""" }
 
     // Streaming throughput vs BASELINE.md's one published number (≥100k
     // msg/s sustained ingest): run the duty-cycle streaming plan over a 1M-row
@@ -590,7 +710,7 @@ object Bench {
       s""""streaming_rows_per_sec":$streamingRps,""" +
       s""""load_avg_start":$loadAvgStart,"sentinel_start_sec":$sentinelStartSec}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-      s"""$summary$contentionJson$streamingJson$rollupServingJson$indexServingJson$probeJson$skewJson$errJson,"queries":$qs,$summary}""")
+      s"""$summary$contentionJson$streamingJson$rollupServingJson$indexServingJson$pairStreamingJson$longDocJson$probeJson$skewJson$errJson,"queries":$qs,$summary}""")
     spark.stop()
   }
 }
