@@ -503,18 +503,18 @@ object IvfIndex {
     VectorFunctions.register(spark)
     val q = withNorm(queries, "qid", "qv", "qn")
     val probes = probeCells(q, nprobe, currentCentroids(spark, indexPath, asOf))
-    val lut = SimilarityOps.adcLut(q.select(col("qid"), col("qv")), "qid", "qv")
-      .select(col("qid").as("lqid"), col("m").as("lm"), col("k").as("lk"), col("l"))
+    val lut = SimilarityOps.adcLutArr(q.select(col("qid"), col("qv")), "qid", "qv")
     val index = indexFrame(spark, indexPath, asOf, excludeSegment)
-    // ADC phase: codes only — column pruning keeps `v` out of this scan
+    // ADC phase: codes only — column pruning keeps `v` out of this scan;
+    // candidates stay at vector granularity (the LUT array rides a one-row
+    // broadcast join; the score is a flat 8-lookup projection, no grouped
+    // sum, so the whole phase is scan → broadcast joins → window)
     val adc = index.select(col("vec_id"), col("pq"), col("centroid_id"))
       .join(broadcast(probes.select("qid", "probe")),
         col("probe") === col("centroid_id") && col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("cid"), posexplode(col("pq")).as(Seq("m", "code")))
-      .join(broadcast(lut),
-        col("lqid") === col("qid") && col("lm") === col("m") && col("lk") === col("code"))
-      .groupBy("qid", "cid")
-      .agg(sum("l").as("adc"))
+      .join(broadcast(lut), "qid")
+      .select(col("qid"), col("vec_id").as("cid"),
+        SimilarityOps.adcScore("pq", "lut").as("adc"))
     val wAdc = Window.partitionBy("qid").orderBy(asc("adc"), asc("cid"))
     val pool = adc
       .withColumn("prn", row_number().over(wAdc))

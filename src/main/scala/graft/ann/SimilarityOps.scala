@@ -1071,6 +1071,35 @@ object SimilarityOps {
       .select(col("qid"), col("e.m").as("m"), col("e.k").as("k"), col("e.l").as("l"))
   }
 
+  /** ARRAY form of the ADC lookup table — `(qid, lut)` with `lut[m·K + k + 1]`
+    * the DECIMAL(18,6) entry for (subspace m, code k). One row per query, so
+    * ranking a candidate is ONE broadcast join plus a flat 8-term
+    * `element_at` sum over its stored codes — no 8-way row explode, no
+    * (m, k) equi-join, and crucially NO per-(query, candidate) aggregation
+    * shuffle: the ADC score is a scalar projection, fully inside whole-stage
+    * codegen. Same exact decimal arithmetic as [[adcLut]]'s grouped sum
+    * (8 exact decimal adds), so the (adc, cid) ranking is identical.
+    */
+  private[ann] def adcLutArr(queries: DataFrame, idCol: String, vCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val entries = for (m <- 0 until PqM; kk <- 0 until PqK) yield {
+      val c = pqCodebook(m)(kk)
+      val cArr = array(c.toIndexedSeq.map(lit(_)): _*)
+      (lit(selfDot(c)) - lit(2.0) * call_function(
+        "dot_arrays", slice(col(vCol), m * PqSubDim + 1, PqSubDim), cArr))
+        .cast(DecimalType(18, 6))
+    }
+    queries.select(col(idCol).as("qid"), array(entries: _*).as("lut"))
+  }
+
+  /** The ADC score of code column `pqCol` against LUT-array column `lutCol`:
+    * Σ_m lut[m·K + pq[m] + 1], exact decimal.
+    */
+  private[ann] def adcScore(pqCol: String, lutCol: String): Column =
+    (0 until PqM).map(m =>
+      element_at(col(lutCol), lit(m * PqK) + element_at(col(pqCol), m + 1) + lit(1)))
+      .reduce(_ + _)
+
   def pqAdcTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
     // candidate codes, exploded to (cid, m, code)
     val codes = withPqDists(withSubvectors(spark, sfDir))
@@ -1141,18 +1170,15 @@ object SimilarityOps {
     val q = withNorm(Tables.embeddings(spark, sfDir).filter(col("vec_id") < nQueries),
       "qid", "qv", "qn")
     val probes = probeCells(q, nprobe)
-    val lut = adcLut(q.select(col("qid"), col("qv")), "qid", "qv")
-      .select(col("qid").as("lqid"), col("m").as("lm"), col("k").as("lk"), col("l"))
-    // candidate selection BEFORE the 8-way code explode, so the probe join
-    // runs at vector granularity
+    val lut = adcLutArr(q.select(col("qid"), col("qv")), "qid", "qv")
+    // candidates stay at vector granularity end to end: probe join, then
+    // the per-query LUT array rides a one-row broadcast join and the ADC
+    // score is a flat 8-lookup projection — no row explode, no grouped sum
     val adc = coded
       .join(broadcast(probes.select("qid", "probe")),
         col("probe") === col("cc") && col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), posexplode(col("pq")).as(Seq("m", "code")))
-      .join(broadcast(lut),
-        col("lqid") === col("qid") && col("lm") === col("m") && col("lk") === col("code"))
-      .groupBy("qid", "cid")
-      .agg(sum("l").as("adc"))
+      .join(broadcast(lut), "qid")
+      .select(col("qid"), col("cid"), adcScore("pq", "lut").as("adc"))
     val wAdc = Window.partitionBy("qid").orderBy(asc("adc"), asc("cid"))
     val pool = adc
       .withColumn("prn", row_number().over(wAdc))
