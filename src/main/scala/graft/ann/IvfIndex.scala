@@ -487,9 +487,11 @@ object IvfIndex {
     * pruning keeps the full float vectors out of the probe read entirely
     * (~3 code bytes vs 512 vector bytes per row, a ~100× byte reduction on
     * the dominant scan); the exact phase re-reads `v` for just
-    * rerank × |queries| rows via a broadcast semi-join. Memory bandwidth,
-    * not compute, bounds ANN serving at 100 TB — this plan spends it only
-    * where ranking genuinely needs it.
+    * rerank × |queries| rows via a broadcast semi-join that ALSO carries
+    * each survivor's cell, so dynamic partition pruning bounds that read to
+    * the probed cells' segments. Memory bandwidth, not compute, bounds ANN
+    * serving at 100 TB — this plan spends it only where ranking genuinely
+    * needs it.
     */
   def searchAdc(
       spark: SparkSession,
@@ -513,17 +515,24 @@ object IvfIndex {
       .join(broadcast(probes.select("qid", "probe")),
         col("probe") === col("centroid_id") && col("qid") =!= col("vec_id"))
       .join(broadcast(lut), "qid")
-      .select(col("qid"), col("vec_id").as("cid"),
+      .select(col("qid"), col("vec_id").as("cid"), col("centroid_id").as("cell"),
         SimilarityOps.adcScore("pq", "lut").as("adc"))
     val wAdc = Window.partitionBy("qid").orderBy(asc("adc"), asc("cid"))
+    // the pool keeps each survivor's CELL so the exact phase can join on the
+    // partition column as well: without it the rerank scan reads every
+    // segment's full-width vectors (a broadcast semi-join on vec_id alone
+    // cannot prune partitions) — precisely the bytes ADC exists to avoid.
+    // With it, dynamic partition pruning bounds the rerank read to the
+    // probed cells, like the float [[search]]'s candidate scan.
     val pool = adc
       .withColumn("prn", row_number().over(wAdc))
       .filter(col("prn") <= rerank)
-      .select(col("qid").as("pqid"), col("cid").as("pcid"))
+      .select(col("qid").as("pqid"), col("cid").as("pcid"), col("cell").as("pcell"))
     // exact rerank: full vectors for ONLY the pooled candidates
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
-    index.select(col("vec_id"), col("v"), col("nn"))
-      .join(broadcast(pool), col("vec_id") === col("pcid"))
+    index.select(col("vec_id"), col("v"), col("nn"), col("centroid_id"))
+      .join(broadcast(pool),
+        col("vec_id") === col("pcid") && col("centroid_id") === col("pcell"))
       .join(broadcast(q.select(col("qid"), col("qv"), col("qn"))), col("qid") === col("pqid"))
       .withColumn("cos", SimilarityOps.dot("qv", "v") / (sqrt(col("qn")) * sqrt(col("nn"))))
       .withColumn("cid", col("pcid"))

@@ -1072,28 +1072,32 @@ object SimilarityOps {
   }
 
   /** ARRAY form of the ADC lookup table — `(qid, lut)` with `lut[m·K + k + 1]`
-    * the DECIMAL(18,6) entry for (subspace m, code k). One row per query, so
+    * the (subspace m, code k) entry as an exact PPM LONG: the DECIMAL(18,6)
+    * value of [[adcLut]] times 10⁶ is an integer, so the long carries it
+    * exactly and the long sum of 8 entries induces the SAME total order as
+    * the oracle's grouped decimal sum (a monotone bijection — decimal adds
+    * past (18,6) precision leave Spark's compact-long Decimal for
+    * BigDecimal objects; longs stay primitive). One row per query, so
     * ranking a candidate is ONE broadcast join plus a flat 8-term
     * `element_at` sum over its stored codes — no 8-way row explode, no
     * (m, k) equi-join, and crucially NO per-(query, candidate) aggregation
-    * shuffle: the ADC score is a scalar projection, fully inside whole-stage
-    * codegen. Same exact decimal arithmetic as [[adcLut]]'s grouped sum
-    * (8 exact decimal adds), so the (adc, cid) ranking is identical.
+    * shuffle: the ADC score is a scalar projection, fully inside
+    * whole-stage codegen.
     */
   private[ann] def adcLutArr(queries: DataFrame, idCol: String, vCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val entries = for (m <- 0 until PqM; kk <- 0 until PqK) yield {
       val c = pqCodebook(m)(kk)
       val cArr = array(c.toIndexedSeq.map(lit(_)): _*)
-      (lit(selfDot(c)) - lit(2.0) * call_function(
+      ((lit(selfDot(c)) - lit(2.0) * call_function(
         "dot_arrays", slice(col(vCol), m * PqSubDim + 1, PqSubDim), cArr))
-        .cast(DecimalType(18, 6))
+        .cast(DecimalType(18, 6)) * lit(1000000L)).cast("long")
     }
     queries.select(col(idCol).as("qid"), array(entries: _*).as("lut"))
   }
 
   /** The ADC score of code column `pqCol` against LUT-array column `lutCol`:
-    * Σ_m lut[m·K + pq[m] + 1], exact decimal.
+    * Σ_m lut[m·K + pq[m] + 1], exact long ppm.
     */
   private[ann] def adcScore(pqCol: String, lutCol: String): Column =
     (0 until PqM).map(m =>
