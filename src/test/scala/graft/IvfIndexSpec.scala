@@ -300,10 +300,17 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     // the scale contract: the dominant (candidate) scan reads pq WITHOUT v —
     // column pruning is what makes ADC ~100× lighter on bytes than the float
     // probe; only the bounded rerank scan reads v
-    val scanLines = q.queryExecution.executedPlan.toString.linesIterator
+    val plan = q.queryExecution.executedPlan.toString
+    val scanLines = plan.linesIterator
       .filter(l => l.contains("FileScan") && l.contains("ReadSchema")).toSeq
     assert(scanLines.exists(l => l.contains("pq") && !l.contains("v:array")),
       s"expected a pq-only candidate scan (no v), got:\n${scanLines.mkString("\n")}")
+    // BOTH scans arrive partition-pruned: the candidate scan by the probed
+    // cells and the exact-rerank scan by the pool's cells — without the
+    // latter, the rerank re-reads every segment's full-width vectors
+    val dppScans = scanLines.count(_.toLowerCase.contains("dynamicpruning"))
+    assert(dppScans >= 2,
+      s"expected dynamic partition pruning on candidate AND rerank scans, got $dppScans:\n$plan")
     // incremental absorbs carry codes too: results stay identical
     val dir2 = java.nio.file.Files.createTempDirectory("ivf_adc_inc").toString
     IvfIndex.materialize(spark, embs.filter(col("vec_id") % 4 =!= 0), dir2)
