@@ -62,7 +62,12 @@ object IvfIndex {
     * outliving the TTL keeps absorbs failing) without a 15-minute test.
     */
   def ReclusterLeaseTtlMs: Long =
-    sys.props.get("graft.ivf.leaseTtlMs").map(_.toLong).getOrElse(15L * 60 * 1000)
+    sys.props.get("graft.ivf.leaseTtlMs") match {
+      case None => 15L * 60 * 1000
+      case Some(v) => v.toLongOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"graft.ivf.leaseTtlMs must be a millisecond count, got '$v'"))
+    }
 
   /** The lease's liveness timestamp is its CONTENT (a millis payload the
     * holder rewrites on every heartbeat), falling back to file mtime when
@@ -517,7 +522,12 @@ object IvfIndex {
       .join(broadcast(lut), "qid")
       .select(col("qid"), col("vec_id").as("cid"), col("centroid_id").as("cell"),
         SimilarityOps.adcScore("pq", "lut").as("adc"))
-    val wAdc = Window.partitionBy("qid").orderBy(asc("adc"), asc("cid"))
+    // nulls LAST: a segment absorbed by a pre-PQ engine generation carries
+    // pq = null under schema merge; asc alone would rank every such row
+    // ahead of all real candidates and silently fill the rerank pool with
+    // unscored vectors. Last, they degrade to "not ADC-rankable" instead
+    // (recluster re-encodes them permanently).
+    val wAdc = Window.partitionBy("qid").orderBy(asc_nulls_last("adc"), asc("cid"))
     // the pool keeps each survivor's CELL so the exact phase can join on the
     // partition column as well: without it the rerank scan reads every
     // segment's full-width vectors (a broadcast semi-join on vec_id alone
@@ -665,11 +675,14 @@ object IvfIndex {
       spark, indexPath, Seq("centroid_id"), protectLatest = false,
       transform = { df =>
         // PQ codes are centroid-independent — carry them through the
-        // re-assignment; re-encode only for segments written by a pre-PQ
-        // engine generation (codes derive from v + the fixed codebook alone,
-        // so the recomputation is exact).
+        // re-assignment; re-encode segments written by a pre-PQ engine
+        // generation (codes derive from v + the fixed codebook alone, so
+        // the recomputation is exact). A MIXED index surfaces the column
+        // with nulls on legacy rows under schema merge — coalesce encodes
+        // exactly those, so the compacted index is fully coded either way.
         val withPq =
-          if (df.columns.contains("pq")) df
+          if (df.columns.contains("pq"))
+            df.withColumn("pq", coalesce(col("pq"), SimilarityOps.pqCodeCol("v")))
           else SimilarityOps.withPqCodes(df, "v", "pq")
         withCentroidAssignment(withPq.drop("centroid_id"), "v", fitted)
           .select(col("vec_id"), col("v"), col("nn"), col("pq"), col("centroid_id"))
@@ -680,7 +693,12 @@ object IvfIndex {
       force = true)
     iter
     } finally {
+      // JOIN before deleting: a beat mid-write at interrupt time would
+      // otherwise re-create the lease AFTER the delete (writeLeasePayload is
+      // an overwrite-create), leaving an orphan that reads live and blocks
+      // every absorb/recluster for a full TTL
       beat.interrupt()
+      beat.join(ReclusterLeaseTtlMs)
       fs.delete(lease, false)
     }
   }

@@ -961,10 +961,13 @@ object SimilarityOps {
     * never on the IVF centroid set, so a recluster carries them through
     * unchanged.
     */
-  private[ann] def withPqCodes(df: DataFrame, vCol: String, outCol: String): DataFrame =
-    df.withColumn(outCol, array((0 until PqM).map { m =>
+  private[ann] def pqCodeCol(vCol: String): Column =
+    array((0 until PqM).map { m =>
       argminDist(slice(col(vCol), m * PqSubDim + 1, PqSubDim), pqCodebook(m))._1
-    }: _*))
+    }: _*)
+
+  private[ann] def withPqCodes(df: DataFrame, vCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, pqCodeCol(vCol))
 
   /** PQ encoding of the corpus: the 3-bit-per-subspace code vector (8 codes
     * ≈ 3 bytes vs 256 float bytes — the compression that makes a 100 TB
@@ -1039,18 +1042,6 @@ object SimilarityOps {
        |GROUP BY vec_id
        |ORDER BY vec_id""".stripMargin
 
-  /** Asymmetric-distance (ADC) top-k over the PQ codes — how a PQ index is
-    * actually searched (Jégou et al. 2011): per query, ONE 8×8 lookup table
-    * of exact query-subvector-to-centroid distances, then every candidate
-    * scores as 8 table lookups over its stored codes — never a full-width
-    * dot product per pair. Expressed relationally: the LUT is a (query × m
-    * × k) relation (64 rows/query, broadcast), candidates explode to their
-    * 8 (m, code) entries and equi-join the LUT, and a grouped decimal sum
-    * rebuilds the ADC distance exactly — so the ranking is bit-stable
-    * cross-engine. Scale shape: codes relation is ~1% of the corpus bytes,
-    * the join is an equi-join on (m, k) against a broadcast LUT, and the
-    * per-(query, candidate) state is one partial sum.
-    */
   /** Per-query ADC lookup table over double-array query column `vCol`:
     * one row per (query, subspace, codebook entry) — `(qid, m, k, l)` with
     * `l` the exact |c_mk|² − 2·q_m·c_mk distance, DECIMAL(18,6)-pinned so
@@ -1104,6 +1095,19 @@ object SimilarityOps {
       element_at(col(lutCol), lit(m * PqK) + element_at(col(pqCol), m + 1) + lit(1)))
       .reduce(_ + _)
 
+  /** Asymmetric-distance (ADC) top-k over the PQ codes — how a PQ index is
+    * actually searched (Jégou et al. 2011): per query, ONE 8×8 lookup table
+    * of exact query-subvector-to-centroid distances, then every candidate
+    * scores as 8 table lookups over its stored codes — never a full-width
+    * dot product per pair. Expressed relationally: the LUT is a (query × m
+    * × k) relation (64 rows/query, broadcast), candidates explode to their
+    * 8 (m, code) entries and equi-join the LUT, and a grouped decimal sum
+    * rebuilds the ADC distance exactly — so the ranking is bit-stable
+    * cross-engine. Scale shape: codes relation is ~1% of the corpus bytes,
+    * the join is an equi-join on (m, k) against a broadcast LUT, and the
+    * per-(query, candidate) state is one partial sum. (The IVFADC serving
+    * path upgrades this shape to the array-form LUT — see [[adcLutArr]].)
+    */
   def pqAdcTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
     // candidate codes, exploded to (cid, m, code)
     val codes = withPqDists(withSubvectors(spark, sfDir))

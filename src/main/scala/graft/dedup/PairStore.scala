@@ -88,10 +88,17 @@ object PairStore {
     * complete snapshot at the same watermark, and a crash mid-publication
     * leaves only a markerless orphan that every reader skips (ADVICE r8:
     * "served latest" must mean "served latest COMPLETE"). Re-running at an
-    * unchanged watermark republishes identical rows.
+    * unchanged watermark is a NO-OP: the fixpoint at a watermark is
+    * deterministic (pair segments are replay-idempotent and compaction
+    * preserves rows), so an existing complete snapshot already holds
+    * exactly these rows — and skipping means the delete in the publish
+    * sequence below only ever removes markerless crash debris, never a
+    * complete snapshot (a delete-then-rename of a live complete snapshot
+    * would re-open the destroy window this method exists to close).
     */
   def refreshLabels(spark: SparkSession, path: String): Long = {
     val w = pairsWatermark(spark, path)
+    if (completeLabelIds(spark, path).contains(w)) return w
     val root = new org.apache.hadoop.fs.Path(labelsPath(path))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(root, s".tmp_${w}_${java.util.UUID.randomUUID()}")
@@ -100,7 +107,7 @@ object PairStore {
     require(fs.exists(new org.apache.hadoop.fs.Path(tmp, SuccessMarker)),
       s"label fixpoint write left no $SuccessMarker under $tmp")
     val target = new org.apache.hadoop.fs.Path(root, s"batch=$w")
-    fs.delete(target, true)
+    fs.delete(target, true) // only ever markerless debris — see the skip above
     require(fs.rename(tmp, target), s"failed to promote $tmp to $target")
     w
   }
@@ -211,10 +218,13 @@ object PairStore {
   private val ensured = scala.collection.mutable.Map.empty[(String, Double, String), String]
 
   /** Fingerprint of the corpus the store derives from: every
-    * `documents.parquet` data file's (name, length, mtime). A rewritten
-    * corpus under the same path changes the fingerprint, so a memoized
-    * store can never silently serve pairs/labels of the OLD corpus
-    * (ADVICE r8: the ensure cache had no staleness guard).
+    * `documents.parquet` data file's (name, length, mtime). Any normal
+    * rewrite changes it (parquet part files carry fresh UUID names), so a
+    * memoized store stops serving pairs/labels of the OLD corpus
+    * (ADVICE r8: the ensure cache had no staleness guard). Best-effort by
+    * construction — a byte-identical-length, name-preserving, mtime-
+    * preserving copy-in is indistinguishable; a caller doing that kind of
+    * replacement must call [[invalidate]] explicitly.
     */
   private def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
     val root = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")

@@ -143,7 +143,16 @@ object Segments {
       val tmp = new Path(root, s".compact_tmp.$holder")
       def segId(p: Path): Long = p.getName.stripPrefix("batch=").toLong
       def listed() = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      def segments() = listed().filter(_.getName.startsWith("batch="))
+      // only COMMITTED segments (carrying the parquet _SUCCESS marker) are
+      // absorbable: a dir whose write is still in flight — e.g. an absorb
+      // racing the lease this compaction runs under — has data files but no
+      // marker yet. Ingesting it would copy a partial (or soon-deleted-and-
+      // retried) segment into the compacted snapshot AND delete it as a
+      // source, double-absorbing the retry's rows. Skipped here, the
+      // in-flight segment simply survives the run untouched, like any
+      // segment landing after the entry snapshot.
+      def segments() = listed().filter(p =>
+        p.getName.startsWith("batch=") && fs.exists(new Path(p, "_SUCCESS")))
 
       // recovery: manifest + _SUCCESS ⇒ that temp dir is a COMPLETE copy of
       // exactly the manifest's segments, written by a holder that still

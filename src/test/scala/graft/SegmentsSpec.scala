@@ -82,6 +82,26 @@ class SegmentsSpec extends AnyFunSuite with SharedSpark {
     assert(contents(dir) == expected, "recovery lost or duplicated rows")
   }
 
+  test("an in-flight segment (no _SUCCESS yet) is never absorbed: its absorb can retry safely") {
+    val dir = java.nio.file.Files.createTempDirectory("seg_inflight").toString
+    seg(dir, 0, 0 until 10)
+    seg(dir, 1, 10 until 20)
+    seg(dir, 2, 20 until 30)
+    // an absorb's parquet write is mid-flight when this compaction starts:
+    // data files exist under batch=3, the _SUCCESS marker does not. If the
+    // compactor ingested it, its rows would live in the compacted segment
+    // AND in the absorb's post-abort retry — duplicated forever.
+    seg(dir, 3, 30 until 40)
+    new java.io.File(s"$dir/batch=3/_SUCCESS").delete()
+    assert(Segments.compact(spark, dir, Seq("p"), protectLatest = false) == 3)
+    // only the committed segments folded; the in-flight dir is untouched
+    assert(segNames(dir) == Seq("batch=2", "batch=3"))
+    val committed = (0L until 30L).map(i => (i, s"v$i", (i % 3).toString)).toSet
+    assert(contents(s"$dir/batch=2") ==
+      committed.map { case (i, v, p) => (i, v, p) },
+      "compacted rows must be exactly the committed segments")
+  }
+
   test("incomplete temp dir (no manifest) is discarded; sources intact") {
     val dir = java.nio.file.Files.createTempDirectory("seg_incomplete").toString
     seg(dir, 0, 0 until 10)
