@@ -361,7 +361,12 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
         assert(e.getMessage.contains("recluster"), e.getMessage)
         assert(!graft.sources.Segments.segmentIds(spark, dir).contains(5L),
           "no segment may survive an absorb rejected mid-recluster")
-      } finally worker.join(120000)
+      } finally worker.join(600000)
+      // join must have COMPLETED before probing the lease: while the run is
+      // live, the heartbeat's overwrite-create has a transient not-exists
+      // window that would let the next assert pass spuriously (observed
+      // under full-suite CPU contention with the old 120 s cap)
+      assert(!worker.isAlive, "recluster did not finish within the join cap")
       // the completed run released the lease; ingest resumes
       assert(!fs.exists(lease))
       IvfIndex.appendBatch(spark, dir,
