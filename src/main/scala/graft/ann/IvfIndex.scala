@@ -620,20 +620,25 @@ object IvfIndex {
     // forever: a heartbeat that cannot write is a lease about to be
     // misclassified as crashed, which an operator must see.
     val beatFailures = new java.util.concurrent.atomic.AtomicLong(0)
+    val beatStop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val beat = new Thread(() => {
       val log = org.slf4j.LoggerFactory.getLogger(IvfIndex.getClass)
       val interval = math.max(50L, ReclusterLeaseTtlMs / 4)
-      try while (!Thread.interrupted()) {
+      try while (!beatStop.get && !Thread.interrupted()) {
         Thread.sleep(interval)
-        try {
-          writeLeasePayload(fs, lease)
-          beatFailures.set(0)
-        } catch {
-          case e: java.io.IOException =>
-            val n = beatFailures.incrementAndGet()
-            log.warn(s"ivf recluster lease heartbeat failed $n time(s) on " +
-              s"$lease — concurrent absorbs will misclassify this run as " +
-              s"crashed after ${ReclusterLeaseTtlMs} ms: $e")
+        // re-check AFTER the sleep: a write starting past the stop signal
+        // would race the release's delete and resurrect the lease
+        if (!beatStop.get) {
+          try {
+            writeLeasePayload(fs, lease)
+            beatFailures.set(0)
+          } catch {
+            case e: java.io.IOException =>
+              val n = beatFailures.incrementAndGet()
+              log.warn(s"ivf recluster lease heartbeat failed $n time(s) on " +
+                s"$lease — concurrent absorbs will misclassify this run as " +
+                s"crashed after ${ReclusterLeaseTtlMs} ms: $e")
+          }
         }
       } catch { case _: InterruptedException => () }
     }, s"ivf-recluster-heartbeat-${root.getName}")
@@ -693,12 +698,17 @@ object IvfIndex {
       force = true)
     iter
     } finally {
-      // JOIN before deleting: a beat mid-write at interrupt time would
-      // otherwise re-create the lease AFTER the delete (writeLeasePayload is
-      // an overwrite-create), leaving an orphan that reads live and blocks
-      // every absorb/recluster for a full TTL
+      // Stop, then JOIN UNBOUNDED before deleting: a beat mid-write at
+      // release time would otherwise re-create the lease AFTER the delete
+      // (writeLeasePayload is an overwrite-create), leaving an orphan that
+      // reads live and blocks every absorb/recluster for a full TTL. The
+      // join is bounded in practice by one in-flight payload write (the
+      // loop exits at the next flag check) — a TTL-derived cap is NOT safe:
+      // with a short TTL a contended write outlives the cap and the
+      // resurrect race reappears.
+      beatStop.set(true)
       beat.interrupt()
-      beat.join(ReclusterLeaseTtlMs)
+      beat.join()
       fs.delete(lease, false)
     }
   }
