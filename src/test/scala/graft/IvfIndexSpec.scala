@@ -237,11 +237,15 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     IvfIndex.materialize(spark, embs.filter(col("vec_id") % 2 === 0), dir)
     val qs = queries(10)
     val runX = rows(IvfIndex.search(spark, dir, qs, k = 3, nprobe = 2))
+    val runXAdc = rows(IvfIndex.searchAdc(spark, dir, qs, k = 3, nprobe = 2))
     IvfIndex.appendBatch(spark, dir, embs.filter(col("vec_id") % 2 === 1), batchId = 1L)
     // the pinned search replays run X bit-for-bit; unpinned sees the growth
     assert(rows(IvfIndex.search(spark, dir, qs, k = 3, nprobe = 2, asOf = Some(0L)))
       .sameElements(runX), "asOf=0 must reproduce the pre-absorb top-k")
     assert(!rows(IvfIndex.search(spark, dir, qs, k = 3, nprobe = 2)).sameElements(runX))
+    // the ADC path honors the same pin (codes + cells + centroids snapshot)
+    assert(rows(IvfIndex.searchAdc(spark, dir, qs, k = 3, nprobe = 2, asOf = Some(0L)))
+      .sameElements(runXAdc), "asOf=0 must reproduce the pre-absorb ADC top-k")
     // recluster rewrites history into one segment: the old pin fails loudly,
     // and the pinned-centroid path is what kept pre-recluster pins honest
     IvfIndex.recluster(spark, dir)
