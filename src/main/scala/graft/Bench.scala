@@ -212,12 +212,40 @@ object Bench {
       val imageWideBands = probeRow("q_image_neardup_wideband", "q_image_neardup_wideband",
         probeDir, graft.multimodal.MediaOps.imageNearDupWideband(_, _),
         extra = s""","work_factor":${factor * factor}""")
+      // Durable-index probe at 10×: float vs raw-ADC vs residual-ADC search
+      // against the SAME stored index. At 1× (index_serving below) the float
+      // probe wins — ADC's LUT/window overhead dominates a 6k-vector corpus.
+      // This row is the crossover evidence: the ADC scans read ~3 code bytes
+      // where the float scan reads 512 vector bytes per candidate, so as the
+      // cells grow 10× the ADC probes' advantage should appear (and keeps
+      // growing with the corpus — memory bandwidth is the 100 TB bound).
+      val ivfIndexScale = {
+        def t2(run: => Unit): Double = {
+          def once(): Double = {
+            val t0 = System.nanoTime(); run; (System.nanoTime() - t0) / 1e9
+          }
+          math.min(once(), once())
+        }
+        val idx = s"$probeDir/ivf_index"
+        graft.ann.IvfIndex.materialize(
+          spark, Tables.embeddings(spark, probeDir).select("vec_id", "embedding"), idx)
+        val qs = Tables.embeddings(spark, probeDir)
+          .filter(col("vec_id") < 10).select("vec_id", "embedding")
+        val fl = t2(graft.ann.IvfIndex.search(spark, idx, qs, 3, 2).count())
+        val adc = t2(graft.ann.IvfIndex.searchAdc(spark, idx, qs, 3, 2).count())
+        val radc = t2(graft.ann.IvfIndex.searchRadc(spark, idx, qs, 3, 2).count())
+        s""","ivf_index_scale":{"corpus_factor":$factor,"float_probe_sec":$fl,""" +
+          s""""adc_probe_sec":$adc,"radc_probe_sec":$radc,""" +
+          s""""adc_vs_float":${if (fl > 0) adc / fl else -1.0},""" +
+          s""""radc_vs_float":${if (fl > 0) radc / fl else -1.0}}"""
+      }
       cleanup(probeDir)
       val rows = uniformRows :+ twoSided :+ imageFixedBands :+ imageWideBands
       val worst = uniformRows.map(_._1).filterNot(_ < 0).foldLeft(0.0)(math.max)
       val twoSidedPerUnit =
         if (twoSided._1 < 0) -1.0 else twoSided._1 / (factor.toDouble * factor)
-      (s""","scale_probe":{"factor":$factor,"queries":${rows.map(_._2).mkString("{", ",", "}")}}""",
+      (s""","scale_probe":{"factor":$factor,"queries":${rows.map(_._2).mkString("{", ",", "}")}}""" +
+        ivfIndexScale,
         worst, twoSidedPerUnit)
     } catch { case t: Throwable => (s""","scale_probe":{"error":"${jsonErr(t)}"}""", -1.0, -1.0) }
 
@@ -435,6 +463,10 @@ object Bench {
       // bounds ANN serving)
       val ivfAdcSearchSec = time2(graft.ann.IvfIndex.searchAdc(
         spark, s"$base/ivf", embs.filter(col("vec_id") < 10), 3, 2).count())
+      // residual-IVFADC (FAISS IndexIVFPQ default): same byte economics as
+      // the raw-code ADC probe — stored rpq codes, per-(query, cell) LUT
+      val ivfRadcSearchSec = time2(graft.ann.IvfIndex.searchRadc(
+        spark, s"$base/ivf", embs.filter(col("vec_id") < 10), 3, 2).count())
       // hamming fingerprint index: one-shot = rehash + all-band self-join of
       // the whole image corpus; probe = a 2% batch against the stored bands
       // (zero-shuffle broadcast probe)
@@ -478,6 +510,7 @@ object Bench {
       s""","index_serving":{${leg("lsh_batch_candidates", lshFullSec, lshProbeSec)},""" +
         s"""${leg("ivf_topk_search", ivfFullSec, ivfSearchSec)},""" +
         s"""${leg("ivf_adc_search", ivfFullSec, ivfAdcSearchSec)},""" +
+        s"""${leg("ivf_radc_search", ivfFullSec, ivfRadcSearchSec)},""" +
         s""""ivf_adc_vs_float_probe":${
           if (ivfSearchSec > 0) ivfAdcSearchSec / ivfSearchSec else -1.0},""" +
         s"""${leg("fp_hamming_candidates", fpFullSec, fpProbeSec)},""" +

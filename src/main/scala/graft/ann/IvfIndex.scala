@@ -12,7 +12,8 @@ import SimilarityOps.{probeCells, withCentroidAssignment, withNorm}
   * cells ONCE, persisted PARTITIONED BY `centroid_id`, and every search
   * touches only the probed cells' partitions.
   *
-  * Index schema: (vec_id, v double-array, nn squared norm, centroid_id),
+  * Index schema: (vec_id, v double-array, nn squared norm, pq raw-vector PQ
+  * codes, rpq residual PQ codes, centroid_id),
   * laid out `batch=<id>/centroid_id=<k>/` — incoming embedding batches are
   * assigned in isolation (the centroid set is fixed and deterministic, so
   * assignments computed at different times agree bit-for-bit) and absorbed
@@ -193,10 +194,15 @@ object IvfIndex {
     // IVFADC layout — [[searchAdc]] ranks candidates from these ~3 bytes
     // without touching `v`). Codes depend only on the FIXED codebook, never
     // on the centroid set, so a recluster re-assigns cells but carries codes.
+    // `rpq` = the same codebook over the RESIDUAL v − centroid (the FAISS
+    // IndexIVFPQ default, served by [[searchRadc]]) — centroid-DEPENDENT, so
+    // a recluster must re-encode it (and does).
     SimilarityOps.withPqCodes(
         withCentroidAssignment(withNorm(embeddings, "vec_id", "v", "nn"), "v", cents),
         "v", "pq")
-      .select(col("vec_id"), col("v"), col("nn"), col("pq"), col("centroid_id"))
+      .withColumn("r", SimilarityOps.residualCol("v", "centroid_id", cents))
+      .select(col("vec_id"), col("v"), col("nn"), col("pq"),
+        SimilarityOps.pqCodeCol("r").as("rpq"), col("centroid_id"))
       .write.mode("overwrite")
       .partitionBy("centroid_id")
       .parquet(s"$indexPath/batch=$batchId")
@@ -467,18 +473,38 @@ object IvfIndex {
     * and/or own-segment exclusion (see [[streamingAbsorb]]'s probe-before-
     * absorb replay determinism).
     */
+  /** mergeSchema, because segments span ENGINE GENERATIONS: a pre-PQ (or
+    * pre-residual-PQ) segment lacks the `pq`/`rpq` column entirely, and the
+    * default single-footer schema inference would make the column's presence
+    * a file-listing lottery — sampled from a legacy file, the column
+    * VANISHES and even fully-coded segments read as uncoded. Merged, the
+    * union schema always surfaces it, with nulls exactly on legacy rows
+    * (which the ADC rankings order last — see [[adcPoolRerank]]).
+    */
   private def indexFrame(
       spark: SparkSession, indexPath: String,
       asOf: Option[Long], excludeSegment: Option[Long]): DataFrame =
     (asOf, excludeSegment) match {
-      case (None, None) => read(spark, indexPath)
+      case (None, None) =>
+        spark.read.option("basePath", indexPath).option("mergeSchema", "true")
+          .parquet(indexPath).drop("batch")
       case _ =>
         val snap = asOf
-          .map(graft.sources.Segments.readAsOf(spark, indexPath, _, dropBatch = false))
-          .getOrElse(spark.read.option("basePath", indexPath).parquet(indexPath))
+          .map(graft.sources.Segments.readAsOf(spark, indexPath, _, dropBatch = false,
+            options = Map("mergeSchema" -> "true")))
+          .getOrElse(spark.read.option("basePath", indexPath)
+            .option("mergeSchema", "true").parquet(indexPath))
         excludeSegment.map(id => snap.filter(col("batch") =!= id)).getOrElse(snap)
           .drop("batch")
     }
+
+  /** An index NONE of whose segments carry `colName` (built entirely by an
+    * older engine generation): surface the column as typed nulls so the ADC
+    * paths degrade to "nothing ADC-rankable" instead of failing to resolve.
+    */
+  private def withOptionalCodes(index: DataFrame, colName: String): DataFrame =
+    if (index.columns.contains(colName)) index
+    else index.withColumn(colName, lit(null).cast("array<int>"))
 
   /** IVFADC search over the stored index — identical probe schedule to
     * [[search]], but the probed cells rank from their stored `pq` codes via
@@ -511,7 +537,7 @@ object IvfIndex {
     val q = withNorm(queries, "qid", "qv", "qn")
     val probes = probeCells(q, nprobe, currentCentroids(spark, indexPath, asOf))
     val lut = SimilarityOps.adcLutArr(q.select(col("qid"), col("qv")), "qid", "qv")
-    val index = indexFrame(spark, indexPath, asOf, excludeSegment)
+    val index = withOptionalCodes(indexFrame(spark, indexPath, asOf, excludeSegment), "pq")
     // ADC phase: codes only — column pruning keeps `v` out of this scan;
     // candidates stay at vector granularity (the LUT array rides a one-row
     // broadcast join; the score is a flat 8-lookup projection, no grouped
@@ -522,18 +548,29 @@ object IvfIndex {
       .join(broadcast(lut), "qid")
       .select(col("qid"), col("vec_id").as("cid"), col("centroid_id").as("cell"),
         SimilarityOps.adcScore("pq", "lut").as("adc"))
-    // nulls LAST: a segment absorbed by a pre-PQ engine generation carries
-    // pq = null under schema merge; asc alone would rank every such row
-    // ahead of all real candidates and silently fill the rerank pool with
-    // unscored vectors. Last, they degrade to "not ADC-rankable" instead
-    // (recluster re-encodes them permanently).
+    adcPoolRerank(index, adc, q, k, rerank)
+  }
+
+  /** Shared ADC tail: bound the pool, then exact-rerank it — the second and
+    * third phases of [[searchAdc]]/[[searchRadc]].
+    *
+    * nulls LAST in the pool ranking: a segment absorbed by an engine
+    * generation predating the code column carries it as null under schema
+    * merge; asc alone would rank every such row ahead of all real candidates
+    * and silently fill the rerank pool with unscored vectors. Last, they
+    * degrade to "not ADC-rankable" instead (recluster re-encodes them
+    * permanently).
+    *
+    * The pool keeps each survivor's CELL so the exact phase can join on the
+    * partition column as well: without it the rerank scan reads every
+    * segment's full-width vectors (a broadcast semi-join on vec_id alone
+    * cannot prune partitions) — precisely the bytes ADC exists to avoid.
+    * With it, dynamic partition pruning bounds the rerank read to the
+    * probed cells, like the float [[search]]'s candidate scan.
+    */
+  private def adcPoolRerank(
+      index: DataFrame, adc: DataFrame, q: DataFrame, k: Int, rerank: Int): DataFrame = {
     val wAdc = Window.partitionBy("qid").orderBy(asc_nulls_last("adc"), asc("cid"))
-    // the pool keeps each survivor's CELL so the exact phase can join on the
-    // partition column as well: without it the rerank scan reads every
-    // segment's full-width vectors (a broadcast semi-join on vec_id alone
-    // cannot prune partitions) — precisely the bytes ADC exists to avoid.
-    // With it, dynamic partition pruning bounds the rerank read to the
-    // probed cells, like the float [[search]]'s candidate scan.
     val pool = adc
       .withColumn("prn", row_number().over(wAdc))
       .filter(col("prn") <= rerank)
@@ -550,6 +587,41 @@ object IvfIndex {
       .filter(col("rank") <= k)
       .select("qid", "rank", "cid")
       .orderBy("qid", "rank")
+  }
+
+  /** Residual-IVFADC search over the stored index: ranks probed cells from
+    * their stored RESIDUAL codes (`rpq`) via the per-(query, cell) LUT — the
+    * FAISS-default IndexIVFPQ encoding, where a cell's codes quantize
+    * v − centroid and the ADC estimate carries the |q − c|² constant so
+    * candidates from different probed cells compete correctly. Same plan
+    * shape and byte economics as [[searchAdc]]; same results as the one-shot
+    * [[SimilarityOps.ivfRadcTopK]] under the index's current centroid set
+    * (spec-pinned, including after a recluster re-fits that set — residual
+    * codes are centroid-DEPENDENT, so [[recluster]] re-encodes them, unlike
+    * the raw `pq` codes it carries through).
+    */
+  def searchRadc(
+      spark: SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      k: Int = 3,
+      nprobe: Int = 2,
+      rerank: Int = SimilarityOps.AdcRerank,
+      excludeSegment: Option[Long] = None,
+      asOf: Option[Long] = None): DataFrame = {
+    VectorFunctions.register(spark)
+    val cents = currentCentroids(spark, indexPath, asOf)
+    val q = withNorm(queries, "qid", "qv", "qn")
+    val plut = SimilarityOps.radcLutArr(probeCells(q, nprobe, cents), cents)
+    val index = withOptionalCodes(indexFrame(spark, indexPath, asOf, excludeSegment), "rpq")
+    // one broadcast join does probe AND LUT delivery: the residual LUT row is
+    // keyed by the same (qid, cell) pair the probe join matches on
+    val adc = index.select(col("vec_id"), col("rpq"), col("centroid_id"))
+      .join(broadcast(plut),
+        col("probe") === col("centroid_id") && col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"), col("centroid_id").as("cell"),
+        (SimilarityOps.adcScore("rpq", "lut") + col("qc2")).as("adc"))
+    adcPoolRerank(index, adc, q, k, rerank)
   }
 
   /** Re-fit the centroid set to the corpus the index has GROWN INTO and
@@ -685,12 +757,18 @@ object IvfIndex {
         // the recomputation is exact). A MIXED index surfaces the column
         // with nulls on legacy rows under schema merge — coalesce encodes
         // exactly those, so the compacted index is fully coded either way.
+        // RESIDUAL codes are centroid-dependent: every row's rpq is
+        // unconditionally re-encoded under the fitted set (carrying them —
+        // the pq treatment — would leave [[searchRadc]] ranking with LUTs
+        // built from centroids the codes were never relative to).
         val withPq =
           if (df.columns.contains("pq"))
             df.withColumn("pq", coalesce(col("pq"), SimilarityOps.pqCodeCol("v")))
           else SimilarityOps.withPqCodes(df, "v", "pq")
-        withCentroidAssignment(withPq.drop("centroid_id"), "v", fitted)
-          .select(col("vec_id"), col("v"), col("nn"), col("pq"), col("centroid_id"))
+        withCentroidAssignment(withPq.drop("centroid_id").drop("rpq"), "v", fitted)
+          .withColumn("r", SimilarityOps.residualCol("v", "centroid_id", fitted))
+          .select(col("vec_id"), col("v"), col("nn"), col("pq"),
+            SimilarityOps.pqCodeCol("r").as("rpq"), col("centroid_id"))
       },
       meta = Map(
         CentroidsFile -> serializeCents(fitted),

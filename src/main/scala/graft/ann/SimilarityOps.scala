@@ -1001,11 +1001,11 @@ object SimilarityOps {
     * composes with [[assignCtes]] (which defines the identical `e`) for the
     * IVFADC oracle; [[pqCtes]] is the standalone form.
     */
-  private val pqTailCtes: String = {
+  private def pqCodeCtes(rel: String, vcol: String): String = {
     val mkVals = (for (m <- 0 until PqM; k <- 0 until PqK) yield s"($m, $k)").mkString(", ")
     s"""sub AS (
-       |  SELECT vec_id, t.m, v[t.m * $PqSubDim + 1 : t.m * $PqSubDim + $PqSubDim] AS vm
-       |  FROM e CROSS JOIN (VALUES ${(0 until PqM).map(m => s"($m)").mkString(", ")}) AS t(m)),
+       |  SELECT vec_id, t.m, $vcol[t.m * $PqSubDim + 1 : t.m * $PqSubDim + $PqSubDim] AS vm
+       |  FROM $rel CROSS JOIN (VALUES ${(0 until PqM).map(m => s"($m)").mkString(", ")}) AS t(m)),
        |cb AS (
        |  SELECT t.m, t.k,
        |         list_transform(generate_series(1, $PqSubDim), i ->
@@ -1026,6 +1026,8 @@ object SimilarityOps {
        |    FROM pqd)
        |  WHERE rn = 1)""".stripMargin
   }
+
+  private val pqTailCtes: String = pqCodeCtes("e", "v")
 
   private val pqCtes: String =
     s"""e AS (
@@ -1162,8 +1164,13 @@ object SimilarityOps {
   // by rerank × |queries|.
   // -------------------------------------------------------------------------
 
-  /** ADC-pool size the exact rerank re-scores (FAISS' `k_factor × k`). */
-  val AdcRerank = 10
+  /** ADC-pool size the exact rerank re-scores — FAISS' `k_factor × k` with
+    * the usual k_factor ≈ 10 at k = 3. Widening 10 → 30 (r10) lifted ADC
+    * recall ~2.7× at sf0.001 for 20 extra exact dot products per query —
+    * with UNTRAINED stand-in codebooks the ADC ordering is noisy, so the
+    * exact rerank pool is the cheap recall lever.
+    */
+  val AdcRerank = 30
 
   def ivfAdcTopK(
       spark: SparkSession, sfDir: String,
@@ -1293,6 +1300,209 @@ object SimilarityOps {
        |FROM exact e LEFT JOIN adc_topk a ON e.qid = a.qid AND e.cid = a.cid
        |GROUP BY 1 ORDER BY e.qid""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // Residual IVFADC — PQ over the residual v − centroid(v), the encoding
+  // Jégou et al. 2011 actually specify for IndexIVFPQ (FAISS default): within
+  // a cell, residuals concentrate near the origin, so a fixed codebook spends
+  // its precision on the part of the vector the cell id doesn't already
+  // encode. The ADC estimate becomes the full |q − v̂|² = |q − c|² −
+  // 2(q−c)·r̂ + |r̂|²: the LUT gains a per-(query, probed-cell) dimension
+  // (nprobe × 64 entries per query — still trivially broadcast) and the
+  // |q − c|² constant must ride along, because with nprobe > 1 candidates
+  // from DIFFERENT cells compete in one ranking. Unlike raw-vector codes,
+  // residual codes depend on the centroid set: a recluster must RE-ENCODE
+  // them ([[IvfIndex.recluster]] does; its raw `pq` codes carry through).
+  // -------------------------------------------------------------------------
+
+  private def centroidMatrix(cents: IndexedSeq[Array[Double]]): Column =
+    array(cents.map(c => array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+
+  /** `vCol − cents(centIdCol)`, elementwise — the residual a cell's PQ codes
+    * quantize. One zip_with against a literal centroid matrix lookup, so the
+    * encode stays a narrow codegen'd map at any scale.
+    */
+  private[ann] def residualCol(
+      vCol: String, centIdCol: String, cents: IndexedSeq[Array[Double]]): Column =
+    zip_with(col(vCol), element_at(centroidMatrix(cents), col(centIdCol) + 1),
+      (x, c) => x - c)
+
+  /** Per-(query, probed cell) residual-ADC lookup table: `lut[m·K + k + 1]` =
+    * |cb_mk|² − 2(q−c)_m·cb_mk and `qc2` = |q−c|², both exact ppm longs (same
+    * monotone-bijection argument as [[adcLutArr]]). nprobe rows per query —
+    * the broadcast stays tiny; the candidate join below needs NO extra join
+    * versus the raw-ADC path because the LUT row is keyed by the same
+    * (qid, cell) pair the probe join already matches on.
+    */
+  private[ann] def radcLutArr(
+      probes: DataFrame, cents: IndexedSeq[Array[Double]] = centroids): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val withR = probes.withColumn("qr",
+      zip_with(col("qv"), element_at(centroidMatrix(cents), col("probe") + 1),
+        (x, c) => x - c))
+    val entries = for (m <- 0 until PqM; kk <- 0 until PqK) yield {
+      val c = pqCodebook(m)(kk)
+      val cArr = array(c.toIndexedSeq.map(lit(_)): _*)
+      ((lit(selfDot(c)) - lit(2.0) * call_function(
+        "dot_arrays", slice(col("qr"), m * PqSubDim + 1, PqSubDim), cArr))
+        .cast(DecimalType(18, 6)) * lit(1000000L)).cast("long")
+    }
+    withR.select(col("qid"), col("probe"),
+      array(entries: _*).as("lut"),
+      (call_function("dot_arrays", col("qr"), col("qr"))
+        .cast(DecimalType(18, 6)) * lit(1000000L)).cast("long").as("qc2"))
+  }
+
+  /** Residual-IVFADC top-k: probe → residual-ADC rank (flat 8-lookup + the
+    * cell constant) → exact rerank of the top `rerank`. Identical plan shape
+    * to [[ivfAdcTopK]] — the residual refinement costs nothing structural:
+    * same single broadcast probe-join (the LUT rides it), same bounded
+    * rerank. `cents` parameterizes the cell set so [[IvfIndex]]'s spec can
+    * replay this one-shot under a post-recluster centroid set.
+    */
+  def ivfRadcTopK(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 3, nprobe: Int = 2,
+      rerank: Int = AdcRerank,
+      cents: IndexedSeq[Array[Double]] = centroids): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val coded = withCentroidAssignment(e, "v", cents)
+      .withColumn("r", residualCol("v", "centroid_id", cents))
+      .select(col("vec_id").as("cid"), col("centroid_id").as("cc"),
+        pqCodeCol("r").as("rpq"))
+    val q = withNorm(Tables.embeddings(spark, sfDir).filter(col("vec_id") < nQueries),
+      "qid", "qv", "qn")
+    val plut = radcLutArr(probeCells(q, nprobe, cents), cents)
+    val adc = coded
+      .join(broadcast(plut), col("probe") === col("cc") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (adcScore("rpq", "lut") + col("qc2")).as("adc"))
+    val wAdc = Window.partitionBy("qid").orderBy(asc("adc"), asc("cid"))
+    val pool = adc
+      .withColumn("prn", row_number().over(wAdc))
+      .filter(col("prn") <= rerank)
+      .select(col("qid").as("pqid"), col("cid").as("pcid"))
+    val full = withNorm(Tables.embeddings(spark, sfDir), "vec_id", "v", "nn")
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    full
+      .join(broadcast(pool), col("vec_id") === col("pcid"))
+      .join(broadcast(q.select(col("qid"), col("qv"), col("qn"))), col("qid") === col("pqid"))
+      .withColumn("cos", dot("qv", "v") / (sqrt(col("qn")) * sqrt(col("nn"))))
+      .withColumn("cid", col("pcid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid")
+      .orderBy("qid", "rank")
+  }
+
+  /** Oracle CTE chain ending in `radc_topk(qid, rank, cid)`: residuals from
+    * the assigned cell, codes over residuals (pqCodeCtes re-instantiated on
+    * `res.r`), the per-(query, probe) LUT + |q−c|² constant, decimal-exact
+    * ADC sum, bounded rerank by exact cosine.
+    */
+  private def ivfRadcCtes(nQueries: Int, k: Int, nprobe: Int, rerank: Int): String =
+    s"""$assignCtes,
+       |res AS (
+       |  SELECT a.vec_id, a.centroid_id,
+       |         list_transform(generate_series(1, $Dim), i -> a.v[i] - cc.c[i]) AS r
+       |  FROM assigned a JOIN cents2 cc ON cc.k = a.centroid_id),
+       |${pqCodeCtes("res", "r")},
+       |normed AS (
+       |  SELECT vec_id, v, centroid_id,
+       |         list_sum(list_transform(v, x -> x * x)) AS nn
+       |  FROM assigned),
+       |probes AS (
+       |  SELECT vec_id AS qid, k AS probe FROM (
+       |    SELECT vec_id, k,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS prn
+       |    FROM dists WHERE vec_id < $nQueries)
+       |  WHERE prn <= $nprobe),
+       |qres AS (
+       |  SELECT p.qid, p.probe,
+       |         list_transform(generate_series(1, $Dim), i -> q.v[i] - cc.c[i]) AS qr
+       |  FROM probes p
+       |  JOIN e q ON q.vec_id = p.qid
+       |  JOIN cents2 cc ON cc.k = p.probe),
+       |qc AS (
+       |  SELECT qid, probe,
+       |         CAST(list_sum(list_transform(qr, x -> x * x)) AS DECIMAL(18,6)) AS qc2
+       |  FROM qres),
+       |lutr AS (
+       |  SELECT s.qid, s.probe, cb2.m, cb2.k,
+       |         CAST(cb2.c2 - 2 * list_sum(list_transform(generate_series(1, $PqSubDim),
+       |                i -> s.qr[cb2.m * $PqSubDim + i] * cb2.c[i])) AS DECIMAL(18,6)) AS l
+       |  FROM qres s CROSS JOIN cb2),
+       |adcr AS (
+       |  SELECT p.qid, a.vec_id AS cid, min(qc.qc2) + sum(l.l) AS adc
+       |  FROM probes p
+       |  JOIN assigned a ON a.centroid_id = p.probe AND a.vec_id <> p.qid
+       |  JOIN coded c ON c.vec_id = a.vec_id
+       |  JOIN lutr l ON l.qid = p.qid AND l.probe = p.probe AND l.m = c.m AND l.k = c.code
+       |  JOIN qc ON qc.qid = p.qid AND qc.probe = p.probe
+       |  GROUP BY 1, 2),
+       |pool AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS prn
+       |    FROM adcr)
+       |  WHERE prn <= $rerank),
+       |rer AS (
+       |  SELECT p.qid, p.cid,
+       |         list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+       |           / (sqrt(q.nn) * sqrt(c.nn)) AS cos
+       |  FROM pool p
+       |  JOIN normed q ON q.vec_id = p.qid
+       |  JOIN normed c ON c.vec_id = p.cid),
+       |radc_topk AS (
+       |  SELECT qid, rank, cid FROM (
+       |    SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+       |    FROM rer)
+       |  WHERE rank <= $k)""".stripMargin
+
+  def ivfRadcTopKSql(
+      nQueries: Int = 10, k: Int = 3, nprobe: Int = 2, rerank: Int = AdcRerank): String =
+    s"""WITH ${ivfRadcCtes(nQueries, k, nprobe, rerank)}
+       |SELECT qid, rank, cid FROM radc_topk ORDER BY qid, rank""".stripMargin
+
+  /** Recall@k ledger of residual IVFADC vs exact brute force — read next to
+    * [[ivfAdcRecall]]'s, it quantifies what residual encoding buys at the
+    * same probe/rerank budget. Honest number, and with these md5 stand-in
+    * codebooks it currently reads BELOW the raw-vector ADC ledger: a
+    * uniform codebook matches raw coordinates' scale, while residuals v − c
+    * are spread wider, so untrained codewords quantize them worse. The
+    * residual layout wins only with codebooks TRAINED on residuals (the
+    * FAISS IndexIVFPQ training step this engine stubs deterministically) —
+    * what these queries pin is the serving-plan plumbing, bit-exact against
+    * the oracle, so swapping trained codebooks in changes no plan shape.
+    */
+  def ivfRadcRecall(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val exact = annTopK(spark, sfDir, nQueries, k).select(col("qid"), col("cid"))
+    val approx = ivfRadcTopK(spark, sfDir, nQueries, k)
+      .select(col("qid").as("aqid"), col("cid").as("acid"))
+    exact
+      .join(approx, col("qid") === col("aqid") && col("cid") === col("acid"), "left")
+      .groupBy("qid")
+      .agg(
+        count(lit(1)).as("k_exact"),
+        count(col("acid")).as("hits"))
+      .orderBy("qid")
+  }
+
+  def ivfRadcRecallSql(
+      nQueries: Int = 10, k: Int = 3, nprobe: Int = 2, rerank: Int = AdcRerank): String =
+    s"""WITH ${ivfRadcCtes(nQueries, k, nprobe, rerank)},
+       |exact AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+       |               / (sqrt(q.nn) * sqrt(c.nn)) DESC, c.vec_id) AS rank
+       |    FROM normed q JOIN normed c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id)
+       |  WHERE rank <= $k)
+       |SELECT e.qid AS qid, count(*) AS k_exact, count(a.cid) AS hits
+       |FROM exact e LEFT JOIN radc_topk a ON e.qid = a.qid AND e.cid = a.cid
+       |GROUP BY 1 ORDER BY e.qid""".stripMargin
+
   /** Recall@k of the IVF (nprobe=1) search against the exact brute-force
     * baseline — the measurement every ANN deployment runs before trusting an
     * approximate index. Per query id: hits = |IVF top-k ∩ exact top-k|,
@@ -1340,6 +1550,73 @@ object SimilarityOps {
        |SELECT e.qid AS qid, count(*) AS k_exact, count(a.cid) AS hits
        |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
        |GROUP BY 1 ORDER BY e.qid""".stripMargin
+
+  /** The recall/cost OPERATING CURVE of the IVF index: aggregate recall@k at
+    * nprobe ∈ [[RecallSweepProbes]], one row per operating point — the table
+    * an ANN deployment reads to pick its probe budget. Monotone by
+    * construction (probing more cells only widens the candidate superset —
+    * the SimilaritySpec invariant, here made a visible artifact). Cost shape:
+    * the exact brute-force baseline is computed once per point over the SAME
+    * bounded query set; at corpus scale the sweep is run on a sampled query
+    * log, so every branch stays probe-bounded.
+    */
+  val RecallSweepProbes: Seq[Int] = Seq(1, 2, 4)
+
+  def ivfRecallSweep(
+      spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 3): DataFrame =
+    RecallSweepProbes.map { np =>
+      val exact = annTopK(spark, sfDir, nQueries, k).select(col("qid"), col("cid"))
+      val approx = ivfTopKMultiProbe(spark, sfDir, nQueries, k, nprobe = np)
+        .select(col("qid").as("aqid"), col("cid").as("acid"))
+      exact
+        .join(approx, col("qid") === col("aqid") && col("cid") === col("acid"), "left")
+        .agg(count(lit(1)).as("k_exact_total"), count(col("acid")).as("hits_total"))
+        .select(lit(np).as("nprobe"), col("k_exact_total"), col("hits_total"))
+    }.reduce(_ union _).orderBy("nprobe")
+
+  /** One shared probe ranking (computed to max nprobe) serves every branch:
+    * branch n keeps pairs whose probe rank ≤ n and re-ranks within it.
+    */
+  def ivfRecallSweepSql(nQueries: Int = 10, k: Int = 3): String = {
+    val maxP = RecallSweepProbes.max
+    val branches = RecallSweepProbes.map { np =>
+      s"""SELECT $np AS nprobe, count(*) AS k_exact_total, count(a.cid) AS hits_total
+         |FROM exact e LEFT JOIN (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |    FROM pairs WHERE prn <= $np)
+         |  WHERE rank <= $k) a
+         |ON e.qid = a.qid AND e.cid = a.cid""".stripMargin
+    }
+    s"""WITH $assignCtes,
+       |normed AS (
+       |  SELECT vec_id, v, centroid_id,
+       |         list_sum(list_transform(v, x -> x * x)) AS nn
+       |  FROM assigned),
+       |probes AS (
+       |  SELECT vec_id AS qid, k AS probe, prn FROM (
+       |    SELECT vec_id, k,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS prn
+       |    FROM dists WHERE vec_id < $nQueries)
+       |  WHERE prn <= $maxP),
+       |pairs AS (
+       |  SELECT p.qid, c.vec_id AS cid, p.prn,
+       |         list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+       |           / (sqrt(q.nn) * sqrt(c.nn)) AS cos
+       |  FROM probes p
+       |  JOIN normed q ON q.vec_id = p.qid
+       |  JOIN normed c ON c.centroid_id = p.probe AND c.vec_id <> q.vec_id),
+       |exact AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+       |               / (sqrt(q.nn) * sqrt(c.nn)) DESC, c.vec_id) AS rank
+       |    FROM normed q JOIN normed c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id)
+       |  WHERE rank <= $k)
+       |${branches.mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY nprobe""".stripMargin
+  }
 
   // -------------------------------------------------------------------------
   // Hybrid retrieval: reciprocal-rank fusion of a term ranker and a vector
@@ -1444,6 +1721,9 @@ object SimilarityOps {
     "q_pq_adc_topk" -> (pqAdcTopK(_, _)),
     "q_ivf_adc_topk" -> (ivfAdcTopK(_, _)),
     "q_ivf_adc_recall" -> (ivfAdcRecall(_, _)),
+    "q_ivf_radc_topk" -> ((s, d) => ivfRadcTopK(s, d)),
+    "q_ivf_radc_recall" -> (ivfRadcRecall(_, _)),
+    "q_ivf_recall_sweep" -> (ivfRecallSweep(_, _)),
     "q_kmeans_step" -> (kmeansStep(_, _)),
     "q_kmeans_iter" -> (kmeansIter(_, _)),
     "q_cluster_balanced_sample" -> (clusterBalancedSample(_, _)),
@@ -1467,6 +1747,9 @@ object SimilarityOps {
     "q_pq_adc_topk" -> pqAdcTopKSql(),
     "q_ivf_adc_topk" -> ivfAdcTopKSql(),
     "q_ivf_adc_recall" -> ivfAdcRecallSql(),
+    "q_ivf_radc_topk" -> ivfRadcTopKSql(),
+    "q_ivf_radc_recall" -> ivfRadcRecallSql(),
+    "q_ivf_recall_sweep" -> ivfRecallSweepSql(),
     "q_kmeans_step" -> kmeansStepSql,
     "q_kmeans_iter" -> kmeansIterSql(),
     "q_cluster_balanced_sample" -> clusterBalancedSampleSql,

@@ -54,14 +54,15 @@ object Segments {
     */
   def readAsOf(
       spark: SparkSession, path: String, maxBatch: Long,
-      dropBatch: Boolean = true): DataFrame = {
+      dropBatch: Boolean = true,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val ids = segmentIds(spark, path)
     require(ids.nonEmpty, s"no segments under $path")
     require(
       ids.min <= maxBatch,
       s"snapshot batch=$maxBatch predates live history (compaction collapsed it); " +
         s"earliest available id: ${ids.min}, live ids: ${ids.mkString(", ")}")
-    val snap = spark.read.option("basePath", path).parquet(path)
+    val snap = spark.read.option("basePath", path).options(options).parquet(path)
       .filter(col("batch") <= maxBatch)
     if (dropBatch) snap.drop("batch") else snap
   }

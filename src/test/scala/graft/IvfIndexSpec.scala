@@ -480,4 +480,77 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
       .filter(col("centroid_id") =!= col("fresh_cid")).count()
     assert(mismatches == 0L, s"$mismatches rows carry stale cell ids")
   }
+
+  test("searchRadc reproduces the one-shot residual-IVFADC results; the code scan never reads the vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_radc").toString
+    IvfIndex.materialize(spark, embs, dir)
+    val q = IvfIndex.searchRadc(spark, dir, queries(10), k = 3, nprobe = 2)
+    val viaIndex = rows(q)
+    val oneShot = rows(SimilarityOps.ivfRadcTopK(spark, sfDir, nQueries = 10, k = 3, nprobe = 2))
+    assert(viaIndex.nonEmpty && viaIndex.sameElements(oneShot),
+      s"index residual-ADC search diverged: ${viaIndex.take(3).mkString(",")} vs ${oneShot.take(3).mkString(",")}")
+    // same byte economics as searchAdc: the candidate scan reads rpq, not v
+    val plan = q.queryExecution.executedPlan.toString
+    val scanLines = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("ReadSchema")).toSeq
+    assert(scanLines.exists(l => l.contains("rpq") && !l.contains("v:array")),
+      s"expected an rpq-only candidate scan (no v), got:\n${scanLines.mkString("\n")}")
+    val dppScans = scanLines.count(_.toLowerCase.contains("dynamicpruning"))
+    assert(dppScans >= 2,
+      s"expected dynamic partition pruning on candidate AND rerank scans, got $dppScans:\n$plan")
+    // incremental absorbs encode residual codes identically
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf_radc_inc").toString
+    IvfIndex.materialize(spark, embs.filter(col("vec_id") % 4 =!= 0), dir2)
+    IvfIndex.appendBatch(spark, dir2, embs.filter(col("vec_id") % 4 === 0), batchId = 1L)
+    assert(rows(IvfIndex.searchRadc(spark, dir2, queries(10), k = 3, nprobe = 2))
+      .sameElements(oneShot), "segmented residual-ADC search diverged")
+  }
+
+  test("recluster RE-ENCODES residual codes under the fitted centroids (unlike pq, which carries)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_radc_recluster").toString
+    IvfIndex.materialize(spark, embs, dir)
+    val centsBefore = IvfIndex.currentCentroids(spark, dir)
+    val rpqBefore = IvfIndex.read(spark, dir).select("vec_id", "rpq")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    IvfIndex.recluster(spark, dir, maxIter = 2)
+    val centsAfter = IvfIndex.currentCentroids(spark, dir)
+    assert(centsBefore.zip(centsAfter).exists { case (a, b) => !a.sameElements(b) },
+      "recluster did not move the centroid set — the re-encode path is unexercised")
+    val rpqAfter = IvfIndex.read(spark, dir).select("vec_id", "rpq")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    assert(rpqAfter != rpqBefore,
+      "residual codes are centroid-dependent: a recluster that moves centroids must re-encode them")
+    // the pinned equivalence: searchRadc over the re-fit index equals the
+    // one-shot replayed under the index's NEW centroid set
+    val got = rows(IvfIndex.searchRadc(spark, dir, queries(10), k = 3, nprobe = 2))
+    val expected = rows(SimilarityOps.ivfRadcTopK(
+      spark, sfDir, nQueries = 10, k = 3, nprobe = 2, cents = centsAfter))
+    assert(got.sameElements(expected),
+      "post-recluster searchRadc diverged from the one-shot under the fitted centroids")
+  }
+
+  test("a pre-residual segment (rpq null) degrades to unranked — with a full-width rerank both ADC searches equal the float search") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_radc_legacy").toString
+    IvfIndex.materialize(spark, embs.filter(col("vec_id") % 4 =!= 0), dir)
+    // hand-land a LEGACY batch=1 segment: same rows a current absorb would
+    // write, minus the rpq column — simulating an index grown by an engine
+    // generation that predates residual codes (no _CENTROIDS either; readers
+    // fall back to batch=0's manifest, which is the same default set)
+    val scratch = java.nio.file.Files.createTempDirectory("ivf_radc_scratch").toString
+    IvfIndex.materialize(spark, embs.filter(col("vec_id") % 4 === 0), scratch)
+    spark.read.option("basePath", scratch).parquet(scratch)
+      .drop("batch").drop("rpq")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/batch=1")
+    // the mixed index never crashes and fills every query's k
+    val radc = rows(IvfIndex.searchRadc(spark, dir, queries(10), k = 3, nprobe = 2))
+    assert(radc.map(_._1).distinct.length == 10, "every query must still fill its top-k")
+    // degradation is EXACTLY 'not ADC-rankable': with a rerank pool wide
+    // enough to hold every candidate, the ADC phase stops mattering and both
+    // code paths must reduce to the exact float search — null codes included
+    val exact = rows(IvfIndex.search(spark, dir, queries(10), k = 3, nprobe = 2))
+    assert(rows(IvfIndex.searchRadc(spark, dir, queries(10), k = 3, nprobe = 2, rerank = 1000000))
+      .sameElements(exact), "full-width searchRadc must equal the float search on a mixed index")
+    assert(rows(IvfIndex.searchAdc(spark, dir, queries(10), k = 3, nprobe = 2, rerank = 1000000))
+      .sameElements(exact), "full-width searchAdc must equal the float search on a mixed index")
+  }
 }

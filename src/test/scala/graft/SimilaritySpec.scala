@@ -306,4 +306,35 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("recall sweep is monotone in nprobe and agrees with the per-query recall ledger") {
+    val sweep = SimilarityOps.ivfRecallSweep(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(sweep.map(_._1).toSeq == SimilarityOps.RecallSweepProbes,
+      s"one row per operating point, ordered: ${sweep.mkString(",")}")
+    // probing more cells only widens the candidate superset → hits never drop
+    sweep.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3, s"recall regressed with more probes: $a -> $b")
+    }
+    assert(sweep.forall(r => r._2 > 0 && r._3 <= r._2), "hits must be within k_exact")
+    // the nprobe=1 point is exactly ivfRecall's ledger, summed
+    val ledger = SimilarityOps.ivfRecall(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(sweep.head._2 == ledger.map(_._1).sum && sweep.head._3 == ledger.map(_._2).sum,
+      "sweep@1 must equal the per-query recall ledger totals")
+  }
+
+  test("residual-ADC one-shot: the rerank pool widened to the whole corpus reduces to exact search") {
+    // with rerank ≥ every candidate, ADC ranking stops mattering and the
+    // exact-cosine rerank must reproduce the float multi-probe search — the
+    // invariant that pins the residual machinery's plumbing independently of
+    // codebook quality
+    val full = SimilarityOps.ivfRadcTopK(spark, sfDir, nQueries = 10, k = 3, nprobe = 2,
+      rerank = 1000000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val float = SimilarityOps.ivfTopKMultiProbe(spark, sfDir, nQueries = 10, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(full.nonEmpty && full.sameElements(float),
+      "full-width residual-ADC rerank must equal the float multi-probe search")
+  }
+
 }
