@@ -388,12 +388,27 @@ object IvfIndex {
     * index records its first batch's residual as the baseline ("the corpus
     * as first fit"); an index built by [[materialize]]/[[recluster]] already
     * carries one.
+    *
+    * `probe` selects the neighbor-search plan each batch runs: `"float"`
+    * (exact dots over probed cells — [[search]]), `"adc"` ([[searchAdc]]) or
+    * `"radc"` ([[searchRadc]]) — the ADC modes are what a corpus-scale
+    * stream actually serves with, since the probe cost is paid EVERY
+    * micro-batch and the code-only scan is the one that stays
+    * memory-bandwidth-flat as the absorbed index grows.
     */
   def streamingAbsorb(
       embStream: DataFrame, indexPath: String, neighborsOut: String, checkpoint: String,
       k: Int = 3, nprobe: Int = 2,
-      driftMetricsOut: Option[String] = None, driftSamplePpm: Long = 1000000L)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      driftMetricsOut: Option[String] = None, driftSamplePpm: Long = 1000000L,
+      probe: String = "float")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val probeFn: (SparkSession, DataFrame, Long) => DataFrame = probe match {
+      case "float" => (s, b, seg) => search(s, indexPath, b, k, nprobe, Some(seg))
+      case "adc" => (s, b, seg) => searchAdc(s, indexPath, b, k, nprobe, excludeSegment = Some(seg))
+      case "radc" => (s, b, seg) => searchRadc(s, indexPath, b, k, nprobe, excludeSegment = Some(seg))
+      case other => throw new IllegalArgumentException(
+        s"probe must be one of float/adc/radc, got '$other'")
+    }
     embStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -402,7 +417,7 @@ object IvfIndex {
         val segment = StreamingSegmentBase + batchId
         val out =
           if (hasSegments(spark, indexPath))
-            search(spark, indexPath, batch, k, nprobe, excludeSegment = Some(segment))
+            probeFn(spark, batch, segment)
           else
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -421,6 +436,7 @@ object IvfIndex {
             .write.mode("overwrite").parquet(s"$metricsPath/batch=$segment")
         }
       }
+  }
 
   private def hasSegments(spark: SparkSession, indexPath: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(indexPath)

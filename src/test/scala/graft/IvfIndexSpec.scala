@@ -94,6 +94,32 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
   private def docsToSrc(df: org.apache.spark.sql.DataFrame, src: String): Unit =
     df.write.mode("append").parquet(src)
 
+  test("streaming absorb can serve its per-batch probe via residual ADC (probe = radc)") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("ivf_stream_radc").toString
+    val (src, idx, out, ckpt) = (s"$base/src", s"$base/idx", s"$base/out", s"$base/ckpt")
+    IvfIndex.materialize(spark, embs.filter(col("vec_id") % 4 >= 2), idx)
+    docsToSrc(embs.filter(col("vec_id") % 4 === 0), src)
+    val schema = spark.read.parquet(src).schema
+    val q1 = IvfIndex.streamingAbsorb(
+      spark.readStream.schema(schema).parquet(src), idx, out, ckpt, probe = "radc").start()
+    q1.processAllAvailable()
+    q1.stop()
+    // reference: searchRadc against a one-shot index of the bootstrap corpus
+    val refDir = Files.createTempDirectory("ivf_stream_radc_ref").toString
+    IvfIndex.materialize(spark, embs.filter(col("vec_id") % 4 >= 2), refDir)
+    val seg0 = rows(spark.read
+      .option("basePath", out).parquet(s"$out/batch=${IvfIndex.StreamingSegmentBase}")
+      .drop("batch").orderBy("qid", "rank"))
+    val ref0 = rows(IvfIndex.searchRadc(spark, refDir, embs.filter(col("vec_id") % 4 === 0)))
+    assert(seg0.nonEmpty && seg0.sameElements(ref0),
+      "radc-probed streaming neighbors diverged from the direct searchRadc")
+    intercept[IllegalArgumentException] {
+      IvfIndex.streamingAbsorb(
+        spark.readStream.schema(schema).parquet(src), idx, out, ckpt, probe = "cosine")
+    }
+  }
+
   test("streaming absorb emits the drift metric; a shifted batch trips it mid-stream") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("ivf_stream_drift").toString

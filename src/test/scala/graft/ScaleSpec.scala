@@ -29,7 +29,8 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
       // vec_id < nQueries side — constant-sized at any corpus scale)
       // all three broadcast a fixed query set (q_hybrid_rrf: one query vector)
       val boundedBnlj =
-        Set("q_ann_topk", "q_ivf_recall", "q_ivf_adc_recall", "q_hybrid_rrf")
+        Set("q_ann_topk", "q_ivf_recall", "q_ivf_adc_recall", "q_ivf_radc_recall",
+          "q_ivf_recall_sweep", "q_hybrid_rrf")
       if (plan.contains("BroadcastNestedLoopJoin") && !boundedBnlj(name)) {
         assert(plan.contains("HashAggregate(keys=[], "),
           s"$name BNLJs a non-scalar build side:\n$plan")
