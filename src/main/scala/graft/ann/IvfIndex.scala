@@ -169,7 +169,47 @@ object IvfIndex {
       .map(parseCents)
       .getOrElse(SimilarityOps.centroids)
 
-  def materialize(spark: SparkSession, embeddings: DataFrame, indexPath: String): Unit = {
+  /** ROOT-level trained-PQ-codebook manifest (`indexPath/_PQ_CODEBOOK`,
+    * 64 comma-joined lines in (m, k) order). Unlike the per-segment centroid
+    * manifest it is IMMUTABLE for the index's life: [[materialize]] writes it
+    * once (when a trained codebook is supplied) and every absorb, search and
+    * recluster encodes/ranks under it — stored codes and query LUTs must
+    * always agree on the codeword set, and "retrain the codebook" is a
+    * rebuild-the-index operation, not an in-place swap (there is no moment
+    * at which old codes and a new LUT can correctly coexist). Absent ⇒ the
+    * deterministic md5 seed codebook (pre-training engine generations).
+    */
+  private val PqCodebookFile = "_PQ_CODEBOOK"
+
+  def currentPqCodebook(
+      spark: SparkSession, indexPath: String): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, PqCodebookFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) SimilarityOps.pqCodebook
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val rows = parseCents(text)
+      require(rows.size == SimilarityOps.PqM * SimilarityOps.PqK,
+        s"$p: expected ${SimilarityOps.PqM * SimilarityOps.PqK} codewords, got ${rows.size}")
+      rows.grouped(SimilarityOps.PqK).toIndexedSeq
+    }
+  }
+
+  def materialize(
+      spark: SparkSession, embeddings: DataFrame, indexPath: String,
+      codebook: Option[IndexedSeq[IndexedSeq[Array[Double]]]] = None): Unit = {
+    codebook.foreach { cb =>
+      val p = new org.apache.hadoop.fs.Path(indexPath, PqCodebookFile)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(!fs.exists(new org.apache.hadoop.fs.Path(indexPath)) ||
+        graft.sources.Segments.segmentIds(spark, indexPath).isEmpty,
+        s"$indexPath already holds segments encoded under another codebook — " +
+          "a trained codebook must be installed before the first absorb " +
+          "(retrain = rebuild, never an in-place swap)")
+      val out = fs.create(p, true)
+      try out.write(serializeCents(cb.flatten).getBytes("UTF-8")) finally out.close()
+    }
     appendBatch(spark, indexPath, embeddings, batchId = 0L)
     recordBaseline(spark, indexPath)
   }
@@ -197,12 +237,13 @@ object IvfIndex {
     // `rpq` = the same codebook over the RESIDUAL v − centroid (the FAISS
     // IndexIVFPQ default, served by [[searchRadc]]) — centroid-DEPENDENT, so
     // a recluster must re-encode it (and does).
+    val cb = currentPqCodebook(spark, indexPath)
     SimilarityOps.withPqCodes(
         withCentroidAssignment(withNorm(embeddings, "vec_id", "v", "nn"), "v", cents),
-        "v", "pq")
+        "v", "pq", cb)
       .withColumn("r", SimilarityOps.residualCol("v", "centroid_id", cents))
       .select(col("vec_id"), col("v"), col("nn"), col("pq"),
-        SimilarityOps.pqCodeCol("r").as("rpq"), col("centroid_id"))
+        SimilarityOps.pqCodeCol("r", cb).as("rpq"), col("centroid_id"))
       .write.mode("overwrite")
       .partitionBy("centroid_id")
       .parquet(s"$indexPath/batch=$batchId")
@@ -552,7 +593,8 @@ object IvfIndex {
     VectorFunctions.register(spark)
     val q = withNorm(queries, "qid", "qv", "qn")
     val probes = probeCells(q, nprobe, currentCentroids(spark, indexPath, asOf))
-    val lut = SimilarityOps.adcLutArr(q.select(col("qid"), col("qv")), "qid", "qv")
+    val lut = SimilarityOps.adcLutArr(q.select(col("qid"), col("qv")), "qid", "qv",
+      currentPqCodebook(spark, indexPath))
     val index = withOptionalCodes(indexFrame(spark, indexPath, asOf, excludeSegment), "pq")
     // ADC phase: codes only — column pruning keeps `v` out of this scan;
     // candidates stay at vector granularity (the LUT array rides a one-row
@@ -628,7 +670,8 @@ object IvfIndex {
     VectorFunctions.register(spark)
     val cents = currentCentroids(spark, indexPath, asOf)
     val q = withNorm(queries, "qid", "qv", "qn")
-    val plut = SimilarityOps.radcLutArr(probeCells(q, nprobe, cents), cents)
+    val plut = SimilarityOps.radcLutArr(probeCells(q, nprobe, cents), cents,
+      currentPqCodebook(spark, indexPath))
     val index = withOptionalCodes(indexFrame(spark, indexPath, asOf, excludeSegment), "rpq")
     // one broadcast join does probe AND LUT delivery: the residual LUT row is
     // keyed by the same (qid, cell) pair the probe join matches on
@@ -777,14 +820,15 @@ object IvfIndex {
         // unconditionally re-encoded under the fitted set (carrying them —
         // the pq treatment — would leave [[searchRadc]] ranking with LUTs
         // built from centroids the codes were never relative to).
+        val cb = currentPqCodebook(spark, indexPath)
         val withPq =
           if (df.columns.contains("pq"))
-            df.withColumn("pq", coalesce(col("pq"), SimilarityOps.pqCodeCol("v")))
-          else SimilarityOps.withPqCodes(df, "v", "pq")
+            df.withColumn("pq", coalesce(col("pq"), SimilarityOps.pqCodeCol("v", cb)))
+          else SimilarityOps.withPqCodes(df, "v", "pq", cb)
         withCentroidAssignment(withPq.drop("centroid_id").drop("rpq"), "v", fitted)
           .withColumn("r", SimilarityOps.residualCol("v", "centroid_id", fitted))
           .select(col("vec_id"), col("v"), col("nn"), col("pq"),
-            SimilarityOps.pqCodeCol("r").as("rpq"), col("centroid_id"))
+            SimilarityOps.pqCodeCol("r", cb).as("rpq"), col("centroid_id"))
       },
       meta = Map(
         CentroidsFile -> serializeCents(fitted),
