@@ -568,7 +568,9 @@ object IvfIndex {
     * the broadcast per-query ADC LUT, and only the per-query top-`rerank`
     * survivors pay an exact full-width cosine. Same results as the one-shot
     * [[SimilarityOps.ivfAdcTopK]] when the index holds the embeddings corpus
-    * (spec-pinned, like search ≡ ivfTopKMultiProbe).
+    * (spec-pinned, like search ≡ ivfTopKMultiProbe) — under the default md5
+    * codebook; an index whose [[PqCodebookFile]] manifest carries a trained
+    * set encodes AND ranks under that set instead.
     *
     * Scale shape — why this is THE billion-scale serving plan: the candidate
     * scan selects only `(vec_id, pq, centroid_id)`, so Parquet column

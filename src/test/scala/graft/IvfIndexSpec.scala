@@ -593,6 +593,18 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     }
     assert(hits(cb) > hits(SimilarityOps.pqCodebook),
       "training the residual codebook must lift residual-ADC recall over the md5 seed")
+    // the root manifest survives a recluster's full-segment rewrite, and the
+    // re-encoded residual codes still rank under it: post-swap searchRadc
+    // equals the one-shot replayed under (fitted cells, SAME trained codebook)
+    IvfIndex.recluster(spark, dir2, maxIter = 2)
+    assert(IvfIndex.currentPqCodebook(spark, dir2).flatten.zip(cb.flatten)
+      .forall { case (a, b) => a.sameElements(b) },
+      "recluster must not touch the codebook manifest")
+    val centsAfter = IvfIndex.currentCentroids(spark, dir2)
+    assert(rows(IvfIndex.searchRadc(spark, dir2, queries(10), k = 3, nprobe = 2))
+      .sameElements(rows(SimilarityOps.ivfRadcTopK(
+        spark, sfDir, 10, 3, 2, cents = centsAfter, cb = cb))),
+      "post-recluster searchRadc diverged under the trained codebook")
   }
 
   test("a pre-residual segment (rpq null) degrades to unranked — with a full-width rerank both ADC searches equal the float search") {
