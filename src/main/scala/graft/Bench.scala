@@ -219,7 +219,9 @@ object Bench {
       // where the float scan reads 512 vector bytes per candidate, so as the
       // cells grow 10× the ADC probes' advantage should appear (and keeps
       // growing with the corpus — memory bandwidth is the 100 TB bound).
-      val ivfIndexScale = {
+      // guarded separately: a failure here must cost only THIS row, never
+      // the already-measured probe rows above or the probeDir cleanup below
+      val ivfIndexScale = try {
         def t2(run: => Unit): Double = {
           def once(): Double = {
             val t0 = System.nanoTime(); run; (System.nanoTime() - t0) / 1e9
@@ -238,7 +240,7 @@ object Bench {
           s""""adc_probe_sec":$adc,"radc_probe_sec":$radc,""" +
           s""""adc_vs_float":${if (fl > 0) adc / fl else -1.0},""" +
           s""""radc_vs_float":${if (fl > 0) radc / fl else -1.0}}"""
-      }
+      } catch { case t: Throwable => s""","ivf_index_scale":{"error":"${jsonErr(t)}"}""" }
       cleanup(probeDir)
       val rows = uniformRows :+ twoSided :+ imageFixedBands :+ imageWideBands
       val worst = uniformRows.map(_._1).filterNot(_ < 0).foldLeft(0.0)(math.max)

@@ -192,7 +192,32 @@ object IvfIndex {
       val rows = parseCents(text)
       require(rows.size == SimilarityOps.PqM * SimilarityOps.PqK,
         s"$p: expected ${SimilarityOps.PqM * SimilarityOps.PqK} codewords, got ${rows.size}")
+      // row LENGTH too: a 64-line manifest of wrong-width codewords (trained
+      // under a different Dim/PqM split, or hand-edited) would otherwise
+      // dot_arrays over mismatched lengths deep inside every encode and LUT
+      rows.zipWithIndex.foreach { case (r, i) =>
+        require(r.length == SimilarityOps.PqSubDim,
+          s"$p line ${i + 1}: codeword has ${r.length} coefficients, " +
+            s"expected ${SimilarityOps.PqSubDim}")
+      }
       rows.grouped(SimilarityOps.PqK).toIndexedSeq
+    }
+  }
+
+  /** Codebook shape gate shared by install and read: mis-shaped codebooks
+    * must fail AT THE CALLER, not inside a later query plan.
+    */
+  private def requireCodebookShape(cb: IndexedSeq[IndexedSeq[Array[Double]]]): Unit = {
+    require(cb.size == SimilarityOps.PqM,
+      s"codebook has ${cb.size} subspaces, expected ${SimilarityOps.PqM}")
+    cb.zipWithIndex.foreach { case (ks, m) =>
+      require(ks.size == SimilarityOps.PqK,
+        s"codebook subspace $m has ${ks.size} codewords, expected ${SimilarityOps.PqK}")
+      ks.zipWithIndex.foreach { case (c, k) =>
+        require(c.length == SimilarityOps.PqSubDim,
+          s"codeword ($m, $k) has ${c.length} coefficients, " +
+            s"expected ${SimilarityOps.PqSubDim}")
+      }
     }
   }
 
@@ -200,6 +225,7 @@ object IvfIndex {
       spark: SparkSession, embeddings: DataFrame, indexPath: String,
       codebook: Option[IndexedSeq[IndexedSeq[Array[Double]]]] = None): Unit = {
     codebook.foreach { cb =>
+      requireCodebookShape(cb)
       val p = new org.apache.hadoop.fs.Path(indexPath, PqCodebookFile)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       require(!fs.exists(new org.apache.hadoop.fs.Path(indexPath)) ||
@@ -530,30 +556,38 @@ object IvfIndex {
     * and/or own-segment exclusion (see [[streamingAbsorb]]'s probe-before-
     * absorb replay determinism).
     */
-  /** mergeSchema, because segments span ENGINE GENERATIONS: a pre-PQ (or
-    * pre-residual-PQ) segment lacks the `pq`/`rpq` column entirely, and the
-    * default single-footer schema inference would make the column's presence
-    * a file-listing lottery — sampled from a legacy file, the column
-    * VANISHES and even fully-coded segments read as uncoded. Merged, the
-    * union schema always surfaces it, with nulls exactly on legacy rows
-    * (which the ADC rankings order last — see [[adcPoolRerank]]).
+  /** `mergeSchema` (ADC paths only), because segments span ENGINE
+    * GENERATIONS: a pre-PQ (or pre-residual-PQ) segment lacks the `pq`/`rpq`
+    * column entirely, and the default single-footer schema inference would
+    * make the column's presence a file-listing lottery — sampled from a
+    * legacy file, the column VANISHES and even fully-coded segments read as
+    * uncoded. Merged, the union schema always surfaces it, with nulls
+    * exactly on legacy rows (which the ADC rankings order last — see
+    * [[adcPoolRerank]]). The float [[search]] keeps the cheap single-footer
+    * read: its columns (vec_id, v, nn, centroid_id) exist in every
+    * generation, and the all-footers merge is a distributed job paid per
+    * query batch — real latency on a many-segment index, bought for nothing
+    * there.
     */
   private def indexFrame(
       spark: SparkSession, indexPath: String,
-      asOf: Option[Long], excludeSegment: Option[Long]): DataFrame =
+      asOf: Option[Long], excludeSegment: Option[Long],
+      mergeSchema: Boolean = false): DataFrame = {
+    val opts = if (mergeSchema) Map("mergeSchema" -> "true") else Map.empty[String, String]
     (asOf, excludeSegment) match {
       case (None, None) =>
-        spark.read.option("basePath", indexPath).option("mergeSchema", "true")
+        spark.read.option("basePath", indexPath).options(opts)
           .parquet(indexPath).drop("batch")
       case _ =>
         val snap = asOf
           .map(graft.sources.Segments.readAsOf(spark, indexPath, _, dropBatch = false,
-            options = Map("mergeSchema" -> "true")))
+            options = opts))
           .getOrElse(spark.read.option("basePath", indexPath)
-            .option("mergeSchema", "true").parquet(indexPath))
+            .options(opts).parquet(indexPath))
         excludeSegment.map(id => snap.filter(col("batch") =!= id)).getOrElse(snap)
           .drop("batch")
     }
+  }
 
   /** An index NONE of whose segments carry `colName` (built entirely by an
     * older engine generation): surface the column as typed nulls so the ADC
@@ -597,7 +631,8 @@ object IvfIndex {
     val probes = probeCells(q, nprobe, currentCentroids(spark, indexPath, asOf))
     val lut = SimilarityOps.adcLutArr(q.select(col("qid"), col("qv")), "qid", "qv",
       currentPqCodebook(spark, indexPath))
-    val index = withOptionalCodes(indexFrame(spark, indexPath, asOf, excludeSegment), "pq")
+    val index = withOptionalCodes(
+      indexFrame(spark, indexPath, asOf, excludeSegment, mergeSchema = true), "pq")
     // ADC phase: codes only — column pruning keeps `v` out of this scan;
     // candidates stay at vector granularity (the LUT array rides a one-row
     // broadcast join; the score is a flat 8-lookup projection, no grouped
@@ -674,7 +709,8 @@ object IvfIndex {
     val q = withNorm(queries, "qid", "qv", "qn")
     val plut = SimilarityOps.radcLutArr(probeCells(q, nprobe, cents), cents,
       currentPqCodebook(spark, indexPath))
-    val index = withOptionalCodes(indexFrame(spark, indexPath, asOf, excludeSegment), "rpq")
+    val index = withOptionalCodes(
+      indexFrame(spark, indexPath, asOf, excludeSegment, mergeSchema = true), "rpq")
     // one broadcast join does probe AND LUT delivery: the residual LUT row is
     // keyed by the same (qid, cell) pair the probe join matches on
     val adc = index.select(col("vec_id"), col("rpq"), col("centroid_id"))

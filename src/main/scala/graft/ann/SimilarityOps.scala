@@ -1343,9 +1343,7 @@ object SimilarityOps {
       probes: DataFrame, cents: IndexedSeq[Array[Double]] = centroids,
       cb: IndexedSeq[IndexedSeq[Array[Double]]] = pqCodebook): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val withR = probes.withColumn("qr",
-      zip_with(col("qv"), element_at(centroidMatrix(cents), col("probe") + 1),
-        (x, c) => x - c))
+    val withR = probes.withColumn("qr", residualCol("qv", "probe", cents))
     val entries = for (m <- 0 until PqM; kk <- 0 until PqK) yield {
       val c = cb(m)(kk)
       val cArr = array(c.toIndexedSeq.map(lit(_)): _*)
@@ -1574,8 +1572,14 @@ object SimilarityOps {
       spark: SparkSession, sfDir: String,
       rounds: Int = 2, onResiduals: Boolean = true,
       cents: IndexedSeq[Array[Double]] = centroids): IndexedSeq[IndexedSeq[Array[Double]]] = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val subs = pqSubvectors(spark, sfDir, onResiduals, cents).localCheckpoint()
+    try trainOnSubvectors(subs, rounds)
+    finally subs.unpersist() // checkpoint blocks are per-training scratch, not session state
+  }
+
+  private def trainOnSubvectors(
+      subs: DataFrame, rounds: Int): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     var cb: IndexedSeq[IndexedSeq[Array[Double]]] = pqCodebook
     (1 to rounds).foreach { _ =>
       val stats = subs
@@ -1603,9 +1607,13 @@ object SimilarityOps {
     */
   def pqTrain(spark: SparkSession, sfDir: String, rounds: Int = 2): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val cb = pqTrainCodebooks(spark, sfDir, rounds, onResiduals = true)
+    // ONE subvector materialization serves training and the final ledger
+    // (the ledger plan keeps the checkpointed frame alive past this call, so
+    // the blocks release with it rather than under a finally here)
+    val subs = pqSubvectors(spark, sfDir, onResiduals = true, centroids).localCheckpoint()
+    val cb = trainOnSubvectors(subs, rounds)
     def dsum6(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
-    pqSubvectors(spark, sfDir, onResiduals = true, centroids)
+    subs
       .select(col("m"), pqAssignCol(cb).as("code"), col("vm"))
       .groupBy("m", "code")
       .agg(count(lit(1)).as("n"),
@@ -1731,9 +1739,13 @@ object SimilarityOps {
   val RecallSweepProbes: Seq[Int] = Seq(1, 2, 4)
 
   def ivfRecallSweep(
-      spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 3): DataFrame =
+      spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    // the exact baseline does not depend on nprobe — materialize it ONCE
+    // (localCheckpoint, the kmeansIter discipline) instead of paying the
+    // brute-force top-k per operating point
+    val exact = annTopK(spark, sfDir, nQueries, k)
+      .select(col("qid"), col("cid")).localCheckpoint()
     RecallSweepProbes.map { np =>
-      val exact = annTopK(spark, sfDir, nQueries, k).select(col("qid"), col("cid"))
       val approx = ivfTopKMultiProbe(spark, sfDir, nQueries, k, nprobe = np)
         .select(col("qid").as("aqid"), col("cid").as("acid"))
       exact
@@ -1741,6 +1753,7 @@ object SimilarityOps {
         .agg(count(lit(1)).as("k_exact_total"), count(col("acid")).as("hits_total"))
         .select(lit(np).as("nprobe"), col("k_exact_total"), col("hits_total"))
     }.reduce(_ union _).orderBy("nprobe")
+  }
 
   /** One shared probe ranking (computed to max nprobe) serves every branch:
     * branch n keeps pairs whose probe rank ≤ n and re-ranks within it.

@@ -191,8 +191,16 @@ object Segments {
       try {
         // read ONLY the snapshot paths (basePath keeps the partition
         // columns): a segment landing concurrently is not in this lineage
-        // and is never deleted below
+        // and is never deleted below. mergeSchema, because segments can span
+        // ENGINE GENERATIONS (a pre-PQ IVF segment lacks the code columns):
+        // single-footer inference sampled from a legacy file would infer a
+        // schema WITHOUT those columns and the rewrite — whose sources are
+        // deleted after the promote — would destroy every coded row's codes
+        // irreversibly. Merged, the union schema keeps all columns, nulls
+        // exactly on the rows that never had them. Footer cost is fine here:
+        // compaction is maintenance, not a query path.
         val data = transform(spark.read.option("basePath", path)
+          .option("mergeSchema", "true")
           .parquet(absorbed.map(_.toString).toSeq: _*).drop("batch"))
         val sized = // one task → one file per partition dir
           if (partitionCols.nonEmpty) data.repartition(partitionCols.map(col): _*)

@@ -630,5 +630,19 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
       .sameElements(exact), "full-width searchRadc must equal the float search on a mixed index")
     assert(rows(IvfIndex.searchAdc(spark, dir, queries(10), k = 3, nprobe = 2, rerank = 1000000))
       .sameElements(exact), "full-width searchAdc must equal the float search on a mixed index")
+    // COMPACTING the mixed index must not destroy the coded rows' codes: the
+    // rewrite's source read needs the same schema-merge discipline as the
+    // searches (single-footer inference sampled from the legacy segment
+    // would infer a code-less schema, and compaction DELETES its sources
+    // after the promote — the one path where the lottery is irreversible)
+    val codedBefore = IvfIndex.read(spark, dir)
+      .filter(col("rpq").isNotNull).count()
+    assert(codedBefore > 0, "setup: expected coded rows in the mixed index")
+    IvfIndex.compactSegments(spark, dir, protectLatest = false)
+    val after = IvfIndex.read(spark, dir)
+    assert(after.filter(col("rpq").isNotNull).count() == codedBefore,
+      "compaction lost stored codes on a mixed-generation index")
+    assert(after.filter(col("rpq").isNull).count() > 0,
+      "legacy rows keep their null codes through a plain compaction (no re-encode)")
   }
 }
