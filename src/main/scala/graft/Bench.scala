@@ -107,8 +107,20 @@ object Bench {
     }
     def probeRow(name: String, baseName: String, dir: String,
         fn: (SparkSession, String) => DataFrame, extra: String = ""): (Double, String) = {
-      val scaled = timed(fn, dir)
+      val first = timed(fn, dir)
       val b = base.getOrElse(baseName, -1.0)
+      // stall defense: a ratio past the superlinear flag threshold gets ONE
+      // re-measurement before it is believed — a single GC pause or page-
+      // cache eviction on a sub-second base otherwise brands a linear plan
+      // superlinear (observed: q_funnel 0.18 s base, one 9 s stalled probe
+      // → ratio 52 on a run whose clean sibling read 1.4). A genuinely
+      // superlinear plan still reads > 10 on the retry; the retry itself is
+      // min-of-two, so this cannot HIDE a real regression, only a stall.
+      val scaled =
+        if (b > 0 && first >= 0 && first / b > 10.0) {
+          val again = timed(fn, dir)
+          if (again >= 0) math.min(first, again) else first
+        } else first
       val ratio = if (scaled < 0 || b <= 0) -1.0 else scaled / b
       (ratio, s""""$name":{"base":$b,"scaled":$scaled,"ratio":$ratio$extra}""")
     }
