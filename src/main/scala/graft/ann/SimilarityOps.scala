@@ -1414,7 +1414,20 @@ object SimilarityOps {
        |         list_transform(generate_series(1, $Dim), i -> a.v[i] - cc.c[i]) AS r
        |  FROM assigned a JOIN cents2 cc ON cc.k = a.centroid_id),
        |${pqCodeCtes("res", "r")},
-       |normed AS (
+       |${radcServeCtes(nQueries, k, nprobe, rerank, cbRel = "cb2", codedRel = "coded")}""".stripMargin
+
+  /** The SERVING half of the residual-ADC oracle — probes, residual LUT,
+    * decimal ADC sum, bounded exact rerank — over whatever codebook relation
+    * (`cbRel(m, k, c, c2)`) and corpus-code relation
+    * (`codedRel(vec_id, m, code)`) the caller's CTEs produced: the md5 seed
+    * ([[ivfRadcCtes]]) or a trained Lloyd trajectory
+    * ([[ivfRadcTrainedTopKSql]]). Assumes [[assignCtes]]' e/cents2/dists/
+    * assigned are in scope.
+    */
+  private def radcServeCtes(
+      nQueries: Int, k: Int, nprobe: Int, rerank: Int,
+      cbRel: String, codedRel: String): String =
+    s"""normed AS (
        |  SELECT vec_id, v, centroid_id,
        |         list_sum(list_transform(v, x -> x * x)) AS nn
        |  FROM assigned),
@@ -1438,12 +1451,12 @@ object SimilarityOps {
        |  SELECT s.qid, s.probe, cb2.m, cb2.k,
        |         CAST(cb2.c2 - 2 * list_sum(list_transform(generate_series(1, $PqSubDim),
        |                i -> s.qr[cb2.m * $PqSubDim + i] * cb2.c[i])) AS DECIMAL(18,6)) AS l
-       |  FROM qres s CROSS JOIN cb2),
+       |  FROM qres s CROSS JOIN $cbRel cb2),
        |adcr AS (
        |  SELECT p.qid, a.vec_id AS cid, min(qc.qc2) + sum(l.l) AS adc
        |  FROM probes p
        |  JOIN assigned a ON a.centroid_id = p.probe AND a.vec_id <> p.qid
-       |  JOIN coded c ON c.vec_id = a.vec_id
+       |  JOIN $codedRel c ON c.vec_id = a.vec_id
        |  JOIN lutr l ON l.qid = p.qid AND l.probe = p.probe AND l.m = c.m AND l.k = c.code
        |  JOIN qc ON qc.qid = p.qid AND qc.probe = p.probe
        |  GROUP BY 1, 2),
@@ -1622,9 +1635,13 @@ object SimilarityOps {
   }
 
   /** Unrolled per-subspace Lloyd rounds in DuckDB — [[kmeansIterSql]]'s
-    * structure with (m, k) in place of k, over residual subvectors.
+    * structure with (m, k) in place of k, over residual subvectors. Returns
+    * the CTE chain ending in the trained codebook `cc_<rounds>(m, k, c, c2)`
+    * and the final corpus-code assignment `a_<rounds+1>(vec_id, m, vm,
+    * code)` — [[pqTrainSql]] reads its ledger from the latter;
+    * [[ivfRadcTrainedTopKSql]] serves from both.
     */
-  def pqTrainSql(rounds: Int = 2): String = {
+  private def pqTrainChain(rounds: Int): String = {
     val mkVals = (for (m <- 0 until PqM; k <- 0 until PqK) yield s"($m, $k)").mkString(", ")
     val cte = Seq.newBuilder[String]
     cte += s"""$assignCtes,
@@ -1669,15 +1686,42 @@ object SimilarityOps {
         |cc_$r AS (SELECT m, k, c, list_sum(list_transform(c, x -> x * x)) AS c2 FROM cb_$r)""".stripMargin
     }
     cte += assignCte(rounds + 1, s"cc_$rounds")
+    cte.result().mkString(",\n")
+  }
+
+  def pqTrainSql(rounds: Int = 2): String = {
     val sums = (1 to 4)
       .map(i => s"CAST(SUM(CAST(vm[$i] AS DECIMAL(18,6))) AS DOUBLE) AS s_$i")
       .mkString(",\n       ")
-    s"""WITH ${cte.result().mkString(",\n")}
+    s"""WITH ${pqTrainChain(rounds)}
        |SELECT CAST(m AS INT) AS m, CAST(code AS INT) AS code, count(*) AS n,
        |       $sums
        |FROM a_${rounds + 1}
        |GROUP BY 1, 2 ORDER BY m, code""".stripMargin
   }
+
+  /** The TRAINED end-to-end IVFPQ serving pipeline under the oracle hash
+    * gate: train the residual codebook (unrolled Lloyd), encode the corpus
+    * under it, probe, residual-ADC rank, exact-rerank — every stage of what
+    * [[graft.ann.IvfIndex]] serves from a trained `_PQ_CODEBOOK` manifest,
+    * replayed as one cross-engine-exact query. (The spec pins the INDEX
+    * round-trip; this pins the MATH end-to-end against DuckDB.)
+    */
+  def ivfRadcTrainedTopK(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 3, nprobe: Int = 2,
+      rerank: Int = AdcRerank, rounds: Int = 2): DataFrame =
+    ivfRadcTopK(spark, sfDir, nQueries, k, nprobe, rerank,
+      cb = pqTrainCodebooks(spark, sfDir, rounds, onResiduals = true))
+
+  def ivfRadcTrainedTopKSql(
+      nQueries: Int = 10, k: Int = 3, nprobe: Int = 2,
+      rerank: Int = AdcRerank, rounds: Int = 2): String =
+    s"""WITH ${pqTrainChain(rounds)},
+       |codedT AS (SELECT vec_id, m, code FROM a_${rounds + 1}),
+       |${radcServeCtes(nQueries, k, nprobe, rerank,
+      cbRel = s"cc_$rounds", codedRel = "codedT")}
+       |SELECT qid, rank, cid FROM radc_topk ORDER BY qid, rank""".stripMargin
 
   /** Recall@k of the IVF (nprobe=1) search against the exact brute-force
     * baseline — the measurement every ANN deployment runs before trusting an
@@ -1906,6 +1950,7 @@ object SimilarityOps {
     "q_ivf_radc_recall" -> (ivfRadcRecall(_, _)),
     "q_ivf_recall_sweep" -> (ivfRecallSweep(_, _)),
     "q_pq_train" -> ((s, d) => pqTrain(s, d)),
+    "q_ivf_radc_trained_topk" -> ((s, d) => ivfRadcTrainedTopK(s, d)),
     "q_kmeans_step" -> (kmeansStep(_, _)),
     "q_kmeans_iter" -> (kmeansIter(_, _)),
     "q_cluster_balanced_sample" -> (clusterBalancedSample(_, _)),
@@ -1933,6 +1978,7 @@ object SimilarityOps {
     "q_ivf_radc_recall" -> ivfRadcRecallSql(),
     "q_ivf_recall_sweep" -> ivfRecallSweepSql(),
     "q_pq_train" -> pqTrainSql(),
+    "q_ivf_radc_trained_topk" -> ivfRadcTrainedTopKSql(),
     "q_kmeans_step" -> kmeansStepSql,
     "q_kmeans_iter" -> kmeansIterSql(),
     "q_cluster_balanced_sample" -> clusterBalancedSampleSql,
