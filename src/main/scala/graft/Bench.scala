@@ -109,20 +109,31 @@ object Bench {
         fn: (SparkSession, String) => DataFrame, extra: String = ""): (Double, String) = {
       val first = timed(fn, dir)
       val b = base.getOrElse(baseName, -1.0)
-      // stall defense: a ratio past the superlinear flag threshold gets ONE
+      // stall defense (applies to EVERY probeRow caller — uniform AND skew
+      // sections): a ratio past the superlinear flag threshold gets ONE
       // re-measurement before it is believed — a single GC pause or page-
       // cache eviction on a sub-second base otherwise brands a linear plan
       // superlinear (observed: q_funnel 0.18 s base, one 9 s stalled probe
       // → ratio 52 on a run whose clean sibling read 1.4). A genuinely
       // superlinear plan still reads > 10 on the retry; the retry itself is
       // min-of-two, so this cannot HIDE a real regression, only a stall.
+      val retried = b > 0 && first >= 0 && first / b > 10.0
       val scaled =
-        if (b > 0 && first >= 0 && first / b > 10.0) {
+        if (retried) {
           val again = timed(fn, dir)
           if (again >= 0) math.min(first, again) else first
         } else first
       val ratio = if (scaled < 0 || b <= 0) -1.0 else scaled / b
-      (ratio, s""""$name":{"base":$b,"scaled":$scaled,"ratio":$ratio$extra}""")
+      // a row that survives the retry still > 10 carries its own contention
+      // witness: the fixed-cost sentinel re-measured AT THE ROW (historical
+      // quiet-box value ~0.1-0.17 s) — the r10 driver run published
+      // worst_skew_ratio 11.34 with only run-START contention samples, so
+      // the stall-vs-superlinear call could not be made from the artifact
+      val attribution =
+        if (ratio > 10.0) s""","retried":$retried,"stall_sentinel_sec":${sentinelSec()}"""
+        else if (retried) s""","retried":true"""
+        else ""
+      (ratio, s""""$name":{"base":$b,"scaled":$scaled,"ratio":$ratio$attribution$extra}""")
     }
     def cleanup(dir: String): Unit = {
       import scala.reflect.io.Directory
@@ -169,6 +180,9 @@ object Bench {
       val probeQueries = Seq("q_duty_cycle", "q_duty_cycle_prerolled",
         "q_rollup_1s", "q_timeseries_5s",
         "q_shared_shingles", "q_ngram_jaccard_pairs",
+        // capped-LSH pairs (r10 verdict #1): disjoint-vocab replicas keep
+        // the band-bucket structure, so candidate volume grows linearly
+        "q_minhash_lsh_pairs",
         "q_ann_topk", "q_ivf_topk", "q_embed_outliers",
         // chained per-user joins (funnel) and the broadcast-LM score: the
         // 10× user/vocabulary growth exercises their join sides honestly
@@ -240,18 +254,58 @@ object Bench {
           }
           math.min(once(), once())
         }
+        // Bytes-read per probe (VERDICT r10 #2): the ADC claim is a BYTE
+        // claim — the code-only candidate scan reads ~3 code bytes where the
+        // float scan reads 512 vector bytes per candidate — but local
+        // wall-clock cannot evidence it while the whole index is page-cache
+        // resident. Measure the scan bytes themselves: one instrumented run
+        // per mode, input bytes summed across tasks via the listener bus
+        // (polled to quiescence — the bus is async).
+        def bytesOf(run: => Unit): Long = {
+          val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (te.taskMetrics != null) {
+                bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead); ()
+              }
+          }
+          spark.sparkContext.addSparkListener(listener)
+          try {
+            run
+            var last = -1L; var stable = 0; var waited = 0
+            while (stable < 3 && waited < 10000) {
+              Thread.sleep(100); waited += 100
+              val cur = bytes.get()
+              if (cur == last) stable += 1 else { stable = 0; last = cur }
+            }
+            bytes.get()
+          } finally spark.sparkContext.removeSparkListener(listener)
+        }
         val idx = s"$probeDir/ivf_index"
         graft.ann.IvfIndex.materialize(
           spark, Tables.embeddings(spark, probeDir).select("vec_id", "embedding"), idx)
-        val qs = Tables.embeddings(spark, probeDir)
+        // materialize the query batch to its own tiny parquet: reading the
+        // 10 queries out of the full 10× embeddings table would charge every
+        // mode ~the whole table's bytes and drown the scan comparison
+        Tables.embeddings(spark, probeDir)
           .filter(col("vec_id") < 10).select("vec_id", "embedding")
+          .coalesce(1).write.mode("overwrite").parquet(s"$probeDir/ivf_queries")
+        val qs = spark.read.parquet(s"$probeDir/ivf_queries")
         val fl = t2(graft.ann.IvfIndex.search(spark, idx, qs, 3, 2).count())
         val adc = t2(graft.ann.IvfIndex.searchAdc(spark, idx, qs, 3, 2).count())
         val radc = t2(graft.ann.IvfIndex.searchRadc(spark, idx, qs, 3, 2).count())
+        val flB = bytesOf(graft.ann.IvfIndex.search(spark, idx, qs, 3, 2).count())
+        val adcB = bytesOf(graft.ann.IvfIndex.searchAdc(spark, idx, qs, 3, 2).count())
+        val radcB = bytesOf(graft.ann.IvfIndex.searchRadc(spark, idx, qs, 3, 2).count())
         s""","ivf_index_scale":{"corpus_factor":$factor,"float_probe_sec":$fl,""" +
           s""""adc_probe_sec":$adc,"radc_probe_sec":$radc,""" +
           s""""adc_vs_float":${if (fl > 0) adc / fl else -1.0},""" +
-          s""""radc_vs_float":${if (fl > 0) radc / fl else -1.0}}"""
+          s""""radc_vs_float":${if (fl > 0) radc / fl else -1.0},""" +
+          s""""float_probe_bytes":$flB,"adc_probe_bytes":$adcB,""" +
+          s""""radc_probe_bytes":$radcB,""" +
+          s""""adc_bytes_vs_float":${if (flB > 0) adcB.toDouble / flB else -1.0},""" +
+          s""""radc_bytes_vs_float":${if (flB > 0) radcB.toDouble / flB else -1.0}}"""
       } catch { case t: Throwable => s""","ivf_index_scale":{"error":"${jsonErr(t)}"}""" }
       cleanup(probeDir)
       val rows = uniformRows :+ twoSided :+ imageFixedBands :+ imageWideBands
@@ -336,9 +390,29 @@ object Bench {
         "q_lm_transition_score",
         // hot-orderkey join (AQE skew-join split)
         "q_star_join")
-      val rows = skewQueries.flatMap { name =>
+      val rows0 = skewQueries.flatMap { name =>
         SparkEntry.queries.get(name).map(fn => probeRow(name, name, skewDir, fn))
       }
+      // Degenerate-band-bucket twin for the capped LSH pass (VERDICT r10 #1):
+      // 30% of a SAME-SIZED corpus rewritten to ONE text, so every band
+      // bucket that text hashes into holds 0.3·n rows — the boilerplate
+      // slice that survives exact dedup upstream. The occupancy cap drops
+      // those buckets before the self-join; the uncapped collect_list form
+      // would have buffered 1500 sig structs in one aggregation row and
+      // emitted ~1.1M pairs from one task. Ratio is vs the 1× clean base
+      // (corpus size unchanged), so bounded ≈ 1 is the healthy reading.
+      val hotBucketDir = java.nio.file.Files.createTempDirectory("graft_lsh_hot").toString
+      Tables.documents(spark, sfDir)
+        .withColumn("text",
+          when(col("doc_id") % 10 < 3,
+            lit("zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9")).otherwise(col("text")))
+        .write.mode("overwrite").parquet(s"$hotBucketDir/documents.parquet")
+      val hotBucketRow = probeRow(
+        "q_minhash_lsh_pairs_hotbucket", "q_minhash_lsh_pairs", hotBucketDir,
+        SparkEntry.queries("q_minhash_lsh_pairs"),
+        extra = s""","hot_doc_frac":0.3,"work_factor":1""")
+      cleanup(hotBucketDir)
+      val rows = rows0 :+ hotBucketRow
       cleanup(skewDir)
       val worst = rows.map(_._1).filterNot(_ < 0).foldLeft(0.0)(math.max)
       (s""","scale_probe_skew":{"factor":$factor,"hot_doc_frac":0.3,"hot_event_frac":0.5,"hot_lineitem_frac":0.5,"queries":${rows.map(_._2).mkString("{", ",", "}")}}""",

@@ -349,4 +349,47 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("minhash LSH drops a planted hot band bucket and keeps in-cap pairs (VERDICT r10 #1)") {
+    // 20 identical docs: every band bucket they share holds 20 > cap(=8)
+    // rows, the degenerate-boilerplate case the occupancy cap exists for.
+    // Docs 100/101 are an identical in-cap pair (bucket occupancy 2) that
+    // must survive. The former collect_list form would have buffered all 20
+    // sig structs in one aggregation row and exploded 190 pairs from it.
+    val dir = java.nio.file.Files.createTempDirectory("dedup_hotbucket").toString
+    val hotN = 20L
+    import spark.implicits._
+    val hotDocs = (0L until hotN).map(i => (i, "alpha beta gamma delta epsilon zeta", "web"))
+    val pairDocs = Seq(
+      (100L, "one two three four five six seven", "web"),
+      (101L, "one two three four five six seven", "web"))
+    (hotDocs ++ pairDocs).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val pairs = DedupOps.minhashLshPairs(spark, dir)
+      .select("id_a", "id_b", "est_sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every pair inside the hot set is suppressed (its ONLY agreeing bands
+    // are the over-cap buckets)
+    val hotPairs = pairs.keys.filter { case (a, b) => a < hotN && b < hotN }
+    assert(hotPairs.isEmpty,
+      s"pairs from the over-cap bucket survived: ${hotPairs.take(3).toSeq}")
+    // the in-cap identical pair survives with full signature agreement
+    assert(pairs.get((100L, 101L)).contains(1.0),
+      s"in-cap pair lost (found: ${pairs.keys.toSeq.sorted})")
+
+    // the drop ledger is loud about exactly what was suppressed: the hot
+    // text's 4 band buckets, 20 rows each, under the floor cap of 8
+    val led = DedupOps.minhashLshDropped(spark, dir).head()
+    assert(led.getInt(0) == 8, s"cap ${led.getInt(0)} != 8")
+    assert(led.getLong(1) == 4, s"n_hot_buckets ${led.getLong(1)} != 4")
+    assert(led.getLong(2) == 4 * hotN, s"dropped_rows ${led.getLong(2)} != ${4 * hotN}")
+
+    // plan-shape pin: candidate generation is the equi-join form — no
+    // per-bucket collect_list aggregation anywhere in the pair plan
+    val plan = DedupOps.minhashLshPairs(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      "minhashLshPairs regressed to the per-bucket collect_list form")
+  }
+
 }

@@ -90,6 +90,9 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     assert(scans(graft.text.CurationOps.sharedShingles(spark, sfDir)) <= 2)
     assert(scans(graft.dedup.DedupOps.ngramJaccardPairs(spark, sfDir)) <= 3)
     assert(scans(graft.dedup.DedupOps.jaccardCappedPairs(spark, sfDir)) <= 3)
+    // the capped LSH rewrite (r10 verdict #1): occupancy count, cap scalar
+    // and both self-join sides all reuse ONE exchange over the minhash chain
+    assert(scans(graft.dedup.DedupOps.minhashLshPairs(spark, sfDir)) <= 2)
   }
 
   test("rollup partition filters prune via dynamic partition pruning") {
