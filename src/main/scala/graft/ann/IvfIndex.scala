@@ -181,27 +181,114 @@ object IvfIndex {
     */
   private val PqCodebookFile = "_PQ_CODEBOOK"
 
-  def currentPqCodebook(
-      spark: SparkSession, indexPath: String): IndexedSeq[IndexedSeq[Array[Double]]] = {
+  /** Per-segment schema-generation marker: present iff the segment's parquet
+    * files carry the `pq`/`rpq` code columns. When EVERY live segment
+    * carries it, the ADC searches can use cheap single-footer schema
+    * inference instead of the per-query all-footers merge job (r10
+    * advisory) — any footer then surfaces the code columns. Absent on
+    * segments written by pre-marker engine generations, which conservatively
+    * keeps the merge.
+    */
+  private val CodedMeta = "_CODED"
+
+  /** The governing codebook manifest's TEXT, if any: the newest segment's
+    * [[PqCodebookFile]] meta (committed atomically with a retrain's
+    * re-encoded rows — see [[recluster]]), falling back to the root-level
+    * install-time file. None ⇒ the deterministic md5 seed codebook.
+    */
+  private def pqManifestStamp(
+      spark: SparkSession, indexPath: String,
+      excludeBatch: Option[Long] = None): Option[String] =
+    newestMeta(spark, indexPath, PqCodebookFile, asOf = None, excludeBatch = excludeBatch)
+      .orElse {
+        val p = new org.apache.hadoop.fs.Path(indexPath, PqCodebookFile)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+          finally in.close()
+        }
+      }
+
+  /** Driver-side memo of parsed codebooks and the coded-marker sweep, keyed
+    * by index path and validated against a cheap stamp (live segment ids +
+    * root-manifest status) — the codebook manifest is install-once /
+    * swap-by-whole-segment-commit, so a parse is only repaid when the
+    * segment set or root file actually changed. Searches and absorbs stop
+    * paying a manifest open+parse (and the ADC paths an all-footers merge
+    * job) per call (r10 advisories).
+    */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, IndexedSeq[IndexedSeq[Array[Double]]])]()
+  private val codedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Boolean)]()
+
+  private[ann] def invalidateMetaCaches(indexPath: String): Unit = {
+    codebookCache.remove(indexPath)
+    codedCache.remove(indexPath)
+    ()
+  }
+
+  /** Cheap cache-validity token: the live segment ids plus the root
+    * manifest's (mtime, length). Every codebook-affecting event moves it —
+    * install writes the root file, retrain/recluster/compaction collapse
+    * segment ids, absorbs add one.
+    */
+  private def metaStamp(spark: SparkSession, indexPath: String): String = {
+    val ids = graft.sources.Segments.segmentIds(spark, indexPath)
     val p = new org.apache.hadoop.fs.Path(indexPath, PqCodebookFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) SimilarityOps.pqCodebook
-    else {
-      val in = fs.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      val rows = parseCents(text)
-      require(rows.size == SimilarityOps.PqM * SimilarityOps.PqK,
-        s"$p: expected ${SimilarityOps.PqM * SimilarityOps.PqK} codewords, got ${rows.size}")
-      // row LENGTH too: a 64-line manifest of wrong-width codewords (trained
-      // under a different Dim/PqM split, or hand-edited) would otherwise
-      // dot_arrays over mismatched lengths deep inside every encode and LUT
-      rows.zipWithIndex.foreach { case (r, i) =>
-        require(r.length == SimilarityOps.PqSubDim,
-          s"$p line ${i + 1}: codeword has ${r.length} coefficients, " +
-            s"expected ${SimilarityOps.PqSubDim}")
-      }
-      rows.grouped(SimilarityOps.PqK).toIndexedSeq
+    val root =
+      try {
+        val st = fs.getFileStatus(p)
+        s"${st.getModificationTime}:${st.getLen}"
+      } catch { case _: java.io.FileNotFoundException => "absent" }
+    s"${ids.mkString(",")}|$root"
+  }
+
+  def currentPqCodebook(
+      spark: SparkSession, indexPath: String): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val stamp = metaStamp(spark, indexPath)
+    val cached = codebookCache.get(indexPath)
+    if (cached != null && cached._1 == stamp) return cached._2
+    val cb = pqManifestStamp(spark, indexPath) match {
+      case None => SimilarityOps.pqCodebook
+      case Some(text) =>
+        val rows = parseCents(text)
+        require(rows.size == SimilarityOps.PqM * SimilarityOps.PqK,
+          s"$indexPath codebook manifest: expected " +
+            s"${SimilarityOps.PqM * SimilarityOps.PqK} codewords, got ${rows.size}")
+        // row LENGTH too: a 64-line manifest of wrong-width codewords (trained
+        // under a different Dim/PqM split, or hand-edited) would otherwise
+        // dot_arrays over mismatched lengths deep inside every encode and LUT
+        rows.zipWithIndex.foreach { case (r, i) =>
+          require(r.length == SimilarityOps.PqSubDim,
+            s"$indexPath codebook manifest line ${i + 1}: codeword has " +
+              s"${r.length} coefficients, expected ${SimilarityOps.PqSubDim}")
+        }
+        rows.grouped(SimilarityOps.PqK).toIndexedSeq
     }
+    codebookCache.put(indexPath, (stamp, cb))
+    cb
+  }
+
+  /** True iff every live segment carries the [[CodedMeta]] marker — the ADC
+    * paths then read with single-footer inference (every footer has the code
+    * columns) instead of the per-query distributed footer-merge job.
+    */
+  private def allSegmentsCoded(spark: SparkSession, indexPath: String): Boolean = {
+    val stamp = metaStamp(spark, indexPath)
+    val cached = codedCache.get(indexPath)
+    if (cached != null && cached._1 == stamp) return cached._2
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = graft.sources.Segments.segmentIds(spark, indexPath)
+    val coded = ids.nonEmpty && ids.forall(id =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/batch=$id", CodedMeta)))
+    codedCache.put(indexPath, (stamp, coded))
+    coded
   }
 
   /** Codebook shape gate shared by install and read: mis-shaped codebooks
@@ -223,22 +310,48 @@ object IvfIndex {
 
   def materialize(
       spark: SparkSession, embeddings: DataFrame, indexPath: String,
-      codebook: Option[IndexedSeq[IndexedSeq[Array[Double]]]] = None): Unit = {
-    codebook.foreach { cb =>
-      requireCodebookShape(cb)
-      val p = new org.apache.hadoop.fs.Path(indexPath, PqCodebookFile)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      require(!fs.exists(new org.apache.hadoop.fs.Path(indexPath)) ||
-        graft.sources.Segments.segmentIds(spark, indexPath).isEmpty,
-        s"$indexPath already holds segments encoded under another codebook — " +
-          "a trained codebook must be installed before the first absorb " +
-          "(retrain = rebuild, never an in-place swap)")
-      val out = fs.create(p, true)
-      try out.write(serializeCents(cb.flatten).getBytes("UTF-8")) finally out.close()
+      codebook: Option[IndexedSeq[IndexedSeq[Array[Double]]]] = None): Unit =
+    codebook match {
+      case None =>
+        appendBatch(spark, indexPath, embeddings, batchId = 0L)
+        recordBaseline(spark, indexPath)
+      case Some(cb) =>
+        // Codebook install rides the SAME lease a recluster holds (r10
+        // advisory): the former check-then-act (segments-empty check, then
+        // manifest write) let a concurrent appendBatch land a segment
+        // encoded under the md5 seed between the two, with the manifest then
+        // claiming trained — stored codes and query LUTs silently disagree.
+        // Under the lease, a concurrent absorb fails loudly at
+        // [[assertNotReclustering]] (or at its own post-write lease
+        // re-check); and if OUR first absorb aborts, the manifest is deleted
+        // on the way out so a later codebook-less materialize cannot
+        // silently inherit a trained manifest with no trained segments.
+        requireCodebookShape(cb)
+        withReclusterLease(spark, indexPath) { fs =>
+          val p = new org.apache.hadoop.fs.Path(indexPath, PqCodebookFile)
+          require(graft.sources.Segments.segmentIds(spark, indexPath).isEmpty,
+            s"$indexPath already holds segments encoded under another codebook — " +
+              "a trained codebook must be installed before the first absorb " +
+              "(retrain = recluster(retrainCodebook = true) or rebuild, never " +
+              "an in-place file swap)")
+          val out = fs.create(p, true)
+          try out.write(serializeCents(cb.flatten).getBytes("UTF-8")) finally out.close()
+          invalidateMetaCaches(indexPath)
+          try {
+            absorb(spark, indexPath, embeddings, batchId = 0L, checkLease = false)
+            recordBaseline(spark, indexPath)
+          } catch {
+            case t: Throwable =>
+              // abort path: no segment may be left encoded-less under a
+              // trained manifest — absorb already deleted its segment, so
+              // removing the manifest restores the pre-install state whole
+              try fs.delete(p, false)
+              catch { case _: java.io.IOException => () }
+              invalidateMetaCaches(indexPath)
+              throw t
+          }
+        }
     }
-    appendBatch(spark, indexPath, embeddings, batchId = 0L)
-    recordBaseline(spark, indexPath)
-  }
 
   /** Assign ONLY `embeddings` (vec_id, embedding) under the index's current
     * centroid set and absorb them as the `batch=<id>` segment — overwritten
@@ -251,9 +364,23 @@ object IvfIndex {
     * that id's queries — IvfIndexSpec pins this exclusion semantics.
     */
   def appendBatch(
-      spark: SparkSession, indexPath: String, embeddings: DataFrame, batchId: Long): Unit = {
+      spark: SparkSession, indexPath: String, embeddings: DataFrame, batchId: Long): Unit =
+    absorb(spark, indexPath, embeddings, batchId, checkLease = true)
+
+  /** [[appendBatch]] body; `checkLease = false` only for the caller that
+    * HOLDS the recluster lease itself ([[materialize]]'s codebook-install
+    * path) — every external absorb must see a live lease as a hard failure.
+    */
+  private def absorb(
+      spark: SparkSession, indexPath: String, embeddings: DataFrame, batchId: Long,
+      checkLease: Boolean): Unit = {
     VectorFunctions.register(spark)
-    assertNotReclustering(spark, indexPath)
+    if (checkLease) assertNotReclustering(spark, indexPath)
+    // codebook identity snapshot: the set we ENCODE under must still govern
+    // the index when our segment becomes live (see the re-check below). Our
+    // own batch id is excluded — a checkpoint replay's earlier attempt may
+    // have left the segment (and its codebook meta copy) behind.
+    val cbStampAtEntry = pqManifestStamp(spark, indexPath, excludeBatch = Some(batchId))
     val cents = currentCentroids(spark, indexPath)
     val baseline = baselineResidual(spark, indexPath)
     // `pq` = the vector's 8-code PQ vector, encoded once at absorb time (the
@@ -279,7 +406,7 @@ object IvfIndex {
     // snapshot with stale cell ids. Re-verify after the write; if a fresh
     // lease appeared, our segment must not become live: delete it and fail
     // (a streaming absorb's micro-batch fails and replays cleanly).
-    leaseInfo(spark, indexPath).foreach { case (fs, _, mtime) =>
+    if (checkLease) leaseInfo(spark, indexPath).foreach { case (fs, _, mtime) =>
       if (System.currentTimeMillis() - mtime < ReclusterLeaseTtlMs) {
         fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/batch=$batchId"), true)
         throw new IllegalStateException(
@@ -288,6 +415,22 @@ object IvfIndex {
             "deleted; retry after the recluster completes")
       }
     }
+    // Codebook stability re-check (r10 advisory): a codebook install
+    // ([[materialize]] with a trained set) or retrain
+    // ([[recluster]](retrainCodebook = true)) that completed entirely within
+    // our write window leaves this segment encoded under the OUTGOING
+    // codebook while the index manifest claims the new one — stored codes
+    // and query LUTs would silently disagree. Same remedy as the centroid
+    // race: the segment must not become live.
+    if (pqManifestStamp(spark, indexPath, excludeBatch = Some(batchId)) != cbStampAtEntry) {
+      val fs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/batch=$batchId"), true)
+      throw new IllegalStateException(
+        s"a PQ codebook was installed on $indexPath while batch=$batchId was being " +
+          "absorbed: the segment was encoded under the outgoing codebook and has " +
+          "been deleted; retry against the re-coded index")
+    }
     // recorded after the data so a half-written segment never becomes the
     // centroid source of truth; identical to every live segment's set anyway.
     // The fit-time residual baseline rides along unchanged: absorbing a batch
@@ -295,6 +438,16 @@ object IvfIndex {
     writeSegMeta(spark, s"$indexPath/batch=$batchId", CentroidsFile, serializeCents(cents))
     baseline.foreach(r =>
       writeSegMeta(spark, s"$indexPath/batch=$batchId", ResidualFile, r.toString))
+    // the governing codebook manifest rides along too (newest-segment
+    // precedence — see [[currentPqCodebook]]): a retrained codebook committed
+    // atomically as segment meta stays authoritative through later absorbs
+    cbStampAtEntry.foreach(text =>
+      writeSegMeta(spark, s"$indexPath/batch=$batchId", PqCodebookFile, text))
+    // schema-generation marker (r10 advisory): this segment's parquet files
+    // carry the pq/rpq code columns, so a search may skip the all-footers
+    // schema merge when EVERY live segment carries the marker
+    writeSegMeta(spark, s"$indexPath/batch=$batchId", CodedMeta, "pq,rpq")
+    invalidateMetaCaches(indexPath)
     // Final verification (r9 advisory): the lease re-check above cannot see
     // a recluster that acquired AND released entirely within our write
     // window — its compacted segment carries the NEW centroid set while our
@@ -430,10 +583,31 @@ object IvfIndex {
   /** Bound the segment count accreted by incremental absorbs — same
     * crash-safe protocol as the rollup's compactor, repartitioned so each
     * cell directory holds one file per run.
+    *
+    * The compacted segment carries the index's manifests as its meta: the
+    * generic compactor knows nothing of [[CentroidsFile]]/[[ResidualFile]]/
+    * [[PqCodebookFile]], so without the carry a full compaction
+    * (`protectLatest = false`) deleted every segment holding them and the
+    * index silently reverted to the DEFAULT centroid set — stored
+    * `centroid_id` assignments under a re-fit set, probes under the default
+    * (r11 self-review finding, spec-pinned). The [[CodedMeta]] marker is
+    * carried only when every source was marked: the rewrite merges schemas,
+    * so its output has the code columns iff some source did — all-marked is
+    * the conservative witness (plain compaction never re-encodes; legacy
+    * null codes stay null, as pinned).
     */
   def compactSegments(
-      spark: SparkSession, indexPath: String, protectLatest: Boolean = true): Int =
-    graft.sources.Segments.compact(spark, indexPath, Seq("centroid_id"), protectLatest)
+      spark: SparkSession, indexPath: String, protectLatest: Boolean = true): Int = {
+    val meta =
+      Map(CentroidsFile -> serializeCents(currentCentroids(spark, indexPath))) ++
+        baselineResidual(spark, indexPath).map(ResidualFile -> _.toString) ++
+        pqManifestStamp(spark, indexPath).map(PqCodebookFile -> _) ++
+        (if (allSegmentsCoded(spark, indexPath)) Some(CodedMeta -> "pq,rpq") else None)
+    val n = graft.sources.Segments.compact(
+      spark, indexPath, Seq("centroid_id"), protectLatest, meta = meta)
+    invalidateMetaCaches(indexPath)
+    n
+  }
 
   /** Segment ids the streaming absorber writes under (see
     * [[graft.dedup.LshIndex.StreamingSegmentBase]] — same discipline).
@@ -563,11 +737,13 @@ object IvfIndex {
     * legacy file, the column VANISHES and even fully-coded segments read as
     * uncoded. Merged, the union schema always surfaces it, with nulls
     * exactly on legacy rows (which the ADC rankings order last — see
-    * [[adcPoolRerank]]). The float [[search]] keeps the cheap single-footer
-    * read: its columns (vec_id, v, nn, centroid_id) exist in every
-    * generation, and the all-footers merge is a distributed job paid per
-    * query batch — real latency on a many-segment index, bought for nothing
-    * there.
+    * [[adcPoolRerank]]). The merge is a distributed all-footers job, so the
+    * ADC callers only pay it when a LEGACY segment is actually live:
+    * current-generation segments carry the [[CodedMeta]] marker, and
+    * [[allSegmentsCoded]] (memoized per segment set) downgrades an all-coded
+    * index to single-footer inference — any footer then has the columns.
+    * The float [[search]] never merges: its columns (vec_id, v, nn,
+    * centroid_id) exist in every generation.
     */
   private def indexFrame(
       spark: SparkSession, indexPath: String,
@@ -632,7 +808,8 @@ object IvfIndex {
     val lut = SimilarityOps.adcLutArr(q.select(col("qid"), col("qv")), "qid", "qv",
       currentPqCodebook(spark, indexPath))
     val index = withOptionalCodes(
-      indexFrame(spark, indexPath, asOf, excludeSegment, mergeSchema = true), "pq")
+      indexFrame(spark, indexPath, asOf, excludeSegment,
+        mergeSchema = !allSegmentsCoded(spark, indexPath)), "pq")
     // ADC phase: codes only — column pruning keeps `v` out of this scan;
     // candidates stay at vector granularity (the LUT array rides a one-row
     // broadcast join; the score is a flat 8-lookup projection, no grouped
@@ -710,7 +887,8 @@ object IvfIndex {
     val plut = SimilarityOps.radcLutArr(probeCells(q, nprobe, cents), cents,
       currentPqCodebook(spark, indexPath))
     val index = withOptionalCodes(
-      indexFrame(spark, indexPath, asOf, excludeSegment, mergeSchema = true), "rpq")
+      indexFrame(spark, indexPath, asOf, excludeSegment,
+        mergeSchema = !allSegmentsCoded(spark, indexPath)), "rpq")
     // one broadcast join does probe AND LUT delivery: the residual LUT row is
     // keyed by the same (qid, cell) pair the probe join matches on
     val adc = index.select(col("vec_id"), col("rpq"), col("centroid_id"))
@@ -748,21 +926,18 @@ object IvfIndex {
     *
     * @return number of Lloyd iterations run.
     */
-  def recluster(
-      spark: SparkSession,
-      indexPath: String,
-      maxIter: Int = 10,
-      tol: Double = 1e-9,
-      samplePpm: Long = 1000000L): Int = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    VectorFunctions.register(spark)
-    // Hold the recluster lease for the WHOLE run: concurrent absorbs fail
-    // loudly ([[assertNotReclustering]]) instead of landing segments whose
-    // cell ids the swap would silently invalidate. Exclusive-create wins the
-    // race between two reclusters; a stale lease (crashed run — its compact
-    // protocol left the data whole) is reclaimed by delete + retry.
+  /** Acquire the [[ReclusterLease]], heartbeat it from a daemon thread for
+    * the whole `body`, and release it on the way out — the mutual-exclusion
+    * shell [[recluster]] and [[materialize]]'s codebook install share.
+    * Exclusive-create wins the race between two holders; a stale lease
+    * (crashed run — the compact protocol left the data whole) is reclaimed
+    * by delete + retry.
+    */
+  private def withReclusterLease[T](spark: SparkSession, indexPath: String)(
+      body: org.apache.hadoop.fs.FileSystem => T): T = {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) fs.mkdirs(root)
     val lease = new org.apache.hadoop.fs.Path(root, ReclusterLease)
     def tryAcquire(): Boolean =
       try { val out = fs.create(lease, false); out.close(); true }
@@ -813,7 +988,48 @@ object IvfIndex {
     }, s"ivf-recluster-heartbeat-${root.getName}")
     beat.setDaemon(true)
     beat.start()
-    try {
+    try body(fs)
+    finally {
+      // Stop, then JOIN UNBOUNDED before deleting: a beat mid-write at
+      // release time would otherwise re-create the lease AFTER the delete
+      // (writeLeasePayload is an overwrite-create), leaving an orphan that
+      // reads live and blocks every absorb/recluster for a full TTL. The
+      // join is bounded in practice by one in-flight payload write (the
+      // loop exits at the next flag check) — a TTL-derived cap is NOT safe:
+      // with a short TTL a contended write outlives the cap and the
+      // resurrect race reappears.
+      beatStop.set(true)
+      beat.interrupt()
+      beat.join()
+      fs.delete(lease, false)
+    }
+  }
+
+  /** With `retrainCodebook = true`, the rewrite ALSO re-fits the PQ codebook
+    * (`codebookRounds` Lloyd rounds per subspace over the sampled residuals
+    * under the FITTED centroid set — the FAISS IndexIVFPQ train recipe) and
+    * re-encodes BOTH code columns under it; the new codebook manifest
+    * commits as meta of the same compacted segment as the re-encoded rows,
+    * so a crash anywhere leaves codes and manifest agreeing (the governed
+    * drift→retrain path the r10 verdict asked for — "retrain = rebuild"
+    * expressed as one atomic whole-index rewrite under the lease; searches
+    * during the rebuild serve the old generation until the promote).
+    * `maxIter = 0` keeps the centroid set and retrains the codebook alone.
+    */
+  def recluster(
+      spark: SparkSession,
+      indexPath: String,
+      maxIter: Int = 10,
+      tol: Double = 1e-9,
+      samplePpm: Long = 1000000L,
+      retrainCodebook: Boolean = false,
+      codebookRounds: Int = 2): Int = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    VectorFunctions.register(spark)
+    // Hold the recluster lease for the WHOLE run: concurrent absorbs fail
+    // loudly ([[assertNotReclustering]]) instead of landing segments whose
+    // cell ids the swap would silently invalidate.
+    withReclusterLease(spark, indexPath) { _ =>
     var cents = currentCentroids(spark, indexPath)
     // md5-keyed sample: deterministic across runs and engines
     val sample = sampled(read(spark, indexPath).select("vec_id", "v"), samplePpm).cache()
@@ -838,13 +1054,27 @@ object IvfIndex {
       cents = next
       iter += 1
     }
-    sample.unpersist()
     val fitted = cents
+    // Codebook retrain (under the same lease, over the same deterministic
+    // sample): per-subspace Lloyd on residuals under the FITTED set — the
+    // codewords must quantize the residual distribution the re-encoded index
+    // will actually store.
+    val newCodebook: Option[IndexedSeq[IndexedSeq[Array[Double]]]] =
+      if (!retrainCodebook) None
+      else Some(SimilarityOps.trainOnSubvectors(
+        SimilarityOps.pqSubvectorsOf(sample, onResiduals = true, fitted), codebookRounds))
+    sample.unpersist()
     // the post-fit residual baseline commits atomically with the swap: rows
     // are identical before and after the rewrite, so measuring against the
     // OLD segments under the FITTED centroids equals the post-commit value
     val postFitResidual =
       residualUnder(spark, read(spark, indexPath), fitted, samplePpm)
+    // the codebook manifest the compacted segment must carry: the freshly
+    // trained set, else the currently governing one (which may live as meta
+    // of a segment this compact is about to DELETE — without the carry, a
+    // recluster would silently revert a past retrain)
+    val cbManifest = newCodebook.map(cb => serializeCents(cb.flatten))
+      .orElse(pqManifestStamp(spark, indexPath))
     graft.sources.Segments.compact(
       spark, indexPath, Seq("centroid_id"), protectLatest = false,
       transform = { df =>
@@ -854,15 +1084,22 @@ object IvfIndex {
         // the recomputation is exact). A MIXED index surfaces the column
         // with nulls on legacy rows under schema merge — coalesce encodes
         // exactly those, so the compacted index is fully coded either way.
+        // A RETRAINED codebook invalidates every stored code: pq is then
+        // re-encoded unconditionally (carry-through is only exact under the
+        // SAME codeword set).
         // RESIDUAL codes are centroid-dependent: every row's rpq is
         // unconditionally re-encoded under the fitted set (carrying them —
         // the pq treatment — would leave [[searchRadc]] ranking with LUTs
         // built from centroids the codes were never relative to).
-        val cb = currentPqCodebook(spark, indexPath)
-        val withPq =
-          if (df.columns.contains("pq"))
-            df.withColumn("pq", coalesce(col("pq"), SimilarityOps.pqCodeCol("v", cb)))
-          else SimilarityOps.withPqCodes(df, "v", "pq", cb)
+        val cb = newCodebook.getOrElse(currentPqCodebook(spark, indexPath))
+        val withPq = newCodebook match {
+          case Some(_) =>
+            SimilarityOps.withPqCodes(df.drop("pq"), "v", "pq", cb)
+          case None =>
+            if (df.columns.contains("pq"))
+              df.withColumn("pq", coalesce(col("pq"), SimilarityOps.pqCodeCol("v", cb)))
+            else SimilarityOps.withPqCodes(df, "v", "pq", cb)
+        }
         withCentroidAssignment(withPq.drop("centroid_id").drop("rpq"), "v", fitted)
           .withColumn("r", SimilarityOps.residualCol("v", "centroid_id", fitted))
           .select(col("vec_id"), col("v"), col("nn"), col("pq"),
@@ -870,22 +1107,36 @@ object IvfIndex {
       },
       meta = Map(
         CentroidsFile -> serializeCents(fitted),
-        ResidualFile -> postFitResidual.toString),
+        ResidualFile -> postFitResidual.toString,
+        // the transform re-encodes every row, so the rewritten segment is
+        // fully coded regardless of its sources' generations
+        CodedMeta -> "pq,rpq") ++
+        cbManifest.map(PqCodebookFile -> _),
       force = true)
+    invalidateMetaCaches(indexPath)
     iter
-    } finally {
-      // Stop, then JOIN UNBOUNDED before deleting: a beat mid-write at
-      // release time would otherwise re-create the lease AFTER the delete
-      // (writeLeasePayload is an overwrite-create), leaving an orphan that
-      // reads live and blocks every absorb/recluster for a full TTL. The
-      // join is bounded in practice by one in-flight payload write (the
-      // loop exits at the next flag check) — a TTL-derived cap is NOT safe:
-      // with a short TTL a contended write outlives the cap and the
-      // resurrect race reappears.
-      beatStop.set(true)
-      beat.interrupt()
-      beat.join()
-      fs.delete(lease, false)
     }
+  }
+
+  /** [[maintainIfDrifted]] with the codebook included in the rebuild: when
+    * the drift ratio trips, the recluster re-fits centroids AND retrains the
+    * PQ codebook, re-encoding the whole index under both in one atomic
+    * commit — the governed path from "drift tripped" to "trained serving
+    * state restored" (r10 verdict #6). Cheap when healthy (one sampled
+    * aggregate, no rewrite).
+    */
+  def maintainIfDriftedRetrain(
+      spark: SparkSession,
+      indexPath: String,
+      threshold: Double = 1.5,
+      maxIter: Int = 10,
+      samplePpm: Long = 1000000L,
+      codebookRounds: Int = 2): (Double, Boolean) = {
+    val ratio = driftRatio(spark, indexPath, samplePpm)
+    if (ratio >= threshold) {
+      recluster(spark, indexPath, maxIter = maxIter, samplePpm = samplePpm,
+        retrainCodebook = true, codebookRounds = codebookRounds)
+      (ratio, true)
+    } else (ratio, false)
   }
 }

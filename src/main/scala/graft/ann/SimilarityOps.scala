@@ -1543,8 +1543,20 @@ object SimilarityOps {
       spark: SparkSession, sfDir: String, onResiduals: Boolean,
       cents: IndexedSeq[Array[Double]]): DataFrame = {
     VectorFunctions.register(spark)
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    pqSubvectorsOf(
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")),
+      onResiduals, cents)
+  }
+
+  /** [[pqSubvectors]] over an arbitrary `(vec_id, v double-array)` frame —
+    * the form [[graft.ann.IvfIndex.recluster]] trains on (its Lloyd sample
+    * of the STORED index, so codebook retraining needs no access to the
+    * original embeddings table).
+    */
+  private[ann] def pqSubvectorsOf(
+      e: DataFrame, onResiduals: Boolean,
+      cents: IndexedSeq[Array[Double]]): DataFrame = {
     val base =
       if (onResiduals)
         withCentroidAssignment(e, "v", cents)
@@ -1581,16 +1593,33 @@ object SimilarityOps {
     * it as an index manifest so every absorb and search uses the set the
     * stored codes were encoded under.
     */
+  /** Driver-side memo of trained codebooks (r10 advisory): training is a
+    * rounds×collect driver loop, and the registry builders that call it
+    * ([[pqTrain]], [[ivfRadcTrainedTopK]]) construct their DataFrames
+    * eagerly — without the memo, every plan INSPECTION of those frames (the
+    * ScaleSpec sweep pattern) re-paid the whole training job. Keyed by the
+    * full training recipe; only the default-centroid runs are memoized (a
+    * caller-supplied `cents` has no stable identity to key on).
+    */
+  private val trainedCbCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Int, Boolean), IndexedSeq[IndexedSeq[Array[Double]]]]()
+
   def pqTrainCodebooks(
       spark: SparkSession, sfDir: String,
       rounds: Int = 2, onResiduals: Boolean = true,
       cents: IndexedSeq[Array[Double]] = centroids): IndexedSeq[IndexedSeq[Array[Double]]] = {
-    val subs = pqSubvectors(spark, sfDir, onResiduals, cents).localCheckpoint()
-    try trainOnSubvectors(subs, rounds)
-    finally subs.unpersist() // checkpoint blocks are per-training scratch, not session state
+    def train(): IndexedSeq[IndexedSeq[Array[Double]]] = {
+      val subs = pqSubvectors(spark, sfDir, onResiduals, cents).localCheckpoint()
+      try trainOnSubvectors(subs, rounds)
+      finally { subs.unpersist(); () } // checkpoint blocks are per-training scratch, not session state
+    }
+    if (cents eq centroids)
+      trainedCbCache.computeIfAbsent((sfDir, rounds, onResiduals), _ => train())
+    else train()
   }
 
-  private def trainOnSubvectors(
+  private[ann] def trainOnSubvectors(
       subs: DataFrame, rounds: Int): IndexedSeq[IndexedSeq[Array[Double]]] = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     var cb: IndexedSeq[IndexedSeq[Array[Double]]] = pqCodebook
@@ -1620,13 +1649,13 @@ object SimilarityOps {
     */
   def pqTrain(spark: SparkSession, sfDir: String, rounds: Int = 2): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    // ONE subvector materialization serves training and the final ledger
-    // (the ledger plan keeps the checkpointed frame alive past this call, so
-    // the blocks release with it rather than under a finally here)
-    val subs = pqSubvectors(spark, sfDir, onResiduals = true, centroids).localCheckpoint()
-    val cb = trainOnSubvectors(subs, rounds)
+    // training goes through the memoized [[pqTrainCodebooks]] (which releases
+    // its own checkpoint scratch — the r10 LEAKCHECK item); the ledger then
+    // reads a LAZY subvector plan, so constructing this frame repeatedly
+    // costs one training per (sfDir, rounds) per JVM and zero live blocks
+    val cb = pqTrainCodebooks(spark, sfDir, rounds, onResiduals = true)
     def dsum6(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
-    subs
+    pqSubvectors(spark, sfDir, onResiduals = true, centroids)
       .select(col("m"), pqAssignCol(cb).as("code"), col("vm"))
       .groupBy("m", "code")
       .agg(count(lit(1)).as("n"),

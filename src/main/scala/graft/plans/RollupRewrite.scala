@@ -563,11 +563,17 @@ class RollupRewrite(
     * with the same values. At scale this turns "expand 100 TB of raw readings
     * ×5, then shuffle" into "expand the 1-second rollup ×5, then shuffle".
     *
-    * Conservative gates: every chain filter must sit BELOW the expand (be
-    * branch-independent) — TimeWindowing's validity filter for
-    * window % slide != 0 windows is branch-dependent and rejects — and every
-    * grouping must be a bare Expand-output attribute (the shape groupBy
-    * produces); anything else falls back to the raw plan.
+    * Conservative gates: a chain filter either sits BELOW the expand (is
+    * branch-independent, so it maps onto the rollup scan like the non-Expand
+    * path) or — a filter that sat ABOVE the expand, e.g. a dashboard tile's
+    * bound on the window start — must be a pure function of the Aggregate's
+    * own GROUPING definitions: filtering rows by a grouping value commutes
+    * with the aggregation, so the same condition filters the replayed
+    * Expand's output instead, exactly. TimeWindowing's validity filter for
+    * window % slide != 0 windows references raw `time` besides the window
+    * and still rejects. Every grouping must be a bare Expand-output
+    * attribute (the shape groupBy produces); anything else falls back to the
+    * raw plan.
     */
   private def tryRewriteExpand(
       groups: Seq[Expression],
@@ -580,18 +586,45 @@ class RollupRewrite(
     if (!(ServedKeys ++ measureNames).forall(rollupAttr.contains)) return None
     val epochAttr = rollupAttr("epoch_s")
 
-    // all filters must be branch-independent (they sat below the Expand)
-    val conds0 = branches.head._2
-    val condsShared = branches.forall { case (_, cs) =>
-      cs.length == conds0.length && cs.zip(conds0).forall { case (a, b) => a.semanticEquals(b) }
-    }
-    if (!condsShared) return None
-    val mappedConds = conds0.map(mapCond(_, rollupAttr, g))
-    if (mappedConds.exists(_.isEmpty)) return None
-
     val groupAttrs: Seq[AttributeReference] = groups.map {
       case a: AttributeReference => a
       case _ => return None
+    }
+    val groupIdSet = groupAttrs.map(_.exprId).toSet
+
+    // Classify each chain filter position: shared across branches (it sat
+    // below the Expand) → map onto the rollup scan; branch-dependent → hoist
+    // over the groupings (see the scaladoc) or reject.
+    val nConds = branches.head._2.length
+    if (!branches.forall(_._2.length == nConds)) return None
+    // re-express a branch's condition over the grouping ATTRIBUTES by
+    // collapsing every maximal subtree equal to a grouping's branch
+    // definition; exact only if nothing of the scan remains
+    def overGroups(cond: Expression, defs: Map[ExprId, Expression]): Option[Expression] = {
+      val subs: Seq[(Expression, AttributeReference)] =
+        groupAttrs.flatMap(a => defs.get(a.exprId).map(d => d -> a))
+      val out = cond.transformDown {
+        case e if subs.exists(_._1.semanticEquals(e)) =>
+          subs.find(_._1.semanticEquals(e)).get._2
+      }
+      if (out.references.forall(r => groupIdSet.contains(r.exprId))) Some(out) else None
+    }
+    val mappedConds = Seq.newBuilder[Expression] // below-expand: filter the rollup scan
+    val hoistedConds = Seq.newBuilder[Expression] // above-expand: filter the replayed expand
+    (0 until nConds).foreach { i =>
+      val c0 = branches.head._2(i)
+      if (branches.forall(_._2(i).semanticEquals(c0)))
+        mapCond(c0, rollupAttr, g) match {
+          case Some(m) => mappedConds += m
+          case None => return None
+        }
+      else {
+        val hs = branches.map { case (defs, cs) => overGroups(cs(i), defs) }
+        hs.head match {
+          case Some(h) if hs.forall(_.exists(_.semanticEquals(h))) => hoistedConds += h
+          case _ => return None
+        }
+      }
     }
     // each grouping's per-branch definition must map into rollup space
     val mappedGroupsPerBranch: Seq[Seq[Expression]] = branches.map { case (defs, _) =>
@@ -642,7 +675,7 @@ class RollupRewrite(
       rollupAttr.get(n).filter(h =>
         newAggExprs.flatten.exists(_.references.exists(_.exprId == h.exprId))))
     val measures: Seq[Attribute] = measureNames.map(rollupAttr) ++ usedOptional
-    val child = mappedConds.flatten
+    val child = mappedConds.result()
       .reduceOption(And)
       .map(Filter(_, rollup))
       .getOrElse(rollup)
@@ -650,7 +683,14 @@ class RollupRewrite(
       mappedGroupsPerBranch.map(_ ++ measures),
       groupAttrs ++ measures,
       child)
-    Some(Aggregate(groupAttrs, newAggExprs.map(_.get), expand))
+    // hoisted (grouping-functional) filters select whole replayed branches —
+    // the new Expand re-emits the grouping attrs under their original ids,
+    // so the condition applies verbatim
+    val filtered = hoistedConds.result()
+      .reduceOption(And)
+      .map(Filter(_, expand))
+      .getOrElse(expand: LogicalPlan)
+    Some(Aggregate(groupAttrs, newAggExprs.map(_.get), filtered))
   }
 
   /** Map a scan-space predicate onto rollup columns. Every atom must be a

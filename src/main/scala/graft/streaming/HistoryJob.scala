@@ -64,14 +64,15 @@ object HistoryJob {
   /** The DAG's operational policy (the reference's Airflow default_args,
     * `airflow_DAG.py:15-31`: retries=1, retry_delay=5 s, email_on_failure):
     * run `body`, retry up to `retries` times after `retryDelayMillis`, and on
-    * FINAL failure invoke the alert hook before rethrowing (Airflow then
-    * marks the task failed). The alert transport (the DAG's email) is
-    * deployment wiring — the hook is the engine-side seam for it.
+    * FINAL failure invoke the alert hook — with the total attempt count —
+    * before rethrowing (Airflow then marks the task failed). The alert
+    * transport (the DAG's email) is deployment wiring; [[failureLedger]] is
+    * the engine-native artifact form of it.
     */
   def withRetry[T](
       retries: Int,
       retryDelayMillis: Long,
-      onFailure: Throwable => Unit)(body: => T): T = {
+      onFailure: (Int, Throwable) => Unit)(body: => T): T = {
     var attempt = 0
     while (true) {
       try return body
@@ -80,12 +81,33 @@ object HistoryJob {
           attempt += 1
           Thread.sleep(retryDelayMillis)
         case scala.util.control.NonFatal(e) =>
-          try onFailure(e) catch { case scala.util.control.NonFatal(_) => () }
+          try onFailure(attempt + 1, e) catch { case scala.util.control.NonFatal(_) => () }
           throw e
       }
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** The engine-native form of the DAG's `email_on_failure`
+    * (`airflow_DAG.py:15-22`): an alert hook that appends one ledger row —
+    * (job, batch_id, attempts, error, alert time) — to a parquet table an
+    * operator (or a downstream monitor query) watches. Written per EXHAUSTED
+    * policy only, never on success or a recovered retry; append-mode with a
+    * single driver-side row, so a ledger write can itself fail without
+    * masking the job's own exception ([[withRetry]] swallows hook errors
+    * after the real failure is already decided).
+    */
+  def failureLedger(
+      spark: SparkSession, ledgerPath: String, job: String,
+      clock: () => Long = () => System.currentTimeMillis())
+      : (Long, Int, Throwable) => Unit =
+    (batchId, attempts, error) => {
+      import spark.implicits._
+      Seq((job, batchId, attempts, String.valueOf(error).take(1000), clock()))
+        .toDF("job", "batch_id", "attempts", "error", "alert_ts")
+        .coalesce(1)
+        .write.mode("append").parquet(ledgerPath)
+    }
 
   /** The Airflow cadence (`airflow_DAG.py:9-11`: every half-window of scaled
     * wall time) as a ProcessingTime-triggered stream: a rate source ticks the
@@ -102,7 +124,7 @@ object HistoryJob {
       clock: () => Long = () => System.currentTimeMillis(),
       retries: Int = 1,
       retryDelayMillis: Long = 5000L,
-      alert: (Long, Throwable) => Unit = (_, _) => ()): StreamingQuery =
+      alert: (Long, Int, Throwable) => Unit = (_, _, _) => ()): StreamingQuery =
     spark.readStream
       .format("rate")
       .option("rowsPerSecond", 1)
@@ -111,7 +133,8 @@ object HistoryJob {
       .trigger(cadence)
       .option("checkpointLocation", s"$outPath/_checkpoints")
       .foreachBatch { (_: DataFrame, batchId: Long) =>
-        withRetry(retries, retryDelayMillis, alert(batchId, _)) {
+        withRetry(retries, retryDelayMillis,
+          (attempts, e) => alert(batchId, attempts, e)) {
           // overwrite, not append: each batch owns its directory, and a retry
           // after a partial first attempt must replace any part-files that
           // already committed — append would duplicate them silently

@@ -57,23 +57,62 @@ class HistoryJobSpec extends AnyFunSuite with SharedSpark {
   test("retry policy: one retry recovers a flaky run, final failure alerts once") {
     // flaky: first attempt throws, retry succeeds — no alert
     var attempts = 0
-    var alerts = List.empty[String]
+    var alerts = List.empty[(Int, String)]
     val out = HistoryJob.withRetry(retries = 1, retryDelayMillis = 1L,
-      onFailure = e => alerts ::= e.getMessage) {
+      onFailure = (n, e) => alerts ::= (n, e.getMessage)) {
       attempts += 1
       if (attempts < 2) sys.error("transient") else "ok"
     }
     assert(out == "ok" && attempts == 2 && alerts.isEmpty)
-    // persistent: retries exhausted — alert fires once, exception propagates
+    // persistent: retries exhausted — alert fires once with the attempt
+    // count, exception propagates
     var attempts2 = 0
     val thrown = intercept[RuntimeException] {
       HistoryJob.withRetry(retries = 1, retryDelayMillis = 1L,
-        onFailure = e => alerts ::= e.getMessage) {
+        onFailure = (n, e) => alerts ::= (n, e.getMessage)) {
         attempts2 += 1
         sys.error("permanent")
       }
     }
-    assert(thrown.getMessage == "permanent" && attempts2 == 2 && alerts == List("permanent"))
+    assert(thrown.getMessage == "permanent" && attempts2 == 2 &&
+      alerts == List((2, "permanent")))
+  }
+
+  test("failure ledger: one row per exhausted policy, none on success (VERDICT r10 #5)") {
+    // the email_on_failure artifact: exhausting the retry policy writes one
+    // (job, batch_id, attempts, error, alert_ts) row; success and a
+    // recovered retry write nothing
+    val ledger = java.nio.file.Files.createTempDirectory("history_ledger").toString + "/rows"
+    val alert = HistoryJob.failureLedger(spark, ledger, "history_avg", clock = () => 42L)
+    // success path — no ledger rows (the path does not even exist)
+    HistoryJob.withRetry(retries = 1, retryDelayMillis = 1L,
+      (n, e) => alert(7L, n, e)) { "ok" }
+    // recovered retry — still nothing
+    var flaky = 0
+    HistoryJob.withRetry(retries = 1, retryDelayMillis = 1L,
+      (n, e) => alert(7L, n, e)) {
+      flaky += 1; if (flaky < 2) sys.error("transient") else "ok"
+    }
+    assert(!new java.io.File(ledger).exists(), "ledger written without an exhausted policy")
+    // exhaustion — exactly one row carrying the policy's full story
+    intercept[RuntimeException] {
+      HistoryJob.withRetry(retries = 1, retryDelayMillis = 1L,
+        (n, e) => alert(7L, n, e)) { sys.error("permanent") }
+    }
+    val rows = spark.read.parquet(ledger).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("job") == "history_avg")
+    assert(r.getAs[Long]("batch_id") == 7L)
+    assert(r.getAs[Int]("attempts") == 2)
+    assert(r.getAs[String]("error").contains("permanent"))
+    assert(r.getAs[Long]("alert_ts") == 42L)
+    // a second exhausted run APPENDS (the ledger is a history, not a flag)
+    intercept[RuntimeException] {
+      HistoryJob.withRetry(retries = 0, retryDelayMillis = 1L,
+        (n, e) => alert(8L, n, e)) { sys.error("again") }
+    }
+    assert(spark.read.parquet(ledger).count() == 2)
   }
 
   test("batch write is idempotent under retry: no duplicated rows after re-run") {

@@ -645,4 +645,132 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     assert(after.filter(col("rpq").isNull).count() > 0,
       "legacy rows keep their null codes through a plain compaction (no re-encode)")
   }
+
+  /** Residual-ADC recall vs exact brute force over the stored index. */
+  private def radcRecallAt(dir: String, qs: org.apache.spark.sql.DataFrame, k: Int): Double = {
+    val truth = bruteTopK(dir, qs, k)
+    val got = IvfIndex.searchRadc(spark, dir, qs, k = k, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    got.intersect(truth).size.toDouble / truth.size
+  }
+
+  test("drift-triggered retrain: one atomic rewrite re-fits cells AND codebook (VERDICT r10 #6)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_retrain").toString
+    IvfIndex.materialize(spark, embs, dir)
+    // a shifted population the md5 install centroids (and seed codebook's
+    // residual scale) never saw
+    val drifted = embs.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0)).as("embedding"))
+    IvfIndex.appendBatch(spark, dir, drifted, batchId = 1L)
+    assert(IvfIndex.driftRatio(spark, dir) >= 1.5, "setup: drift gate must trip")
+    val qs = embs.filter(col("vec_id") < 10)
+      .unionByName(drifted.filter(col("vec_id") < 100010L))
+    val beforeRecall = radcRecallAt(dir, qs, k = 3)
+    val beforeRows = rows(IvfIndex.searchRadc(spark, dir, qs, k = 3, nprobe = 2))
+
+    // an IN-FLIGHT rebuild is invisible: the compactor's dot-prefixed temp
+    // dir (complete copy, manifest not yet written) must not leak its
+    // codebook or rows into reads — searches during the rebuild serve the
+    // old generation until the atomic promote
+    val tmp = new java.io.File(dir, ".compact_tmp.inflight-test")
+    assert(tmp.mkdirs())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tmp.toString, "_PQ_CODEBOOK"), "9.9,9.9\n")
+    assert(IvfIndex.currentPqCodebook(spark, dir).flatten.zip(SimilarityOps.pqCodebook.flatten)
+      .forall { case (a, b) => a.sameElements(b) },
+      "an in-flight rebuild's codebook leaked into reads")
+    assert(rows(IvfIndex.searchRadc(spark, dir, qs, k = 3, nprobe = 2))
+      .sameElements(beforeRows), "search saw the in-flight generation")
+    assert(new scala.reflect.io.Directory(tmp).deleteRecursively())
+
+    // the governed path: drift tripped → recluster + codebook retrain in one commit
+    val (ratio, ran) = IvfIndex.maintainIfDriftedRetrain(spark, dir, codebookRounds = 2)
+    assert(ran && ratio >= 1.5)
+    // one segment; the trained codebook manifest committed WITH it as meta
+    val segs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(segs.length == 1, s"retrain must commit one segment, got ${segs.map(_.getName).toSeq}")
+    assert(new java.io.File(segs.head, "_PQ_CODEBOOK").exists(),
+      "retrained codebook must commit as segment meta (atomic with the re-encoded rows)")
+    assert(new java.io.File(segs.head, "_CODED").exists(),
+      "rewritten segment must carry the schema-generation marker")
+    val trained = IvfIndex.currentPqCodebook(spark, dir)
+    assert(trained.flatten.zip(SimilarityOps.pqCodebook.flatten)
+      .exists { case (a, b) => !a.sameElements(b) },
+      "retrain left the md5 seed codebook in place")
+    // drift baseline reset; recall did not regress (measured improvement on
+    // the shifted corpus: the re-fit cells AND matched codewords both help)
+    assert(math.abs(IvfIndex.driftRatio(spark, dir) - 1.0) < 1e-12)
+    val afterRecall = radcRecallAt(dir, qs, k = 3)
+    info(f"residual-ADC recall@3: $beforeRecall%.3f (drifted, seed cb) -> $afterRecall%.3f (retrained)")
+    assert(afterRecall >= beforeRecall,
+      s"retrain regressed radc recall: $beforeRecall -> $afterRecall")
+    // codes and LUTs agree end-to-end: a full-width rerank reduces searchRadc
+    // to the float search, and every query still fills its k
+    val exact = rows(IvfIndex.search(spark, dir, qs, k = 3, nprobe = 2))
+    assert(rows(IvfIndex.searchRadc(spark, dir, qs, k = 3, nprobe = 2, rerank = 1000000))
+      .sameElements(exact), "post-retrain full-width searchRadc must equal the float search")
+    // a later absorb encodes under the retrained codebook and carries the
+    // manifest forward as its own segment meta
+    IvfIndex.appendBatch(spark, dir,
+      embs.select((col("vec_id") + 200000L).as("vec_id"), col("embedding")), batchId = 5000L)
+    assert(new java.io.File(s"$dir/batch=5000", "_PQ_CODEBOOK").exists(),
+      "absorb after a retrain must carry the governing codebook manifest forward")
+    assert(IvfIndex.currentPqCodebook(spark, dir).flatten.zip(trained.flatten)
+      .forall { case (a, b) => a.sameElements(b) },
+      "absorb changed the governing codebook")
+  }
+
+  test("full compaction carries the index manifests — centroids survive protectLatest=false (r11)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_compact_meta").toString
+    IvfIndex.materialize(spark, embs.filter(col("vec_id") % 2 === 0), dir)
+    IvfIndex.recluster(spark, dir, maxIter = 2) // move off the md5 default set
+    val refit = IvfIndex.currentCentroids(spark, dir)
+    assert(refit.zip(SimilarityOps.centroids).exists { case (a, b) => !a.sameElements(b) },
+      "setup: recluster must move the centroid set")
+    IvfIndex.appendBatch(spark, dir, embs.filter(col("vec_id") % 2 === 1), batchId = 7000L)
+    val before = rows(IvfIndex.search(spark, dir, queries(10), k = 3, nprobe = 2))
+    // the quiesced full fold: every manifest-bearing source segment is
+    // DELETED — before the r11 fix the index silently reverted to the
+    // default centroid set (probes under default, stored cells under refit)
+    IvfIndex.compactSegments(spark, dir, protectLatest = false)
+    assert(IvfIndex.currentCentroids(spark, dir).zip(refit)
+      .forall { case (a, b) => a.sameElements(b) },
+      "full compaction lost the fitted centroid manifest")
+    assert(IvfIndex.baselineResidual(spark, dir).nonEmpty,
+      "full compaction lost the drift baseline")
+    assert(rows(IvfIndex.search(spark, dir, queries(10), k = 3, nprobe = 2))
+      .sameElements(before), "search results changed across a plain compaction")
+    // both sources carried the coded marker, so the fold keeps it — the ADC
+    // fast path (single-footer schema) stays available
+    val seg = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(seg.forall(s => new java.io.File(s, "_CODED").exists()),
+      "compaction dropped the schema-generation marker of all-coded sources")
+  }
+
+  test("codebook install abort leaves no orphan manifest (ADVICE r10)") {
+    val cb = SimilarityOps.pqTrainCodebooks(spark, sfDir, rounds = 2, onResiduals = true)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_install_abort").toString
+    val boom = udf((_: Long) => {
+      if (true) throw new RuntimeException("boom: injected absorb failure")
+      Array(0.0f)
+    })
+    val failing = embs.withColumn("embedding", boom(col("vec_id")))
+    intercept[Throwable] {
+      IvfIndex.materialize(spark, failing, dir, codebook = Some(cb))
+    }
+    // the manifest written before the failed first absorb must be gone —
+    // a later codebook-less materialize starts from the default seed, not a
+    // silently inherited trained set with zero trained segments
+    assert(!new java.io.File(dir, "_PQ_CODEBOOK").exists(),
+      "aborted install left an orphan codebook manifest")
+    assert(!new java.io.File(dir, ".recluster_lease").exists(),
+      "aborted install left the lease held")
+    IvfIndex.materialize(spark, embs, dir)
+    assert(IvfIndex.currentPqCodebook(spark, dir).flatten.zip(SimilarityOps.pqCodebook.flatten)
+      .forall { case (a, b) => a.sameElements(b) },
+      "recovered index must serve under the default seed codebook")
+  }
 }

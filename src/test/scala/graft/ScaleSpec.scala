@@ -95,6 +95,46 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     assert(scans(graft.dedup.DedupOps.minhashLshPairs(spark, sfDir)) <= 2)
   }
 
+  test("rollup routing sweep: every lattice-servable catalog query routes (VERDICT r10 #7)") {
+    // With the rule installed, walk the WHOLE declared catalog and pin the
+    // set of queries whose optimized plan serves from the rollup instead of
+    // the raw events scan. Two regression directions are caught: a query in
+    // the pinned set falling back to raw (a routing regression — the exact
+    // silent cost creep this sweep exists for), and a new routable query
+    // staying unpinned (the set must be updated CONSCIOUSLY, with the
+    // routing verified). Queries not over the power-readings view (docs,
+    // embeddings, TPC-H) can never route and are implicitly pinned absent.
+    val rollupDir = java.nio.file.Files.createTempDirectory("sweep_rollup").toString
+    graft.sources.RollupTable.materialize(spark, sfDir, rollupDir)
+    graft.plans.RollupRewrite.install(
+      spark, rollupDir, graft.operators.Grid.powerReadings(spark, sfDir))
+    try {
+      // rollup-only column names: any of them in the optimized plan means
+      // the aggregate was rewritten onto the rollup (raw events has none)
+      val marks = Seq("sum_power_dec", "cnt_power", "cnt_duty", "min_power",
+        "max_power", "hist_power")
+      val routed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
+        if (marks.exists(plan.contains)) Some(name) else None
+      }.toSet
+      val expected = Set(
+        "q_dash_duty_house", "q_dash_history_house", "q_duty_cycle",
+        "q_duty_cycle_prerolled", "q_duty_sum_by_appliance", "q_gap_fill",
+        "q_history_avg", "q_house_in_filter", "q_interval_union_filter",
+        "q_label_join", "q_percentile_tile", "q_percentile_tile_60s",
+        "q_pivot_power", "q_power_by_appliance", "q_power_by_house",
+        "q_rank_functions", "q_rollup_1s", "q_rollup_60s",
+        "q_timeseries_1s_house", "q_timeseries_5s", "q_top10_appliances",
+        "q_topk_per_house", "q_total_power")
+      assert(expected.subsetOf(routed),
+        s"routing regressed — lattice-servable queries fell back to raw: " +
+          s"${(expected -- routed).toSeq.sorted.mkString(", ")}")
+      assert(routed.subsetOf(expected),
+        s"newly-routed queries — verify results and add them to the pin: " +
+          s"${(routed -- expected).toSeq.sorted.mkString(", ")}")
+    } finally graft.plans.RollupRewrite.uninstall(spark)
+  }
+
   test("rollup partition filters prune via dynamic partition pruning") {
     import graft.sources.RollupTable
     val dir = java.nio.file.Files.createTempDirectory("dpp_rollup").toString
