@@ -477,6 +477,21 @@ object IvfIndex {
   def read(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.option("basePath", indexPath).parquet(indexPath).drop("batch")
 
+  /** The distinct `centroid_id` partitions a query batch's nprobe schedule
+    * touches — what dynamic partition pruning bounds every search's scans
+    * to. Exposed for capacity accounting (the bench derives per-mode scan
+    * bytes from these cells' parquet column-chunk metadata) and for
+    * operators sizing cache/locality by probe footprint.
+    */
+  def probedCells(
+      spark: SparkSession, indexPath: String, queries: DataFrame, nprobe: Int,
+      asOf: Option[Long] = None): Seq[Int] = {
+    VectorFunctions.register(spark)
+    probeCells(withNorm(queries, "qid", "qv", "qn"), nprobe,
+      currentCentroids(spark, indexPath, asOf))
+      .select("probe").distinct().collect().map(_.getInt(0)).sorted.toSeq
+  }
+
   /** Snapshot read — the index exactly as it stood after `maxBatch` was
     * absorbed ([[graft.sources.Segments.readAsOf]] contract: live ids are
     * valid snapshot points; compaction collapses older ones, and a collapsed

@@ -139,6 +139,15 @@ object LshIndex {
     * with the standard minhash agreement estimate on the pair. Self-matches
     * (a probe doc already absorbed into the index) are dropped by id.
     * Output: (probe_id, index_id, n_eq, est_sim).
+    *
+    * With `occupancyCap` set, stored band buckets holding more than that
+    * many rows are excluded from matching on BOTH sides — the
+    * [[graft.dedup.FingerprintIndex.candidates]] discipline in minhash
+    * space: a degenerate bucket (boilerplate slice surviving exact dedup)
+    * otherwise emits O(bucket) candidates per matching probe row, every
+    * micro-batch, forever. A pair still surfaces through any surviving
+    * agreeing band; [[graft.dedup.DedupOps.lshBucketCap]]-style relative
+    * caps are the usual choice of value.
     */
   def candidates(
       spark: SparkSession,
@@ -146,15 +155,15 @@ object LshIndex {
       probeDocs: DataFrame,
       broadcastQuery: Boolean = true,
       excludeSegment: Option[Long] = None,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None,
+      occupancyCap: Option[Int] = None): DataFrame = {
     val probe0 = bandTable(probeDocs).select(
       Seq(col("doc_id").as("probe_id"), col("sig").as("probe_sig"), col("band_idx")) ++
         keyCols.map(col): _*)
-    val probe = if (broadcastQuery) broadcast(probe0) else probe0
     // `asOf` pins the index side to a snapshot (re-running a past probe
     // after the stream moved on); `excludeSegment` is the replay-determinism
     // exclusion — orthogonal, composable, both partition-pruned on `batch`
-    val index = (asOf, excludeSegment) match {
+    val index0 = (asOf, excludeSegment) match {
       case (None, None) => read(spark, indexPath)
       case _ =>
         val snap = asOf
@@ -166,6 +175,22 @@ object LshIndex {
         excludeSegment.map(id => snap.filter(col("batch") =!= id)).getOrElse(snap)
           .drop("batch")
     }
+    // hot buckets are judged against the STORED index (the side whose
+    // occupancy the ingest metric watches); the probe batch rides the same
+    // anti-join, all in-plan (no driver action — candidates stays a lazy
+    // builder a stream can construct per micro-batch for free)
+    val bucketKeys = Seq("band_idx") ++ keyCols
+    val (index, probe1) = occupancyCap match {
+      case None => (index0, probe0)
+      case Some(cap) =>
+        val hot = index0.groupBy(bucketKeys.map(col): _*)
+          .agg(count(lit(1)).as("occ"))
+          .filter(col("occ") > cap)
+          .select(bucketKeys.map(col): _*)
+        (index0.join(broadcast(hot), bucketKeys, "left_anti"),
+          probe0.join(broadcast(hot), bucketKeys, "left_anti"))
+    }
+    val probe = if (broadcastQuery) broadcast(probe1) else probe1
     index
       .join(probe, Seq("band_idx") ++ keyCols)
       .filter(col("doc_id") =!= col("probe_id"))

@@ -198,4 +198,32 @@ class LshIndexSpec extends AnyFunSuite with SharedSpark {
     assert(bandKeyShuffles.isEmpty,
       s"index side shuffled on band keys: ${bandKeyShuffles.mkString("; ")}\n$plan")
   }
+
+  test("occupancy cap drops a planted hot stored bucket; in-cap matches survive (r11)") {
+    // a boilerplate-heavy slice absorbed into the index: 20 identical docs
+    // share every band bucket (occupancy 20 > cap 8), so EVERY probe that
+    // hashes into those buckets would otherwise emit 20 candidates per band,
+    // every micro-batch, forever — the FingerprintIndex.candidates
+    // discipline applied to minhash space
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lsh_hot").toString
+    val hotText = "alpha beta gamma delta epsilon zeta"
+    val stored = ((0L until 20L).map(i => (i, hotText)) :+
+      (100L, "one two three four five six seven")).toDF("doc_id", "text")
+    LshIndex.materialize(spark, stored, dir)
+    // probe: one doc matching the hot bucket, one matching the in-cap doc
+    val probe = Seq((500L, hotText), (501L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val capped = LshIndex.candidates(
+        spark, dir, probe, occupancyCap = Some(graft.dedup.DedupOps.lshBucketCap(21)))
+      .select("probe_id", "index_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(_._1 == 500L),
+      s"hot-bucket candidates survived the cap: ${capped.filter(_._1 == 500L).take(3)}")
+    assert(capped.contains((501L, 100L)), s"in-cap match lost (got $capped)")
+    // uncapped, the hot probe emits all 20 — the volume the cap exists to bound
+    val uncapped = LshIndex.candidates(spark, dir, probe)
+      .filter(col("probe_id") === 500L).count()
+    assert(uncapped == 20L, s"setup: expected 20 hot candidates, got $uncapped")
+  }
 }
