@@ -265,13 +265,16 @@ object Bench {
         // the columns each mode's candidate scan reads, over exactly the
         // `centroid_id` partitions the probe schedule touches (what DPP
         // bounds the scan to).
-        def columnBytes(idx: String, cells: Seq[Int], cols: Set[String]): Long = {
+        // one listing + one footer parse per file, tallying every top-level
+        // column's chunk bytes — the three mode figures then read from the
+        // same map instead of re-listing and re-parsing per mode
+        def columnBytes(idx: String, cells: Seq[Int]): Map[String, Long] = {
           val conf = spark.sparkContext.hadoopConfiguration
           val root = new org.apache.hadoop.fs.Path(idx)
           val fs = root.getFileSystem(conf)
           val cellDirs = cells.map(c => s"centroid_id=$c/").toSet
           val it = fs.listFiles(root, true)
-          var total = 0L
+          val totals = scala.collection.mutable.Map.empty[String, Long]
           while (it.hasNext) {
             val f = it.next()
             val p = f.getPath.toString
@@ -280,13 +283,13 @@ object Bench {
                 org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
               try rd.getFooter.getBlocks.forEach { b =>
                 b.getColumns.forEach { c =>
-                  if (cols.contains(c.getPath.toDotString.split("\\.").head))
-                    total += c.getTotalSize
+                  val top = c.getPath.toDotString.split("\\.").head
+                  totals(top) = totals.getOrElse(top, 0L) + c.getTotalSize
                 }
               } finally rd.close()
             }
           }
-          total
+          totals.toMap.withDefaultValue(0L)
         }
         val idx = s"$probeDir/ivf_index"
         graft.ann.IvfIndex.materialize(
@@ -308,9 +311,10 @@ object Bench {
         // makes its worst case the float figure, which is why rerank is
         // BOUNDED; the candidate phase is where the corpus-scale bytes live.)
         val cells = graft.ann.IvfIndex.probedCells(spark, idx, qs, 2)
-        val flB = columnBytes(idx, cells, Set("vec_id", "v", "nn"))
-        val adcB = columnBytes(idx, cells, Set("vec_id", "pq"))
-        val radcB = columnBytes(idx, cells, Set("vec_id", "rpq"))
+        val colB = columnBytes(idx, cells)
+        val flB = colB("vec_id") + colB("v") + colB("nn")
+        val adcB = colB("vec_id") + colB("pq")
+        val radcB = colB("vec_id") + colB("rpq")
         s""","ivf_index_scale":{"corpus_factor":$factor,"float_probe_sec":$fl,""" +
           s""""adc_probe_sec":$adc,"radc_probe_sec":$radc,""" +
           s""""adc_vs_float":${if (fl > 0) adc / fl else -1.0},""" +
@@ -575,20 +579,24 @@ object Bench {
       // for one trained on this index's own residuals. maxIter=0 keeps the
       // centroid set, isolating the codebook's effect; the wall-clock is the
       // honest whole-index-rewrite cost the drift policy pays when it trips.
-      def radcHits(): Long = {
+      def adcHits(mode: String): Long = {
         val qs10 = embs.filter(col("vec_id") < 10)
         val ex = graft.ann.IvfIndex.search(spark, s"$base/ivf", qs10, 3, 2)
           .select(col("qid"), col("cid"))
-        val ap = graft.ann.IvfIndex.searchRadc(spark, s"$base/ivf", qs10, 3, 2)
-          .select(col("qid").as("aq"), col("cid").as("ac"))
+        val approx =
+          if (mode == "radc") graft.ann.IvfIndex.searchRadc(spark, s"$base/ivf", qs10, 3, 2)
+          else graft.ann.IvfIndex.searchAdc(spark, s"$base/ivf", qs10, 3, 2)
+        val ap = approx.select(col("qid").as("aq"), col("cid").as("ac"))
         ex.join(ap, col("qid") === col("aq") && col("cid") === col("ac")).count()
       }
-      val radcHitsSeed = radcHits()
+      val radcHitsSeed = adcHits("radc")
+      val adcHitsSeed = adcHits("adc")
       val tRetrain = System.nanoTime()
       graft.ann.IvfIndex.recluster(
         spark, s"$base/ivf", maxIter = 0, retrainCodebook = true)
       val codebookRetrainSec = (System.nanoTime() - tRetrain) / 1e9
-      val radcHitsTrained = radcHits()
+      val radcHitsTrained = adcHits("radc")
+      val adcHitsTrained = adcHits("adc")
       // hamming fingerprint index: one-shot = rehash + all-band self-join of
       // the whole image corpus; probe = a 2% batch against the stored bands
       // (zero-shuffle broadcast probe)
@@ -637,6 +645,8 @@ object Bench {
           if (ivfSearchSec > 0) ivfAdcSearchSec / ivfSearchSec else -1.0},""" +
         s""""ivf_radc_hits30_seed":$radcHitsSeed,""" +
         s""""ivf_radc_hits30_trained":$radcHitsTrained,""" +
+        s""""ivf_adc_hits30_seed":$adcHitsSeed,""" +
+        s""""ivf_adc_hits30_trained":$adcHitsTrained,""" +
         s""""codebook_retrain_sec":$codebookRetrainSec,""" +
         s"""${leg("fp_hamming_candidates", fpFullSec, fpProbeSec)},""" +
         s"""${leg("neardup_labels_via_pairstore", pairFullSec, pairServedSec)},""" +

@@ -181,6 +181,19 @@ object IvfIndex {
     */
   private val PqCodebookFile = "_PQ_CODEBOOK"
 
+  /** Manifest of the codebook governing the RAW-vector `pq` codes, when it
+    * differs from [[PqCodebookFile]]. A codebook trained on RESIDUALS
+    * (centered near 0) carries almost no ranking signal for raw subvectors
+    * sitting a centroid-magnitude away — encoding `pq` under it would
+    * silently collapse [[searchAdc]] quality (r11 review finding). So the
+    * governed retrain trains and commits BOTH: residuals → [[PqCodebookFile]]
+    * (serves `rpq`/[[searchRadc]]), raw subvectors → this file (serves
+    * `pq`/[[searchAdc]]). Fallback when absent: the shared [[PqCodebookFile]]
+    * manifest (the r10 install semantics — one installed codebook governed
+    * both), then the md5 seed.
+    */
+  private val PqCodebookRawFile = "_PQ_CODEBOOK_RAW"
+
   /** Per-segment schema-generation marker: present iff the segment's parquet
     * files carry the `pq`/`rpq` code columns. When EVERY live segment
     * carries it, the ADC searches can use cheap single-footer schema
@@ -196,12 +209,12 @@ object IvfIndex {
     * re-encoded rows — see [[recluster]]), falling back to the root-level
     * install-time file. None ⇒ the deterministic md5 seed codebook.
     */
-  private def pqManifestStamp(
-      spark: SparkSession, indexPath: String,
-      excludeBatch: Option[Long] = None): Option[String] =
-    newestMeta(spark, indexPath, PqCodebookFile, asOf = None, excludeBatch = excludeBatch)
+  private def manifestStamp(
+      spark: SparkSession, indexPath: String, name: String,
+      excludeBatch: Option[Long]): Option[String] =
+    newestMeta(spark, indexPath, name, asOf = None, excludeBatch = excludeBatch)
       .orElse {
-        val p = new org.apache.hadoop.fs.Path(indexPath, PqCodebookFile)
+        val p = new org.apache.hadoop.fs.Path(indexPath, name)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(p)) None
         else {
@@ -210,6 +223,19 @@ object IvfIndex {
           finally in.close()
         }
       }
+
+  private def pqManifestStamp(
+      spark: SparkSession, indexPath: String,
+      excludeBatch: Option[Long] = None): Option[String] =
+    manifestStamp(spark, indexPath, PqCodebookFile, excludeBatch)
+
+  /** The RAW-code codebook manifest's text, if any dedicated one governs —
+    * see [[PqCodebookRawFile]]; None means "shared manifest or seed".
+    */
+  private def pqRawManifestStamp(
+      spark: SparkSession, indexPath: String,
+      excludeBatch: Option[Long] = None): Option[String] =
+    manifestStamp(spark, indexPath, PqCodebookRawFile, excludeBatch)
 
   /** Driver-side memo of parsed codebooks and the coded-marker sweep, keyed
     * by index path and validated against a cheap stamp (live segment ids +
@@ -221,58 +247,81 @@ object IvfIndex {
     */
   private val codebookCache =
     new java.util.concurrent.ConcurrentHashMap[
-      String, (String, IndexedSeq[IndexedSeq[Array[Double]]])]()
+      (String, String), (String, IndexedSeq[IndexedSeq[Array[Double]]])]()
   private val codedCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Boolean)]()
 
   private[ann] def invalidateMetaCaches(indexPath: String): Unit = {
-    codebookCache.remove(indexPath)
+    codebookCache.remove((indexPath, PqCodebookFile))
+    codebookCache.remove((indexPath, PqCodebookRawFile))
     codedCache.remove(indexPath)
     ()
   }
 
-  /** Cheap cache-validity token: the live segment ids plus the root
-    * manifest's (mtime, length). Every codebook-affecting event moves it —
-    * install writes the root file, retrain/recluster/compaction collapse
+  /** Cheap cache-validity token: the live segment ids plus both root
+    * manifests' (mtime, length). Every codebook-affecting event moves it —
+    * install writes a root file, retrain/recluster/compaction collapse
     * segment ids, absorbs add one.
     */
   private def metaStamp(spark: SparkSession, indexPath: String): String = {
     val ids = graft.sources.Segments.segmentIds(spark, indexPath)
-    val p = new org.apache.hadoop.fs.Path(indexPath, PqCodebookFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val root =
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rootStat(name: String): String =
       try {
-        val st = fs.getFileStatus(p)
+        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(indexPath, name))
         s"${st.getModificationTime}:${st.getLen}"
       } catch { case _: java.io.FileNotFoundException => "absent" }
-    s"${ids.mkString(",")}|$root"
+    s"${ids.mkString(",")}|${rootStat(PqCodebookFile)}|${rootStat(PqCodebookRawFile)}"
   }
 
-  def currentPqCodebook(
-      spark: SparkSession, indexPath: String): IndexedSeq[IndexedSeq[Array[Double]]] = {
-    val stamp = metaStamp(spark, indexPath)
-    val cached = codebookCache.get(indexPath)
-    if (cached != null && cached._1 == stamp) return cached._2
-    val cb = pqManifestStamp(spark, indexPath) match {
-      case None => SimilarityOps.pqCodebook
-      case Some(text) =>
-        val rows = parseCents(text)
-        require(rows.size == SimilarityOps.PqM * SimilarityOps.PqK,
-          s"$indexPath codebook manifest: expected " +
-            s"${SimilarityOps.PqM * SimilarityOps.PqK} codewords, got ${rows.size}")
-        // row LENGTH too: a 64-line manifest of wrong-width codewords (trained
-        // under a different Dim/PqM split, or hand-edited) would otherwise
-        // dot_arrays over mismatched lengths deep inside every encode and LUT
-        rows.zipWithIndex.foreach { case (r, i) =>
-          require(r.length == SimilarityOps.PqSubDim,
-            s"$indexPath codebook manifest line ${i + 1}: codeword has " +
-              s"${r.length} coefficients, expected ${SimilarityOps.PqSubDim}")
-        }
-        rows.grouped(SimilarityOps.PqK).toIndexedSeq
+  private def parseCodebookManifest(
+      indexPath: String, text: String): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val rows = parseCents(text)
+    require(rows.size == SimilarityOps.PqM * SimilarityOps.PqK,
+      s"$indexPath codebook manifest: expected " +
+        s"${SimilarityOps.PqM * SimilarityOps.PqK} codewords, got ${rows.size}")
+    // row LENGTH too: a 64-line manifest of wrong-width codewords (trained
+    // under a different Dim/PqM split, or hand-edited) would otherwise
+    // dot_arrays over mismatched lengths deep inside every encode and LUT
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.length == SimilarityOps.PqSubDim,
+        s"$indexPath codebook manifest line ${i + 1}: codeword has " +
+          s"${r.length} coefficients, expected ${SimilarityOps.PqSubDim}")
     }
-    codebookCache.put(indexPath, (stamp, cb))
+    rows.grouped(SimilarityOps.PqK).toIndexedSeq
+  }
+
+  private def cachedCodebook(
+      spark: SparkSession, indexPath: String, name: String)(
+      resolve: => Option[String]): Option[IndexedSeq[IndexedSeq[Array[Double]]]] = {
+    val stamp = metaStamp(spark, indexPath)
+    val key = (indexPath, name)
+    val cached = codebookCache.get(key)
+    if (cached != null && cached._1 == stamp)
+      return if (cached._2 == null) None else Some(cached._2)
+    val cb = resolve.map(parseCodebookManifest(indexPath, _))
+    codebookCache.put(key, (stamp, cb.orNull))
     cb
   }
+
+  /** The codebook governing the RESIDUAL `rpq` codes (and [[searchRadc]]'s
+    * LUTs): newest-segment/root [[PqCodebookFile]] manifest, else the seed.
+    */
+  def currentPqCodebook(
+      spark: SparkSession, indexPath: String): IndexedSeq[IndexedSeq[Array[Double]]] =
+    cachedCodebook(spark, indexPath, PqCodebookFile)(pqManifestStamp(spark, indexPath))
+      .getOrElse(SimilarityOps.pqCodebook)
+
+  /** The codebook governing the RAW `pq` codes (and [[searchAdc]]'s LUTs):
+    * a dedicated [[PqCodebookRawFile]] manifest when a retrain committed
+    * one, else the shared [[PqCodebookFile]] manifest (r10 install
+    * semantics), else the seed.
+    */
+  def currentPqCodebookRaw(
+      spark: SparkSession, indexPath: String): IndexedSeq[IndexedSeq[Array[Double]]] =
+    cachedCodebook(spark, indexPath, PqCodebookRawFile)(pqRawManifestStamp(spark, indexPath))
+      .getOrElse(currentPqCodebook(spark, indexPath))
 
   /** True iff every live segment carries the [[CodedMeta]] marker — the ADC
     * paths then read with single-footer inference (every footer has the code
@@ -308,14 +357,25 @@ object IvfIndex {
     }
   }
 
+  /** `codebook` installs the trained set governing the RESIDUAL codes (and,
+    * absent `codebookRaw`, the raw codes too — the r10 single-manifest
+    * semantics). `codebookRaw` optionally installs a separate raw-subvector
+    * set for `pq`/[[searchAdc]] — a residual-trained codebook's codewords
+    * live near 0 and rank raw vectors poorly, so serving both ADC modes
+    * trained means installing both (what [[recluster]]'s retrain commits).
+    */
   def materialize(
       spark: SparkSession, embeddings: DataFrame, indexPath: String,
-      codebook: Option[IndexedSeq[IndexedSeq[Array[Double]]]] = None): Unit =
-    codebook match {
-      case None =>
+      codebook: Option[IndexedSeq[IndexedSeq[Array[Double]]]] = None,
+      codebookRaw: Option[IndexedSeq[IndexedSeq[Array[Double]]]] = None): Unit =
+    (codebook, codebookRaw) match {
+      case (None, None) =>
         appendBatch(spark, indexPath, embeddings, batchId = 0L)
         recordBaseline(spark, indexPath)
-      case Some(cb) =>
+      case _ =>
+        require(codebook.nonEmpty,
+          "codebookRaw without codebook: install the residual set too (a raw-only " +
+            "install would leave rpq under the seed while pq is trained — pass both)")
         // Codebook install rides the SAME lease a recluster holds (r10
         // advisory): the former check-then-act (segments-empty check, then
         // manifest write) let a concurrent appendBatch land a segment
@@ -323,19 +383,25 @@ object IvfIndex {
         // claiming trained — stored codes and query LUTs silently disagree.
         // Under the lease, a concurrent absorb fails loudly at
         // [[assertNotReclustering]] (or at its own post-write lease
-        // re-check); and if OUR first absorb aborts, the manifest is deleted
-        // on the way out so a later codebook-less materialize cannot
+        // re-check); and if OUR first absorb aborts, the manifests are
+        // deleted on the way out so a later codebook-less materialize cannot
         // silently inherit a trained manifest with no trained segments.
-        requireCodebookShape(cb)
+        codebook.foreach(requireCodebookShape)
+        codebookRaw.foreach(requireCodebookShape)
         withReclusterLease(spark, indexPath) { fs =>
-          val p = new org.apache.hadoop.fs.Path(indexPath, PqCodebookFile)
           require(graft.sources.Segments.segmentIds(spark, indexPath).isEmpty,
             s"$indexPath already holds segments encoded under another codebook — " +
               "a trained codebook must be installed before the first absorb " +
               "(retrain = recluster(retrainCodebook = true) or rebuild, never " +
               "an in-place file swap)")
-          val out = fs.create(p, true)
-          try out.write(serializeCents(cb.flatten).getBytes("UTF-8")) finally out.close()
+          val installed = Seq(
+            codebook.map(PqCodebookFile -> _),
+            codebookRaw.map(PqCodebookRawFile -> _)).flatten
+          installed.foreach { case (name, cbx) =>
+            val p = new org.apache.hadoop.fs.Path(indexPath, name)
+            val out = fs.create(p, true)
+            try out.write(serializeCents(cbx.flatten).getBytes("UTF-8")) finally out.close()
+          }
           invalidateMetaCaches(indexPath)
           try {
             absorb(spark, indexPath, embeddings, batchId = 0L, checkLease = false)
@@ -344,9 +410,11 @@ object IvfIndex {
             case t: Throwable =>
               // abort path: no segment may be left encoded-less under a
               // trained manifest — absorb already deleted its segment, so
-              // removing the manifest restores the pre-install state whole
-              try fs.delete(p, false)
-              catch { case _: java.io.IOException => () }
+              // removing the manifests restores the pre-install state whole
+              installed.foreach { case (name, _) =>
+                try fs.delete(new org.apache.hadoop.fs.Path(indexPath, name), false)
+                catch { case _: java.io.IOException => () }
+              }
               invalidateMetaCaches(indexPath)
               throw t
           }
@@ -376,11 +444,13 @@ object IvfIndex {
       checkLease: Boolean): Unit = {
     VectorFunctions.register(spark)
     if (checkLease) assertNotReclustering(spark, indexPath)
-    // codebook identity snapshot: the set we ENCODE under must still govern
-    // the index when our segment becomes live (see the re-check below). Our
-    // own batch id is excluded — a checkpoint replay's earlier attempt may
-    // have left the segment (and its codebook meta copy) behind.
+    // codebook identity snapshot (BOTH manifests): the sets we ENCODE under
+    // must still govern the index when our segment becomes live (see the
+    // re-check below). Our own batch id is excluded — a checkpoint replay's
+    // earlier attempt may have left the segment (and its codebook meta
+    // copies) behind.
     val cbStampAtEntry = pqManifestStamp(spark, indexPath, excludeBatch = Some(batchId))
+    val cbRawStampAtEntry = pqRawManifestStamp(spark, indexPath, excludeBatch = Some(batchId))
     val cents = currentCentroids(spark, indexPath)
     val baseline = baselineResidual(spark, indexPath)
     // `pq` = the vector's 8-code PQ vector, encoded once at absorb time (the
@@ -391,9 +461,10 @@ object IvfIndex {
     // IndexIVFPQ default, served by [[searchRadc]]) — centroid-DEPENDENT, so
     // a recluster must re-encode it (and does).
     val cb = currentPqCodebook(spark, indexPath)
+    val cbRaw = currentPqCodebookRaw(spark, indexPath)
     SimilarityOps.withPqCodes(
         withCentroidAssignment(withNorm(embeddings, "vec_id", "v", "nn"), "v", cents),
-        "v", "pq", cb)
+        "v", "pq", cbRaw)
       .withColumn("r", SimilarityOps.residualCol("v", "centroid_id", cents))
       .select(col("vec_id"), col("v"), col("nn"), col("pq"),
         SimilarityOps.pqCodeCol("r", cb).as("rpq"), col("centroid_id"))
@@ -422,7 +493,8 @@ object IvfIndex {
     // codebook while the index manifest claims the new one — stored codes
     // and query LUTs would silently disagree. Same remedy as the centroid
     // race: the segment must not become live.
-    if (pqManifestStamp(spark, indexPath, excludeBatch = Some(batchId)) != cbStampAtEntry) {
+    if (pqManifestStamp(spark, indexPath, excludeBatch = Some(batchId)) != cbStampAtEntry ||
+      pqRawManifestStamp(spark, indexPath, excludeBatch = Some(batchId)) != cbRawStampAtEntry) {
       val fs = new org.apache.hadoop.fs.Path(indexPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/batch=$batchId"), true)
@@ -438,11 +510,13 @@ object IvfIndex {
     writeSegMeta(spark, s"$indexPath/batch=$batchId", CentroidsFile, serializeCents(cents))
     baseline.foreach(r =>
       writeSegMeta(spark, s"$indexPath/batch=$batchId", ResidualFile, r.toString))
-    // the governing codebook manifest rides along too (newest-segment
+    // the governing codebook manifests ride along too (newest-segment
     // precedence — see [[currentPqCodebook]]): a retrained codebook committed
     // atomically as segment meta stays authoritative through later absorbs
     cbStampAtEntry.foreach(text =>
       writeSegMeta(spark, s"$indexPath/batch=$batchId", PqCodebookFile, text))
+    cbRawStampAtEntry.foreach(text =>
+      writeSegMeta(spark, s"$indexPath/batch=$batchId", PqCodebookRawFile, text))
     // schema-generation marker (r10 advisory): this segment's parquet files
     // carry the pq/rpq code columns, so a search may skip the all-footers
     // schema merge when EVERY live segment carries the marker
@@ -613,10 +687,16 @@ object IvfIndex {
     */
   def compactSegments(
       spark: SparkSession, indexPath: String, protectLatest: Boolean = true): Int = {
-    val meta =
+    // the manifest read is a BY-NAME argument, evaluated inside the
+    // compaction lease AFTER the copy: read eagerly here, a recluster
+    // committing new manifests between this read and the promote would be
+    // silently reverted by the stale stamp (r11 review finding) — under the
+    // lease, a concurrent recluster's own compact fails fast instead
+    def meta =
       Map(CentroidsFile -> serializeCents(currentCentroids(spark, indexPath))) ++
         baselineResidual(spark, indexPath).map(ResidualFile -> _.toString) ++
         pqManifestStamp(spark, indexPath).map(PqCodebookFile -> _) ++
+        pqRawManifestStamp(spark, indexPath).map(PqCodebookRawFile -> _) ++
         (if (allSegmentsCoded(spark, indexPath)) Some(CodedMeta -> "pq,rpq") else None)
     val n = graft.sources.Segments.compact(
       spark, indexPath, Seq("centroid_id"), protectLatest, meta = meta)
@@ -821,7 +901,7 @@ object IvfIndex {
     val q = withNorm(queries, "qid", "qv", "qn")
     val probes = probeCells(q, nprobe, currentCentroids(spark, indexPath, asOf))
     val lut = SimilarityOps.adcLutArr(q.select(col("qid"), col("qv")), "qid", "qv",
-      currentPqCodebook(spark, indexPath))
+      currentPqCodebookRaw(spark, indexPath))
     val index = withOptionalCodes(
       indexFrame(spark, indexPath, asOf, excludeSegment,
         mergeSchema = !allSegmentsCoded(spark, indexPath)), "pq")
@@ -1020,16 +1100,19 @@ object IvfIndex {
     }
   }
 
-  /** With `retrainCodebook = true`, the rewrite ALSO re-fits the PQ codebook
-    * (`codebookRounds` Lloyd rounds per subspace over the sampled residuals
-    * under the FITTED centroid set — the FAISS IndexIVFPQ train recipe) and
-    * re-encodes BOTH code columns under it; the new codebook manifest
-    * commits as meta of the same compacted segment as the re-encoded rows,
-    * so a crash anywhere leaves codes and manifest agreeing (the governed
-    * drift→retrain path the r10 verdict asked for — "retrain = rebuild"
-    * expressed as one atomic whole-index rewrite under the lease; searches
-    * during the rebuild serve the old generation until the promote).
-    * `maxIter = 0` keeps the centroid set and retrains the codebook alone.
+  /** With `retrainCodebook = true`, the rewrite ALSO re-fits BOTH PQ
+    * codebooks (`codebookRounds` Lloyd rounds per subspace over the same
+    * deterministic sample: residual subvectors under the FITTED centroid
+    * set — the FAISS IndexIVFPQ train recipe — for `rpq`, and raw
+    * subvectors for `pq`, whose codewords must live at raw-vector scale)
+    * and re-encodes both code columns under them; the new codebook
+    * manifests commit as meta of the same compacted segment as the
+    * re-encoded rows, so a crash anywhere leaves codes and manifests
+    * agreeing (the governed drift→retrain path the r10 verdict asked for —
+    * "retrain = rebuild" expressed as one atomic whole-index rewrite under
+    * the lease; searches during the rebuild serve the old generation until
+    * the promote). `maxIter = 0` keeps the centroid set and retrains the
+    * codebooks alone.
     */
   def recluster(
       spark: SparkSession,
@@ -1074,22 +1157,32 @@ object IvfIndex {
     // sample): per-subspace Lloyd on residuals under the FITTED set — the
     // codewords must quantize the residual distribution the re-encoded index
     // will actually store.
+    // BOTH codebooks train over the same sample: residual codewords serve
+    // rpq/searchRadc; RAW-subvector codewords serve pq/searchAdc (a residual
+    // codebook's codewords sit centered near 0 — encoding raw vectors under
+    // them carries almost no ranking signal, r11 review finding)
     val newCodebook: Option[IndexedSeq[IndexedSeq[Array[Double]]]] =
       if (!retrainCodebook) None
       else Some(SimilarityOps.trainOnSubvectors(
         SimilarityOps.pqSubvectorsOf(sample, onResiduals = true, fitted), codebookRounds))
+    val newCodebookRaw: Option[IndexedSeq[IndexedSeq[Array[Double]]]] =
+      if (!retrainCodebook) None
+      else Some(SimilarityOps.trainOnSubvectors(
+        SimilarityOps.pqSubvectorsOf(sample, onResiduals = false, fitted), codebookRounds))
     sample.unpersist()
     // the post-fit residual baseline commits atomically with the swap: rows
     // are identical before and after the rewrite, so measuring against the
     // OLD segments under the FITTED centroids equals the post-commit value
     val postFitResidual =
       residualUnder(spark, read(spark, indexPath), fitted, samplePpm)
-    // the codebook manifest the compacted segment must carry: the freshly
-    // trained set, else the currently governing one (which may live as meta
-    // of a segment this compact is about to DELETE — without the carry, a
-    // recluster would silently revert a past retrain)
+    // the codebook manifests the compacted segment must carry: the freshly
+    // trained sets, else the currently governing ones (which may live as
+    // meta of a segment this compact is about to DELETE — without the
+    // carry, a recluster would silently revert a past retrain)
     val cbManifest = newCodebook.map(cb => serializeCents(cb.flatten))
       .orElse(pqManifestStamp(spark, indexPath))
+    val cbRawManifest = newCodebookRaw.map(cb => serializeCents(cb.flatten))
+      .orElse(pqRawManifestStamp(spark, indexPath))
     graft.sources.Segments.compact(
       spark, indexPath, Seq("centroid_id"), protectLatest = false,
       transform = { df =>
@@ -1100,20 +1193,21 @@ object IvfIndex {
         // with nulls on legacy rows under schema merge — coalesce encodes
         // exactly those, so the compacted index is fully coded either way.
         // A RETRAINED codebook invalidates every stored code: pq is then
-        // re-encoded unconditionally (carry-through is only exact under the
-        // SAME codeword set).
+        // re-encoded unconditionally under the RAW-trained set
+        // (carry-through is only exact under the SAME codeword set).
         // RESIDUAL codes are centroid-dependent: every row's rpq is
         // unconditionally re-encoded under the fitted set (carrying them —
         // the pq treatment — would leave [[searchRadc]] ranking with LUTs
         // built from centroids the codes were never relative to).
         val cb = newCodebook.getOrElse(currentPqCodebook(spark, indexPath))
-        val withPq = newCodebook match {
+        val cbRaw = newCodebookRaw.getOrElse(currentPqCodebookRaw(spark, indexPath))
+        val withPq = newCodebookRaw match {
           case Some(_) =>
-            SimilarityOps.withPqCodes(df.drop("pq"), "v", "pq", cb)
+            SimilarityOps.withPqCodes(df.drop("pq"), "v", "pq", cbRaw)
           case None =>
             if (df.columns.contains("pq"))
-              df.withColumn("pq", coalesce(col("pq"), SimilarityOps.pqCodeCol("v", cb)))
-            else SimilarityOps.withPqCodes(df, "v", "pq", cb)
+              df.withColumn("pq", coalesce(col("pq"), SimilarityOps.pqCodeCol("v", cbRaw)))
+            else SimilarityOps.withPqCodes(df, "v", "pq", cbRaw)
         }
         withCentroidAssignment(withPq.drop("centroid_id").drop("rpq"), "v", fitted)
           .withColumn("r", SimilarityOps.residualCol("v", "centroid_id", fitted))
@@ -1126,7 +1220,8 @@ object IvfIndex {
         // the transform re-encodes every row, so the rewritten segment is
         // fully coded regardless of its sources' generations
         CodedMeta -> "pq,rpq") ++
-        cbManifest.map(PqCodebookFile -> _),
+        cbManifest.map(PqCodebookFile -> _) ++
+        cbRawManifest.map(PqCodebookRawFile -> _),
       force = true)
     invalidateMetaCaches(indexPath)
     iter

@@ -1598,12 +1598,26 @@ object SimilarityOps {
     * ([[pqTrain]], [[ivfRadcTrainedTopK]]) construct their DataFrames
     * eagerly — without the memo, every plan INSPECTION of those frames (the
     * ScaleSpec sweep pattern) re-paid the whole training job. Keyed by the
-    * full training recipe; only the default-centroid runs are memoized (a
-    * caller-supplied `cents` has no stable identity to key on).
+    * full training recipe PLUS a corpus fingerprint of the embeddings data
+    * files (name/length/mtime — the [[graft.dedup.PairStore]] staleness
+    * rule): a corpus rewritten in place trains fresh instead of serving a
+    * codebook fit to data that no longer exists. Only the default-centroid
+    * runs are memoized (a caller-supplied `cents` has no stable identity to
+    * key on).
     */
   private val trainedCbCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (String, Int, Boolean), IndexedSeq[IndexedSeq[Array[Double]]]]()
+      (String, Int, Boolean, String), IndexedSeq[IndexedSeq[Array[Double]]]]()
+
+  private def embeddingsFingerprint(spark: SparkSession, sfDir: String): String = {
+    val root = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) "absent"
+    else fs.listStatus(root)
+      .filter(_.isFile)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("\n")
+  }
 
   def pqTrainCodebooks(
       spark: SparkSession, sfDir: String,
@@ -1615,7 +1629,8 @@ object SimilarityOps {
       finally { subs.unpersist(); () } // checkpoint blocks are per-training scratch, not session state
     }
     if (cents eq centroids)
-      trainedCbCache.computeIfAbsent((sfDir, rounds, onResiduals), _ => train())
+      trainedCbCache.computeIfAbsent(
+        (sfDir, rounds, onResiduals, embeddingsFingerprint(spark, sfDir)), _ => train())
     else train()
   }
 

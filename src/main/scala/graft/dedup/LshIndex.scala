@@ -34,6 +34,15 @@ object LshIndex {
   private val keyCols: Seq[String] = (0 until BandSize).map(i => s"k$i")
   private val nBands: Int = NumPerms / BandSize
 
+  /** Memo of collected over-cap buckets per (indexPath, live segment ids,
+    * cap) — see [[candidates]]. Bounded: only degenerate buckets are ever
+    * collected, and entries for superseded segment sets are never re-read
+    * (the stamp moves with every absorb/compaction).
+    */
+  private val hotBucketCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, String, Int), Seq[(Int, Long, Long, Long, Long)]]()
+
   /** One row per (doc, band): doc_id, band_idx, k0..k3, sig. */
   def bandTable(docs: DataFrame): DataFrame = {
     val sigArr = array((0 until NumPerms).map(i => col(s"sig_$i")): _*)
@@ -177,18 +186,37 @@ object LshIndex {
     }
     // hot buckets are judged against the STORED index (the side whose
     // occupancy the ingest metric watches); the probe batch rides the same
-    // anti-join, all in-plan (no driver action — candidates stays a lazy
-    // builder a stream can construct per micro-batch for free)
+    // anti-join. The hot SET only changes when a segment lands, while a
+    // streaming probe constructs this plan every micro-batch — so the live
+    // read memoizes the collected set per (index, segment ids, cap) instead
+    // of re-aggregating the whole stored index per call (bounded driver
+    // state: only over-cap buckets survive the filter). Snapshot/exclusion
+    // reads see a different index slice and compute their own set.
     val bucketKeys = Seq("band_idx") ++ keyCols
     val (index, probe1) = occupancyCap match {
       case None => (index0, probe0)
       case Some(cap) =>
-        val hot = index0.groupBy(bucketKeys.map(col): _*)
-          .agg(count(lit(1)).as("occ"))
-          .filter(col("occ") > cap)
-          .select(bucketKeys.map(col): _*)
-        (index0.join(broadcast(hot), bucketKeys, "left_anti"),
-          probe0.join(broadcast(hot), bucketKeys, "left_anti"))
+        def collectHot(): Seq[(Int, Long, Long, Long, Long)] =
+          index0.groupBy(bucketKeys.map(col): _*)
+            .agg(count(lit(1)).as("occ"))
+            .filter(col("occ") > cap)
+            .select(bucketKeys.map(col): _*)
+            .collect()
+            .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+            .toSeq
+        val hotRows = (asOf, excludeSegment) match {
+          case (None, None) =>
+            val stamp = graft.sources.Segments.segmentIds(spark, indexPath).mkString(",")
+            hotBucketCache.computeIfAbsent((indexPath, stamp, cap), _ => collectHot())
+          case _ => collectHot()
+        }
+        if (hotRows.isEmpty) (index0, probe0)
+        else {
+          val hot = broadcast(
+            spark.createDataFrame(hotRows).toDF(bucketKeys: _*))
+          (index0.join(hot, bucketKeys, "left_anti"),
+            probe0.join(hot, bucketKeys, "left_anti"))
+        }
     }
     val probe = if (broadcastQuery) broadcast(probe1) else probe1
     index

@@ -121,6 +121,14 @@ object Segments {
     * compacted segment before the manifest, so they promote — and recover —
     * atomically with the data; [[graft.ann.IvfIndex.recluster]] uses this to
     * swap its centroid set in the same commit that re-assigns the rows.
+    * `meta` is BY-NAME, evaluated under the compaction lease after the copy:
+    * a caller that derives its meta by READING the table's current manifests
+    * ([[graft.ann.IvfIndex.compactSegments]] carries them forward) must not
+    * evaluate them before the lease — a manifest-swapping rewrite committing
+    * between the read and this compact's promote would be silently reverted
+    * by the stale stamp. Under the lease the window is closed: any such
+    * rewrite needs this same lease and either committed before us (fresh
+    * read) or fails fast while we hold it.
     * `force` runs the rewrite even for a single source segment (a no-op for
     * plain compaction, required when `transform`/`meta` change content).
     *
@@ -133,7 +141,7 @@ object Segments {
       protectLatest: Boolean = true,
       leaseTtlMs: Long = 15L * 60 * 1000,
       transform: DataFrame => DataFrame = identity,
-      meta: Map[String, String] = Map.empty,
+      meta: => Map[String, String] = Map.empty,
       force: Boolean = false): Int = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
