@@ -618,6 +618,54 @@ object SimilarityOps {
     * keep ledger with an md5 roll-up of the dropped-id set, which pins exact
     * membership cross-engine without a row per vector.
     */
+  /** Within-cell cosine kNN GRAPH: every vector's top-k neighbors among the
+    * members of its own IVF cell — the edge list graph-based dedup and
+    * SemDeDup-style cluster pruning consume. Cell restriction is the scale
+    * story: the corpus-wide quadratic becomes per-cell (n/K)² work whose
+    * remedy at 100 TB is growing the centroid count with the corpus (the
+    * [[semDedup]] discipline), the candidate join is an equi-join on
+    * `centroid_id` (AQE-splittable), and the per-vector top-k is a
+    * WindowGroupLimit-prunable rank. Output (src, rank, dst) — no float
+    * score column, the ADC-family rule for hash-stable cross-engine
+    * compares; ties break on dst ascending.
+    */
+  def knnGraph(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    VectorFunctions.register(spark)
+    val assigns = ivfAssignments(spark, sfDir)
+    val e = withNorm(Tables.embeddings(spark, sfDir), "vec_id", "v", "nn")
+      .join(assigns, "vec_id")
+    val a = e.select(col("centroid_id"), col("vec_id").as("src"),
+      col("v").as("va"), col("nn").as("na"))
+    val b = e.select(col("centroid_id"), col("vec_id").as("dst"),
+      col("v").as("vb"), col("nn").as("nb"))
+    val w = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
+    a.join(b, Seq("centroid_id"))
+      .where(col("src") =!= col("dst"))
+      .withColumn("cos", expr("dot_arrays(va, vb)") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank"), col("dst"))
+      .orderBy("src", "rank")
+  }
+
+  def knnGraphSql(k: Int = 3): String =
+    s"""WITH $assignCtes,
+       |normed AS (
+       |  SELECT vec_id, v, centroid_id,
+       |         list_sum(list_transform(v, x -> x * x)) AS nn
+       |  FROM assigned),
+       |edges AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |         list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+       |           / (sqrt(a.nn) * sqrt(b.nn)) AS cos
+       |  FROM normed a JOIN normed b
+       |    ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id)
+       |SELECT src, CAST(rank AS INT) AS rank, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+       |  FROM edges)
+       |WHERE rank <= $k
+       |ORDER BY src, rank""".stripMargin
+
   def semDedup(spark: SparkSession, sfDir: String, threshold: Double = 0.45): DataFrame = {
     val assigns = ivfAssignments(spark, sfDir)
     val e = withNorm(Tables.embeddings(spark, sfDir), "vec_id", "v", "nn")
@@ -1999,6 +2047,7 @@ object SimilarityOps {
     "q_kmeans_iter" -> (kmeansIter(_, _)),
     "q_cluster_balanced_sample" -> (clusterBalancedSample(_, _)),
     "q_semdedup" -> (semDedup(_, _)),
+    "q_knn_graph" -> (knnGraph(_, _)),
     "q_embed_outliers" -> (embedOutliers(_, _)),
     "q_quantize_sq8" -> (quantizeSq8(_, _)),
     "q_label_stats" -> (labelStats(_, _)),
@@ -2027,6 +2076,7 @@ object SimilarityOps {
     "q_kmeans_iter" -> kmeansIterSql(),
     "q_cluster_balanced_sample" -> clusterBalancedSampleSql,
     "q_semdedup" -> semDedupSql(),
+    "q_knn_graph" -> knnGraphSql(),
     "q_embed_outliers" -> embedOutliersSql(),
     "q_quantize_sq8" -> quantizeSq8Sql,
     "q_label_stats" -> labelStatsSql,

@@ -778,6 +778,50 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
       "compaction dropped the schema-generation marker of all-coded sources")
   }
 
+  test("dual-codebook install: raw manifest governs pq/searchAdc, residual governs rpq (r11)") {
+    val cb = SimilarityOps.pqTrainCodebooks(spark, sfDir, rounds = 2, onResiduals = true)
+    val cbRaw = SimilarityOps.pqTrainCodebooks(spark, sfDir, rounds = 2, onResiduals = false)
+    assert(cb.flatten.zip(cbRaw.flatten).exists { case (a, b) => !a.sameElements(b) },
+      "setup: residual and raw trainings must differ")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_dual").toString
+    IvfIndex.materialize(spark, embs, dir, codebook = Some(cb), codebookRaw = Some(cbRaw))
+    assert(IvfIndex.currentPqCodebook(spark, dir).flatten.zip(cb.flatten)
+      .forall { case (a, b) => a.sameElements(b) }, "residual manifest round-trip diverged")
+    assert(IvfIndex.currentPqCodebookRaw(spark, dir).flatten.zip(cbRaw.flatten)
+      .forall { case (a, b) => a.sameElements(b) }, "raw manifest round-trip diverged")
+    // both serving modes stay internally consistent (codes ≡ LUT codebooks):
+    // a full-width rerank reduces each to the float search
+    val exact = rows(IvfIndex.search(spark, dir, queries(10), k = 3, nprobe = 2))
+    assert(rows(IvfIndex.searchAdc(spark, dir, queries(10), 3, 2, rerank = 1000000))
+      .sameElements(exact), "dual-install searchAdc lost code/LUT agreement")
+    assert(rows(IvfIndex.searchRadc(spark, dir, queries(10), 3, 2, rerank = 1000000))
+      .sameElements(exact), "dual-install searchRadc lost code/LUT agreement")
+    // absorbs carry BOTH manifests forward as their own segment meta
+    IvfIndex.appendBatch(spark, dir,
+      embs.select((col("vec_id") + 300000L).as("vec_id"), col("embedding")), batchId = 9L)
+    assert(new java.io.File(s"$dir/batch=9", "_PQ_CODEBOOK").exists())
+    assert(new java.io.File(s"$dir/batch=9", "_PQ_CODEBOOK_RAW").exists())
+    // raw-only install is rejected loudly (rpq would silently stay on the seed)
+    intercept[IllegalArgumentException] {
+      IvfIndex.materialize(spark, embs,
+        java.nio.file.Files.createTempDirectory("ivf_dual2").toString,
+        codebookRaw = Some(cbRaw))
+    }
+  }
+
+  test("minhash drop ledger reads (8, 0, 0) on a corpus with no signable docs (r11)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dedup_unsignable").toString
+    // every text under ShingleK tokens → zero signatures, empty band table
+    Seq((1L, "too short", "web"), (2L, "also short", "web"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.dedup.DedupOps.minhashLshDropped(spark, dir).head()
+    assert(r.getInt(0) == 8 && r.getLong(1) == 0L && r.getLong(2) == 0L,
+      s"unsignable corpus must read (8, 0, 0), got $r")
+    assert(graft.dedup.DedupOps.minhashLshPairs(spark, dir).count() == 0)
+  }
+
   test("codebook install abort leaves no orphan manifest (ADVICE r10)") {
     val cb = SimilarityOps.pqTrainCodebooks(spark, sfDir, rounds = 2, onResiduals = true)
     val dir = java.nio.file.Files.createTempDirectory("ivf_install_abort").toString
