@@ -105,10 +105,16 @@ object Bench {
       val (a, b) = (once(), once())
       if (a < 0 || b < 0) -1.0 else math.min(a, b)
     }
-    def probeRow(name: String, baseName: String, dir: String,
-        fn: (SparkSession, String) => DataFrame, extra: String = ""): (Double, String) = {
+    // A probe measurement: ratio + the per-query JSON fragment + a compact
+    // self-contained attribution object the SUMMARY lifts for its worst rows
+    // (VERDICT r11 #5: the driver's artifact capture truncates the detailed
+    // probe sections, so two rounds of published worst_skew_ratio 11–17
+    // could not be attributed stall-vs-superlinear without the builder's
+    // local /tmp runs — the worst row's name, retry flag and row-local
+    // sentinel must survive in the summary object itself).
+    def probeRowVs(name: String, b: Double, dir: String,
+        fn: (SparkSession, String) => DataFrame, extra: String = ""): (Double, String, String) = {
       val first = timed(fn, dir)
-      val b = base.getOrElse(baseName, -1.0)
       // stall defense (applies to EVERY probeRow caller — uniform AND skew
       // sections): a ratio past the superlinear flag threshold gets ONE
       // re-measurement before it is believed — a single GC pause or page-
@@ -129,12 +135,22 @@ object Bench {
       // quiet-box value ~0.1-0.17 s) — the r10 driver run published
       // worst_skew_ratio 11.34 with only run-START contention samples, so
       // the stall-vs-superlinear call could not be made from the artifact
+      val rowSentinel = if (ratio > 10.0) sentinelSec() else -1.0
       val attribution =
-        if (ratio > 10.0) s""","retried":$retried,"stall_sentinel_sec":${sentinelSec()}"""
+        if (ratio > 10.0) s""","retried":$retried,"stall_sentinel_sec":$rowSentinel"""
         else if (retried) s""","retried":true"""
         else ""
-      (ratio, s""""$name":{"base":$b,"scaled":$scaled,"ratio":$ratio$attribution$extra}""")
+      (ratio,
+        s""""$name":{"base":$b,"scaled":$scaled,"ratio":$ratio$attribution$extra}""",
+        s"""{"query":"$name","ratio":$ratio,"retried":$retried,"row_sentinel_sec":$rowSentinel}""")
     }
+    def probeRow(name: String, baseName: String, dir: String,
+        fn: (SparkSession, String) => DataFrame, extra: String = ""): (Double, String, String) =
+      probeRowVs(name, base.getOrElse(baseName, -1.0), dir, fn, extra)
+    // the worst surviving row's attribution object (JSON null when a section
+    // had no measurable rows, e.g. after a section-level failure)
+    def worstAttrib(rows: Seq[(Double, String, String)]): String =
+      rows.filter(_._1 >= 0).sortBy(-_._1).headOption.map(_._3).getOrElse("null")
     def cleanup(dir: String): Unit = {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively(); ()
@@ -146,7 +162,7 @@ object Bench {
     // under 10 on idle cores = the plan scales with partitions, not the
     // driver; a ratio ≥ 10 would flag a serialization point.
     val factor = 10
-    val (probeJson, probeWorst, probeTwoSidedPerUnit) = try {
+    val (probeJson, probeWorst, probeTwoSidedPerUnit, probeWorstAttrib) = try {
       import org.apache.spark.sql.functions._
       val probeDir = java.nio.file.Files.createTempDirectory("graft_scale").toString
       Tables.events(spark, sfDir)
@@ -332,8 +348,9 @@ object Bench {
         if (twoSided._1 < 0) -1.0 else twoSided._1 / (factor.toDouble * factor)
       (s""","scale_probe":{"factor":$factor,"queries":${rows.map(_._2).mkString("{", ",", "}")}}""" +
         ivfIndexScale,
-        worst, twoSidedPerUnit)
-    } catch { case t: Throwable => (s""","scale_probe":{"error":"${jsonErr(t)}"}""", -1.0, -1.0) }
+        worst, twoSidedPerUnit, worstAttrib(uniformRows))
+    } catch { case t: Throwable =>
+      (s""","scale_probe":{"error":"${jsonErr(t)}"}""", -1.0, -1.0, "null") }
 
     // Planted-SKEW probe (VERDICT r3 #2): the uniform replication above keeps
     // keys evenly loaded, which can't surface hot-key failure modes. Here the
@@ -343,7 +360,7 @@ object Bench {
     // UNSKEWED base, so a plan that degenerates on a hot key (single-task
     // window, unsplittable join partition, uncapped postings blowup) reads as
     // a superlinear ratio instead of hiding behind uniform balance.
-    val (skewJson, skewWorst) = try {
+    val (skewJson, skewWorst, skewWorstAttrib) = try {
       import org.apache.spark.sql.functions._
       val skewDir = java.nio.file.Files.createTempDirectory("graft_skew").toString
       // events: 10× replicas; half of all rows remapped into house "1_1_0"
@@ -430,12 +447,41 @@ object Bench {
         SparkEntry.queries("q_minhash_lsh_pairs"),
         extra = s""","hot_doc_frac":0.3,"work_factor":1""")
       cleanup(hotBucketDir)
-      val rows = rows0 :+ hotBucketRow
+      // Planted MEGA-CELL twin for the sub-partitioned within-cell embedding
+      // joins (VERDICT r11 #1 — the embedding-space sibling of the LSH
+      // hot-bucket probe above): 10× embeddings once uniform and once with
+      // 30% of vectors rewritten near-identical, so they all assign to ONE
+      // IVF cell holding 0.3·n rows. knnGraph/semDedup share
+      // subPartitionedCellJoin, which splits the degenerate cell onto the
+      // per-cell block grid — EXACT results, bounded per-task pair work. The
+      // ratio is hot-10× vs CLEAN-10× (same corpus size, same quadratic
+      // family), so ≈ 1 is the healthy reading; the pre-guard equi-join
+      // routed the hot cell's O((0.3n)²) pairs through one join key.
+      val embCleanDir = java.nio.file.Files.createTempDirectory("graft_knn_clean").toString
+      val embHotDir = java.nio.file.Files.createTempDirectory("graft_knn_hot").toString
+      val emb10 = Tables.embeddings(spark, sfDir)
+        .crossJoin(spark.range(factor).toDF("rep"))
+        .withColumn("vec_id", col("vec_id") + col("rep") * lit(10000000L))
+        .drop("rep")
+      emb10.write.mode("overwrite").parquet(s"$embCleanDir/embeddings.parquet")
+      emb10.withColumn("embedding",
+        when(col("vec_id") % 10 < 3,
+          expr("transform(embedding, x -> CAST(0.5 + pmod(vec_id, 1000) / 1000000.0 AS FLOAT))"))
+          .otherwise(col("embedding")))
+        .write.mode("overwrite").parquet(s"$embHotDir/embeddings.parquet")
+      val knnClean10x = timed(SparkEntry.queries("q_knn_graph"), embCleanDir)
+      val megaCellRow = probeRowVs(
+        "q_knn_graph_megacell", knnClean10x, embHotDir,
+        SparkEntry.queries("q_knn_graph"),
+        extra = s""","hot_vec_frac":0.3,"corpus_factor":$factor,"base_is_clean_10x":true""")
+      cleanup(embCleanDir); cleanup(embHotDir)
+      val rows = rows0 :+ hotBucketRow :+ megaCellRow
       cleanup(skewDir)
       val worst = rows.map(_._1).filterNot(_ < 0).foldLeft(0.0)(math.max)
       (s""","scale_probe_skew":{"factor":$factor,"hot_doc_frac":0.3,"hot_event_frac":0.5,"hot_lineitem_frac":0.5,"queries":${rows.map(_._2).mkString("{", ",", "}")}}""",
-        worst)
-    } catch { case t: Throwable => (s""","scale_probe_skew":{"error":"${jsonErr(t)}"}""", -1.0) }
+        worst, worstAttrib(rows))
+    } catch { case t: Throwable =>
+      (s""","scale_probe_skew":{"error":"${jsonErr(t)}"}""", -1.0, "null") }
 
     // Rollup-serving demonstration: the same sliding-window counts, once over
     // raw events and once with RollupRewrite routing them onto the rollup
@@ -879,10 +925,17 @@ object Bench {
     // worst_probe_ratio covers the UNIFORM 10× rows only; the two-sided
     // (100× work) probe is normalized per unit of expected work and emitted
     // under its own key so the headline never conflates the two scales
+    // the worst uniform/skew rows' attribution objects ride IN the summary
+    // (VERDICT r11 #5): the driver's tail-truncated capture keeps only this
+    // object, and stall-vs-superlinear must be decidable from it alone —
+    // "query" names the plan, "retried" says the >10× reading survived a
+    // re-measurement, "row_sentinel_sec" is the fixed-cost CPU sentinel
+    // sampled AT the row (≫ ~0.17 s ⇒ the box, not the plan)
     val summary = s""""summary":{"total_sec":$total,"n_queries":${results.size},""" +
       s""""n_errors":${errors.size},""" +
       s""""worst_probe_ratio":$probeWorst,"worst_uniform_ratio":$probeWorst,""" +
       s""""worst_twosided_per_unit":$probeTwoSidedPerUnit,"worst_skew_ratio":$skewWorst,""" +
+      s""""worst_uniform_attrib":$probeWorstAttrib,"worst_skew_attrib":$skewWorstAttrib,""" +
       s""""streaming_rows_per_sec":$streamingRps,""" +
       s""""load_avg_start":$loadAvgStart,"sentinel_start_sec":$sentinelStartSec}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +

@@ -258,21 +258,33 @@ object IvfIndex {
     ()
   }
 
-  /** Cheap cache-validity token: the live segment ids plus both root
-    * manifests' (mtime, length). Every codebook-affecting event moves it —
-    * install writes a root file, retrain/recluster/compaction collapse
-    * segment ids, absorbs add one.
+  /** Cheap cache-validity token: the live segment (id, dir-mtime) pairs plus
+    * both root manifests' (mtime, length) — one root listing and two stats.
+    * Every codebook-affecting event moves it: install writes a root file,
+    * absorbs add a segment, and retrain/recluster/compaction promote a FRESH
+    * segment directory by rename — so even a single-segment recluster that
+    * folds `batch=N` back to `batch=N` (ids unchanged, root files untouched,
+    * new codebooks committed as segment meta) moves the stamp, which an
+    * ids-only token missed: a concurrent process's codebookCache kept
+    * serving the outgoing codebook against re-encoded codes (ADVICE r12).
     */
   private def metaStamp(spark: SparkSession, indexPath: String): String = {
-    val ids = graft.sources.Segments.segmentIds(spark, indexPath)
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs =
+      if (!fs.exists(root)) Seq.empty[String]
+      else fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getModificationTime))
+        .sortBy(_._1)
+        .map { case (id, m) => s"$id@$m" }
+        .toSeq
     def rootStat(name: String): String =
       try {
         val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(indexPath, name))
         s"${st.getModificationTime}:${st.getLen}"
       } catch { case _: java.io.FileNotFoundException => "absent" }
-    s"${ids.mkString(",")}|${rootStat(PqCodebookFile)}|${rootStat(PqCodebookRawFile)}"
+    s"${segs.mkString(",")}|${rootStat(PqCodebookFile)}|${rootStat(PqCodebookRawFile)}"
   }
 
   private def parseCodebookManifest(

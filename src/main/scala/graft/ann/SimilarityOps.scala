@@ -53,6 +53,76 @@ object SimilarityOps {
   private val GridLb = "__graft_grid_lb"
   private val GridRb = "__graft_grid_rb"
 
+  /** Per-cell occupancy bound above which a within-cell self-join is
+    * sub-partitioned on the [[gridPairs]] block grid (see
+    * [[subPartitionedCellJoin]]). ~1k rows per side per sub-block bounds a
+    * task's pair work at ~1M codegen'd dot products regardless of how
+    * degenerate a cell gets.
+    */
+  val CellPairSubThreshold: Long = 1024L
+
+  /** Replication bound for [[subPartitionedCellJoin]]: shuffle volume grows
+    * linearly with the block count, so one degenerate cell may cost at most
+    * 64× its own rows in shuffle (and splits into ≤64² tasks). A cell still
+    * over-threshold at 64 blocks means the CENTROID COUNT is under-sized for
+    * the corpus — the [[semDedup]] "grow K" discipline, which
+    * [[IvfIndex.recluster]] exists to apply; the grid is the backstop that
+    * keeps the plan executable (no single O(cell²) task) until it runs.
+    */
+  private val MaxCellBlocks = 64
+
+  private val CellNbCol = "__graft_cell_nb"
+
+  /** Per-cell sub-block counts for [[subPartitionedCellJoin]]: 1 below
+    * [[CellPairSubThreshold]]-style `threshold` (the join degenerates to the
+    * plain equi-join), growing with occupancy above it, capped at
+    * [[MaxCellBlocks]]. One tiny grouped count over the assignment column —
+    * map-side-combined to K rows, broadcastable at any corpus size.
+    */
+  private def cellBlockCounts(assigns: DataFrame, threshold: Long): DataFrame = {
+    require(threshold >= 1, s"subCellThreshold must be >= 1, got $threshold")
+    assigns.groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_cell"))
+      .select(col("centroid_id"),
+        least(lit(MaxCellBlocks),
+          greatest(lit(1L), ceil(col("n_cell").cast("double") / threshold)))
+          .cast("int").as(CellNbCol))
+  }
+
+  /** Within-cell pair join with a mega-cell guard — the embedding-space twin
+    * of the MinHash band-bucket occupancy cap, but EXACT (sub-partition, not
+    * drop): each side joins the broadcast per-cell block count `nb`, hashes
+    * its own id onto one of the cell's nb blocks and replicates nb ways onto
+    * the (left-block, right-block) grid, so a pair meets in exactly one
+    * (cell, lb, rb) sub-block — [[gridPairs]] applied PER CELL with a
+    * data-dependent block count. A boilerplate-heavy corpus slice whose
+    * near-identical embeddings survive exact dedup lands in ONE IVF cell;
+    * without the guard the `centroid_id` equi-join emits that cell's O(n²)
+    * candidates from a single join key — AQE can split the exchange but every
+    * pair of the hot key still multiplies through one task's build side.
+    * Healthy cells pay one broadcast-join lookup and an nb=1 degenerate
+    * explode — the plan is unchanged in shape and output everywhere.
+    */
+  private def subPartitionedCellJoin(
+      a: DataFrame, aId: String,
+      b: DataFrame, bId: String,
+      blockCounts: DataFrame): DataFrame = {
+    require(!(a.columns ++ b.columns).exists(c =>
+      c == GridLb || c == GridRb || c == CellNbCol),
+      s"subPartitionedCellJoin inputs must not carry $GridLb/$GridRb/$CellNbCol")
+    val nbB = broadcast(blockCounts)
+    val l = a.join(nbB, "centroid_id")
+      .withColumn(GridLb, pmod(hash(col(aId)), col(CellNbCol)))
+      .withColumn(GridRb, explode(sequence(lit(0), col(CellNbCol) - 1)))
+      .drop(CellNbCol)
+    val r = b.join(nbB, "centroid_id")
+      .withColumn(GridRb, pmod(hash(col(bId)), col(CellNbCol)))
+      .withColumn(GridLb, explode(sequence(lit(0), col(CellNbCol) - 1)))
+      .drop(CellNbCol)
+    l.join(r.hint("SHUFFLE_HASH"), Seq("centroid_id", GridLb, GridRb))
+      .drop(GridLb, GridRb)
+  }
+
   private def gridPairs(
       left: DataFrame, leftId: String,
       right: DataFrame, rightId: String,
@@ -613,8 +683,9 @@ object SimilarityOps {
     * `threshold` — pairwise comparison never crosses cluster boundaries, so
     * the quadratic term is bounded by the largest cell, not the corpus. At
     * 100 TB the centroid count grows with the corpus (the paper runs 50 k
-    * clusters) keeping cells O(n/k); a skewed mega-cell would further
-    * sub-partition on the [[gridPairs]] grid. The output is the per-cluster
+    * clusters) keeping cells O(n/k); a skewed mega-cell sub-partitions
+    * EXACTLY via [[subPartitionedCellJoin]] — enforced in-plan, not left to
+    * a balance policy (r11 verdict #1). The output is the per-cluster
     * keep ledger with an md5 roll-up of the dropped-id set, which pins exact
     * membership cross-engine without a row per vector.
     */
@@ -623,13 +694,18 @@ object SimilarityOps {
     * SemDeDup-style cluster pruning consume. Cell restriction is the scale
     * story: the corpus-wide quadratic becomes per-cell (n/K)² work whose
     * remedy at 100 TB is growing the centroid count with the corpus (the
-    * [[semDedup]] discipline), the candidate join is an equi-join on
-    * `centroid_id` (AQE-splittable), and the per-vector top-k is a
-    * WindowGroupLimit-prunable rank. Output (src, rank, dst) — no float
-    * score column, the ADC-family rule for hash-stable cross-engine
-    * compares; ties break on dst ascending.
+    * [[semDedup]] discipline); the candidate join is
+    * [[subPartitionedCellJoin]] — an equi-join on `centroid_id` whose
+    * over-threshold cells sub-partition EXACTLY on the block grid, so a
+    * degenerate mega-cell (near-identical embeddings surviving exact dedup)
+    * can never route O(cell²) pair work through one task — and the
+    * per-vector top-k is a WindowGroupLimit-prunable rank. Output
+    * (src, rank, dst) — no float score column, the ADC-family rule for
+    * hash-stable cross-engine compares; ties break on dst ascending.
     */
-  def knnGraph(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+  def knnGraph(
+      spark: SparkSession, sfDir: String, k: Int = 3,
+      subCellThreshold: Long = CellPairSubThreshold): DataFrame = {
     VectorFunctions.register(spark)
     val assigns = ivfAssignments(spark, sfDir)
     val e = withNorm(Tables.embeddings(spark, sfDir), "vec_id", "v", "nn")
@@ -639,7 +715,8 @@ object SimilarityOps {
     val b = e.select(col("centroid_id"), col("vec_id").as("dst"),
       col("v").as("vb"), col("nn").as("nb"))
     val w = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
-    a.join(b, Seq("centroid_id"))
+    subPartitionedCellJoin(a, "src", b, "dst",
+      cellBlockCounts(assigns, subCellThreshold))
       .where(col("src") =!= col("dst"))
       .withColumn("cos", expr("dot_arrays(va, vb)") / (sqrt(col("na")) * sqrt(col("nb"))))
       .withColumn("rank", row_number().over(w))
@@ -666,7 +743,10 @@ object SimilarityOps {
        |WHERE rank <= $k
        |ORDER BY src, rank""".stripMargin
 
-  def semDedup(spark: SparkSession, sfDir: String, threshold: Double = 0.45): DataFrame = {
+  def semDedup(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.45,
+      subCellThreshold: Long = CellPairSubThreshold): DataFrame = {
+    VectorFunctions.register(spark)
     val assigns = ivfAssignments(spark, sfDir)
     val e = withNorm(Tables.embeddings(spark, sfDir), "vec_id", "v", "nn")
       .join(assigns, "vec_id")
@@ -674,8 +754,8 @@ object SimilarityOps {
       col("v").as("va"), col("nn").as("na"))
     val b = e.select(col("centroid_id"), col("vec_id").as("id_b"),
       col("v").as("vb"), col("nn").as("nb"))
-    val drops = a
-      .join(b, Seq("centroid_id"))
+    val drops = subPartitionedCellJoin(a, "id_a", b, "id_b",
+      cellBlockCounts(assigns, subCellThreshold))
       .where(col("id_a") < col("id_b"))
       .withColumn("cos", expr("dot_arrays(va, vb)") / (sqrt(col("na")) * sqrt(col("nb"))))
       .filter(col("cos") >= threshold)

@@ -34,14 +34,16 @@ object LshIndex {
   private val keyCols: Seq[String] = (0 until BandSize).map(i => s"k$i")
   private val nBands: Int = NumPerms / BandSize
 
-  /** Memo of collected over-cap buckets per (indexPath, live segment ids,
-    * cap) — see [[candidates]]. Bounded: only degenerate buckets are ever
-    * collected, and entries for superseded segment sets are never re-read
-    * (the stamp moves with every absorb/compaction).
+  /** Memo of collected over-cap buckets, ONE entry per indexPath holding
+    * (validity stamp = live segment ids + cap, rows) — see [[candidates]].
+    * A superseded stamp is REPLACED, not accumulated (the r11 form keyed by
+    * (path, stamp, cap) grew one entry per absorbed segment generation over
+    * a long-running stream — unbounded driver state, ADVICE r12). Bounded
+    * two ways: one entry per index, and only over-cap buckets are collected.
     */
   private val hotBucketCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (String, String, Int), Seq[(Int, Long, Long, Long, Long)]]()
+      String, (String, Seq[(Int, Long, Long, Long, Long)])]()
 
   /** One row per (doc, band): doc_id, band_idx, k0..k3, sig. */
   def bandTable(docs: DataFrame): DataFrame = {
@@ -206,8 +208,15 @@ object LshIndex {
             .toSeq
         val hotRows = (asOf, excludeSegment) match {
           case (None, None) =>
-            val stamp = graft.sources.Segments.segmentIds(spark, indexPath).mkString(",")
-            hotBucketCache.computeIfAbsent((indexPath, stamp, cap), _ => collectHot())
+            val stamp =
+              graft.sources.Segments.segmentIds(spark, indexPath).mkString(",") + s"|$cap"
+            val cached = hotBucketCache.get(indexPath)
+            if (cached != null && cached._1 == stamp) cached._2
+            else {
+              val rows = collectHot()
+              hotBucketCache.put(indexPath, (stamp, rows))
+              rows
+            }
           case _ => collectHot()
         }
         if (hotRows.isEmpty) (index0, probe0)

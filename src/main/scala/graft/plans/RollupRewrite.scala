@@ -619,6 +619,13 @@ class RollupRewrite(
           case None => return None
         }
       else {
+        // Determinism gate (ADVICE r12): the below-expand arm inherits
+        // mapScanExpr's rejection of non-deterministic expressions, but the
+        // hoist re-anchors the condition on the REPLAYED expand — a
+        // non-deterministic conjunct like `w.start >= cut AND rand() < 0.5`
+        // would turn per-raw-row sampling into whole-group keep/drop (rand()
+        // has no references, so the residual-reference check alone passes it).
+        if (branches.exists(b => !b._2(i).deterministic)) return None
         val hs = branches.map { case (defs, cs) => overGroups(cs(i), defs) }
         hs.head match {
           case Some(h) if hs.forall(_.exists(_.semanticEquals(h))) => hoistedConds += h

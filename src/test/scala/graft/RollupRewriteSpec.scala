@@ -310,6 +310,20 @@ class RollupRewriteSpec extends AnyFunSuite with SharedSpark {
       val plan = bad.queryExecution.optimizedPlan.toString
       assert(plan.contains("user_id"),
         s"a measure-referencing filter must keep the raw plan:\n$plan")
+      // NEGATIVE (ADVICE r12): a NON-DETERMINISTIC branch-dependent filter
+      // must not hoist. `w.start >= cut AND rand() < 0.5` is one un-split
+      // condition whose rand() conjunct carries no references, so the
+      // residual-reference check alone would pass it — hoisted onto the
+      // replayed Expand it becomes whole-GROUP keep/drop instead of
+      // per-raw-row sampling, silently wrong aggregates.
+      val sampled = raw
+        .withColumn("w", window(col("time"), "25 seconds", "5 seconds"))
+        .filter(col("w.start").cast("long") >= cut && rand() < lit(0.5))
+        .groupBy(col("w"), col("house_id"))
+        .agg(count("power").as("c"))
+      val splan = sampled.queryExecution.optimizedPlan.toString
+      assert(splan.contains("user_id"),
+        s"a non-deterministic above-Expand filter must keep the raw plan:\n$splan")
     } finally RollupRewrite.uninstall(spark)
   }
 
