@@ -251,10 +251,42 @@ object IvfIndex {
   private val codedCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Boolean)]()
 
+  /** Memo of the LIVE index relation per (indexPath, mergeSchema), validated
+    * by [[metaStamp]]: `spark.read.parquet` pays a distributed file-listing
+    * job (plus, under mergeSchema, the all-footers merge job) at
+    * DataFrame-CONSTRUCTION time — per search, on the serving hot path, even
+    * when the segment set hasn't moved (r11 verdict #2: "pay per-probe, not
+    * per-index"). Reusing the resolved relation reuses its InMemoryFileIndex
+    * and merged schema, so an unchanged index costs zero jobs to plan
+    * against; any absorb/compact/recluster moves the stamp (segment set or
+    * a promoted dir's mtime) and the next search relists once. Entries are
+    * one per (index, flag) — replaced on stamp move, bounded like
+    * [[graft.dedup.LshIndex]]'s hot-bucket memo. The cached plan is bound to
+    * the SparkSession that built it; a different live session rebuilds.
+    */
+  private val indexRelCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Boolean), (String, DataFrame)]()
+
+  private def liveIndexRel(
+      spark: SparkSession, indexPath: String, mergeSchema: Boolean): DataFrame = {
+    val key = (indexPath, mergeSchema)
+    val stamp = metaStamp(spark, indexPath)
+    val cached = indexRelCache.get(key)
+    if (cached != null && cached._1 == stamp && (cached._2.sparkSession eq spark))
+      return cached._2
+    val opts = if (mergeSchema) Map("mergeSchema" -> "true") else Map.empty[String, String]
+    val df = spark.read.option("basePath", indexPath).options(opts).parquet(indexPath)
+    indexRelCache.put(key, (stamp, df))
+    df
+  }
+
   private[ann] def invalidateMetaCaches(indexPath: String): Unit = {
     codebookCache.remove((indexPath, PqCodebookFile))
     codebookCache.remove((indexPath, PqCodebookRawFile))
     codedCache.remove(indexPath)
+    indexRelCache.remove((indexPath, true))
+    indexRelCache.remove((indexPath, false))
     ()
   }
 
@@ -856,18 +888,18 @@ object IvfIndex {
       spark: SparkSession, indexPath: String,
       asOf: Option[Long], excludeSegment: Option[Long],
       mergeSchema: Boolean = false): DataFrame = {
-    val opts = if (mergeSchema) Map("mergeSchema" -> "true") else Map.empty[String, String]
-    (asOf, excludeSegment) match {
-      case (None, None) =>
-        spark.read.option("basePath", indexPath).options(opts)
-          .parquet(indexPath).drop("batch")
-      case _ =>
-        val snap = asOf
-          .map(graft.sources.Segments.readAsOf(spark, indexPath, _, dropBatch = false,
-            options = opts))
-          .getOrElse(spark.read.option("basePath", indexPath)
-            .options(opts).parquet(indexPath))
+    asOf match {
+      case Some(max) =>
+        // snapshot reads are reproducibility pins, not the serving hot path —
+        // uncached by design (their file set depends on the pin)
+        val opts = if (mergeSchema) Map("mergeSchema" -> "true") else Map.empty[String, String]
+        val snap = graft.sources.Segments.readAsOf(
+          spark, indexPath, max, dropBatch = false, options = opts)
         excludeSegment.map(id => snap.filter(col("batch") =!= id)).getOrElse(snap)
+          .drop("batch")
+      case None =>
+        val live = liveIndexRel(spark, indexPath, mergeSchema)
+        excludeSegment.map(id => live.filter(col("batch") =!= id)).getOrElse(live)
           .drop("batch")
     }
   }

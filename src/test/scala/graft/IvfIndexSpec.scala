@@ -845,4 +845,66 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
       .forall { case (a, b) => a.sameElements(b) },
       "recovered index must serve under the default seed codebook")
   }
+
+  test("consecutive searchAdc constructions run no footer-merge job on an all-coded index (r11 verdict #2)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_footer_jobs").toString
+    IvfIndex.materialize(spark, embs.filter(col("vec_id") % 2 === 0), dir)
+    IvfIndex.appendBatch(spark, dir, embs.filter(col("vec_id") % 2 === 1), batchId = 1L)
+    // warm: the first call pays the coded-marker sweep, codebook parse, and
+    // the one listing/footer read per segment-set generation
+    val qs = queries(5)
+    IvfIndex.searchAdc(spark, dir, qs, k = 3, nprobe = 2)
+    // Count Spark JOBS whose stages touch the INDEX read site while only
+    // CONSTRUCTING search plans: the per-query all-footers mergeSchema read
+    // (and the file-listing job) fire at DataFrame-construction time; the
+    // memoized live relation must make repeat constructions job-free. Other
+    // jobs (the query-batch table read, the barrier's AQE jobs) are ignored
+    // by name filter. Listener delivery is async but IN ORDER, so once the
+    // barrier job is observed every earlier job-start was delivered too.
+    val total = new java.util.concurrent.atomic.AtomicInteger(0)
+    val indexJobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        total.incrementAndGet()
+        val stages = js.stageInfos.map(_.name).mkString(";")
+        if (stages.contains("IvfIndex")) indexJobs.add(stages)
+        ()
+      }
+    }
+    def indexReadJobs(body: => Unit): Seq[String] = {
+      total.set(0); indexJobs.clear()
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        val before = total.get()
+        spark.range(1).count() // barrier: delivered after any earlier job-starts
+        val deadline = System.currentTimeMillis() + 30000
+        while (total.get() <= before && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        assert(total.get() > before, "barrier job never observed")
+        indexJobs.toArray(Array.empty[String]).toSeq
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val coded = indexReadJobs {
+      (0 until 3).foreach(_ => IvfIndex.searchAdc(spark, dir, qs, k = 3, nprobe = 2))
+      (0 until 3).foreach(_ => IvfIndex.searchRadc(spark, dir, qs, k = 3, nprobe = 2))
+    }
+    assert(coded.isEmpty,
+      s"all-coded index: 6 consecutive search constructions must launch no " +
+        s"index-read job (memoized relation + single-footer inference), saw: " +
+        coded.mkString(" | "))
+    // NEGATIVE CONTROL: strip one segment's _CODED marker — the index now
+    // reads as mixed-generation and construction must pay the listing +
+    // distributed footer-merge once more (the metaStamp moves with the
+    // segment dir's mtime, so the memoized relation and coded sweep
+    // re-evaluate without an explicit invalidate)
+    assert(new java.io.File(s"$dir/batch=1", "_CODED").delete(),
+      "fixture: failed to strip the coded marker")
+    val legacy = indexReadJobs {
+      IvfIndex.searchAdc(spark, dir, qs, k = 3, nprobe = 2)
+    }
+    assert(legacy.nonEmpty,
+      "legacy-mixed index must pay an index-read (footer-merge) job at construction")
+  }
 }
