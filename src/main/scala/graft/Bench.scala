@@ -457,24 +457,33 @@ object Bench {
       // ratio is hot-10× vs CLEAN-10× (same corpus size, same quadratic
       // family), so ≈ 1 is the healthy reading; the pre-guard equi-join
       // routed the hot cell's O((0.3n)²) pairs through one join key.
-      val embCleanDir = java.nio.file.Files.createTempDirectory("graft_knn_clean").toString
-      val embHotDir = java.nio.file.Files.createTempDirectory("graft_knn_hot").toString
-      val emb10 = Tables.embeddings(spark, sfDir)
-        .crossJoin(spark.range(factor).toDF("rep"))
-        .withColumn("vec_id", col("vec_id") + col("rep") * lit(10000000L))
-        .drop("rep")
-      emb10.write.mode("overwrite").parquet(s"$embCleanDir/embeddings.parquet")
-      emb10.withColumn("embedding",
-        when(col("vec_id") % 10 < 3,
-          expr("transform(embedding, x -> CAST(0.5 + pmod(vec_id, 1000) / 1000000.0 AS FLOAT))"))
-          .otherwise(col("embedding")))
-        .write.mode("overwrite").parquet(s"$embHotDir/embeddings.parquet")
-      val knnClean10x = timed(SparkEntry.queries("q_knn_graph"), embCleanDir)
-      val megaCellRow = probeRowVs(
-        "q_knn_graph_megacell", knnClean10x, embHotDir,
-        SparkEntry.queries("q_knn_graph"),
-        extra = s""","hot_vec_frac":0.3,"corpus_factor":$factor,"base_is_clean_10x":true""")
-      cleanup(embCleanDir); cleanup(embHotDir)
+      // guarded separately (the ivf_index_scale pattern): a failure building
+      // or timing the embedding fixtures must cost only THIS row, never the
+      // already-measured skew rows above
+      val megaCellRow = try {
+        val embCleanDir = java.nio.file.Files.createTempDirectory("graft_knn_clean").toString
+        val embHotDir = java.nio.file.Files.createTempDirectory("graft_knn_hot").toString
+        try {
+          val emb10 = Tables.embeddings(spark, sfDir)
+            .crossJoin(spark.range(factor).toDF("rep"))
+            .withColumn("vec_id", col("vec_id") + col("rep") * lit(10000000L))
+            .drop("rep")
+          emb10.write.mode("overwrite").parquet(s"$embCleanDir/embeddings.parquet")
+          emb10.withColumn("embedding",
+            when(col("vec_id") % 10 < 3,
+              expr("transform(embedding, x -> CAST(0.5 + pmod(vec_id, 1000) / 1000000.0 AS FLOAT))"))
+              .otherwise(col("embedding")))
+            .write.mode("overwrite").parquet(s"$embHotDir/embeddings.parquet")
+          val knnClean10x = timed(SparkEntry.queries("q_knn_graph"), embCleanDir)
+          probeRowVs(
+            "q_knn_graph_megacell", knnClean10x, embHotDir,
+            SparkEntry.queries("q_knn_graph"),
+            extra = s""","hot_vec_frac":0.3,"corpus_factor":$factor,"base_is_clean_10x":true""")
+        } finally { cleanup(embCleanDir); cleanup(embHotDir) }
+      } catch { case t: Throwable =>
+        (-1.0, s""""q_knn_graph_megacell":{"error":"${jsonErr(t)}"}""",
+          s"""{"query":"q_knn_graph_megacell","ratio":-1.0}""")
+      }
       val rows = rows0 :+ hotBucketRow :+ megaCellRow
       cleanup(skewDir)
       val worst = rows.map(_._1).filterNot(_ < 0).foldLeft(0.0)(math.max)

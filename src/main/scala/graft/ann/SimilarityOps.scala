@@ -1737,6 +1737,12 @@ object SimilarityOps {
     new java.util.concurrent.ConcurrentHashMap[
       (String, Int, Boolean, String), IndexedSeq[IndexedSeq[Array[Double]]]]()
 
+  /** Count of actual Lloyd training RUNS (memo misses) — the observable the
+    * catalog-sweep spec pins: constructing every registry DataFrame must
+    * train at most once per (corpus, recipe), never once per inspection.
+    */
+  private[graft] val trainingRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def embeddingsFingerprint(spark: SparkSession, sfDir: String): String = {
     val root = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1752,6 +1758,7 @@ object SimilarityOps {
       rounds: Int = 2, onResiduals: Boolean = true,
       cents: IndexedSeq[Array[Double]] = centroids): IndexedSeq[IndexedSeq[Array[Double]]] = {
     def train(): IndexedSeq[IndexedSeq[Array[Double]]] = {
+      trainingRuns.incrementAndGet()
       val subs = pqSubvectors(spark, sfDir, onResiduals, cents).localCheckpoint()
       try trainOnSubvectors(subs, rounds)
       finally { subs.unpersist(); () } // checkpoint blocks are per-training scratch, not session state

@@ -38,6 +38,25 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("catalog plan construction trains Lloyd at most once per recipe (VERDICT r11 #2.4)") {
+    // the trained-codebook registry builders (q_pq_train,
+    // q_ivf_radc_trained_topk) embed the codebook as plan literals, so
+    // constructing their frames NEEDS the trained set — the memo must make
+    // that at most one driver-side training per (corpus, recipe) per JVM,
+    // never one per plan inspection (the sweep-harness cost r11 flagged)
+    val before = graft.ann.SimilarityOps.trainingRuns.get()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) => fn(spark, sfDir) }
+    val afterFirst = graft.ann.SimilarityOps.trainingRuns.get()
+    assert(afterFirst - before <= 1,
+      s"one catalog construction pass ran ${afterFirst - before} trainings — " +
+        "the memo must collapse them to at most one per recipe")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) => fn(spark, sfDir) }
+    val afterSecond = graft.ann.SimilarityOps.trainingRuns.get()
+    assert(afterSecond == afterFirst,
+      s"a REPEAT construction pass re-ran training ${afterSecond - afterFirst} time(s) " +
+        "— the memo is not firing on plan inspection")
+  }
+
   test("plan audit reports scans, joins and exchanges of the executed plan") {
     import graft.plans.PlanAudit
     val df = SparkEntry.queries("q_star_join")(spark, sfDir)
