@@ -1165,14 +1165,31 @@ object IvfIndex {
       tol: Double = 1e-9,
       samplePpm: Long = 1000000L,
       retrainCodebook: Boolean = false,
-      codebookRounds: Int = 2): Int = {
+      codebookRounds: Int = 2,
+      k: Option[Int] = None): Int = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     VectorFunctions.register(spark)
+    // `k` re-sizes the centroid set: Lloyd re-inits from the deterministic
+    // md5 seed at the new K instead of iterating the current set — the
+    // GROW-K path (cells must stay O(n/K) as the corpus grows; a fixed K
+    // eventually concentrates mass into hot cells, degrading partition
+    // pruning and feeding the within-cell quadratic operators). Everything
+    // downstream is size-agnostic: assignments, probes and the rpq
+    // re-encode all run over the FITTED set, and raw pq codes carry (they
+    // never depended on centroids). Growing K without iterations would
+    // assign under a raw seed — require at least one Lloyd round.
+    k.foreach { n =>
+      require(maxIter >= 1,
+        s"recluster(k = Some($n)) re-initializes centroids from the seed — " +
+          "run at least one Lloyd iteration (maxIter >= 1) so cells reflect " +
+          "the corpus, not the raw md5 init")
+    }
     // Hold the recluster lease for the WHOLE run: concurrent absorbs fail
     // loudly ([[assertNotReclustering]]) instead of landing segments whose
     // cell ids the swap would silently invalidate.
     withReclusterLease(spark, indexPath) { _ =>
-    var cents = currentCentroids(spark, indexPath)
+    var cents = k.map(SimilarityOps.seedCentroids)
+      .getOrElse(currentCentroids(spark, indexPath))
     // md5-keyed sample: deterministic across runs and engines
     val sample = sampled(read(spark, indexPath).select("vec_id", "v"), samplePpm).cache()
     var iter = 0
@@ -1292,5 +1309,76 @@ object IvfIndex {
         retrainCodebook = true, codebookRounds = codebookRounds)
       (ratio, true)
     } else (ratio, false)
+  }
+
+  /** (largest cell's row count, total rows) — one grouped count over the
+    * index, the statistic [[maintainCellBudget]] trips on. The per-cell
+    * population is also what partition pruning's effectiveness rides on:
+    * a probe of the hottest cell costs maxCell rows no matter how many
+    * cells exist.
+    */
+  def cellStats(spark: SparkSession, indexPath: String): (Long, Long) = {
+    val row = read(spark, indexPath)
+      .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("total"))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** Max-over-mean occupancy across OCCUPIED cells — ≈ 1 when balanced; a
+    * large value means probe cost (and the within-cell quadratic operators'
+    * task sizes) concentrate in few cells. The health signal an operator
+    * watches alongside [[driftRatio]]; [[graft.dedup.FingerprintIndex]]
+    * publishes the same shape for its hamming bands.
+    */
+  def occupancySkew(spark: SparkSession, indexPath: String): Double = {
+    val row = read(spark, indexPath)
+      .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), avg(col("n")).as("mean"))
+      .head()
+    row.getLong(0) / row.getDouble(1)
+  }
+
+  /** GROW-K maintenance — the policy the per-cell operators' scale story
+    * cites ("grow the centroid count with the corpus"), made governed like
+    * [[maintainIfDrifted]]: when the largest cell exceeds `targetCellRows`
+    * (the budget that keeps a 1-cell probe scan and a within-cell quadratic
+    * task bounded), re-fit with K = max(ceil(total / targetCellRows),
+    * 2 × current K) centroids — the volume-derived count, with doubling as
+    * the floor so a PURE-SKEW breach (total/target ≤ current K) still makes
+    * progress — clamped to `maxK`, seed-initialized and Lloyd-fit over the
+    * corpus the index has grown into, then atomically rewritten (same
+    * crash-safe promote as every recluster; raw pq codes carry, rpq
+    * re-encodes, searches serve the old generation until the swap).
+    *
+    * A cell of genuinely IDENTICAL vectors is indivisible by ANY centroid
+    * set — no K separates it, which is exactly why the within-cell
+    * operators also carry the [[SimilarityOps]] sub-partition backstop;
+    * this policy handles the separable-mass case (corpus growth, drifted
+    * distribution) where re-fitting genuinely restores balance. Cheap when
+    * healthy: one grouped count, no rewrite.
+    *
+    * @return (pre-maintenance max cell rows, whether a re-fit ran).
+    */
+  def maintainCellBudget(
+      spark: SparkSession,
+      indexPath: String,
+      targetCellRows: Long,
+      maxIter: Int = 5,
+      samplePpm: Long = 1000000L,
+      maxK: Int = 4096,
+      retrainCodebook: Boolean = false): (Long, Boolean) = {
+    require(targetCellRows >= 1, s"targetCellRows must be >= 1, got $targetCellRows")
+    val (maxCell, total) = cellStats(spark, indexPath)
+    if (maxCell <= targetCellRows) (maxCell, false)
+    else {
+      val currentK = currentCentroids(spark, indexPath).size
+      val byVolume = math.ceil(total.toDouble / targetCellRows).toLong
+      val kNew = math.min(maxK.toLong, math.max(byVolume, 2L * currentK)).toInt
+      recluster(spark, indexPath, maxIter = math.max(1, maxIter),
+        samplePpm = samplePpm, retrainCodebook = retrainCodebook,
+        k = Some(kNew))
+      (maxCell, true)
+    }
   }
 }

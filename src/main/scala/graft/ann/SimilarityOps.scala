@@ -312,9 +312,20 @@ object SimilarityOps {
     * the oracle exact). centroid k's coefficient i derives from
     * md5("ivf_k_i") exactly like the LSH hyperplanes.
     */
-  lazy val centroids: IndexedSeq[Array[Double]] = {
+  lazy val centroids: IndexedSeq[Array[Double]] = seedCentroids(NumCentroids)
+
+  /** md5-seeded centroid set of arbitrary size — the [[centroids]] formula
+    * generalized: centroid k's coefficient i derives from md5("ivf_k_i"), so
+    * any two engines (and any two K values sharing a prefix) agree
+    * bit-for-bit. The Lloyd INIT for a grow-K re-fit
+    * ([[IvfIndex.recluster]] with `k`): at 100 TB the centroid count must
+    * grow with the corpus to keep cells O(n/K) — the SemDeDup discipline the
+    * per-cell operators' scale story cites.
+    */
+  def seedCentroids(n: Int): IndexedSeq[Array[Double]] = {
+    require(n >= 1, s"centroid count must be >= 1, got $n")
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until NumCentroids).map { k =>
+    (0 until n).map { k =>
       Array.tabulate(Dim) { i0 =>
         val i = i0 + 1
         md.reset()
@@ -707,16 +718,20 @@ object SimilarityOps {
       spark: SparkSession, sfDir: String, k: Int = 3,
       subCellThreshold: Long = CellPairSubThreshold): DataFrame = {
     VectorFunctions.register(spark)
-    val assigns = ivfAssignments(spark, sfDir)
-    val e = withNorm(Tables.embeddings(spark, sfDir), "vec_id", "v", "nn")
-      .join(assigns, "vec_id")
+    // assignment computed INLINE in the scan (argmin is a narrow projection)
+    // rather than a shuffle join against ivfAssignments — one exchange less
+    // per side and no second corpus scan; bit-identical cell ids (same
+    // argmin over the same vectors). The occupancy side below keeps the
+    // narrow ivfAssignments plan (scan → argmin → 8-row agg).
+    val e = withCentroidAssignment(
+      withNorm(Tables.embeddings(spark, sfDir), "vec_id", "v", "nn"), "v")
     val a = e.select(col("centroid_id"), col("vec_id").as("src"),
       col("v").as("va"), col("nn").as("na"))
     val b = e.select(col("centroid_id"), col("vec_id").as("dst"),
       col("v").as("vb"), col("nn").as("nb"))
     val w = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
     subPartitionedCellJoin(a, "src", b, "dst",
-      cellBlockCounts(assigns, subCellThreshold))
+      cellBlockCounts(ivfAssignments(spark, sfDir), subCellThreshold))
       .where(col("src") =!= col("dst"))
       .withColumn("cos", expr("dot_arrays(va, vb)") / (sqrt(col("na")) * sqrt(col("nb"))))
       .withColumn("rank", row_number().over(w))
@@ -748,8 +763,9 @@ object SimilarityOps {
       subCellThreshold: Long = CellPairSubThreshold): DataFrame = {
     VectorFunctions.register(spark)
     val assigns = ivfAssignments(spark, sfDir)
-    val e = withNorm(Tables.embeddings(spark, sfDir), "vec_id", "v", "nn")
-      .join(assigns, "vec_id")
+    // inline assignment, like [[knnGraph]]: no shuffle join per pair side
+    val e = withCentroidAssignment(
+      withNorm(Tables.embeddings(spark, sfDir), "vec_id", "v", "nn"), "v")
     val a = e.select(col("centroid_id"), col("vec_id").as("id_a"),
       col("v").as("va"), col("nn").as("na"))
     val b = e.select(col("centroid_id"), col("vec_id").as("id_b"),

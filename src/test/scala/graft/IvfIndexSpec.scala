@@ -846,6 +846,48 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
       "recovered index must serve under the default seed codebook")
   }
 
+  test("grow-K maintenance: a breached cell budget re-fits at a larger K; full-probe search stays exact (r12)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_growk").toString
+    IvfIndex.materialize(spark, embs, dir)
+    // sf0.001's natural assignment is skewed: the hottest seed-8 cell holds
+    // ~214 of 500 vectors — past a 120-row budget, under the 500/120 ≈ 5
+    // volume-derived K, so the doubling floor picks K = 16
+    val (maxBefore, total) = IvfIndex.cellStats(spark, dir)
+    assert(total == embs.count())
+    assert(maxBefore > 120, s"fixture expectation: hottest cell $maxBefore should breach 120")
+    val skewBefore = IvfIndex.occupancySkew(spark, dir)
+    val (reported, ran) = IvfIndex.maintainCellBudget(spark, dir, targetCellRows = 120, maxIter = 5)
+    assert(ran && reported == maxBefore)
+    assert(IvfIndex.currentCentroids(spark, dir).size == 16,
+      s"expected the doubling floor K=16, got ${IvfIndex.currentCentroids(spark, dir).size}")
+    val (maxAfter, totalAfter) = IvfIndex.cellStats(spark, dir)
+    assert(totalAfter == total, "re-fit must not add or drop rows")
+    assert(maxAfter < maxBefore,
+      s"re-fit at K=16 must shrink the hottest cell: $maxBefore -> $maxAfter")
+    assert(IvfIndex.occupancySkew(spark, dir) <= skewBefore * 1.5,
+      "occupancy skew should not blow up under the re-fit")
+    // healthy index: a second maintenance call is a no-op (no rewrite)
+    val segsNow = graft.sources.Segments.segmentIds(spark, dir)
+    val (_, ranAgain) = IvfIndex.maintainCellBudget(spark, dir, targetCellRows = maxAfter + 1)
+    assert(!ranAgain && graft.sources.Segments.segmentIds(spark, dir) == segsNow)
+    // centroid-set independence at FULL probe: searching every cell is exact
+    // brute force whatever the K, so the grown index must agree with an
+    // unmaintained twin probed over all its seed-8 cells
+    val twin = java.nio.file.Files.createTempDirectory("ivf_growk_twin").toString
+    IvfIndex.materialize(spark, embs, twin)
+    val got = rows(IvfIndex.search(spark, dir, queries(8), k = 3, nprobe = 16))
+    val ref = rows(IvfIndex.search(spark, twin, queries(8), k = 3, nprobe = 8))
+    assert(got.nonEmpty && got.sameElements(ref),
+      "full-probe search diverged after the grow-K re-fit")
+    // the ADC family serves the grown index too: codes re-encoded/carried
+    // coherently (pq carries, rpq re-encodes under the K=16 set), and at
+    // full probe + unbounded rerank both reduce to the exact ranking
+    assert(rows(IvfIndex.searchAdc(spark, dir, queries(8), 3, 16, rerank = 1000000))
+      .sameElements(ref), "full-width searchAdc diverged after grow-K")
+    assert(rows(IvfIndex.searchRadc(spark, dir, queries(8), 3, 16, rerank = 1000000))
+      .sameElements(ref), "full-width searchRadc diverged after grow-K")
+  }
+
   test("consecutive searchAdc constructions run no footer-merge job on an all-coded index (r11 verdict #2)") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_footer_jobs").toString
     IvfIndex.materialize(spark, embs.filter(col("vec_id") % 2 === 0), dir)
