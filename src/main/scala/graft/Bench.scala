@@ -652,6 +652,36 @@ object Bench {
       val codebookRetrainSec = (System.nanoTime() - tRetrain) / 1e9
       val radcHitsTrained = adcHits("radc")
       val adcHitsTrained = adcHits("adc")
+      // GROW-K maintenance row (r12): sf0.1's natural assignment is skewed
+      // (hottest seed-8 cell ≈ 40% of the corpus), so a 300-row budget
+      // trips and re-fits at K = 16. Reported: the one-off re-fit
+      // wall-clock (the price the policy pays when it trips), hottest-cell
+      // rows before/after (the balance payoff), and the nprobe=2 float
+      // search before/after (probe cost rides the probed cells' size, so
+      // better balance shows up as equal-or-cheaper serving at equal
+      // nprobe FRACTION — here nprobe stays 2 of more, smaller cells).
+      val gkDir = s"$base/ivf_growk"
+      graft.ann.IvfIndex.materialize(spark, embs, gkDir)
+      val (gkMaxBefore, gkTotal) = graft.ann.IvfIndex.cellStats(spark, gkDir)
+      // the scale claim is CANDIDATE ROWS: every mode's per-batch work is
+      // Σ over queries of their probed cells' populations — wall-clock at a
+      // 2k-row index is scheduling noise, the candidate volume is the
+      // evidence that survives a 1000× corpus (same pattern as the ADC
+      // byte table)
+      def gkProbedRows(): Long = graft.ann.IvfIndex.candidateRows(
+        spark, gkDir, embs.filter(col("vec_id") < 10), 2)
+      val gkProbeRowsBefore = gkProbedRows()
+      val gkProbeBefore = time2(graft.ann.IvfIndex.search(
+        spark, gkDir, embs.filter(col("vec_id") < 10), 3, 2).count())
+      val tGrowk = System.nanoTime()
+      val (_, gkRan) = graft.ann.IvfIndex.maintainCellBudget(
+        spark, gkDir, targetCellRows = 300, maxIter = 5)
+      val growkSec = (System.nanoTime() - tGrowk) / 1e9
+      val gkK = graft.ann.IvfIndex.currentCentroids(spark, gkDir).size
+      val (gkMaxAfter, _) = graft.ann.IvfIndex.cellStats(spark, gkDir)
+      val gkProbeRowsAfter = gkProbedRows()
+      val gkProbeAfter = time2(graft.ann.IvfIndex.search(
+        spark, gkDir, embs.filter(col("vec_id") < 10), 3, 2).count())
       // hamming fingerprint index: one-shot = rehash + all-band self-join of
       // the whole image corpus; probe = a 2% batch against the stored bands
       // (zero-shuffle broadcast probe)
@@ -703,6 +733,12 @@ object Bench {
         s""""ivf_adc_hits30_seed":$adcHitsSeed,""" +
         s""""ivf_adc_hits30_trained":$adcHitsTrained,""" +
         s""""codebook_retrain_sec":$codebookRetrainSec,""" +
+        s""""growk_ran":$gkRan,"growk_sec":$growkSec,"growk_k_after":$gkK,""" +
+        s""""growk_total_rows":$gkTotal,""" +
+        s""""growk_max_cell_before":$gkMaxBefore,"growk_max_cell_after":$gkMaxAfter,""" +
+        s""""growk_probe_rows_before":$gkProbeRowsBefore,""" +
+        s""""growk_probe_rows_after":$gkProbeRowsAfter,""" +
+        s""""growk_probe_sec_before":$gkProbeBefore,"growk_probe_sec_after":$gkProbeAfter,""" +
         s"""${leg("fp_hamming_candidates", fpFullSec, fpProbeSec)},""" +
         s"""${leg("neardup_labels_via_pairstore", pairFullSec, pairServedSec)},""" +
         s"""${leg("jaccard_pairs_incremental_batch", incrFullSec, incrBatchSec)},""" +

@@ -610,6 +610,26 @@ object IvfIndex {
       .select("probe").distinct().collect().map(_.getInt(0)).sorted.toSeq
   }
 
+  /** Number of (query, stored-row) CANDIDATE pairs a batch's probe schedule
+    * evaluates — Σ over queries of their probed cells' populations, i.e. the
+    * per-batch compute cost every search mode pays before ranking (float
+    * dots, ADC lookups alike). The capacity statistic that shows what cell
+    * BALANCE buys: [[probedCells]] bounds the bytes a batch reads (distinct
+    * cells), this bounds the work — a hot cell inflates it for every query
+    * probing it, and a [[maintainCellBudget]] re-fit shrinks it at equal
+    * nprobe.
+    */
+  def candidateRows(
+      spark: SparkSession, indexPath: String, queries: DataFrame, nprobe: Int,
+      asOf: Option[Long] = None): Long = {
+    VectorFunctions.register(spark)
+    val probes = probeCells(withNorm(queries, "qid", "qv", "qn"), nprobe,
+      currentCentroids(spark, indexPath, asOf))
+    indexFrame(spark, indexPath, asOf, excludeSegment = None)
+      .join(broadcast(probes.select("qid", "probe")), col("probe") === col("centroid_id"))
+      .count()
+  }
+
   /** Snapshot read — the index exactly as it stood after `maxBatch` was
     * absorbed ([[graft.sources.Segments.readAsOf]] contract: live ids are
     * valid snapshot points; compaction collapses older ones, and a collapsed
@@ -811,8 +831,21 @@ object IvfIndex {
           if (baselineResidual(spark, indexPath).isEmpty)
             recordBaseline(spark, indexPath, driftSamplePpm)
           val ratio = driftRatio(spark, indexPath, driftSamplePpm)
+          // occupancy skew over the SAME md5 sample (max/mean is invariant
+          // under uniform sampling) — the in-stream trip wire for the
+          // batch-side [[maintainCellBudget]] grow-K policy, like
+          // drift_ratio is for [[maintainIfDrifted]]: the stream itself
+          // cannot re-fit (the rewrite requires a quiesced index), so it
+          // publishes the signal an operator watches
+          val occ = sampled(read(spark, indexPath).select("vec_id", "centroid_id"),
+            driftSamplePpm)
+            .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+            .agg(max(col("n")).cast("double").as("mx"), avg(col("n")).as("mean"))
+            .head()
+          val skew = occ.getDouble(0) / occ.getDouble(1)
           import spark.implicits._
-          Seq((segment, ratio)).toDF("segment", "drift_ratio")
+          Seq((segment, ratio, skew))
+            .toDF("segment", "drift_ratio", "occupancy_skew")
             .write.mode("overwrite").parquet(s"$metricsPath/batch=$segment")
         }
       }

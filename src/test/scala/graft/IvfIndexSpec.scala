@@ -138,6 +138,14 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     val s0 = IvfIndex.StreamingSegmentBase
     assert(math.abs(metric(s0) - 1.0) < 1e-12,
       s"bootstrap batch must read as its own baseline, got ${metric(s0)}")
+    // the occupancy-skew trip wire rides the same row (r12): max/mean over
+    // occupied cells, ≥ 1 by construction, and it must equal the batch-side
+    // statistic the grow-K policy reads
+    val skew0 = spark.read.option("basePath", met).parquet(s"$met/batch=$s0")
+      .head().getAs[Double]("occupancy_skew")
+    assert(skew0 >= 1.0, s"occupancy skew must be >= 1, got $skew0")
+    assert(math.abs(skew0 - IvfIndex.occupancySkew(spark, idx)) < 1e-9,
+      "in-stream skew must equal the batch-side occupancySkew statistic")
     // a shifted second batch lands while the query is down
     docsToSrc(embs.select(
       (col("vec_id") + 100000L).as("vec_id"),
