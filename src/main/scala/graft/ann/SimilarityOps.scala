@@ -79,7 +79,7 @@ object SimilarityOps {
     * [[MaxCellBlocks]]. One tiny grouped count over the assignment column —
     * map-side-combined to K rows, broadcastable at any corpus size.
     */
-  private def cellBlockCounts(assigns: DataFrame, threshold: Long): DataFrame = {
+  private[graft] def cellBlockCounts(assigns: DataFrame, threshold: Long): DataFrame = {
     require(threshold >= 1, s"subCellThreshold must be >= 1, got $threshold")
     assigns.groupBy("centroid_id")
       .agg(count(lit(1)).as("n_cell"))
@@ -103,7 +103,7 @@ object SimilarityOps {
     * Healthy cells pay one broadcast-join lookup and an nb=1 degenerate
     * explode — the plan is unchanged in shape and output everywhere.
     */
-  private def subPartitionedCellJoin(
+  private[graft] def subPartitionedCellJoin(
       a: DataFrame, aId: String,
       b: DataFrame, bId: String,
       blockCounts: DataFrame): DataFrame = {

@@ -42,6 +42,39 @@ object AnnProps extends Properties("ann") {
     dupe <- Gen.oneOf(true, false)
   } yield (vectors, if (dupe) baseCents.head :: baseCents else baseCents)
 
+  /** The r12 mega-cell guard must be EXACT: against random skewed cell
+    * layouts (including one cell holding most rows — the degenerate case it
+    * exists for) and random thresholds (1 forces max splitting, MaxValue
+    * forces the plain-join degenerate path), the sub-partitioned cell join
+    * must emit exactly the plain `centroid_id` equi-join's pair multiset.
+    */
+  private val genCellCase: Gen[(List[(Long, Int)], Long)] = for {
+    nCells <- Gen.choose(1, 4)
+    nRows <- Gen.choose(1, 40)
+    // zipf-ish: cell 0 attracts most rows with positive probability
+    skewed <- Gen.oneOf(true, false)
+    cells <- Gen.listOfN(nRows,
+      if (skewed) Gen.frequency((6, Gen.const(0)), (1, Gen.choose(0, nCells - 1)))
+      else Gen.choose(0, nCells - 1))
+    threshold <- Gen.oneOf(1L, 2L, 7L, Long.MaxValue)
+  } yield (cells.zipWithIndex.map { case (c, i) => (i.toLong, c) }, threshold)
+
+  property("subPartitionedCellJoin = plain centroid_id equi-join, any threshold") =
+    forAll(genCellCase) { case (rows, threshold) =>
+      val assigns = rows.toDF("vec_id", "centroid_id")
+      val a = rows.map { case (id, c) => (c, id) }.toDF("centroid_id", "ida")
+      val b = rows.map { case (id, c) => (c, id) }.toDF("centroid_id", "idb")
+      val got = SimilarityOps
+        .subPartitionedCellJoin(a, "ida", b, "idb",
+          SimilarityOps.cellBlockCounts(assigns, threshold))
+        .select("centroid_id", "ida", "idb")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val want = a.join(b, Seq("centroid_id"))
+        .select("centroid_id", "ida", "idb")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      got == want
+    }
+
   property("centroid assignment = naive argmin with lowest-k ties; kept distance = naive min") =
     forAll(genCase) { case (vectors, cents) =>
       graft.functions.VectorFunctions.register(spark)
