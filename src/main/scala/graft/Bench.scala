@@ -151,6 +151,12 @@ object Bench {
     // had no measurable rows, e.g. after a section-level failure)
     def worstAttrib(rows: Seq[(Double, String, String)]): String =
       rows.filter(_._1 >= 0).sortBy(-_._1).headOption.map(_._3).getOrElse("null")
+    // the bare query NAME of the worst row, for consumers that want a flat
+    // string key next to the structured attrib object
+    def worstName(rows: Seq[(Double, String, String)]): String =
+      rows.filter(_._1 >= 0).sortBy(-_._1).headOption
+        .map(_._2.split("\":", 2).head.stripPrefix("\""))
+        .map(n => s""""$n"""").getOrElse("null")
     def cleanup(dir: String): Unit = {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively(); ()
@@ -162,7 +168,7 @@ object Bench {
     // under 10 on idle cores = the plan scales with partitions, not the
     // driver; a ratio ≥ 10 would flag a serialization point.
     val factor = 10
-    val (probeJson, probeWorst, probeTwoSidedPerUnit, probeWorstAttrib) = try {
+    val (probeJson, probeWorst, probeTwoSidedPerUnit, probeWorstAttrib, probeWorstQuery) = try {
       import org.apache.spark.sql.functions._
       val probeDir = java.nio.file.Files.createTempDirectory("graft_scale").toString
       Tables.events(spark, sfDir)
@@ -348,9 +354,9 @@ object Bench {
         if (twoSided._1 < 0) -1.0 else twoSided._1 / (factor.toDouble * factor)
       (s""","scale_probe":{"factor":$factor,"queries":${rows.map(_._2).mkString("{", ",", "}")}}""" +
         ivfIndexScale,
-        worst, twoSidedPerUnit, worstAttrib(uniformRows))
+        worst, twoSidedPerUnit, worstAttrib(uniformRows), worstName(uniformRows))
     } catch { case t: Throwable =>
-      (s""","scale_probe":{"error":"${jsonErr(t)}"}""", -1.0, -1.0, "null") }
+      (s""","scale_probe":{"error":"${jsonErr(t)}"}""", -1.0, -1.0, "null", "null") }
 
     // Planted-SKEW probe (VERDICT r3 #2): the uniform replication above keeps
     // keys evenly loaded, which can't surface hot-key failure modes. Here the
@@ -360,7 +366,7 @@ object Bench {
     // UNSKEWED base, so a plan that degenerates on a hot key (single-task
     // window, unsplittable join partition, uncapped postings blowup) reads as
     // a superlinear ratio instead of hiding behind uniform balance.
-    val (skewJson, skewWorst, skewWorstAttrib) = try {
+    val (skewJson, skewWorst, skewWorstAttrib, skewWorstQuery) = try {
       import org.apache.spark.sql.functions._
       val skewDir = java.nio.file.Files.createTempDirectory("graft_skew").toString
       // events: 10× replicas; half of all rows remapped into house "1_1_0"
@@ -488,9 +494,9 @@ object Bench {
       cleanup(skewDir)
       val worst = rows.map(_._1).filterNot(_ < 0).foldLeft(0.0)(math.max)
       (s""","scale_probe_skew":{"factor":$factor,"hot_doc_frac":0.3,"hot_event_frac":0.5,"hot_lineitem_frac":0.5,"queries":${rows.map(_._2).mkString("{", ",", "}")}}""",
-        worst, worstAttrib(rows))
+        worst, worstAttrib(rows), worstName(rows))
     } catch { case t: Throwable =>
-      (s""","scale_probe_skew":{"error":"${jsonErr(t)}"}""", -1.0, "null") }
+      (s""","scale_probe_skew":{"error":"${jsonErr(t)}"}""", -1.0, "null", "null") }
 
     // Rollup-serving demonstration: the same sliding-window counts, once over
     // raw events and once with RollupRewrite routing them onto the rollup
@@ -980,6 +986,7 @@ object Bench {
       s""""n_errors":${errors.size},""" +
       s""""worst_probe_ratio":$probeWorst,"worst_uniform_ratio":$probeWorst,""" +
       s""""worst_twosided_per_unit":$probeTwoSidedPerUnit,"worst_skew_ratio":$skewWorst,""" +
+      s""""worst_uniform_query":$probeWorstQuery,"worst_skew_query":$skewWorstQuery,""" +
       s""""worst_uniform_attrib":$probeWorstAttrib,"worst_skew_attrib":$skewWorstAttrib,""" +
       s""""streaming_rows_per_sec":$streamingRps,""" +
       s""""load_avg_start":$loadAvgStart,"sentinel_start_sec":$sentinelStartSec}"""
