@@ -414,6 +414,14 @@ object IvfIndex {
       codebookRaw: Option[IndexedSeq[IndexedSeq[Array[Double]]]] = None): Unit =
     (codebook, codebookRaw) match {
       case (None, None) =>
+        // a zero-row first build writes NO parquet (dynamic-partition write
+        // of an empty frame), leaving an index every later read dies on with
+        // an unhelpful schema-inference error (ADVICE r12's empty-index
+        // family); fail the build itself with the diagnostic instead.
+        // Later zero-row appendBatches stay legal (an idle micro-batch).
+        require(!embeddings.isEmpty,
+          s"materialize: embeddings frame holds zero rows — refusing to build " +
+            s"an empty (unreadable) index at $indexPath")
         appendBatch(spark, indexPath, embeddings, batchId = 0L)
         recordBaseline(spark, indexPath)
       case _ =>
@@ -1355,6 +1363,10 @@ object IvfIndex {
       .groupBy("centroid_id").agg(count(lit(1)).as("n"))
       .agg(max(col("n")).as("mx"), sum(col("n")).as("total"))
       .head()
+    // an empty-but-materialized index aggregates to one all-null row; fail
+    // with a diagnostic instead of a bare NPE (the residualUnder discipline)
+    require(!row.isNullAt(0),
+      s"cellStats: index at $indexPath holds zero rows — nothing to maintain")
     (row.getLong(0), row.getLong(1))
   }
 
@@ -1369,6 +1381,8 @@ object IvfIndex {
       .groupBy("centroid_id").agg(count(lit(1)).as("n"))
       .agg(max(col("n")).as("mx"), avg(col("n")).as("mean"))
       .head()
+    require(!row.isNullAt(0),
+      s"occupancySkew: index at $indexPath holds zero rows — no occupancy to measure")
     row.getLong(0) / row.getDouble(1)
   }
 
@@ -1408,10 +1422,26 @@ object IvfIndex {
       val currentK = currentCentroids(spark, indexPath).size
       val byVolume = math.ceil(total.toDouble / targetCellRows).toLong
       val kNew = math.min(maxK.toLong, math.max(byVolume, 2L * currentK)).toInt
-      recluster(spark, indexPath, maxIter = math.max(1, maxIter),
-        samplePpm = samplePpm, retrainCodebook = retrainCodebook,
-        k = Some(kNew))
-      (maxCell, true)
+      // no progress possible at the maxK clamp: a breach whose grown K
+      // doesn't exceed the current K (currentK already at/above maxK, or a
+      // clamped doubling) must NOT trigger a full index rewrite — a cron'd
+      // policy loop would pay an endless recluster (and a currentK > maxK
+      // index would actively SHRINK) with the same imbalance after. The
+      // breach is either indivisible mass (identical vectors — the
+      // SimilarityOps sub-partition backstop's case) or a maxK ceiling the
+      // operator must raise deliberately.
+      if (kNew <= currentK) {
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .info(s"maintainCellBudget: cell budget breached (maxCell=$maxCell > " +
+            s"target=$targetCellRows) but grown K=$kNew would not exceed current " +
+            s"K=$currentK (maxK=$maxK) — skipping the re-fit, no progress possible")
+        (maxCell, false)
+      } else {
+        recluster(spark, indexPath, maxIter = math.max(1, maxIter),
+          samplePpm = samplePpm, retrainCodebook = retrainCodebook,
+          k = Some(kNew))
+        (maxCell, true)
+      }
     }
   }
 }

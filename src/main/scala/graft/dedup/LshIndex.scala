@@ -43,7 +43,7 @@ object LshIndex {
     */
   private val hotBucketCache =
     new java.util.concurrent.ConcurrentHashMap[
-      String, (String, Seq[(Int, Long, Long, Long, Long)])]()
+      (String, Int), (String, Seq[(Int, Long, Long, Long, Long)])]()
 
   /** One row per (doc, band): doc_id, band_idx, k0..k3, sig. */
   def bandTable(docs: DataFrame): DataFrame = {
@@ -208,15 +208,16 @@ object LshIndex {
             .toSeq
         val hotRows = (asOf, excludeSegment) match {
           case (None, None) =>
-            val stamp =
-              graft.sources.Segments.segmentIds(spark, indexPath).mkString(",") + s"|$cap"
-            val cached = hotBucketCache.get(indexPath)
-            if (cached != null && cached._1 == stamp) cached._2
-            else {
-              val rows = collectHot()
-              hotBucketCache.put(indexPath, (stamp, rows))
-              rows
-            }
+            // keyed by (path, cap) so callers alternating caps (or concurrent
+            // sessions whose caps derive from different shuffle-partition
+            // counts) each keep their own slot instead of thrashing one —
+            // still bounded: one entry per cap IN USE per index. compute()
+            // makes the stamp compare-and-replace atomic, so concurrent
+            // misses on the same key collect once (ADVICE r12).
+            val stamp = graft.sources.Segments.segmentIds(spark, indexPath).mkString(",")
+            hotBucketCache.compute((indexPath, cap), (_, cached) =>
+              if (cached != null && cached._1 == stamp) cached
+              else (stamp, collectHot()))._2
           case _ => collectHot()
         }
         if (hotRows.isEmpty) (index0, probe0)

@@ -896,6 +896,40 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
       .sameElements(ref), "full-width searchRadc diverged after grow-K")
   }
 
+  test("grow-K makes no rewrite when the clamped K cannot exceed the current K (ADVICE r12)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_growk_clamp").toString
+    IvfIndex.materialize(spark, embs, dir)
+    val (maxBefore, _) = IvfIndex.cellStats(spark, dir)
+    assert(maxBefore > 120, s"fixture expectation: hottest cell $maxBefore should breach 120")
+    val segsBefore = graft.sources.Segments.segmentIds(spark, dir)
+    val kBefore = IvfIndex.currentCentroids(spark, dir).size
+    // budget breached, but maxK == currentK clamps the grown K to no
+    // progress: the policy must SKIP the full rewrite (a cron'd loop would
+    // otherwise pay an endless recluster), not shrink or churn the index
+    val (reported, ran) = IvfIndex.maintainCellBudget(
+      spark, dir, targetCellRows = 120, maxK = kBefore)
+    assert(reported == maxBefore, "breach must still be reported")
+    assert(!ran, "a no-progress breach must not trigger a re-fit")
+    assert(graft.sources.Segments.segmentIds(spark, dir) == segsBefore,
+      "no-progress maintenance must leave the segment set untouched")
+    assert(IvfIndex.currentCentroids(spark, dir).size == kBefore,
+      "no-progress maintenance must leave K untouched")
+    // a maxK BELOW the current K must never shrink the index either
+    val (_, ranShrink) = IvfIndex.maintainCellBudget(
+      spark, dir, targetCellRows = 120, maxK = math.max(1, kBefore - 2))
+    assert(!ranShrink && IvfIndex.currentCentroids(spark, dir).size == kBefore,
+      "maintenance must never shrink K through the clamp")
+  }
+
+  test("an empty index build fails loudly; stats on a zero-row index diagnose, not NPE (ADVICE r12)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_empty_stats").toString
+    // a zero-row FIRST build writes no parquet at all — every later read
+    // would die on schema inference, so the build itself must refuse
+    val e0 = intercept[IllegalArgumentException](
+      IvfIndex.materialize(spark, embs.limit(0), dir))
+    assert(e0.getMessage.contains("zero rows"), s"got: ${e0.getMessage}")
+  }
+
   test("consecutive searchAdc constructions run no footer-merge job on an all-coded index (r11 verdict #2)") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_footer_jobs").toString
     IvfIndex.materialize(spark, embs.filter(col("vec_id") % 2 === 0), dir)
