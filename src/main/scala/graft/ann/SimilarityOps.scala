@@ -110,12 +110,22 @@ object SimilarityOps {
     require(!(a.columns ++ b.columns).exists(c =>
       c == GridLb || c == GridRb || c == CellNbCol),
       s"subPartitionedCellJoin inputs must not carry $GridLb/$GridRb/$CellNbCol")
+    // LEFT join + nb default 1 (ADVICE r12): an inner join would silently
+    // DROP any row whose centroid_id is absent from the occupancy frame.
+    // Today's callers recompute the identical argmin on both paths so the
+    // cell sets always match, but exactness must be structural, not coupled
+    // to that invariant — a future caller passing stale or differently-
+    // sourced assignments degrades to the plain (nb = 1) join per unknown
+    // cell instead of losing its pairs.
     val nbB = broadcast(blockCounts)
-    val l = a.join(nbB, "centroid_id")
+    def withNb(side: DataFrame): DataFrame = side
+      .join(nbB, Seq("centroid_id"), "left")
+      .withColumn(CellNbCol, coalesce(col(CellNbCol), lit(1)))
+    val l = withNb(a)
       .withColumn(GridLb, pmod(hash(col(aId)), col(CellNbCol)))
       .withColumn(GridRb, explode(sequence(lit(0), col(CellNbCol) - 1)))
       .drop(CellNbCol)
-    val r = b.join(nbB, "centroid_id")
+    val r = withNb(b)
       .withColumn(GridRb, pmod(hash(col(bId)), col(CellNbCol)))
       .withColumn(GridLb, explode(sequence(lit(0), col(CellNbCol) - 1)))
       .drop(CellNbCol)
@@ -407,11 +417,18 @@ object SimilarityOps {
     * argmin ordered (distance, k) — ties resolve to the lowest k, matching
     * the Spark CASE chain.
     */
-  private val assignCtes: String = {
+  private val assignCtes: String = assignCtesFrom(
+    """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings""".stripMargin)
+
+  /** [[assignCtes]] over a caller-supplied `e` CTE body (vec_id, v double
+    * list) — the hot-slice oracle rows rewrite the corpus IN-QUERY and need
+    * the same centroid/assignment pipeline over the rewritten vectors.
+    */
+  private def assignCtesFrom(eBody: String): String = {
     val kVals = (0 until NumCentroids).map(k => s"($k)").mkString(", ")
     s"""e AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+       |  $eBody),
        |cents AS (
        |  SELECT t.k,
        |         list_transform(generate_series(1, ${Dim}), i ->
@@ -718,20 +735,33 @@ object SimilarityOps {
       spark: SparkSession, sfDir: String, k: Int = 3,
       subCellThreshold: Long = CellPairSubThreshold): DataFrame = {
     VectorFunctions.register(spark)
+    knnGraphFrom(
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")),
+      k, subCellThreshold)
+  }
+
+  /** [[knnGraph]] body over any (vec_id, v double array) frame — shared with
+    * the hot-slice oracle row, which rewrites the corpus in-query.
+    */
+  private def knnGraphFrom(
+      base: DataFrame, k: Int, subCellThreshold: Long): DataFrame = {
     // assignment computed INLINE in the scan (argmin is a narrow projection)
     // rather than a shuffle join against ivfAssignments — one exchange less
     // per side and no second corpus scan; bit-identical cell ids (same
     // argmin over the same vectors). The occupancy side below keeps the
-    // narrow ivfAssignments plan (scan → argmin → 8-row agg).
+    // narrow assignment plan (scan → argmin → K-row agg).
     val e = withCentroidAssignment(
-      withNorm(Tables.embeddings(spark, sfDir), "vec_id", "v", "nn"), "v")
+      base.withColumn("nn", expr("dot_arrays(v, v)")), "v")
+    val assigns = withCentroidAssignment(base, "v")
+      .select(col("vec_id"), col("centroid_id"))
     val a = e.select(col("centroid_id"), col("vec_id").as("src"),
       col("v").as("va"), col("nn").as("na"))
     val b = e.select(col("centroid_id"), col("vec_id").as("dst"),
       col("v").as("vb"), col("nn").as("nb"))
     val w = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
     subPartitionedCellJoin(a, "src", b, "dst",
-      cellBlockCounts(ivfAssignments(spark, sfDir), subCellThreshold))
+      cellBlockCounts(assigns, subCellThreshold))
       .where(col("src") =!= col("dst"))
       .withColumn("cos", expr("dot_arrays(va, vb)") / (sqrt(col("na")) * sqrt(col("nb"))))
       .withColumn("rank", row_number().over(w))
@@ -740,8 +770,10 @@ object SimilarityOps {
       .orderBy("src", "rank")
   }
 
-  def knnGraphSql(k: Int = 3): String =
-    s"""WITH $assignCtes,
+  def knnGraphSql(k: Int = 3): String = knnGraphSqlFrom(assignCtes, k)
+
+  private def knnGraphSqlFrom(ctes: String, k: Int): String =
+    s"""WITH $ctes,
        |normed AS (
        |  SELECT vec_id, v, centroid_id,
        |         list_sum(list_transform(v, x -> x * x)) AS nn
@@ -757,6 +789,114 @@ object SimilarityOps {
        |  FROM edges)
        |WHERE rank <= $k
        |ORDER BY src, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Mega-cell hot-slice rows (VERDICT r12 #3 + #2): the sub-partition guard
+  // and the 64-block clamp ledger, both ENGAGED under the DuckDB gate.
+  // ---------------------------------------------------------------------
+
+  /** Fraction threshold for [[knnGraphHotSlice]]: low enough that the
+    * planted mega-cell (30% of sf0.01's 500 vectors = 150 rows) splits onto
+    * nb = ⌈150/64⌉ = 3 blocks — the guard's nb > 1 path runs under the
+    * oracle gate, where q_knn_graph's natural cells stay below the default
+    * 1024 threshold and only ever exercise the nb = 1 degenerate explode.
+    */
+  private[graft] val HotSliceSubThreshold = 64L
+
+  /** Ledger threshold for [[knnClampLedger]]: at 2 rows/block the 150-row
+    * planted cell wants ⌈150/2⌉ = 75 blocks > [[MaxCellBlocks]] — the clamp
+    * BINDS, so the over-clamp ledger is nonzero under the oracle gate while
+    * the healthy cells (≈44 rows → 22 blocks) stay off it.
+    */
+  private[graft] val HotSliceClampThreshold = 2L
+
+  /** `embeddings` with 30% of vectors (vec_id % 10 < 3) rewritten IN-QUERY
+    * to ONE constant vector — the embedding-space twin of
+    * [[graft.dedup.DedupOps]]'s hot-slice documents corpus: near-identical
+    * embeddings that survive exact dedup all land in one IVF cell. Derived
+    * in-query so the DuckDB oracle sees the identical slice; the rewrite
+    * happens at DOUBLE precision on both sides (same IEEE ops), so norms,
+    * dots, and the argmin assignment are bit-identical cross-engine.
+    */
+  private[graft] def hotSliceEmb(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir).select(
+      col("vec_id"),
+      when(pmod(col("vec_id"), lit(10L)) < 3,
+        expr(s"transform(sequence(1, $Dim), i -> CAST(0.5 + (i % 7) / 100.0 AS DOUBLE))"))
+        .otherwise(transform(col("embedding"), _.cast("double"))).as("v"))
+
+  private val hotSliceAssignCtes: String = assignCtesFrom(
+    s"""SELECT vec_id,
+       |         CASE WHEN vec_id % 10 < 3
+       |              THEN list_transform(generate_series(1, $Dim), i -> 0.5 + (i % 7) / 100.0)
+       |              ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+       |  FROM embeddings""".stripMargin)
+
+  /** [[knnGraph]] over the hot-slice corpus at a threshold that forces the
+    * planted mega-cell onto nb = 3 sub-blocks: the guard's EXACTNESS at
+    * nb > 1 is pinned by the DuckDB oracle (whose plain within-cell join
+    * never sub-partitions), not just the suite's property specs. Identical
+    * vectors tie at cos ≈ 1 computed by the same IEEE ops both engines, so
+    * the (cos DESC, dst ASC) rank is deterministic cross-engine.
+    */
+  def knnGraphHotSlice(
+      spark: SparkSession, sfDir: String, k: Int = 3,
+      subCellThreshold: Long = HotSliceSubThreshold): DataFrame = {
+    VectorFunctions.register(spark)
+    knnGraphFrom(hotSliceEmb(spark, sfDir), k, subCellThreshold)
+  }
+
+  def knnGraphHotSliceSql(k: Int = 3): String =
+    knnGraphSqlFrom(hotSliceAssignCtes, k)
+
+  /** Cells past the [[MaxCellBlocks]] clamp — the loud-evidence ledger the
+    * other capped paths already carry (VERDICT r12 #2: the clamp was the one
+    * guard that saturated SILENTLY). A cell here is indivisible mass the
+    * sub-partition grid can no longer bound: per-task pair work grows as
+    * (n_cell/[[MaxCellBlocks]])² past the threshold's intended ceiling. The
+    * remedy is growing K ([[IvfIndex.maintainCellBudget]]) for separable
+    * mass, or upstream exact dedup for genuinely identical vectors; this
+    * ledger is what tells an operator which cells need it. One grouped
+    * count — broadcast-scale output, free at any corpus size.
+    */
+  private[graft] def overClampCells(assigns: DataFrame, threshold: Long): DataFrame = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    assigns.groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_cell"))
+      .withColumn("nb_uncapped",
+        ceil(col("n_cell").cast("double") / threshold).cast("long"))
+      .filter(col("nb_uncapped") > MaxCellBlocks)
+      .withColumn("block_rows",
+        ceil(col("n_cell").cast("double") / MaxCellBlocks).cast("long"))
+      .select("centroid_id", "n_cell", "nb_uncapped", "block_rows")
+  }
+
+  /** The over-clamp ledger over the hot-slice corpus at a threshold where
+    * the planted cell BINDS the clamp (⌈150/2⌉ = 75 > 64) — oracle-gated so
+    * both engines agree on exactly which cells are past it and how big
+    * their per-task blocks have grown.
+    */
+  def knnClampLedger(
+      spark: SparkSession, sfDir: String,
+      threshold: Long = HotSliceClampThreshold): DataFrame = {
+    VectorFunctions.register(spark)
+    val assigns = withCentroidAssignment(hotSliceEmb(spark, sfDir), "v")
+      .select(col("vec_id"), col("centroid_id"))
+    overClampCells(assigns, threshold).orderBy("centroid_id")
+  }
+
+  def knnClampLedgerSql(threshold: Long = HotSliceClampThreshold): String =
+    s"""WITH $hotSliceAssignCtes,
+       |occ AS (
+       |  SELECT CAST(centroid_id AS INT) AS centroid_id,
+       |         CAST(count(*) AS BIGINT) AS n_cell
+       |  FROM assigned GROUP BY 1)
+       |SELECT centroid_id, n_cell,
+       |       CAST(ceil(n_cell / $threshold.0) AS BIGINT) AS nb_uncapped,
+       |       CAST(ceil(n_cell / $MaxCellBlocks.0) AS BIGINT) AS block_rows
+       |FROM occ
+       |WHERE ceil(n_cell / $threshold.0) > $MaxCellBlocks
+       |ORDER BY centroid_id""".stripMargin
 
   def semDedup(
       spark: SparkSession, sfDir: String, threshold: Double = 0.45,
@@ -2151,6 +2291,8 @@ object SimilarityOps {
     "q_cluster_balanced_sample" -> (clusterBalancedSample(_, _)),
     "q_semdedup" -> (semDedup(_, _)),
     "q_knn_graph" -> (knnGraph(_, _)),
+    "q_knn_graph_hotslice" -> (knnGraphHotSlice(_, _)),
+    "q_knn_clamp_ledger" -> (knnClampLedger(_, _)),
     "q_embed_outliers" -> (embedOutliers(_, _)),
     "q_quantize_sq8" -> (quantizeSq8(_, _)),
     "q_label_stats" -> (labelStats(_, _)),
@@ -2180,6 +2322,8 @@ object SimilarityOps {
     "q_cluster_balanced_sample" -> clusterBalancedSampleSql,
     "q_semdedup" -> semDedupSql(),
     "q_knn_graph" -> knnGraphSql(),
+    "q_knn_graph_hotslice" -> knnGraphHotSliceSql(),
+    "q_knn_clamp_ledger" -> knnClampLedgerSql(),
     "q_embed_outliers" -> embedOutliersSql(),
     "q_quantize_sq8" -> quantizeSq8Sql,
     "q_label_stats" -> labelStatsSql,

@@ -75,6 +75,27 @@ object AnnProps extends Properties("ann") {
       got == want
     }
 
+  property("cells absent from the occupancy frame degrade to nb=1, never vanish (ADVICE r12)") =
+    forAll(genCellCase) { case (rows, threshold) =>
+      import org.apache.spark.sql.functions.col
+      val assigns = rows.toDF("vec_id", "centroid_id")
+      val a = rows.map { case (id, c) => (c, id) }.toDF("centroid_id", "ida")
+      val b = rows.map { case (id, c) => (c, id) }.toDF("centroid_id", "idb")
+      // stale/differently-sourced occupancy: cell 0 (the skew magnet) is
+      // missing entirely — its pairs must survive via the default one-block
+      // path instead of being dropped by an inner join
+      val partialCounts = SimilarityOps.cellBlockCounts(assigns, threshold)
+        .filter(col("centroid_id") =!= 0)
+      val got = SimilarityOps
+        .subPartitionedCellJoin(a, "ida", b, "idb", partialCounts)
+        .select("centroid_id", "ida", "idb")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val want = a.join(b, Seq("centroid_id"))
+        .select("centroid_id", "ida", "idb")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      got == want
+    }
+
   property("centroid assignment = naive argmin with lowest-k ties; kept distance = naive min") =
     forAll(genCase) { case (vectors, cents) =>
       graft.functions.VectorFunctions.register(spark)

@@ -201,6 +201,53 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       s"forced sub-partition did not reach the plan:\n$plan")
   }
 
+  test("hot-slice knn engages the guard at nb > 1 and stays exact vs the plain join (r12 verdict #3)") {
+    // the planted mega-cell (150 identical vectors) must genuinely want
+    // MORE than one block under the hot-slice threshold — i.e. the oracle
+    // row exercises the nb > 1 path, not the degenerate explode
+    val hotAssigns = SimilarityOps
+      .withCentroidAssignment(SimilarityOps.hotSliceEmb(spark, sfDir), "v")
+      .select("vec_id", "centroid_id")
+    val nbMax = SimilarityOps
+      .cellBlockCounts(hotAssigns, SimilarityOps.HotSliceSubThreshold)
+      .agg(org.apache.spark.sql.functions.max("__graft_cell_nb")).head().getInt(0)
+    assert(nbMax >= 2, s"hot-slice fixture must force nb > 1, got max nb = $nbMax")
+    // exactness at nb > 1: the guarded join must equal the plain join over
+    // the same hot-slice corpus
+    def hs(t: Long) = SimilarityOps.knnGraphHotSlice(spark, sfDir, k = 3, subCellThreshold = t)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val guarded = hs(SimilarityOps.HotSliceSubThreshold)
+    val plain = hs(Long.MaxValue)
+    assert(guarded.nonEmpty && guarded == plain,
+      "hot-slice knnGraph diverged between the nb>1 guard and the plain join")
+    // the clamp ledger over the same corpus: the planted cell binds the
+    // 64-block clamp at the ledger threshold, with the implied per-task
+    // block size reported
+    val ledger = SimilarityOps.knnClampLedger(spark, sfDir).collect()
+    assert(ledger.nonEmpty, "planted mega-cell must appear on the over-clamp ledger")
+    ledger.foreach { r =>
+      val (n, nbUncapped, blockRows) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nbUncapped > 64 && nbUncapped == math.ceil(
+        n.toDouble / SimilarityOps.HotSliceClampThreshold).toLong)
+      assert(blockRows == math.ceil(n.toDouble / 64).toLong)
+    }
+    assert(ledger.exists(_.getLong(1) >= 150),
+      "the 150-row planted cell must be on the ledger")
+  }
+
+  test("over-clamp ledger fires exactly when the 64-block clamp binds (r12 verdict #2)") {
+    import spark.implicits._
+    val t = 3L
+    // cell 0 sits exactly AT the boundary (nb_uncapped = 64: representable,
+    // clamp does not bind, no ledger row); cell 1 is one row past it
+    val rows = (0 until 64 * 3).map(i => (i.toLong, 0)) ++
+      (0 until 64 * 3 + 1).map(i => (1000L + i, 1))
+    val led = SimilarityOps.overClampCells(rows.toDF("vec_id", "centroid_id"), t)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(led.toSeq == Seq((1, 193L, 65L, 4L)),
+      s"ledger must fire on exactly the over-clamp cell: ${led.toSeq}")
+  }
+
   test("embed outliers are each cell's true distance maxima under the assignment metric") {
     import org.apache.spark.sql.functions._
     val vecs = Tables.embeddings(spark, sfDir)
