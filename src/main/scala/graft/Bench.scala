@@ -113,7 +113,8 @@ object Bench {
     // local /tmp runs — the worst row's name, retry flag and row-local
     // sentinel must survive in the summary object itself).
     def probeRowVs(name: String, b: Double, dir: String,
-        fn: (SparkSession, String) => DataFrame, extra: String = ""): (Double, String, String) = {
+        fn: (SparkSession, String) => DataFrame, extra: String = "",
+        fresh: Option[((SparkSession, String) => DataFrame, String)] = None): (Double, String, String) = {
       val first = timed(fn, dir)
       // stall defense (applies to EVERY probeRow caller — uniform AND skew
       // sections): a ratio past the superlinear flag threshold gets ONE
@@ -129,24 +130,45 @@ object Bench {
           val again = timed(fn, dir)
           if (again >= 0) math.min(first, again) else first
         } else first
-      val ratio = if (scaled < 0 || b <= 0) -1.0 else scaled / b
+      val staleRatio = if (scaled < 0 || b <= 0) -1.0 else scaled / b
       // a row that survives the retry still > 10 carries its own contention
       // witness: the fixed-cost sentinel re-measured AT THE ROW (historical
       // quiet-box value ~0.1-0.17 s) — the r10 driver run published
       // worst_skew_ratio 11.34 with only run-START contention samples, so
       // the stall-vs-superlinear call could not be made from the artifact
-      val rowSentinel = if (ratio > 10.0) sentinelSec() else -1.0
+      val rowSentinel = if (staleRatio > 10.0) sentinelSec() else -1.0
+      // FRESH-BASE re-measurement (VERDICT r12 #1, the final attribution
+      // hole): the base above was timed during the catalog pass, minutes
+      // earlier under DIFFERENT load — a run-wide contention shift inflates
+      // the ratio even when the plan is linear (r12 published 11.6 while
+      // four clean runs read 8.1–9.9). When a row survives its retry still
+      // past the flag threshold, re-time the base query ADJACENT to the
+      // scaled run and publish BOTH; the row's ratio becomes the fresh one
+      // (same-load numerator and denominator), with the stale reading kept
+      // in the attribution for the audit trail.
+      val freshBase = fresh match {
+        case Some((bfn, bdir)) if staleRatio > 10.0 => timed(bfn, bdir)
+        case _ => -1.0
+      }
+      val ratio = if (freshBase > 0 && scaled >= 0) scaled / freshBase else staleRatio
       val attribution =
-        if (ratio > 10.0) s""","retried":$retried,"stall_sentinel_sec":$rowSentinel"""
+        if (staleRatio > 10.0)
+          s""","retried":$retried,"stall_sentinel_sec":$rowSentinel""" +
+            (if (freshBase > 0)
+              s""","stale_base":$b,"stale_ratio":$staleRatio,"fresh_base_sec":$freshBase"""
+            else "")
         else if (retried) s""","retried":true"""
         else ""
       (ratio,
         s""""$name":{"base":$b,"scaled":$scaled,"ratio":$ratio$attribution$extra}""",
-        s"""{"query":"$name","ratio":$ratio,"retried":$retried,"row_sentinel_sec":$rowSentinel}""")
+        s"""{"query":"$name","ratio":$ratio,"retried":$retried,"row_sentinel_sec":$rowSentinel""" +
+          (if (freshBase > 0) s""","stale_ratio":$staleRatio,"fresh_base_sec":$freshBase}"""
+          else "}"))
     }
     def probeRow(name: String, baseName: String, dir: String,
         fn: (SparkSession, String) => DataFrame, extra: String = ""): (Double, String, String) =
-      probeRowVs(name, base.getOrElse(baseName, -1.0), dir, fn, extra)
+      probeRowVs(name, base.getOrElse(baseName, -1.0), dir, fn, extra,
+        fresh = SparkEntry.queries.get(baseName).map(f => (f, sfDir)))
     // the worst surviving row's attribution object (JSON null when a section
     // had no measurable rows, e.g. after a section-level failure)
     def worstAttrib(rows: Seq[(Double, String, String)]): String =
@@ -326,6 +348,15 @@ object Bench {
         val fl = t2(graft.ann.IvfIndex.search(spark, idx, qs, 3, 2).count())
         val adc = t2(graft.ann.IvfIndex.searchAdc(spark, idx, qs, 3, 2).count())
         val radc = t2(graft.ann.IvfIndex.searchRadc(spark, idx, qs, 3, 2).count())
+        // wall-clock decomposition (VERDICT r12 #5): the codes-only
+        // CANDIDATE phase alone vs the float probe. Locally (page-cached)
+        // searchAdc's floor is float + this phase: the exact rerank must
+        // re-decode the probed cells' float vectors, which IS the float
+        // probe's whole candidate scan — the <1.0 crossover only exists
+        // where storage bandwidth, not decode, dominates (the byte table's
+        // regime below). candidate_phase < float is the decode/byte win
+        // made visible at bench scale.
+        val adcCand = t2(graft.ann.IvfIndex.adcCandidates(spark, idx, qs, 2).count())
         // candidate-scan bytes over the probed cells: the float probe ranks
         // from the stored vectors + norms; the ADC probes rank from the code
         // column alone. (The bounded exact rerank re-reads v/nn for
@@ -339,6 +370,8 @@ object Bench {
         val radcB = colB("vec_id") + colB("rpq")
         s""","ivf_index_scale":{"corpus_factor":$factor,"float_probe_sec":$fl,""" +
           s""""adc_probe_sec":$adc,"radc_probe_sec":$radc,""" +
+          s""""adc_candidate_phase_sec":$adcCand,""" +
+          s""""adc_candidate_vs_float":${if (fl > 0) adcCand / fl else -1.0},""" +
           s""""adc_vs_float":${if (fl > 0) adc / fl else -1.0},""" +
           s""""radc_vs_float":${if (fl > 0) radc / fl else -1.0},""" +
           s""""probed_cells":${cells.size},""" +
@@ -481,10 +514,28 @@ object Bench {
               .otherwise(col("embedding")))
             .write.mode("overwrite").parquet(s"$embHotDir/embeddings.parquet")
           val knnClean10x = timed(SparkEntry.queries("q_knn_graph"), embCleanDir)
+          // 64-block clamp saturation ledger (VERDICT r12 #2): the planted
+          // 10× mega-cell (0.3 · 20k = 6000 identical-assignment vectors) is
+          // past the clamp at threshold 64 (⌈6000/64⌉ = 94 > 64 blocks) —
+          // the indivisible-cell case no grow-K can separate. The ledger
+          // (one grouped count) must FIRE here; its fields quantify the
+          // per-task block size the clamp has let grow.
+          val clampExtra = try {
+            val t0 = System.nanoTime()
+            val led = graft.ann.SimilarityOps.overClampCells(
+              graft.ann.SimilarityOps.ivfAssignments(spark, embHotDir), 64L)
+              .collect()
+            val ledgerSec = (System.nanoTime() - t0) / 1e9
+            val maxBlock = if (led.isEmpty) 0L else led.map(_.getLong(3)).max
+            s""","clamp_ledger":{"threshold":64,"n_over_cells":${led.length},""" +
+              s""""max_block_rows":$maxBlock,"ledger_sec":$ledgerSec}"""
+          } catch { case t: Throwable =>
+            s""","clamp_ledger":{"error":"${jsonErr(t)}"}""" }
           probeRowVs(
             "q_knn_graph_megacell", knnClean10x, embHotDir,
             SparkEntry.queries("q_knn_graph"),
-            extra = s""","hot_vec_frac":0.3,"corpus_factor":$factor,"base_is_clean_10x":true""")
+            extra = s""","hot_vec_frac":0.3,"corpus_factor":$factor,"base_is_clean_10x":true$clampExtra""",
+            fresh = Some((SparkEntry.queries("q_knn_graph"), embCleanDir)))
         } finally { cleanup(embCleanDir); cleanup(embHotDir) }
       } catch { case t: Throwable =>
         (-1.0, s""""q_knn_graph_megacell":{"error":"${jsonErr(t)}"}""",
@@ -658,36 +709,46 @@ object Bench {
       val codebookRetrainSec = (System.nanoTime() - tRetrain) / 1e9
       val radcHitsTrained = adcHits("radc")
       val adcHitsTrained = adcHits("adc")
-      // GROW-K maintenance row (r12): sf0.1's natural assignment is skewed
-      // (hottest seed-8 cell ≈ 40% of the corpus), so a 300-row budget
-      // trips and re-fits at K = 16. Reported: the one-off re-fit
-      // wall-clock (the price the policy pays when it trips), hottest-cell
-      // rows before/after (the balance payoff), and the nprobe=2 float
-      // search before/after (probe cost rides the probed cells' size, so
-      // better balance shows up as equal-or-cheaper serving at equal
-      // nprobe FRACTION — here nprobe stays 2 of more, smaller cells).
-      val gkDir = s"$base/ivf_growk"
-      graft.ann.IvfIndex.materialize(spark, embs, gkDir)
-      val (gkMaxBefore, gkTotal) = graft.ann.IvfIndex.cellStats(spark, gkDir)
-      // the scale claim is CANDIDATE ROWS: every mode's per-batch work is
-      // Σ over queries of their probed cells' populations — wall-clock at a
-      // 2k-row index is scheduling noise, the candidate volume is the
-      // evidence that survives a 1000× corpus (same pattern as the ADC
-      // byte table)
-      def gkProbedRows(): Long = graft.ann.IvfIndex.candidateRows(
-        spark, gkDir, embs.filter(col("vec_id") < 10), 2)
-      val gkProbeRowsBefore = gkProbedRows()
-      val gkProbeBefore = time2(graft.ann.IvfIndex.search(
-        spark, gkDir, embs.filter(col("vec_id") < 10), 3, 2).count())
-      val tGrowk = System.nanoTime()
-      val (_, gkRan) = graft.ann.IvfIndex.maintainCellBudget(
-        spark, gkDir, targetCellRows = 300, maxIter = 5)
-      val growkSec = (System.nanoTime() - tGrowk) / 1e9
-      val gkK = graft.ann.IvfIndex.currentCentroids(spark, gkDir).size
-      val (gkMaxAfter, _) = graft.ann.IvfIndex.cellStats(spark, gkDir)
-      val gkProbeRowsAfter = gkProbedRows()
-      val gkProbeAfter = time2(graft.ann.IvfIndex.search(
-        spark, gkDir, embs.filter(col("vec_id") < 10), 3, 2).count())
+      // GROW-K maintenance row, at 10× (VERDICT r12 #6: at the 2k-row index
+      // the candidate story was right but probe wall-clock was scheduling
+      // noise — on the 200k-dot 10× corpus the wall-clock follows the
+      // candidates). The hottest seed-8 cell holds ≈ 40% of the corpus, so
+      // a 3000-row budget trips and the doubling floor re-fits at K = 16.
+      // Reported: the one-off re-fit wall-clock (the price the policy pays
+      // when it trips), hottest-cell rows before/after (the balance
+      // payoff), candidate rows and the nprobe=2 float search
+      // before/after. Guarded separately (ADVICE r12): a grow-K failure
+      // must cost only THESE fields, never the already-measured
+      // LSH/IVF/ADC/retrain rows of this section.
+      val growkJson = try {
+        val gkDir = s"$base/ivf_growk"
+        val embs10 = embs
+          .crossJoin(spark.range(10).toDF("rep"))
+          .withColumn("vec_id", col("vec_id") + col("rep") * lit(10000000L))
+          .drop("rep")
+        graft.ann.IvfIndex.materialize(spark, embs10, gkDir)
+        val (gkMaxBefore, gkTotal) = graft.ann.IvfIndex.cellStats(spark, gkDir)
+        def gkProbedRows(): Long = graft.ann.IvfIndex.candidateRows(
+          spark, gkDir, embs.filter(col("vec_id") < 10), 2)
+        val gkProbeRowsBefore = gkProbedRows()
+        val gkProbeBefore = time2(graft.ann.IvfIndex.search(
+          spark, gkDir, embs.filter(col("vec_id") < 10), 3, 2).count())
+        val tGrowk = System.nanoTime()
+        val (_, gkRan) = graft.ann.IvfIndex.maintainCellBudget(
+          spark, gkDir, targetCellRows = 3000, maxIter = 5)
+        val growkSec = (System.nanoTime() - tGrowk) / 1e9
+        val gkK = graft.ann.IvfIndex.currentCentroids(spark, gkDir).size
+        val (gkMaxAfter, _) = graft.ann.IvfIndex.cellStats(spark, gkDir)
+        val gkProbeRowsAfter = gkProbedRows()
+        val gkProbeAfter = time2(graft.ann.IvfIndex.search(
+          spark, gkDir, embs.filter(col("vec_id") < 10), 3, 2).count())
+        s""""growk_corpus_factor":10,"growk_ran":$gkRan,"growk_sec":$growkSec,""" +
+          s""""growk_k_after":$gkK,"growk_total_rows":$gkTotal,""" +
+          s""""growk_max_cell_before":$gkMaxBefore,"growk_max_cell_after":$gkMaxAfter,""" +
+          s""""growk_probe_rows_before":$gkProbeRowsBefore,""" +
+          s""""growk_probe_rows_after":$gkProbeRowsAfter,""" +
+          s""""growk_probe_sec_before":$gkProbeBefore,"growk_probe_sec_after":$gkProbeAfter"""
+      } catch { case t: Throwable => s""""growk_error":"${jsonErr(t)}"""" }
       // hamming fingerprint index: one-shot = rehash + all-band self-join of
       // the whole image corpus; probe = a 2% batch against the stored bands
       // (zero-shuffle broadcast probe)
@@ -739,12 +800,7 @@ object Bench {
         s""""ivf_adc_hits30_seed":$adcHitsSeed,""" +
         s""""ivf_adc_hits30_trained":$adcHitsTrained,""" +
         s""""codebook_retrain_sec":$codebookRetrainSec,""" +
-        s""""growk_ran":$gkRan,"growk_sec":$growkSec,"growk_k_after":$gkK,""" +
-        s""""growk_total_rows":$gkTotal,""" +
-        s""""growk_max_cell_before":$gkMaxBefore,"growk_max_cell_after":$gkMaxAfter,""" +
-        s""""growk_probe_rows_before":$gkProbeRowsBefore,""" +
-        s""""growk_probe_rows_after":$gkProbeRowsAfter,""" +
-        s""""growk_probe_sec_before":$gkProbeBefore,"growk_probe_sec_after":$gkProbeAfter,""" +
+        s"""$growkJson,""" +
         s"""${leg("fp_hamming_candidates", fpFullSec, fpProbeSec)},""" +
         s"""${leg("neardup_labels_via_pairstore", pairFullSec, pairServedSec)},""" +
         s"""${leg("jaccard_pairs_incremental_batch", incrFullSec, incrBatchSec)},""" +
@@ -909,6 +965,19 @@ object Bench {
         // the chained-stateful-agg form: 1 s pre-aggregate feeding the slide
         val rpsPre = throughput("graft_duty_bench_prerolled", dir,
           StreamingDutyCycle.planPrerolled(_, GridConfig()))
+        // Pre-roll CROSSOVER leg (VERDICT r12 #4: at the default 5-pane
+        // window the pre-roll reads ~0.67× of plain — its second stateful
+        // exchange buys nothing the plain plan's map-side partial agg
+        // doesn't already do). The decisive variable is the PANE COUNT:
+        // plain's sliding-window Expand copies every RAW row once per pane,
+        // the pre-roll expands only per-second rows. At a 1 s slide
+        // (25 panes — a dashboard refreshing every second), the pre-roll
+        // must come out ahead.
+        val paneCfg = GridConfig(slideOverrideSec = Some(1))
+        val rpsPane = throughput("graft_duty_pane25", dir,
+          StreamingDutyCycle.plan(_, paneCfg))
+        val rpsPanePre = throughput("graft_duty_pane25_prerolled", dir,
+          StreamingDutyCycle.planPrerolled(_, paneCfg))
         val rpsHot = throughput("graft_duty_bench_hot", hotDir,
           StreamingDutyCycle.plan(_, GridConfig()))
         val hotRatio = if (rpsHot > 0) rps.toDouble / rpsHot else -1.0
@@ -952,6 +1021,10 @@ object Bench {
           if (rpsRocksBase > 0) rpsRocks10x.toDouble / rpsRocksBase else -1.0
         (s""","streaming":{"duty_cycle_rows_per_sec":$rps,""" +
           s""""duty_cycle_prerolled_rows_per_sec":$rpsPre,""" +
+          s""""duty_cycle_25pane_rows_per_sec":$rpsPane,""" +
+          s""""duty_cycle_25pane_prerolled_rows_per_sec":$rpsPanePre,""" +
+          s""""preroll_crossover_25pane":${
+            if (rpsPane > 0) rpsPanePre.toDouble / rpsPane else -1.0},""" +
           s""""duty_cycle_hot_key_rows_per_sec":$rpsHot,""" +
           s""""hot_key_frac":0.6,"hot_key_slowdown":$hotRatio,""" +
           s""""rollup_full_sketch_rows_per_sec":$rpsRollupFull,""" +

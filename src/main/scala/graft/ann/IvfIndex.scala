@@ -984,23 +984,42 @@ object IvfIndex {
       asOf: Option[Long] = None): DataFrame = {
     VectorFunctions.register(spark)
     val q = withNorm(queries, "qid", "qv", "qn")
-    val probes = probeCells(q, nprobe, currentCentroids(spark, indexPath, asOf))
-    val lut = SimilarityOps.adcLutArr(q.select(col("qid"), col("qv")), "qid", "qv",
-      currentPqCodebookRaw(spark, indexPath))
     val index = withOptionalCodes(
       indexFrame(spark, indexPath, asOf, excludeSegment,
         mergeSchema = !allSegmentsCoded(spark, indexPath)), "pq")
-    // ADC phase: codes only — column pruning keeps `v` out of this scan;
-    // candidates stay at vector granularity (the LUT array rides a one-row
-    // broadcast join; the score is a flat 8-lookup projection, no grouped
-    // sum, so the whole phase is scan → broadcast joins → window)
-    val adc = index.select(col("vec_id"), col("pq"), col("centroid_id"))
-      .join(broadcast(probes.select("qid", "probe")),
+    val adc = adcCandidates(spark, indexPath, queries, nprobe, excludeSegment, asOf)
+    adcPoolRerank(index, adc, q, k, rerank)
+  }
+
+  /** The raw-code ADC CANDIDATE phase alone: codes-only scan → ONE broadcast
+    * probe join (the LUT is a PROJECTION on the probe schedule — the
+    * searchRadc shape; r12 verdict #5 measured that a separate
+    * one-row-per-query LUT relation costs a second broadcast exchange and a
+    * second hash join over every candidate row) → flat 8-lookup score.
+    * Column pruning keeps `v` out of this scan entirely — this phase is the
+    * part whose bytes shrink ~100× with the corpus; exposed separately so
+    * the bench can decompose searchAdc's wall-clock: the exact rerank must
+    * re-decode the probed cells' float vectors, which IS the float probe's
+    * whole candidate scan while the index is page-cached, so locally
+    * searchAdc's floor is float + this phase. `queries` is the raw
+    * (vec_id, embedding) batch, like [[searchAdc]]'s.
+    */
+  private[graft] def adcCandidates(
+      spark: SparkSession, indexPath: String, queries: DataFrame, nprobe: Int,
+      excludeSegment: Option[Long] = None, asOf: Option[Long] = None): DataFrame = {
+    VectorFunctions.register(spark)
+    val q = withNorm(queries, "qid", "qv", "qn")
+    val probes = probeCells(q, nprobe, currentCentroids(spark, indexPath, asOf))
+    val index = withOptionalCodes(
+      indexFrame(spark, indexPath, asOf, excludeSegment,
+        mergeSchema = !allSegmentsCoded(spark, indexPath)), "pq")
+    val probeLut = probes.select(col("qid"), col("probe"),
+      SimilarityOps.adcLutCol("qv", currentPqCodebookRaw(spark, indexPath)).as("lut"))
+    index.select(col("vec_id"), col("pq"), col("centroid_id"))
+      .join(broadcast(probeLut),
         col("probe") === col("centroid_id") && col("qid") =!= col("vec_id"))
-      .join(broadcast(lut), "qid")
       .select(col("qid"), col("vec_id").as("cid"), col("centroid_id").as("cell"),
         SimilarityOps.adcScore("pq", "lut").as("adc"))
-    adcPoolRerank(index, adc, q, k, rerank)
   }
 
   /** Shared ADC tail: bound the pool, then exact-rerank it — the second and
@@ -1027,7 +1046,12 @@ object IvfIndex {
       .withColumn("prn", row_number().over(wAdc))
       .filter(col("prn") <= rerank)
       .select(col("qid").as("pqid"), col("cid").as("pcid"), col("cell").as("pcell"))
-    // exact rerank: full vectors for ONLY the pooled candidates
+    // exact rerank: full vectors for ONLY the pooled candidates. Both the
+    // pool and the query vectors ride INDEPENDENT tiny broadcasts (folding
+    // them with a join was measured r13: the fold's own eager broadcast-join
+    // job costs more than the second hash-join lookup saves, and carrying
+    // qv through the pool window would inflate the candidate shuffle ~25×
+    // at scale).
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
     index.select(col("vec_id"), col("v"), col("nn"), col("centroid_id"))
       .join(broadcast(pool),

@@ -902,10 +902,31 @@ object SimilarityOps {
       spark: SparkSession, sfDir: String, threshold: Double = 0.45,
       subCellThreshold: Long = CellPairSubThreshold): DataFrame = {
     VectorFunctions.register(spark)
-    val assigns = ivfAssignments(spark, sfDir)
+    semDedupFrom(
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")),
+      threshold, subCellThreshold)
+  }
+
+  /** [[semDedup]] over the hot-slice corpus (the [[knnGraphHotSlice]]
+    * fixture) — the guard's SECOND consumer gets the same nb > 1 oracle
+    * discipline through its different aggregation tail (distinct dropped-id
+    * set + md5 roll-up instead of a per-vector rank window).
+    */
+  def semDedupHotSlice(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.45,
+      subCellThreshold: Long = HotSliceSubThreshold): DataFrame = {
+    VectorFunctions.register(spark)
+    semDedupFrom(hotSliceEmb(spark, sfDir), threshold, subCellThreshold)
+  }
+
+  private def semDedupFrom(
+      base: DataFrame, threshold: Double, subCellThreshold: Long): DataFrame = {
+    val assigns = withCentroidAssignment(base, "v")
+      .select(col("vec_id"), col("centroid_id"))
     // inline assignment, like [[knnGraph]]: no shuffle join per pair side
     val e = withCentroidAssignment(
-      withNorm(Tables.embeddings(spark, sfDir), "vec_id", "v", "nn"), "v")
+      base.withColumn("nn", expr("dot_arrays(v, v)")), "v")
     val a = e.select(col("centroid_id"), col("vec_id").as("id_a"),
       col("v").as("va"), col("nn").as("na"))
     val b = e.select(col("centroid_id"), col("vec_id").as("id_b"),
@@ -934,7 +955,13 @@ object SimilarityOps {
   }
 
   def semDedupSql(threshold: Double = 0.45): String =
-    s"""WITH $assignCtes,
+    semDedupSqlFrom(assignCtes, threshold)
+
+  def semDedupHotSliceSql(threshold: Double = 0.45): String =
+    semDedupSqlFrom(hotSliceAssignCtes, threshold)
+
+  private def semDedupSqlFrom(ctes: String, threshold: Double): String =
+    s"""WITH $ctes,
        |normed AS (
        |  SELECT vec_id, v, centroid_id,
        |         list_sum(list_transform(v, x -> x * x)) AS nn
@@ -1367,7 +1394,18 @@ object SimilarityOps {
     */
   private[ann] def adcLutArr(
       queries: DataFrame, idCol: String, vCol: String,
-      cb: IndexedSeq[IndexedSeq[Array[Double]]] = pqCodebook): DataFrame = {
+      cb: IndexedSeq[IndexedSeq[Array[Double]]] = pqCodebook): DataFrame =
+    queries.select(col(idCol).as("qid"), adcLutCol(vCol, cb).as("lut"))
+
+  /** The [[adcLutArr]] LUT as a bare COLUMN over any frame carrying the
+    * query vector — so a serving path can attach the LUT to its probe
+    * schedule as a projection (zero extra joins, zero extra broadcast
+    * exchanges; the [[radcLutArr]] shape) instead of joining a separate
+    * one-row-per-query LUT relation onto every candidate.
+    */
+  private[ann] def adcLutCol(
+      vCol: String,
+      cb: IndexedSeq[IndexedSeq[Array[Double]]] = pqCodebook): Column = {
     import org.apache.spark.sql.types.DecimalType
     val entries = for (m <- 0 until PqM; kk <- 0 until PqK) yield {
       val c = cb(m)(kk)
@@ -1376,7 +1414,7 @@ object SimilarityOps {
         "dot_arrays", slice(col(vCol), m * PqSubDim + 1, PqSubDim), cArr))
         .cast(DecimalType(18, 6)) * lit(1000000L)).cast("long")
     }
-    queries.select(col(idCol).as("qid"), array(entries: _*).as("lut"))
+    array(entries: _*)
   }
 
   /** The ADC score of code column `pqCol` against LUT-array column `lutCol`:
@@ -2292,6 +2330,7 @@ object SimilarityOps {
     "q_semdedup" -> (semDedup(_, _)),
     "q_knn_graph" -> (knnGraph(_, _)),
     "q_knn_graph_hotslice" -> (knnGraphHotSlice(_, _)),
+    "q_semdedup_hotslice" -> (semDedupHotSlice(_, _)),
     "q_knn_clamp_ledger" -> (knnClampLedger(_, _)),
     "q_embed_outliers" -> (embedOutliers(_, _)),
     "q_quantize_sq8" -> (quantizeSq8(_, _)),
@@ -2323,6 +2362,7 @@ object SimilarityOps {
     "q_semdedup" -> semDedupSql(),
     "q_knn_graph" -> knnGraphSql(),
     "q_knn_graph_hotslice" -> knnGraphHotSliceSql(),
+    "q_semdedup_hotslice" -> semDedupHotSliceSql(),
     "q_knn_clamp_ledger" -> knnClampLedgerSql(),
     "q_embed_outliers" -> embedOutliersSql(),
     "q_quantize_sq8" -> quantizeSq8Sql,

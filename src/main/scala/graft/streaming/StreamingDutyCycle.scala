@@ -176,7 +176,16 @@ case class GridConfig(
     windowMin: Int = 10,
     playbackSpeed: Int = 24,
     watermarkSec: Int = 2,
-    powerThreshold: Double = 5.0) {
+    powerThreshold: Double = 5.0,
+    slideOverrideSec: Option[Int] = None) {
   val windowSec: Int = windowMin * 60 / playbackSpeed // 25 s at defaults
-  val slideSec: Int = windowSec / 5 // 5 s, slide = window/5 (duty_cycle_avro.py:76)
+  // slide = window/5 (duty_cycle_avro.py:76) unless a dashboard wants a
+  // finer refresh: the PANE COUNT (window/slide) is the variable that
+  // decides plan() vs planPrerolled() — plain expands every RAW row once
+  // per pane, the 1 s pre-roll expands only per-second rows, so the
+  // pre-roll's second stateful exchange pays for itself once panes are
+  // plentiful (bench-measured crossover at 25 panes; the pre-roll's
+  // exactness needs slide ≥ 1 s so 1 s buckets stay window-aligned).
+  val slideSec: Int = slideOverrideSec.getOrElse(windowSec / 5)
+  require(slideSec >= 1, s"slide must be >= 1 s, got $slideSec")
 }

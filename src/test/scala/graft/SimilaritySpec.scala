@@ -220,6 +220,14 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     val plain = hs(Long.MaxValue)
     assert(guarded.nonEmpty && guarded == plain,
       "hot-slice knnGraph diverged between the nb>1 guard and the plain join")
+    // the guard's second consumer, through its different aggregation tail
+    def sd(t: Long) = SimilarityOps.semDedupHotSlice(spark, sfDir, subCellThreshold = t)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val sdGuarded = sd(SimilarityOps.HotSliceSubThreshold)
+    assert(sdGuarded.nonEmpty && sdGuarded == sd(Long.MaxValue),
+      "hot-slice semDedup diverged between the nb>1 guard and the plain join")
+    assert(sdGuarded.exists(_._3 >= 149L),
+      "the planted 150-identical-vector cell must drop all but one member")
     // the clamp ledger over the same corpus: the planted cell binds the
     // 64-block clamp at the ledger threshold, with the implied per-task
     // block size reported
