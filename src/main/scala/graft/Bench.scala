@@ -20,6 +20,18 @@ object Bench {
   private def jsonErr(t: Throwable): String =
     String.valueOf(t).replaceAll("""[\\"\n\r\t]""", " ").take(200)
 
+  /** `embeddings` × factor with disjoint vec_ids — the shared 10× fixture
+    * shape of the mega-cell and grow-K legs (one id-shift constant, one
+    * place). The vector distribution (and thus IVF cell shape) is
+    * preserved while every cell's population grows `factor`×.
+    */
+  private def replicateEmbeddings(df: DataFrame, factor: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.crossJoin(df.sparkSession.range(factor).toDF("rep"))
+      .withColumn("vec_id", col("vec_id") + col("rep") * lit(10000000L))
+      .drop("rep")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -151,6 +163,10 @@ object Bench {
         case _ => -1.0
       }
       val ratio = if (freshBase > 0 && scaled >= 0) scaled / freshBase else staleRatio
+      // when the fresh base fires, IT becomes the row's published "base" so
+      // ratio == scaled/base stays true within the object; the stale
+      // reading moves whole into the attribution fields
+      val pubBase = if (freshBase > 0) freshBase else b
       val attribution =
         if (staleRatio > 10.0)
           s""","retried":$retried,"stall_sentinel_sec":$rowSentinel""" +
@@ -160,7 +176,7 @@ object Bench {
         else if (retried) s""","retried":true"""
         else ""
       (ratio,
-        s""""$name":{"base":$b,"scaled":$scaled,"ratio":$ratio$attribution$extra}""",
+        s""""$name":{"base":$pubBase,"scaled":$scaled,"ratio":$ratio$attribution$extra}""",
         s"""{"query":"$name","ratio":$ratio,"retried":$retried,"row_sentinel_sec":$rowSentinel""" +
           (if (freshBase > 0) s""","stale_ratio":$staleRatio,"fresh_base_sec":$freshBase}"""
           else "}"))
@@ -216,10 +232,7 @@ object Bench {
       // per-cell outlier window. (The quadratic-within-cell ops like
       // semdedup are deliberately absent: their scale story is growing the
       // centroid count with the corpus, not a fixed-k 10× cell.)
-      Tables.embeddings(spark, sfDir)
-        .crossJoin(spark.range(factor).toDF("rep"))
-        .withColumn("vec_id", col("vec_id") + col("rep") * lit(10000000L))
-        .drop("rep")
+      replicateEmbeddings(Tables.embeddings(spark, sfDir), factor)
         .write.mode("overwrite").parquet(s"$probeDir/embeddings.parquet")
       val probeQueries = Seq("q_duty_cycle", "q_duty_cycle_prerolled",
         "q_rollup_1s", "q_timeseries_5s",
@@ -503,10 +516,7 @@ object Bench {
         val embCleanDir = java.nio.file.Files.createTempDirectory("graft_knn_clean").toString
         val embHotDir = java.nio.file.Files.createTempDirectory("graft_knn_hot").toString
         try {
-          val emb10 = Tables.embeddings(spark, sfDir)
-            .crossJoin(spark.range(factor).toDF("rep"))
-            .withColumn("vec_id", col("vec_id") + col("rep") * lit(10000000L))
-            .drop("rep")
+          val emb10 = replicateEmbeddings(Tables.embeddings(spark, sfDir), factor)
           emb10.write.mode("overwrite").parquet(s"$embCleanDir/embeddings.parquet")
           emb10.withColumn("embedding",
             when(col("vec_id") % 10 < 3,
@@ -722,10 +732,7 @@ object Bench {
       // LSH/IVF/ADC/retrain rows of this section.
       val growkJson = try {
         val gkDir = s"$base/ivf_growk"
-        val embs10 = embs
-          .crossJoin(spark.range(10).toDF("rep"))
-          .withColumn("vec_id", col("vec_id") + col("rep") * lit(10000000L))
-          .drop("rep")
+        val embs10 = replicateEmbeddings(embs, 10)
         graft.ann.IvfIndex.materialize(spark, embs10, gkDir)
         val (gkMaxBefore, gkTotal) = graft.ann.IvfIndex.cellStats(spark, gkDir)
         def gkProbedRows(): Long = graft.ann.IvfIndex.candidateRows(

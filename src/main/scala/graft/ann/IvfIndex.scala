@@ -411,17 +411,19 @@ object IvfIndex {
   def materialize(
       spark: SparkSession, embeddings: DataFrame, indexPath: String,
       codebook: Option[IndexedSeq[IndexedSeq[Array[Double]]]] = None,
-      codebookRaw: Option[IndexedSeq[IndexedSeq[Array[Double]]]] = None): Unit =
+      codebookRaw: Option[IndexedSeq[IndexedSeq[Array[Double]]]] = None): Unit = {
+    // a zero-row first build writes NO parquet (dynamic-partition write of
+    // an empty frame), leaving an index every later read dies on with an
+    // unhelpful schema-inference error (ADVICE r12's empty-index family) —
+    // and on the codebook-install branch it would additionally strand the
+    // just-written manifests. Fail the build itself with the diagnostic,
+    // on BOTH branches. Later zero-row appendBatches stay legal (an idle
+    // micro-batch).
+    require(!embeddings.isEmpty,
+      s"materialize: embeddings frame holds zero rows — refusing to build " +
+        s"an empty (unreadable) index at $indexPath")
     (codebook, codebookRaw) match {
       case (None, None) =>
-        // a zero-row first build writes NO parquet (dynamic-partition write
-        // of an empty frame), leaving an index every later read dies on with
-        // an unhelpful schema-inference error (ADVICE r12's empty-index
-        // family); fail the build itself with the diagnostic instead.
-        // Later zero-row appendBatches stay legal (an idle micro-batch).
-        require(!embeddings.isEmpty,
-          s"materialize: embeddings frame holds zero rows — refusing to build " +
-            s"an empty (unreadable) index at $indexPath")
         appendBatch(spark, indexPath, embeddings, batchId = 0L)
         recordBaseline(spark, indexPath)
       case _ =>
@@ -472,6 +474,7 @@ object IvfIndex {
           }
         }
     }
+  }
 
   /** Assign ONLY `embeddings` (vec_id, embedding) under the index's current
     * centroid set and absorb them as the `batch=<id>` segment — overwritten
@@ -987,7 +990,13 @@ object IvfIndex {
     val index = withOptionalCodes(
       indexFrame(spark, indexPath, asOf, excludeSegment,
         mergeSchema = !allSegmentsCoded(spark, indexPath)), "pq")
-    val adc = adcCandidates(spark, indexPath, queries, nprobe, excludeSegment, asOf)
+    // the candidate phase runs over THIS index frame (indexOverride), not a
+    // second indexFrame construction: a recluster completing between two
+    // constructions would let the pool score the OLD generation's cell ids
+    // while the rerank reads the new one — the (pcid, pcell) join would
+    // silently miss re-fit cells. One frame, both phases, one generation.
+    val adc = adcCandidates(spark, indexPath, queries, nprobe, excludeSegment, asOf,
+      indexOverride = Some(index))
     adcPoolRerank(index, adc, q, k, rerank)
   }
 
@@ -1006,13 +1015,14 @@ object IvfIndex {
     */
   private[graft] def adcCandidates(
       spark: SparkSession, indexPath: String, queries: DataFrame, nprobe: Int,
-      excludeSegment: Option[Long] = None, asOf: Option[Long] = None): DataFrame = {
+      excludeSegment: Option[Long] = None, asOf: Option[Long] = None,
+      indexOverride: Option[DataFrame] = None): DataFrame = {
     VectorFunctions.register(spark)
     val q = withNorm(queries, "qid", "qv", "qn")
     val probes = probeCells(q, nprobe, currentCentroids(spark, indexPath, asOf))
-    val index = withOptionalCodes(
+    val index = indexOverride.getOrElse(withOptionalCodes(
       indexFrame(spark, indexPath, asOf, excludeSegment,
-        mergeSchema = !allSegmentsCoded(spark, indexPath)), "pq")
+        mergeSchema = !allSegmentsCoded(spark, indexPath)), "pq"))
     val probeLut = probes.select(col("qid"), col("probe"),
       SimilarityOps.adcLutCol("qv", currentPqCodebookRaw(spark, indexPath)).as("lut"))
     index.select(col("vec_id"), col("pq"), col("centroid_id"))

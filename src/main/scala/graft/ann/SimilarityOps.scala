@@ -803,12 +803,17 @@ object SimilarityOps {
     */
   private[graft] val HotSliceSubThreshold = 64L
 
-  /** Ledger threshold for [[knnClampLedger]]: at 2 rows/block the 150-row
-    * planted cell wants ⌈150/2⌉ = 75 blocks > [[MaxCellBlocks]] — the clamp
-    * BINDS, so the over-clamp ledger is nonzero under the oracle gate while
-    * the healthy cells (≈44 rows → 22 blocks) stay off it.
+  /** Ledger threshold for [[knnClampLedger]], RELATIVE to the corpus (the
+    * [[graft.dedup.DedupOps]] relative-cap idiom — a fixed literal cannot
+    * discriminate at every gated SF: healthy-cell size grows with n, so any
+    * constant that spares sf0.01's ~44-row median cells flags sf0.1's
+    * ~120-row ones): t = max(1, ⌈0.15·n/64⌉), i.e. the clamp binds on cells
+    * past 15% of the corpus. The planted hot slice (30%) and the corpus's
+    * naturally-skewed hottest cell (~30% after the rewrite) land ON the
+    * ledger at every SF; median cells (~9% of the corpus) stay off it.
     */
-  private[graft] val HotSliceClampThreshold = 2L
+  private[graft] def hotSliceClampThreshold(nRows: Long): Long =
+    math.max(1L, math.ceil(nRows * 0.15 / MaxCellBlocks).toLong)
 
   /** `embeddings` with 30% of vectors (vec_id % 10 < 3) rewritten IN-QUERY
     * to ONE constant vector — the embedding-space twin of
@@ -871,31 +876,35 @@ object SimilarityOps {
       .select("centroid_id", "n_cell", "nb_uncapped", "block_rows")
   }
 
-  /** The over-clamp ledger over the hot-slice corpus at a threshold where
-    * the planted cell BINDS the clamp (⌈150/2⌉ = 75 > 64) — oracle-gated so
-    * both engines agree on exactly which cells are past it and how big
-    * their per-task blocks have grown.
+  /** The over-clamp ledger over the hot-slice corpus at the corpus-relative
+    * [[hotSliceClampThreshold]] (one count scalar to the driver, the
+    * simhashBucketCap shape; the SQL twin derives the identical value via a
+    * scalar subquery) — oracle-gated so both engines agree on exactly which
+    * cells are past the clamp and how big their per-task blocks have grown.
     */
-  def knnClampLedger(
-      spark: SparkSession, sfDir: String,
-      threshold: Long = HotSliceClampThreshold): DataFrame = {
+  def knnClampLedger(spark: SparkSession, sfDir: String): DataFrame = {
     VectorFunctions.register(spark)
+    val threshold =
+      hotSliceClampThreshold(Tables.embeddings(spark, sfDir).count())
     val assigns = withCentroidAssignment(hotSliceEmb(spark, sfDir), "v")
       .select(col("vec_id"), col("centroid_id"))
     overClampCells(assigns, threshold).orderBy("centroid_id")
   }
 
-  def knnClampLedgerSql(threshold: Long = HotSliceClampThreshold): String =
+  val knnClampLedgerSql: String =
     s"""WITH $hotSliceAssignCtes,
+       |thr AS (
+       |  SELECT GREATEST(1, CAST(ceil(count(*) * 0.15 / $MaxCellBlocks) AS BIGINT)) AS t
+       |  FROM embeddings),
        |occ AS (
        |  SELECT CAST(centroid_id AS INT) AS centroid_id,
        |         CAST(count(*) AS BIGINT) AS n_cell
        |  FROM assigned GROUP BY 1)
        |SELECT centroid_id, n_cell,
-       |       CAST(ceil(n_cell / $threshold.0) AS BIGINT) AS nb_uncapped,
+       |       CAST(ceil(CAST(n_cell AS DOUBLE) / (SELECT t FROM thr)) AS BIGINT) AS nb_uncapped,
        |       CAST(ceil(n_cell / $MaxCellBlocks.0) AS BIGINT) AS block_rows
        |FROM occ
-       |WHERE ceil(n_cell / $threshold.0) > $MaxCellBlocks
+       |WHERE ceil(CAST(n_cell AS DOUBLE) / (SELECT t FROM thr)) > $MaxCellBlocks
        |ORDER BY centroid_id""".stripMargin
 
   def semDedup(
@@ -2363,7 +2372,7 @@ object SimilarityOps {
     "q_knn_graph" -> knnGraphSql(),
     "q_knn_graph_hotslice" -> knnGraphHotSliceSql(),
     "q_semdedup_hotslice" -> semDedupHotSliceSql(),
-    "q_knn_clamp_ledger" -> knnClampLedgerSql(),
+    "q_knn_clamp_ledger" -> knnClampLedgerSql,
     "q_embed_outliers" -> embedOutliersSql(),
     "q_quantize_sq8" -> quantizeSq8Sql,
     "q_label_stats" -> labelStatsSql,

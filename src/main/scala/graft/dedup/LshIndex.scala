@@ -211,13 +211,21 @@ object LshIndex {
             // keyed by (path, cap) so callers alternating caps (or concurrent
             // sessions whose caps derive from different shuffle-partition
             // counts) each keep their own slot instead of thrashing one —
-            // still bounded: one entry per cap IN USE per index. compute()
-            // makes the stamp compare-and-replace atomic, so concurrent
-            // misses on the same key collect once (ADVICE r12).
+            // still bounded: one entry per cap IN USE per index (ADVICE
+            // r12). Deliberately get-then-put, NOT compute(): the multi-
+            // second collectHot Spark job must not run under a CHM bin lock
+            // where it would stall unrelated indexes hashing to the same
+            // bin — a concurrent miss duplicating the collect is benign
+            // (both writers store the same fresh rows).
             val stamp = graft.sources.Segments.segmentIds(spark, indexPath).mkString(",")
-            hotBucketCache.compute((indexPath, cap), (_, cached) =>
-              if (cached != null && cached._1 == stamp) cached
-              else (stamp, collectHot()))._2
+            val key = (indexPath, cap)
+            val cached = hotBucketCache.get(key)
+            if (cached != null && cached._1 == stamp) cached._2
+            else {
+              val rows = collectHot()
+              hotBucketCache.put(key, (stamp, rows))
+              rows
+            }
           case _ => collectHot()
         }
         if (hotRows.isEmpty) (index0, probe0)

@@ -921,13 +921,22 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
       "maintenance must never shrink K through the clamp")
   }
 
-  test("an empty index build fails loudly; stats on a zero-row index diagnose, not NPE (ADVICE r12)") {
+  test("an empty index build fails loudly on both materialize branches (ADVICE r12)") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_empty_stats").toString
     // a zero-row FIRST build writes no parquet at all — every later read
     // would die on schema inference, so the build itself must refuse
     val e0 = intercept[IllegalArgumentException](
       IvfIndex.materialize(spark, embs.limit(0), dir))
     assert(e0.getMessage.contains("zero rows"), s"got: ${e0.getMessage}")
+    // the codebook-install branch refuses BEFORE writing manifests (an
+    // empty install would strand a trained manifest on an unreadable index)
+    val cb = SimilarityOps.pqCodebook
+    val e1 = intercept[IllegalArgumentException](
+      IvfIndex.materialize(spark, embs.limit(0), dir,
+        codebook = Some(cb), codebookRaw = Some(cb)))
+    assert(e1.getMessage.contains("zero rows"), s"got: ${e1.getMessage}")
+    assert(!new java.io.File(dir, "_PQ_CODEBOOK").exists(),
+      "empty install must not leave a codebook manifest behind")
   }
 
   test("consecutive searchAdc constructions run no footer-merge job on an all-coded index (r11 verdict #2)") {

@@ -229,18 +229,21 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(sdGuarded.exists(_._3 >= 149L),
       "the planted 150-identical-vector cell must drop all but one member")
     // the clamp ledger over the same corpus: the planted cell binds the
-    // 64-block clamp at the ledger threshold, with the implied per-task
-    // block size reported
+    // 64-block clamp at the corpus-relative ledger threshold, with the
+    // implied per-task block size reported; median cells stay off it
+    val nCorpus = graft.Tables.embeddings(spark, sfDir).count()
+    val t = SimilarityOps.hotSliceClampThreshold(nCorpus)
     val ledger = SimilarityOps.knnClampLedger(spark, sfDir).collect()
     assert(ledger.nonEmpty, "planted mega-cell must appear on the over-clamp ledger")
     ledger.foreach { r =>
       val (n, nbUncapped, blockRows) = (r.getLong(1), r.getLong(2), r.getLong(3))
-      assert(nbUncapped > 64 && nbUncapped == math.ceil(
-        n.toDouble / SimilarityOps.HotSliceClampThreshold).toLong)
+      assert(nbUncapped > 64 && nbUncapped == math.ceil(n.toDouble / t).toLong)
       assert(blockRows == math.ceil(n.toDouble / 64).toLong)
+      assert(n > nCorpus * 0.15,
+        s"only cells past 15% of the corpus may bind the clamp: $n of $nCorpus")
     }
-    assert(ledger.exists(_.getLong(1) >= 150),
-      "the 150-row planted cell must be on the ledger")
+    assert(ledger.exists(_.getLong(1) >= (nCorpus * 3) / 10 - 2),
+      "the planted 30% cell must be on the ledger")
   }
 
   test("over-clamp ledger fires exactly when the 64-block clamp binds (r12 verdict #2)") {
