@@ -735,11 +735,16 @@ object Bench {
         val embs10 = replicateEmbeddings(embs, 10)
         graft.ann.IvfIndex.materialize(spark, embs10, gkDir)
         val (gkMaxBefore, gkTotal) = graft.ann.IvfIndex.cellStats(spark, gkDir)
+        // 100-query probe batch: at 10 queries the ~0.3 s probe is
+        // scheduling-dominated and the before/after wall-clock ordering
+        // flips run-to-run even as candidate rows read 4x apart — 10x the
+        // probe work makes the wall-clock follow the candidates reliably
+        val gkQueries = embs.filter(col("vec_id") < 100)
         def gkProbedRows(): Long = graft.ann.IvfIndex.candidateRows(
-          spark, gkDir, embs.filter(col("vec_id") < 10), 2)
+          spark, gkDir, gkQueries, 2)
         val gkProbeRowsBefore = gkProbedRows()
         val gkProbeBefore = time2(graft.ann.IvfIndex.search(
-          spark, gkDir, embs.filter(col("vec_id") < 10), 3, 2).count())
+          spark, gkDir, gkQueries, 3, 2).count())
         val tGrowk = System.nanoTime()
         val (_, gkRan) = graft.ann.IvfIndex.maintainCellBudget(
           spark, gkDir, targetCellRows = 3000, maxIter = 5)
@@ -748,7 +753,7 @@ object Bench {
         val (gkMaxAfter, _) = graft.ann.IvfIndex.cellStats(spark, gkDir)
         val gkProbeRowsAfter = gkProbedRows()
         val gkProbeAfter = time2(graft.ann.IvfIndex.search(
-          spark, gkDir, embs.filter(col("vec_id") < 10), 3, 2).count())
+          spark, gkDir, gkQueries, 3, 2).count())
         s""""growk_corpus_factor":10,"growk_ran":$gkRan,"growk_sec":$growkSec,""" +
           s""""growk_k_after":$gkK,"growk_total_rows":$gkTotal,""" +
           s""""growk_max_cell_before":$gkMaxBefore,"growk_max_cell_after":$gkMaxAfter,""" +
