@@ -352,10 +352,14 @@ object Bench {
         graft.ann.IvfIndex.materialize(
           spark, Tables.embeddings(spark, probeDir).select("vec_id", "embedding"), idx)
         // materialize the query batch to its own tiny parquet: reading the
-        // 10 queries out of the full 10× embeddings table would charge every
-        // mode ~the whole table's bytes and drown the scan comparison
+        // queries out of the full 10× embeddings table would charge every
+        // mode ~the whole table's bytes and drown the scan comparison.
+        // 100 queries (not 10): at 10 the sub-second mode timings are
+        // scheduling-dominated and adc_vs_float swung 1.4-2.25 across
+        // otherwise-identical runs — 10× the probe work makes the
+        // decomposition (candidate phase vs float vs full ADC) stable.
         Tables.embeddings(spark, probeDir)
-          .filter(col("vec_id") < 10).select("vec_id", "embedding")
+          .filter(col("vec_id") < 100).select("vec_id", "embedding")
           .coalesce(1).write.mode("overwrite").parquet(s"$probeDir/ivf_queries")
         val qs = spark.read.parquet(s"$probeDir/ivf_queries")
         val fl = t2(graft.ann.IvfIndex.search(spark, idx, qs, 3, 2).count())
