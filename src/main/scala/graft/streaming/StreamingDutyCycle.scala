@@ -86,6 +86,31 @@ object StreamingDutyCycle {
       .withColumn("time_end", col("window.end"))
       .drop("window", "c_all", "c_duty")
 
+  /** Pane-count threshold at which [[planPrerolled]] overtakes [[plan]].
+    * Measured (r13, 2M rows, 250 keys, local[32]): plain wins while panes
+    * are few (prerolled/plain 0.73 at 5 panes, 0.77 at 8, 0.86 at 12 — the
+    * pre-roll's second stateful exchange buys nothing the map-side partial
+    * agg doesn't already do), then plain COLLAPSES at 25 panes (ratio 3.9:
+    * every raw row is copied once per pane AND the state store holds
+    * panes× more open windows per key). The crossover sits between 12 and
+    * 25; 16 splits the bracket. Rows-per-key density does NOT move the
+    * choice — partial aggregation absorbs it on both plans.
+    */
+  val PrerollPaneThreshold = 16
+
+  /** [[plan]] or [[planPrerolled]], chosen by the measured pane-count rule —
+    * the crossover evidence as an operational policy instead of a bench
+    * footnote. Both plans are exact (the pre-roll's 1 s buckets are wholly
+    * contained in every second-aligned sliding window), so the choice is
+    * purely a cost decision.
+    */
+  def planAuto(
+      readings: DataFrame,
+      conf: GridConfig = GridConfig()): DataFrame =
+    if (conf.windowSec / conf.slideSec >= PrerollPaneThreshold)
+      planPrerolled(readings, conf)
+    else plan(readings, conf)
+
   /** JSON sink projection (`duty_cycle_avro.py:83`): field order pinned to the
     * reference's struct order for byte-compatible downstream consumers.
     */

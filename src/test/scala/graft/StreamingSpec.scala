@@ -102,6 +102,27 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(single.nonEmpty && single.exists(_._3 == 2.0 / 3.0))
   }
 
+  test("planAuto picks the plan by the measured pane-count crossover") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    // chained stateful aggs show up as TWO Aggregates over window structs
+    def aggLevels(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case a: Aggregate => a }.length
+    val readings = spark.createDataFrame(Seq.empty[PowerReading])
+    val fewPanes = GridConfig() // 25 s / 5 s = 5 panes
+    val manyPanes = GridConfig(slideOverrideSec = Some(1)) // 25 panes
+    assert(fewPanes.windowSec / fewPanes.slideSec < StreamingDutyCycle.PrerollPaneThreshold)
+    assert(manyPanes.windowSec / manyPanes.slideSec >= StreamingDutyCycle.PrerollPaneThreshold)
+    assert(aggLevels(StreamingDutyCycle.planAuto(readings, fewPanes)) ==
+      aggLevels(StreamingDutyCycle.plan(readings, fewPanes)),
+      "below the crossover planAuto must be the single-level plan")
+    assert(aggLevels(StreamingDutyCycle.planAuto(readings, manyPanes)) ==
+      aggLevels(StreamingDutyCycle.planPrerolled(readings, manyPanes)),
+      "at/above the crossover planAuto must be the pre-rolled plan")
+    assert(aggLevels(StreamingDutyCycle.planPrerolled(readings, manyPanes)) ==
+      aggLevels(StreamingDutyCycle.plan(readings, manyPanes)) + 1,
+      "the two plan shapes must be distinguishable for this spec to mean anything")
+  }
+
   test("late data beyond the watermark is dropped from closed windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
