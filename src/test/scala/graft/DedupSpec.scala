@@ -31,6 +31,26 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(agg == n)
   }
 
+  test("substring window cap engages on the hot slice: boilerplate yields zero pairs, ledger nonzero") {
+    // 30% of docs rewritten to one repeated boilerplate: their shared
+    // windows' df (150) busts the cap, so NO hot doc may appear in the
+    // surviving pairs — the cap drops the d²/2 boilerplate join rows the
+    // plan exists to avoid — and the drop ledger must say exactly that
+    val pairs = DedupOps.substrDupPairsHotSlice(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "natural dups must survive the hot slice")
+    assert(!pairs.exists { case (a, b) => a % 10 < 3 || b % 10 < 3 },
+      "an over-cap boilerplate doc leaked into the surviving pairs")
+    val led = DedupOps.substrDroppedHotSlice(spark, sfDir).head()
+    assert(led.getLong(1) > 0, "hot windows must reach the ledger")
+    assert(led.getLong(2) >= 150,
+      s"every hot doc posts at least one dropped window: ${led.getLong(2)}")
+    // the natural corpus at this scale has no over-cap window — the zero
+    // ledger is itself the oracle-checked claim
+    val natural = DedupOps.substrDropped(spark, sfDir).head()
+    assert(natural.getLong(1) == 0 && natural.getLong(2) == 0)
+  }
+
   test("ngram jaccard finds every planted pair with high similarity") {
     val found = DedupOps.ngramJaccardPairs(spark, sfDir)
       .select("id_a", "id_b", "jaccard").collect()
