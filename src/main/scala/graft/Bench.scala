@@ -158,6 +158,7 @@ object Bench {
       // scaled run and publish BOTH; the row's ratio becomes the fresh one
       // (same-load numerator and denominator), with the stale reading kept
       // in the attribution for the audit trail.
+      val freshAttempted = fresh.nonEmpty && staleRatio > 10.0
       val freshBase = fresh match {
         case Some((bfn, bdir)) if staleRatio > 10.0 => timed(bfn, bdir)
         case _ => -1.0
@@ -165,20 +166,28 @@ object Bench {
       val ratio = if (freshBase > 0 && scaled >= 0) scaled / freshBase else staleRatio
       // when the fresh base fires, IT becomes the row's published "base" so
       // ratio == scaled/base stays true within the object; the stale
-      // reading moves whole into the attribution fields
+      // reading moves whole into the attribution fields. An ATTEMPTED fresh
+      // re-measurement that itself failed (timed sentinel) must say so
+      // (ADVICE r13): silently publishing the stale ratio re-opens the
+      // attribution gap exactly on the contended runs the feature exists
+      // for — fresh_base_failed marks "the number you see is stale because
+      // the fresh attempt could not complete", not "no attempt was made".
       val pubBase = if (freshBase > 0) freshBase else b
+      val freshJson =
+        if (freshBase > 0)
+          s""","stale_base":$b,"stale_ratio":$staleRatio,"fresh_base_sec":$freshBase"""
+        else if (freshAttempted) s""","fresh_base_failed":true"""
+        else ""
       val attribution =
         if (staleRatio > 10.0)
-          s""","retried":$retried,"stall_sentinel_sec":$rowSentinel""" +
-            (if (freshBase > 0)
-              s""","stale_base":$b,"stale_ratio":$staleRatio,"fresh_base_sec":$freshBase"""
-            else "")
+          s""","retried":$retried,"stall_sentinel_sec":$rowSentinel$freshJson"""
         else if (retried) s""","retried":true"""
         else ""
       (ratio,
         s""""$name":{"base":$pubBase,"scaled":$scaled,"ratio":$ratio$attribution$extra}""",
         s"""{"query":"$name","ratio":$ratio,"retried":$retried,"row_sentinel_sec":$rowSentinel""" +
           (if (freshBase > 0) s""","stale_ratio":$staleRatio,"fresh_base_sec":$freshBase}"""
+          else if (freshAttempted) s""","fresh_base_failed":true}"""
           else "}"))
     }
     def probeRow(name: String, baseName: String, dir: String,
@@ -365,6 +374,16 @@ object Bench {
         val fl = t2(graft.ann.IvfIndex.search(spark, idx, qs, 3, 2).count())
         val adc = t2(graft.ann.IvfIndex.searchAdc(spark, idx, qs, 3, 2).count())
         val radc = t2(graft.ann.IvfIndex.searchRadc(spark, idx, qs, 3, 2).count())
+        // LATE-MATERIALIZATION rerank (VERDICT r13 #3): the pool's ids are
+        // collected and pushed into the rerank scan as static IN filters, so
+        // only pages holding pooled candidates decode floats — the attack on
+        // the "rerank re-decodes whole probed cells" floor. Published beside
+        // the plain ratio; whichever reading lands, it is a measurement, not
+        // an inference.
+        val adcPushed = t2(graft.ann.IvfIndex.searchAdc(
+          spark, idx, qs, 3, 2, pushRerankIds = true).count())
+        val radcPushed = t2(graft.ann.IvfIndex.searchRadc(
+          spark, idx, qs, 3, 2, pushRerankIds = true).count())
         // wall-clock decomposition (VERDICT r12 #5): the codes-only
         // CANDIDATE phase alone vs the float probe. Locally (page-cached)
         // searchAdc's floor is float + this phase: the exact rerank must
@@ -390,6 +409,10 @@ object Bench {
           s""""adc_candidate_phase_sec":$adcCand,""" +
           s""""adc_candidate_vs_float":${if (fl > 0) adcCand / fl else -1.0},""" +
           s""""adc_vs_float":${if (fl > 0) adc / fl else -1.0},""" +
+          s""""adc_pushed_probe_sec":$adcPushed,""" +
+          s""""adc_pushed_vs_float":${if (fl > 0) adcPushed / fl else -1.0},""" +
+          s""""radc_pushed_probe_sec":$radcPushed,""" +
+          s""""radc_pushed_vs_float":${if (fl > 0) radcPushed / fl else -1.0},""" +
           s""""radc_vs_float":${if (fl > 0) radc / fl else -1.0},""" +
           s""""probed_cells":${cells.size},""" +
           s""""float_candidate_scan_bytes":$flB,"adc_candidate_scan_bytes":$adcB,""" +
@@ -536,13 +559,27 @@ object Bench {
           // per-task block size the clamp has let grow.
           val clampExtra = try {
             val t0 = System.nanoTime()
-            val led = graft.ann.SimilarityOps.overClampCells(
-              graft.ann.SimilarityOps.ivfAssignments(spark, embHotDir), 64L)
-              .collect()
+            val assigns = graft.ann.SimilarityOps.ivfAssignments(spark, embHotDir)
+            val led = graft.ann.SimilarityOps.overClampCells(assigns, 64L).collect()
+            // the 64 threshold above is the HOT-SLICE ORACLE FIXTURE's (it
+            // makes the planted 6000-row cell saturate its 64-block clamp);
+            // the timed q_knn_graph row runs at the engine default
+            // CellPairSubThreshold, where the clamp does not bind on this
+            // corpus — evaluate the ledger at the timed plan's threshold too
+            // so the saturation evidence cannot be misread as describing the
+            // measured query (ADVICE r13)
+            val timedThreshold = graft.ann.SimilarityOps.CellPairSubThreshold
+            val ledTimed = graft.ann.SimilarityOps
+              .overClampCells(assigns, timedThreshold).collect()
             val ledgerSec = (System.nanoTime() - t0) / 1e9
             val maxBlock = if (led.isEmpty) 0L else led.map(_.getLong(3)).max
-            s""","clamp_ledger":{"threshold":64,"n_over_cells":${led.length},""" +
-              s""""max_block_rows":$maxBlock,"ledger_sec":$ledgerSec}"""
+            s""","clamp_ledger":{"threshold":64,"threshold_is_hotslice_fixture":true,""" +
+              s""""n_over_cells":${led.length},""" +
+              s""""max_block_rows":$maxBlock,""" +
+              s""""timed_query_threshold":$timedThreshold,""" +
+              s""""n_over_cells_at_timed_threshold":${ledTimed.length},""" +
+              s""""clamp_engaged_in_timed_plan":${ledTimed.nonEmpty},""" +
+              s""""ledger_sec":$ledgerSec}"""
           } catch { case t: Throwable =>
             s""","clamp_ledger":{"error":"${jsonErr(t)}"}""" }
           probeRowVs(
@@ -765,6 +802,72 @@ object Bench {
           s""""growk_probe_rows_after":$gkProbeRowsAfter,""" +
           s""""growk_probe_sec_before":$gkProbeBefore,"growk_probe_sec_after":$gkProbeAfter"""
       } catch { case t: Throwable => s""""growk_error":"${jsonErr(t)}"""" }
+      // AUTOMATIC grow-K policy leg (VERDICT r13 #2): the same 10× corpus
+      // arrives as a STREAM in 4 batches, twice — once with the in-stream
+      // cellBudget policy wired, once without. The policy feed's budget
+      // trips mid-stream (batch 2 pushes the hottest seed-8 cell past
+      // 3000), the re-fit runs between triggers under its own lease, and
+      // the later batches' probe phases — plus the final 100-query search —
+      // run against the re-balanced index. Published: per-batch wall
+      // seconds for BOTH feeds (the mid-stream recovery is visible as the
+      // policy feed's post-refit batches undercutting the unmaintained
+      // twin's), the maintenance ledger's row, and the final probe
+      // sec + candidate rows on each twin.
+      val autoGrowkJson = try {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import spark.implicits._
+        val embs10Rows = replicateEmbeddings(embs, 10)
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+        val nBatches = 4
+        val per = embs10Rows.length / nBatches
+        def feed(budget: Option[Long], tag: String): (Seq[Double], Double, Long, Int, String) = {
+          val d = java.nio.file.Files.createTempDirectory(s"graft_autogrowk_$tag").toString
+          implicit val sc = spark.sqlContext
+          val stream = MemoryStream[(Long, Seq[Float])]
+          val q = graft.ann.IvfIndex.streamingAbsorb(
+            stream.toDF().toDF("vec_id", "embedding"),
+            s"$d/idx", s"$d/out", s"$d/ckpt",
+            cellBudget = budget, maintainLedgerOut = Some(s"$d/ledger")).start()
+          val secs = try {
+            (0 until nBatches).map { b =>
+              val lo = b * per
+              val hi = if (b == nBatches - 1) embs10Rows.length else lo + per
+              val t0 = System.nanoTime()
+              stream.addData(embs10Rows.slice(lo, hi).toSeq)
+              q.processAllAvailable()
+              (System.nanoTime() - t0) / 1e9
+            }
+          } finally q.stop()
+          val gkQueries = embs.filter(col("vec_id") < 100)
+          val probeSec = time2(graft.ann.IvfIndex.search(
+            spark, s"$d/idx", gkQueries, 3, 2).count())
+          val candRows = graft.ann.IvfIndex.candidateRows(spark, s"$d/idx", gkQueries, 2)
+          val kAfter = graft.ann.IvfIndex.currentCentroids(spark, s"$d/idx").size
+          val ledgerJson =
+            if (!new java.io.File(s"$d/ledger").exists()) "[]"
+            else spark.read.option("basePath", s"$d/ledger").parquet(s"$d/ledger")
+              .drop("batch").collect().map { r =>
+                s"""{"segment":${r.getAs[Long]("segment")},""" +
+                  s""""max_cell_before":${r.getAs[Long]("max_cell_before")},""" +
+                  s""""k_before":${r.getAs[Int]("k_before")},""" +
+                  s""""k_after":${r.getAs[Int]("k_after")}}"""
+              }.mkString("[", ",", "]")
+          cleanup(d)
+          (secs, probeSec, candRows, kAfter, ledgerJson)
+        }
+        val (offSecs, offProbe, offCand, offK, _) = feed(None, "off")
+        val (onSecs, onProbe, onCand, onK, onLedger) = feed(Some(3000L), "on")
+        s""","auto_growk_stream":{"corpus_factor":10,"batches":$nBatches,""" +
+          s""""cell_budget":3000,""" +
+          s""""policy_off_batch_secs":${offSecs.map(s => f"$s%.3f").mkString("[", ",", "]")},""" +
+          s""""policy_on_batch_secs":${onSecs.map(s => f"$s%.3f").mkString("[", ",", "]")},""" +
+          s""""policy_off_k":$offK,"policy_on_k":$onK,""" +
+          s""""policy_off_final_probe_sec":$offProbe,"policy_on_final_probe_sec":$onProbe,""" +
+          s""""policy_off_candidate_rows":$offCand,"policy_on_candidate_rows":$onCand,""" +
+          s""""probe_recovery":${if (onProbe > 0) offProbe / onProbe else -1.0},""" +
+          s""""maintenance_ledger":$onLedger}"""
+      } catch { case t: Throwable =>
+        s""","auto_growk_stream":{"error":"${jsonErr(t)}"}""" }
       // hamming fingerprint index: one-shot = rehash + all-band self-join of
       // the whole image corpus; probe = a 2% batch against the stored bands
       // (zero-shuffle broadcast probe)
@@ -776,8 +879,17 @@ object Bench {
       val fpProbeSec = time2(graft.dedup.FingerprintIndex.candidates(
         spark, s"$base/fp", fpBatch).count())
       // the hamming index's health signal (band-occupancy skew ≈ 1 means
-      // probe cost is uniform; a hot bucket inflates it quadratically)
+      // probe cost is uniform; a hot bucket inflates it quadratically) plus
+      // its governance ledger (VERDICT r13 #5): the over-cap buckets at the
+      // relative cap and the candidate volume suppression saves — the
+      // quantified cost of the only governance hamming space admits (value
+      // masses are indivisible by any banding; see
+      // FingerprintIndex.occupancyLedger)
       val fpSkew = graft.dedup.FingerprintIndex.occupancySkew(spark, s"$base/fp")
+      val fpCap = graft.multimodal.MediaOps.imageBucketCap(fps.count())
+      val fpLed = graft.dedup.FingerprintIndex
+        .occupancyLedgerOf(spark, s"$base/fp", fpCap).collect()
+      val fpSuppressed = fpLed.map(_.getLong(3)).sum
       // pair/label store: one-shot = the full jaccard-pair + CC-fixpoint
       // recompute every consumer used to pay; served = reading the published
       // label snapshot (the store itself was built once by the query
@@ -797,10 +909,27 @@ object Bench {
       val pairBuildSec = (System.nanoTime() - tBuild) / 1e9
       cleanup(coldDir)
       // incremental absorb: pairs of a 2% document batch (exact, vs the
-      // full-corpus pair join an index-less pipeline re-runs per batch)
+      // full-corpus pair join an index-less pipeline re-runs per batch).
+      // The batch probes the STORED shingle-postings relation (VERDICT r13
+      // #1: the live-derivation incremental form re-derived the corpus's
+      // shingles on both join sides, so this row read speedup 0.98 — no
+      // incremental benefit); the one-off postings build is timed
+      // separately, and the store-less recompute form stays published as
+      // the audit-trail comparison.
       val incrFullSec = time2(graft.dedup.DedupOps.ngramJaccardPairs(spark, sfDir).count())
-      val incrBatchSec = time2(graft.dedup.DedupOps
+      val shingleIdxDir = s"$base/shingles"
+      val tShIdx = System.nanoTime()
+      graft.dedup.ShingleIndex.materialize(spark, sfDir, shingleIdxDir)
+      val shingleBuildSec = (System.nanoTime() - tShIdx) / 1e9
+      val incrBatchSec = time2(graft.dedup.ShingleIndex
+        .incrementalPairs(spark, shingleIdxDir, _ % 50 === 0).count())
+      val incrRecomputeSec = time2(graft.dedup.DedupOps
         .ngramJaccardPairsIncremental(spark, sfDir, _ % 50 === 0).count())
+      // the FULL pair set served from the same store (join-free posting-list
+      // expansion) vs its live derivation — what PairStore builds and
+      // cluster refreshes pay once the store exists
+      val fullServedSec = time2(
+        graft.dedup.ShingleIndex.allPairs(spark, shingleIdxDir).count())
       cleanup(base)
       def leg(name: String, full: Double, probe: Double) =
         s""""$name":{"one_shot_sec":$full,"index_probe_sec":$probe,""" +
@@ -820,8 +949,13 @@ object Bench {
         s"""${leg("fp_hamming_candidates", fpFullSec, fpProbeSec)},""" +
         s"""${leg("neardup_labels_via_pairstore", pairFullSec, pairServedSec)},""" +
         s"""${leg("jaccard_pairs_incremental_batch", incrFullSec, incrBatchSec)},""" +
+        s"""${leg("jaccard_pairs_full_via_postings", incrFullSec, fullServedSec)},""" +
+        s""""jaccard_incremental_recompute_sec":$incrRecomputeSec,""" +
+        s""""shingle_index_build_sec":$shingleBuildSec,""" +
         s""""pairstore_build_sec":$pairBuildSec,""" +
-        s""""fp_occupancy_skew":$fpSkew}"""
+        s""""fp_occupancy_skew":$fpSkew,""" +
+        s""""fp_occupancy_cap":$fpCap,"fp_over_cap_buckets":${fpLed.length},""" +
+        s""""fp_suppressed_candidate_pairs":$fpSuppressed}""" + autoGrowkJson
     } catch { case t: Throwable => s""","index_serving":{"error":"${jsonErr(t)}"}""" }
 
     // PairStore streaming absorb under skew (VERDICT r8 #8): micro-batch
@@ -955,8 +1089,8 @@ object Bench {
             s"1_1_${i % 5}", "lamp", s"1_1_${i % 5}_${i % 50}", (i % 400).toDouble)
       }.repartition(16).write.mode("overwrite").parquet(hotDir)
       val schema = spark.read.parquet(dir).schema
-      def throughput(name: String, srcDir: String,
-          planFn: DataFrame => DataFrame): Long = {
+      def throughputAttempts(name: String, srcDir: String,
+          planFn: DataFrame => DataFrame, attempts: Int): Seq[Long] = {
         def once(attempt: Int): Long = {
           val stream = spark.readStream.schema(schema).parquet(srcDir)
           val t0 = System.nanoTime()
@@ -968,19 +1102,27 @@ object Bench {
             (n / ((System.nanoTime() - t0) / 1e9)).toLong
           } finally query.stop()
         }
-        // best-of-two, like every other bench number: a single-shot stream
-        // measurement folds query startup (planning, state-store init) and
-        // one GC roll of the dice into the rows/s — observed ±15% across
-        // otherwise-quiet runs (291k → 240k → 266k over three rounds with
-        // the measured plan untouched since r9, per git)
-        math.max(once(1), once(2))
+        (1 to attempts).map(once)
       }
+      // best-of-N, like every other bench number: a single-shot stream
+      // measurement folds query startup (planning, state-store init) and
+      // one GC roll of the dice into the rows/s — observed ±15% across
+      // otherwise-quiet runs (291k → 240k → 266k over three rounds with
+      // the measured plan untouched since r9, per git). The HEADLINE legs
+      // run best-of-THREE with every attempt published (VERDICT r13 #4:
+      // clean runs spread 207k–369k for an unchanged plan — the spread must
+      // be visible in the JSON, not discovered by re-running the bench).
+      def throughput(name: String, srcDir: String,
+          planFn: DataFrame => DataFrame): Long =
+        throughputAttempts(name, srcDir, planFn, attempts = 2).max
       try {
-        val rps = throughput("graft_duty_bench", dir,
-          StreamingDutyCycle.plan(_, GridConfig()))
+        val rpsAttempts = throughputAttempts("graft_duty_bench", dir,
+          StreamingDutyCycle.plan(_, GridConfig()), attempts = 3)
+        val rps = rpsAttempts.max
         // the chained-stateful-agg form: 1 s pre-aggregate feeding the slide
-        val rpsPre = throughput("graft_duty_bench_prerolled", dir,
-          StreamingDutyCycle.planPrerolled(_, GridConfig()))
+        val rpsPreAttempts = throughputAttempts("graft_duty_bench_prerolled", dir,
+          StreamingDutyCycle.planPrerolled(_, GridConfig()), attempts = 3)
+        val rpsPre = rpsPreAttempts.max
         // Pre-roll CROSSOVER leg (VERDICT r12 #4: at the default 5-pane
         // window the pre-roll reads ~0.67× of plain — its second stateful
         // exchange buys nothing the plain plan's map-side partial agg
@@ -1036,7 +1178,9 @@ object Bench {
         val stateScaleRatio =
           if (rpsRocksBase > 0) rpsRocks10x.toDouble / rpsRocksBase else -1.0
         (s""","streaming":{"duty_cycle_rows_per_sec":$rps,""" +
+          s""""duty_cycle_attempts_rows_per_sec":${rpsAttempts.mkString("[", ",", "]")},""" +
           s""""duty_cycle_prerolled_rows_per_sec":$rpsPre,""" +
+          s""""duty_cycle_prerolled_attempts_rows_per_sec":${rpsPreAttempts.mkString("[", ",", "]")},""" +
           s""""duty_cycle_25pane_rows_per_sec":$rpsPane,""" +
           s""""duty_cycle_25pane_prerolled_rows_per_sec":$rpsPanePre,""" +
           s""""preroll_crossover_25pane":${

@@ -416,15 +416,19 @@ object IvfIndex {
     // an empty frame), leaving an index every later read dies on with an
     // unhelpful schema-inference error (ADVICE r12's empty-index family) —
     // and on the codebook-install branch it would additionally strand the
-    // just-written manifests. Fail the build itself with the diagnostic,
-    // on BOTH branches. Later zero-row appendBatches stay legal (an idle
-    // micro-batch).
-    require(!embeddings.isEmpty,
-      s"materialize: embeddings frame holds zero rows — refusing to build " +
-        s"an empty (unreadable) index at $indexPath")
+    // just-written manifests. Fail the build with the diagnostic on BOTH
+    // branches — but verify non-emptiness from the WRITTEN segment
+    // (one file listing), not a pre-write `embeddings.isEmpty` probe, which
+    // ran an extra Spark job evaluating the input plan head on every build
+    // (ADVICE r13: the bench's crossJoin-replicated 10× frame paid that
+    // limit-1 execution per repeated materialize). An empty write leaves a
+    // markerless dataless dir; [[requireSegmentNonEmpty]] deletes it whole
+    // (meta included) so no unreadable index survives the refusal. Later
+    // zero-row appendBatches stay legal (an idle micro-batch).
     (codebook, codebookRaw) match {
       case (None, None) =>
         appendBatch(spark, indexPath, embeddings, batchId = 0L)
+        requireSegmentNonEmpty(spark, indexPath, batchId = 0L)
         recordBaseline(spark, indexPath)
       case _ =>
         require(codebook.nonEmpty,
@@ -459,6 +463,7 @@ object IvfIndex {
           invalidateMetaCaches(indexPath)
           try {
             absorb(spark, indexPath, embeddings, batchId = 0L, checkLease = false)
+            requireSegmentNonEmpty(spark, indexPath, batchId = 0L)
             recordBaseline(spark, indexPath)
           } catch {
             case t: Throwable =>
@@ -473,6 +478,31 @@ object IvfIndex {
               throw t
           }
         }
+    }
+  }
+
+  /** The first-build zero-row refusal ([[materialize]]): checks the WRITTEN
+    * segment for data files instead of pre-executing the input plan. On an
+    * empty write, the dataless segment dir (its meta files included) is
+    * deleted whole before the throw — the refusal leaves no trace a later
+    * build or read could trip on.
+    */
+  private def requireSegmentNonEmpty(
+      spark: SparkSession, indexPath: String, batchId: Long): Unit = {
+    val seg = new org.apache.hadoop.fs.Path(s"$indexPath/batch=$batchId")
+    val fs = seg.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var hasData = false
+    if (fs.exists(seg)) {
+      val it = fs.listFiles(seg, true)
+      while (!hasData && it.hasNext)
+        hasData = it.next().getPath.getName.endsWith(".parquet")
+    }
+    if (!hasData) {
+      fs.delete(seg, true)
+      invalidateMetaCaches(indexPath)
+      throw new IllegalArgumentException(
+        s"materialize: embeddings frame holds zero rows — refusing to build " +
+          s"an empty (unreadable) index at $indexPath")
     }
   }
 
@@ -806,12 +836,38 @@ object IvfIndex {
     * stream actually serves with, since the probe cost is paid EVERY
     * micro-batch and the code-only scan is the one that stays
     * memory-bandwidth-flat as the absorbed index grows.
+    *
+    * `cellBudget` (optional) turns [[maintainCellBudget]] into an AUTOMATIC
+    * governed policy (VERDICT r13 #2 — the stream previously published
+    * occupancy skew per batch but nothing ever acted on it): after each
+    * absorb, if the largest cell exceeds the budget, the grow-K re-fit runs
+    * RIGHT THERE, between this batch's absorb and the next trigger — the one
+    * point in a single-writer stream where the index is quiesced by
+    * construction, so the recluster lease it takes can never collide with
+    * this stream's own absorbs. The breach CHECK is one grouped count per
+    * batch (the [[cellStats]] scan — same order of cost as the drift metric
+    * this stream already publishes); a healthy index pays nothing else and
+    * is NEVER rewritten. `maintainCooldownBatches` bounds rewrite frequency
+    * when mass is indivisible (identical vectors breach forever; the
+    * no-progress skip stops the rewrites once K stops growing, and the
+    * cooldown spaces the doubling attempts before that). Each re-fit that
+    * actually runs emits a replay-idempotent ledger row to
+    * `maintainLedgerOut/batch=<segment>` — (segment, max_cell_before,
+    * k_before, k_after, target) — the audit trail an operator reads to see
+    * what the policy did and why. A checkpoint-replayed batch re-checks and
+    * finds the budget met (the re-fit already ran), so replays never
+    * double-rewrite.
     */
   def streamingAbsorb(
       embStream: DataFrame, indexPath: String, neighborsOut: String, checkpoint: String,
       k: Int = 3, nprobe: Int = 2,
       driftMetricsOut: Option[String] = None, driftSamplePpm: Long = 1000000L,
-      probe: String = "float")
+      probe: String = "float",
+      cellBudget: Option[Long] = None,
+      maintainCooldownBatches: Int = 10,
+      maintainLedgerOut: Option[String] = None,
+      maintainMaxIter: Int = 5,
+      maintainMaxK: Int = 4096)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val probeFn: (SparkSession, DataFrame, Long) => DataFrame = probe match {
       case "float" => (s, b, seg) => search(s, indexPath, b, k, nprobe, Some(seg))
@@ -859,8 +915,37 @@ object IvfIndex {
             .toDF("segment", "drift_ratio", "occupancy_skew")
             .write.mode("overwrite").parquet(s"$metricsPath/batch=$segment")
         }
+        cellBudget.foreach { target =>
+          val lastRan = lastMaintainedBatch.get(indexPath)
+          val coolingDown = lastRan != null &&
+            batchId - lastRan.longValue() < maintainCooldownBatches
+          if (!coolingDown) {
+            val kBefore = currentCentroids(spark, indexPath).size
+            val (maxCellBefore, ran) = maintainCellBudget(
+              spark, indexPath, targetCellRows = target,
+              maxIter = maintainMaxIter, maxK = maintainMaxK)
+            if (ran) {
+              lastMaintainedBatch.put(indexPath, batchId)
+              val kAfter = currentCentroids(spark, indexPath).size
+              maintainLedgerOut.foreach { ledgerPath =>
+                import spark.implicits._
+                Seq((segment, maxCellBefore, kBefore, kAfter, target))
+                  .toDF("segment", "max_cell_before", "k_before", "k_after", "target_cell_rows")
+                  .write.mode("overwrite").parquet(s"$ledgerPath/batch=$segment")
+              }
+            }
+          }
+        }
       }
   }
+
+  /** Last batchId at which the in-stream grow-K policy actually re-fit, per
+    * index path — the cooldown's driver-side state. Bounded (one entry per
+    * index this JVM streams into); resetting on restart only costs one extra
+    * breach CHECK, never a rewrite (a met budget always skips).
+    */
+  private val lastMaintainedBatch =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private def hasSegments(spark: SparkSession, indexPath: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(indexPath)
@@ -984,7 +1069,8 @@ object IvfIndex {
       nprobe: Int = 2,
       rerank: Int = SimilarityOps.AdcRerank,
       excludeSegment: Option[Long] = None,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None,
+      pushRerankIds: Boolean = false): DataFrame = {
     VectorFunctions.register(spark)
     val q = withNorm(queries, "qid", "qv", "qn")
     val index = withOptionalCodes(
@@ -997,7 +1083,8 @@ object IvfIndex {
     // silently miss re-fit cells. One frame, both phases, one generation.
     val adc = adcCandidates(spark, indexPath, queries, nprobe, excludeSegment, asOf,
       indexOverride = Some(index))
-    adcPoolRerank(index, adc, q, k, rerank)
+    if (pushRerankIds) adcPoolRerankPushed(spark, index, adc, q, k, rerank)
+    else adcPoolRerank(index, adc, q, k, rerank)
   }
 
   /** The raw-code ADC CANDIDATE phase alone: codes-only scan → ONE broadcast
@@ -1075,6 +1162,56 @@ object IvfIndex {
       .orderBy("qid", "rank")
   }
 
+  /** LATE-MATERIALIZATION variant of [[adcPoolRerank]] (VERDICT r13 #3): the
+    * pool is collected (bounded driver state — rerank × |queries| id
+    * triples, the same class as the probe schedules [[probedCells]] already
+    * collects) and pushed into the rerank scan as STATIC `IN` filters on
+    * (centroid_id, vec_id). The plain rerank's broadcast semi-join prunes
+    * partitions via DPP but still DECODES every probed cell's float vectors
+    * before the join filters rows; pushed, the partition pruning is static
+    * and the vec_id IN set reaches the parquet reader as a row-group/page
+    * filter, so only pages actually holding pooled candidates decode. The
+    * trade is an extra Spark job (the pool collect materializes the
+    * candidate phase) — whether the byte/decode saving beats the extra job
+    * is measured, not assumed: the bench publishes both (`adc_vs_float` vs
+    * `adc_pushed_vs_float`). Results are bit-identical to the plain tail
+    * (the IN filters are a superset condition of the join; spec-pinned).
+    */
+  private def adcPoolRerankPushed(
+      spark: SparkSession, index: DataFrame, adc: DataFrame, q: DataFrame,
+      k: Int, rerank: Int): DataFrame = {
+    val wAdc = Window.partitionBy("qid").orderBy(asc_nulls_last("adc"), asc("cid"))
+    val poolRows = adc
+      .withColumn("prn", row_number().over(wAdc))
+      .filter(col("prn") <= rerank)
+      .select(col("qid"), col("cid"), col("cell"))
+      .collect()
+    import spark.implicits._
+    val pool = broadcast(
+      poolRows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+        .toDF("pqid", "pcid", "pcell"))
+    val ids = poolRows.map(_.getLong(1)).distinct.sorted.toSeq
+    val cells = poolRows.map(_.getInt(2)).distinct.sorted.toSeq
+    // an empty pool (all-legacy codes, or an empty query batch) has nothing
+    // to rerank: a zero-arg isin would push a degenerate In() — make the
+    // empty result explicit instead
+    val poolFilter =
+      if (poolRows.isEmpty) lit(false)
+      else col("centroid_id").isin(cells: _*) && col("vec_id").isin(ids: _*)
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    index.select(col("vec_id"), col("v"), col("nn"), col("centroid_id"))
+      .filter(poolFilter)
+      .join(pool,
+        col("vec_id") === col("pcid") && col("centroid_id") === col("pcell"))
+      .join(broadcast(q.select(col("qid"), col("qv"), col("qn"))), col("qid") === col("pqid"))
+      .withColumn("cos", SimilarityOps.dot("qv", "v") / (sqrt(col("qn")) * sqrt(col("nn"))))
+      .withColumn("cid", col("pcid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid")
+      .orderBy("qid", "rank")
+  }
+
   /** Residual-IVFADC search over the stored index: ranks probed cells from
     * their stored RESIDUAL codes (`rpq`) via the per-(query, cell) LUT — the
     * FAISS-default IndexIVFPQ encoding, where a cell's codes quantize
@@ -1094,7 +1231,8 @@ object IvfIndex {
       nprobe: Int = 2,
       rerank: Int = SimilarityOps.AdcRerank,
       excludeSegment: Option[Long] = None,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None,
+      pushRerankIds: Boolean = false): DataFrame = {
     VectorFunctions.register(spark)
     val cents = currentCentroids(spark, indexPath, asOf)
     val q = withNorm(queries, "qid", "qv", "qn")
@@ -1110,7 +1248,8 @@ object IvfIndex {
         col("probe") === col("centroid_id") && col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("cid"), col("centroid_id").as("cell"),
         (SimilarityOps.adcScore("rpq", "lut") + col("qc2")).as("adc"))
-    adcPoolRerank(index, adc, q, k, rerank)
+    if (pushRerankIds) adcPoolRerankPushed(spark, index, adc, q, k, rerank)
+    else adcPoolRerank(index, adc, q, k, rerank)
   }
 
   /** Re-fit the centroid set to the corpus the index has GROWN INTO and

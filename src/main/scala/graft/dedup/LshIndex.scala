@@ -34,16 +34,33 @@ object LshIndex {
   private val keyCols: Seq[String] = (0 until BandSize).map(i => s"k$i")
   private val nBands: Int = NumPerms / BandSize
 
-  /** Memo of collected over-cap buckets, ONE entry per indexPath holding
-    * (validity stamp = live segment ids + cap, rows) — see [[candidates]].
+  /** Memo of collected over-cap buckets, keyed (indexPath, cap), holding
+    * (validity stamp = live segment ids, rows) — see [[candidates]].
     * A superseded stamp is REPLACED, not accumulated (the r11 form keyed by
     * (path, stamp, cap) grew one entry per absorbed segment generation over
     * a long-running stream — unbounded driver state, ADVICE r12). Bounded
-    * two ways: one entry per index, and only over-cap buckets are collected.
+    * three ways: only over-cap buckets are collected, one entry per cap in
+    * use per index, and [[putHotRows]] evicts every OTHER cap's entries for
+    * the same index on put (ADVICE r13: a long-lived JVM whose caps derive
+    * from varying shuffle-partition counts otherwise accumulates one entry
+    * per (path, cap) forever) — so the per-path bound of the r12 design
+    * holds again while same-cap callers still never thrash each other.
     */
   private val hotBucketCache =
     new java.util.concurrent.ConcurrentHashMap[
       (String, Int), (String, Seq[(Int, Long, Long, Long, Long)])]()
+
+  private def putHotRows(
+      indexPath: String, cap: Int,
+      value: (String, Seq[(Int, Long, Long, Long, Long)])): Unit = {
+    val stale = hotBucketCache.keys.asIterator()
+    while (stale.hasNext) {
+      val k = stale.next()
+      if (k._1 == indexPath && k._2 != cap) hotBucketCache.remove(k)
+    }
+    hotBucketCache.put((indexPath, cap), value)
+    ()
+  }
 
   /** One row per (doc, band): doc_id, band_idx, k0..k3, sig. */
   def bandTable(docs: DataFrame): DataFrame = {
@@ -223,7 +240,7 @@ object LshIndex {
             if (cached != null && cached._1 == stamp) cached._2
             else {
               val rows = collectHot()
-              hotBucketCache.put(key, (stamp, rows))
+              putHotRows(indexPath, cap, (stamp, rows))
               rows
             }
           case _ => collectHot()

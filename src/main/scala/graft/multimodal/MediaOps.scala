@@ -488,6 +488,67 @@ object MediaOps {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Occupancy LEDGER over the image fingerprints at the [[imageBucketCap]]
+    * threshold — [[graft.dedup.FingerprintIndex.occupancyLedger]] under the
+    * oracle gate: each over-cap (band, value) bucket with its occupancy and
+    * the candidate-pair volume the cap suppresses through that band. On the
+    * natural corpus the result is whatever the structured hashes produce
+    * (possibly empty at small SFs — the emptiness is then the oracle-checked
+    * claim, like q_substr_dropped's natural zero); the hot-slice twin below
+    * forces the engaged case.
+    */
+  def qFpOccupancyLedger(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = imageFingerprints(spark, sfDir)
+    val cap = imageBucketCap(fps.count()) // one scalar to the driver
+    graft.dedup.FingerprintIndex.occupancyLedger(fps, cap)
+  }
+
+  private def fpLedgerSql(hotSlice: Boolean): String = {
+    val fpsCte =
+      if (!hotSlice)
+        "fps AS (SELECT doc_id, ahash_hi AS fp_hi, ahash_lo AS fp_lo FROM hashed)"
+      else
+        """fps AS (
+          |  SELECT doc_id,
+          |         CASE WHEN doc_id % 10 < 3 THEN 0 ELSE ahash_hi END AS fp_hi,
+          |         CASE WHEN doc_id % 10 < 3 THEN 0 ELSE ahash_lo END AS fp_lo
+          |  FROM hashed)""".stripMargin
+    s"""WITH $AHashCte,
+       |$fpsCte,
+       |cap AS (
+       |  SELECT GREATEST(4, CAST(ceil(count(*) / 64.0) AS INT)) AS c FROM fps),
+       |bandrows AS (
+       |  SELECT doc_id, CAST(b.j AS INT) AS band_idx,
+       |         CAST(CASE WHEN b.j < 4 THEN (fp_lo >> (b.j * 8)) & 255
+       |              ELSE (fp_hi >> ((b.j - 4) * 8)) & 255 END AS INT) AS band_val
+       |  FROM fps, (SELECT unnest(generate_series(0, 7)) AS j) b)
+       |SELECT band_idx, band_val, count(*) AS occupancy,
+       |       (count(*) * (count(*) - 1)) // 2 AS dropped_candidate_pairs
+       |FROM bandrows GROUP BY 1, 2 HAVING count(*) > (SELECT c FROM cap)
+       |ORDER BY band_idx, band_val""".stripMargin
+  }
+
+  val fpOccupancyLedgerSql: String = fpLedgerSql(hotSlice = false)
+
+  /** Hot-slice twin: 30% of the image corpus's fingerprints rewritten
+    * IN-QUERY to the all-zero value (the synthetic black frame — the
+    * degenerate region the cap exists for), identically in both engines, so
+    * every band's zero bucket holds 0.3·n rows and the ledger FIRES under
+    * the oracle gate: occupancies and suppressed-candidate counts
+    * hash-compared, the engaged-cap discipline of q_substr_dropped_hotslice
+    * applied to hamming space.
+    */
+  def qFpOccupancyLedgerHotSlice(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = imageFingerprints(spark, sfDir).select(
+      col("id"),
+      when(col("id") % 10 < 3, lit(0L)).otherwise(col("fp_hi")).as("fp_hi"),
+      when(col("id") % 10 < 3, lit(0L)).otherwise(col("fp_lo")).as("fp_lo"))
+    val cap = imageBucketCap(fps.count())
+    graft.dedup.FingerprintIndex.occupancyLedger(fps, cap)
+  }
+
+  val fpOccupancyLedgerHotSliceSql: String = fpLedgerSql(hotSlice = true)
+
   // ----------------------------------------------------------- wide hash
 
   case class ImageWideHash(
@@ -860,6 +921,8 @@ object MediaOps {
     "q_image_ahash" -> (qImageAHash(_, _)),
     "q_image_neardup" -> (imageNearDup(_, _)),
     "q_image_neardup_capped" -> (imageNearDupCapped(_, _)),
+    "q_fp_occupancy_ledger" -> (qFpOccupancyLedger(_, _)),
+    "q_fp_occupancy_ledger_hotslice" -> (qFpOccupancyLedgerHotSlice(_, _)),
     "q_image_widehash" -> (qImageWideHash(_, _)),
     "q_image_neardup_wideband" -> (imageNearDupWideband(_, _)),
     "q_fp_band_index" -> (qFpBandIndex(_, _)),
@@ -879,6 +942,8 @@ object MediaOps {
     "q_image_ahash" -> imageAHashSql,
     "q_image_neardup" -> imageNearDupSql,
     "q_image_neardup_capped" -> imageNearDupCappedSql,
+    "q_fp_occupancy_ledger" -> fpOccupancyLedgerSql,
+    "q_fp_occupancy_ledger_hotslice" -> fpOccupancyLedgerHotSliceSql,
     "q_image_widehash" -> imageWideHashSql,
     "q_image_neardup_wideband" -> imageNearDupWidebandSql,
     "q_fp_band_index" -> fpBandIndexSql,

@@ -244,4 +244,40 @@ class FingerprintIndexSpec extends AnyFunSuite with SharedSpark {
     assert(skew >= 1.0 && skew == FingerprintIndex.occupancySkew(spark, idx),
       s"published skew $skew must equal the recomputed index skew")
   }
+
+  test("occupancy ledger fires exactly past the cap, with the suppressed-candidate count (r13 #5)") {
+    import spark.implicits._
+    // a 10-row VALUE MASS (the indivisible degenerate region: identical
+    // fingerprints agree on every band under any banding) + 5 benign rows
+    // whose band values (every byte = id) never collide with the mass's zero
+    // buckets
+    val fps = ((1L to 10L).map(i => (i, 0L, 0L)) ++
+      (11L to 15L).map(i => (i, i * 0x01010101L, i * 0x01010101L)))
+      .toDF("id", "fp_hi", "fp_lo")
+    // boundary: occupancy == cap must NOT fire; cap − 1 fires on every band
+    assert(FingerprintIndex.occupancyLedger(fps, 10).count() == 0,
+      "occupancy equal to the cap must not read as over-cap")
+    val led = FingerprintIndex.occupancyLedger(fps, 9).collect()
+    assert(led.length == FingerprintIndex.NBands,
+      s"the value mass must fire once per band, got ${led.length}")
+    led.foreach { r =>
+      assert(r.getAs[Int]("band_val") == 0)
+      assert(r.getAs[Long]("occupancy") == 10L)
+      assert(r.getAs[Long]("dropped_candidate_pairs") == 45L,
+        "suppressed candidates must read occ·(occ−1)/2")
+    }
+    // the stored-index form sees the same buckets
+    val idxDir = java.nio.file.Files.createTempDirectory("fp_ledger_idx").toString
+    FingerprintIndex.materialize(spark, fps, idxDir)
+    val ledIdx = FingerprintIndex.occupancyLedgerOf(spark, idxDir, 9).collect()
+    assert(ledIdx.map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq ==
+      led.map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq,
+      "stored-index ledger diverged from the relation form")
+    // consistency with the cap's actual behavior: under a cap the ledger
+    // says is breached, pairsWithin suppresses the mass's pairs (no
+    // surviving agreeing band) while benign pairs are untouched
+    val capped = FingerprintIndex.pairsWithin(fps, occupancyCap = Some(9))
+    assert(capped.filter(col("id_a") <= 10 && col("id_b") <= 10).count() == 0,
+      "every agreeing band of the value mass is ledgered hot — its pairs must be suppressed")
+  }
 }

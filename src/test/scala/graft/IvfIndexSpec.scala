@@ -928,7 +928,12 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     val e0 = intercept[IllegalArgumentException](
       IvfIndex.materialize(spark, embs.limit(0), dir))
     assert(e0.getMessage.contains("zero rows"), s"got: ${e0.getMessage}")
-    // the codebook-install branch refuses BEFORE writing manifests (an
+    // the refusal is judged from the WRITTEN segment (no pre-write plan
+    // execution — ADVICE r13) and must leave no dataless segment behind: a
+    // leftover batch=0 carrying only meta would read as a live segment
+    assert(!new java.io.File(dir, "batch=0").exists(),
+      "empty build must delete its dataless segment whole")
+    // the codebook-install branch aborts and unwinds its manifests (an
     // empty install would strand a trained manifest on an unreadable index)
     val cb = SimilarityOps.pqCodebook
     val e1 = intercept[IllegalArgumentException](
@@ -937,6 +942,12 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     assert(e1.getMessage.contains("zero rows"), s"got: ${e1.getMessage}")
     assert(!new java.io.File(dir, "_PQ_CODEBOOK").exists(),
       "empty install must not leave a codebook manifest behind")
+    assert(!new java.io.File(dir, "batch=0").exists(),
+      "empty install must delete its dataless segment whole")
+    // a non-empty build on the same path still succeeds afterwards — the
+    // refusal left nothing a real build trips on
+    IvfIndex.materialize(spark, embs.limit(5), dir)
+    assert(IvfIndex.read(spark, dir).count() == 5)
   }
 
   test("consecutive searchAdc constructions run no footer-merge job on an all-coded index (r11 verdict #2)") {
@@ -999,5 +1010,92 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     }
     assert(legacy.nonEmpty,
       "legacy-mixed index must pay an index-read (footer-merge) job at construction")
+  }
+
+  test("pushed-rerank ADC searches equal the plain tail bit-for-bit and push the id set into the scan (r13 #3)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_pushed").toString
+    IvfIndex.materialize(spark, embs, dir)
+    val qs = queries(5)
+    val plainAdc = rows(IvfIndex.searchAdc(spark, dir, qs, k = 3, nprobe = 2))
+    val pushedAdc = rows(IvfIndex.searchAdc(spark, dir, qs, k = 3, nprobe = 2,
+      pushRerankIds = true))
+    assert(plainAdc.nonEmpty && pushedAdc.sameElements(plainAdc),
+      "pushed ADC rerank diverged from the plain tail")
+    val plainRadc = rows(IvfIndex.searchRadc(spark, dir, qs, k = 3, nprobe = 2))
+    val pushedRadc = rows(IvfIndex.searchRadc(spark, dir, qs, k = 3, nprobe = 2,
+      pushRerankIds = true))
+    assert(plainRadc.nonEmpty && pushedRadc.sameElements(plainRadc),
+      "pushed RADC rerank diverged from the plain tail")
+    // the rerank scan must carry the candidate ids as a DATA filter (pushed
+    // to parquet) and the pooled cells as a STATIC partition filter — the
+    // late-materialization shape: nothing outside the pooled candidates'
+    // pages needs a float decode
+    val plan = IvfIndex.searchAdc(spark, dir, qs, k = 3, nprobe = 2,
+      pushRerankIds = true).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(vec_id"),
+      s"the pooled vec_ids must reach the rerank scan as a parquet filter:\n$plan")
+    assert(plan.split("\n").exists(l =>
+        l.contains("PartitionFilters: [centroid_id") && l.contains(" IN (")),
+      s"the pooled cells must prune the rerank scan statically:\n$plan")
+    assert(!plan.contains("dynamicpruning"),
+      s"pushed plan needs no DPP — the partition filter is static:\n$plan")
+  }
+
+  test("in-stream grow-K policy: a healthy stream never rewrites; a breach re-fits exactly once with a ledger row") {
+    import java.nio.file.Files
+    // --- healthy: an unreachable budget — the policy's per-batch check runs
+    // and nothing else happens: K stays at the seed, no ledger dir appears
+    val okBase = Files.createTempDirectory("ivf_auto_ok").toString
+    IvfIndex.materialize(spark, embs.filter(col("vec_id") % 2 === 0), s"$okBase/idx")
+    docsToSrc(embs.filter(col("vec_id") % 2 === 1), s"$okBase/src")
+    val schema = spark.read.parquet(s"$okBase/src").schema
+    val qOk = IvfIndex.streamingAbsorb(
+      spark.readStream.schema(schema).parquet(s"$okBase/src"),
+      s"$okBase/idx", s"$okBase/out", s"$okBase/ckpt",
+      cellBudget = Some(1000000L), maintainCooldownBatches = 1,
+      maintainLedgerOut = Some(s"$okBase/ledger")).start()
+    qOk.processAllAvailable(); qOk.stop()
+    assert(IvfIndex.currentCentroids(spark, s"$okBase/idx").size ==
+      SimilarityOps.NumCentroids, "healthy stream must never re-fit")
+    assert(!new java.io.File(s"$okBase/ledger").exists(),
+      "healthy stream must emit no maintenance ledger rows")
+    // --- breaching: a budget the bootstrap corpus already violates — the
+    // FIRST absorbed batch triggers the grow-K re-fit in-stream; the default
+    // cooldown then spaces any further attempt past this feed, so exactly
+    // one ledger row exists and K has grown
+    val base = Files.createTempDirectory("ivf_auto_grow").toString
+    IvfIndex.materialize(spark, embs.filter(col("vec_id") % 4 >= 2), s"$base/idx")
+    val (maxCell0, total0) = IvfIndex.cellStats(spark, s"$base/idx")
+    val target = maxCell0 / 2
+    assert(target >= 1, s"fixture: bootstrap hottest cell too small ($maxCell0)")
+    docsToSrc(embs.filter(col("vec_id") % 4 === 0), s"$base/src")
+    def start() = IvfIndex.streamingAbsorb(
+      spark.readStream.schema(schema).parquet(s"$base/src"),
+      s"$base/idx", s"$base/out", s"$base/ckpt",
+      cellBudget = Some(target),
+      maintainLedgerOut = Some(s"$base/ledger")).start()
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // a second batch lands and absorbs under the grown index — still inside
+    // the cooldown window, so no second rewrite regardless of occupancy
+    docsToSrc(embs.filter(col("vec_id") % 4 === 1), s"$base/src")
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val ledger = spark.read.option("basePath", s"$base/ledger")
+      .parquet(s"$base/ledger").drop("batch").collect()
+    assert(ledger.length == 1,
+      s"exactly one re-fit must run (cooldown spaces retries), got ${ledger.length}")
+    val row = ledger.head
+    assert(row.getAs[Long]("max_cell_before") > target,
+      "ledger must record the breaching occupancy")
+    assert(row.getAs[Int]("k_after") > row.getAs[Int]("k_before"),
+      "the re-fit must GROW K")
+    assert(IvfIndex.currentCentroids(spark, s"$base/idx").size ==
+      row.getAs[Int]("k_after"), "index K must match the ledger's k_after")
+    // every absorbed row survived the mid-stream rewrite and the later absorb
+    val n = IvfIndex.read(spark, s"$base/idx").count()
+    assert(n == embs.count(), s"rows lost across the in-stream re-fit: $n")
+    // the grown index still answers: each query gets its full k
+    val res = IvfIndex.search(spark, s"$base/idx", queries(5), k = 3, nprobe = 2)
+      .groupBy("qid").count().collect()
+    assert(res.nonEmpty && res.forall(_.getLong(1) == 3L))
   }
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.{DedupOps, PairStore, ShingleIndex}
+
+class ShingleIndexSpec extends AnyFunSuite with SharedSpark {
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sorted.toSeq
+
+  test("stored incremental pairs equal the live derivation for several batch shapes") {
+    val dir = java.nio.file.Files.createTempDirectory("shidx_eq").toString
+    ShingleIndex.materialize(spark, sfDir, dir)
+    val preds: Seq[(String, Column => Column)] = Seq(
+      ("every 5th", _ % 5 === 0),
+      ("2% batch", _ % 50 === 0),
+      ("id range", id => id >= 10 && id < 40))
+    preds.foreach { case (name, pred) =>
+      val stored = pairsOf(ShingleIndex.incrementalPairs(spark, dir, pred))
+      val live = pairsOf(DedupOps.ngramJaccardPairsIncremental(spark, sfDir, pred))
+      assert(stored.nonEmpty, s"$name produced no pairs — fixture too small to pin anything")
+      assert(stored == live, s"stored-path pairs diverged from the live derivation ($name)")
+    }
+  }
+
+  test("stored posting lists are df-bounded, bucket-consistent and carry the live statistics") {
+    val dir = java.nio.file.Files.createTempDirectory("shidx_cols").toString
+    ShingleIndex.materialize(spark, sfDir, dir)
+    val store = ShingleIndex.read(spark, dir)
+    // the partition bucket must be a pure function of the shingle — a drifted
+    // bucket would break compaction layout and partition pruning
+    assert(store.filter(
+      pmod(hash(col("s")), lit(ShingleIndex.NumBuckets)) =!= col("sb")).count() == 0)
+    // the df cap bounds EVERY stored row: no posting list can exceed it, so
+    // the per-row pair expansion is ≤ cap² by construction
+    assert(store.filter(size(col("postings")) > DedupOps.RawDfCap).count() == 0,
+      "a posting list exceeded the df cap — the bounded-row contract is broken")
+    // per-doc size is constant across a doc's postings and equals the capped
+    // set size (sum of multiplicities)
+    val perDoc = store.select(explode(col("postings")).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("p.c").as("c"),
+        col("p.n_shingles").as("n_shingles"))
+    val bad = perDoc.groupBy("doc_id")
+      .agg(sum("c").as("sz"), min("n_shingles").as("lo"), max("n_shingles").as("hi"))
+      .filter(col("sz") =!= col("lo") || col("lo") =!= col("hi"))
+      .count()
+    assert(bad == 0, "stored n_shingles disagrees with the capped per-doc multiplicity sum")
+  }
+
+  test("admission plan: one stored scan, no join of any kind") {
+    val dir = java.nio.file.Files.createTempDirectory("shidx_plan").toString
+    ShingleIndex.materialize(spark, sfDir, dir)
+    val plan = ShingleIndex.incrementalPairs(spark, dir, _ % 50 === 0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"admission must be join-free (pairs expand inside the bounded posting list):\n$plan")
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"admission must read the store exactly once:\n$plan")
+  }
+
+  test("stored-path batches absorb into a PairStore reaching the one-shot fixpoint") {
+    // the PairStoreSpec incremental timeline, with the STORED admission path
+    // generating the batch's pairs
+    val psDir = java.nio.file.Files.createTempDirectory("shidx_ps").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("shidx_ps_idx").toString
+    ShingleIndex.materialize(spark, sfDir, idxDir)
+    val full = DedupOps.ngramJaccardPairs(spark, sfDir)
+    PairStore.appendPairs(spark, psDir,
+      full.filter(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0), 0L)
+    PairStore.appendPairs(spark, psDir,
+      ShingleIndex.incrementalPairs(spark, idxDir, _ % 5 === 0), 1L)
+    PairStore.refreshLabels(spark, psDir)
+    val stored = PairStore.readPairs(spark, psDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val oneShot = full.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(stored == oneShot, "segment union must equal the one-shot pair set, each pair once")
+  }
+
+  test("served full pair set equals the live one-shot derivation, join-free") {
+    val dir = java.nio.file.Files.createTempDirectory("shidx_all").toString
+    ShingleIndex.materialize(spark, sfDir, dir)
+    val served = pairsOf(ShingleIndex.allPairs(spark, dir))
+    val live = pairsOf(DedupOps.ngramJaccardPairs(spark, sfDir))
+    assert(served.nonEmpty && served == live,
+      "served full pairs diverged from the live derivation")
+    val plan = ShingleIndex.allPairs(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && plan.split("Scan parquet").length - 1 == 1,
+      s"full pair serving must stay a join-free single scan:\n$plan")
+  }
+
+  test("ensure memoizes per corpus content and the catalog row serves from it") {
+    val p1 = ShingleIndex.ensure(spark, sfDir)
+    val p2 = ShingleIndex.ensure(spark, sfDir)
+    assert(p1 == p2, "same corpus content must reuse the built store")
+    assert(ShingleIndex.qJaccardIncrementalStored(spark, sfDir).count() ==
+      DedupOps.qJaccardIncremental(spark, sfDir).count())
+  }
+}
