@@ -930,6 +930,15 @@ object Bench {
       // cluster refreshes pay once the store exists
       val fullServedSec = time2(
         graft.dedup.ShingleIndex.allPairs(spark, shingleIdxDir).count())
+      // the true STREAMING-ADMISSION path: a batch of NEW documents (2%)
+      // probed against a store of the other 98% under the stored (stale-df)
+      // vocabulary — what each incoming micro-batch pays between store
+      // rebuilds, vs the full-corpus recompute an index-less pipeline runs
+      val admIdxDir = s"$base/shingles_adm"
+      graft.dedup.ShingleIndex.materializeDocs(
+        spark, docs.filter(col("doc_id") % 50 =!= 0), admIdxDir)
+      val admProbeSec = time2(graft.dedup.ShingleIndex.probePairs(
+        spark, admIdxDir, docs.filter(col("doc_id") % 50 === 0)).count())
       cleanup(base)
       def leg(name: String, full: Double, probe: Double) =
         s""""$name":{"one_shot_sec":$full,"index_probe_sec":$probe,""" +
@@ -950,6 +959,7 @@ object Bench {
         s"""${leg("neardup_labels_via_pairstore", pairFullSec, pairServedSec)},""" +
         s"""${leg("jaccard_pairs_incremental_batch", incrFullSec, incrBatchSec)},""" +
         s"""${leg("jaccard_pairs_full_via_postings", incrFullSec, fullServedSec)},""" +
+        s"""${leg("jaccard_admission_probe", incrFullSec, admProbeSec)},""" +
         s""""jaccard_incremental_recompute_sec":$incrRecomputeSec,""" +
         s""""shingle_index_build_sec":$shingleBuildSec,""" +
         s""""pairstore_build_sec":$pairBuildSec,""" +

@@ -58,7 +58,25 @@ object ShingleIndex {
   def materialize(
       spark: SparkSession, sfDir: String, indexPath: String,
       cap: Int = DedupOps.RawDfCap): Unit =
-    DedupOps.shinglesWithSize(spark, sfDir, cap)
+    materializeDocs(spark,
+      graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      indexPath, cap)
+
+  /** [[materialize]] over an arbitrary (doc_id, text) relation. Besides the
+    * posting lists, the build persists the OVER-CAP shingle set under the
+    * underscore-prefixed `_overcap` side relation (invisible to the
+    * partitioned read): a shingle ABSENT from the postings is ambiguous —
+    * never seen, or seen and dropped as boilerplate — and the admission
+    * probe must treat the two differently (an unseen shingle counts toward a
+    * new document's size; a dropped one is capped vocabulary on both sides).
+    * The over-cap set is small by the same argument as every hot-key ledger
+    * (≤ total occurrences / cap, and in practice the handful of boilerplate
+    * keys), but it stays a parquet relation, never driver state.
+    */
+  def materializeDocs(
+      spark: SparkSession, docs: DataFrame, indexPath: String,
+      cap: Int = DedupOps.RawDfCap): Unit = {
+    DedupOps.shinglesWithSizeOf(docs, cap)
       .groupBy("s")
       .agg(collect_list(struct(col("doc_id"), col("c"), col("n_shingles"))).as("postings"))
       .withColumn("sb", pmod(hash(col("s")), lit(NumBuckets)))
@@ -66,6 +84,12 @@ object ShingleIndex {
       .write.mode("overwrite")
       .partitionBy("sb")
       .parquet(s"$indexPath/batch=0")
+    DedupOps.shingleOccurrencesOf(docs)
+      .groupBy("s").agg(sum("c").as("df"))
+      .filter(col("df") > cap)
+      .select("s")
+      .write.mode("overwrite").parquet(s"$indexPath/_overcap")
+  }
 
   def read(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.option("basePath", indexPath).parquet(indexPath).drop("batch")
@@ -114,6 +138,104 @@ object ShingleIndex {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
       .orderBy("id_a", "id_b")
+  }
+
+  /** Near-dup ADMISSION PROBE for a batch of NEW documents (not yet in the
+    * store) — the between-rebuild streaming path, [[graft.dedup.LshIndex]]'s
+    * `candidates` contract in shingle space: the batch's postings derive
+    * from the batch alone (small — one tokenize over the incoming docs), the
+    * corpus side is the stored posting lists, and the VOCABULARY is the
+    * store's — a batch shingle in the stored `_overcap` set is capped on
+    * both sides (dropped from matching AND from the batch doc's size, the
+    * same judgment the build applied to stored docs), while a genuinely
+    * unseen shingle counts toward the size and matches nothing. The df
+    * statistics are therefore STALE BY THE BATCH — exactly the trade every
+    * probe-then-absorb index makes ("hot buckets are judged against the
+    * STORED index") — and the store refreshes by REBUILD, not absorb: df
+    * caps and per-doc sizes are corpus-GLOBAL functions (one batch pushing a
+    * shingle over the cap retroactively shrinks every stored document's
+    * size), so the posting store is a global-fixpoint artifact like
+    * [[PairStore]]'s labels — never additive. Output: one row per
+    * (probe_id, index_id) candidate pair above `threshold`, with the sizes
+    * both engines computed under the stored vocabulary.
+    *
+    * Plan shape: batch postings broadcast onto ONE stored scan (match by
+    * shingle), matched rows explode their bounded postings (≤ cap), and only
+    * candidates shuffle into the per-pair aggregation — O(store columns)
+    * read, O(batch-touching postings) work, any batch size.
+    */
+  def probePairs(
+      spark: SparkSession,
+      indexPath: String,
+      batchDocs: DataFrame,
+      threshold: Double = 0.6): DataFrame = {
+    val over = spark.read.parquet(s"$indexPath/_overcap")
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val batch = DedupOps.shingleOccurrencesOf(batchDocs)
+      .join(over, Seq("s"), "left_anti")
+      .withColumn("n_probe", sum("c").over(wDoc))
+      .withColumn("sb", pmod(hash(col("s")), lit(NumBuckets)))
+      .select(col("sb"), col("s"), col("doc_id").as("probe_id"),
+        col("c").as("pc"), col("n_probe"))
+    read(spark, indexPath)
+      .join(broadcast(batch), Seq("sb", "s"))
+      .select(col("probe_id"), col("pc"), col("n_probe"),
+        explode(col("postings")).as("e"))
+      .select(col("probe_id"), col("pc"), col("n_probe"),
+        col("e.doc_id").as("index_id"), col("e.c").as("ic"),
+        col("e.n_shingles").as("n_index"))
+      // self-match exclusion by id (the LshIndex.candidates contract): a
+      // probe doc whose id was already stored must not pair with itself
+      .filter(col("probe_id") =!= col("index_id"))
+      .groupBy("probe_id", "index_id")
+      .agg(sum(col("pc") * col("ic")).as("inter"),
+        first(col("n_probe")).as("n_probe"), first(col("n_index")).as("n_index"))
+      .withColumn("jaccard",
+        col("inter") / (col("n_probe") + col("n_index") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("probe_id", "index_id", "inter", "n_probe", "n_index", "jaccard")
+      .orderBy("probe_id", "index_id")
+  }
+
+  /** The end-to-end STREAMING ADMISSION pipeline: each micro-batch of new
+    * documents probes the stored posting lists ([[probePairs]] — stale-df
+    * vocabulary, candidates only where the batch genuinely near-duplicates
+    * the corpus) and absorbs the oriented pairs into a [[PairStore]] as a
+    * replay-idempotent segment, with the store's cadenced label refresh —
+    * [[LshIndex.streamingAbsorb]]'s probe-then-absorb discipline with the
+    * EXACT pair generator instead of the recall-bounded LSH one. The posting
+    * store itself stays fixed across the stream (it is a global-fixpoint
+    * artifact — see [[probePairs]]); a rebuild at the next corpus generation
+    * is the refresh step, exactly like [[PairStore.refreshLabels]] recomputes
+    * its fixpoint.
+    */
+  def streamingAdmission(
+      docsStream: DataFrame, indexPath: String, pairStorePath: String,
+      checkpoint: String, threshold: Double = 0.6, refreshEvery: Int = 5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(refreshEvery >= 1, "refreshEvery must be >= 1")
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val pairs = probePairs(spark, indexPath, batch, threshold)
+          .select(
+            least(col("probe_id"), col("index_id")).as("id_a"),
+            greatest(col("probe_id"), col("index_id")).as("id_b"),
+            col("inter"),
+            when(col("probe_id") < col("index_id"), col("n_probe"))
+              .otherwise(col("n_index")).as("n_a"),
+            when(col("probe_id") < col("index_id"), col("n_index"))
+              .otherwise(col("n_probe")).as("n_b"),
+            col("jaccard"))
+        PairStore.appendPairs(spark, pairStorePath, pairs,
+          PairStore.StreamingSegmentBase + batchId)
+        if (batchId % refreshEvery == refreshEvery - 1) {
+          PairStore.refreshLabels(spark, pairStorePath)
+          ()
+        }
+      }
   }
 
   /** The FULL corpus pair set from the stored posting lists — the same rows
@@ -190,4 +312,63 @@ object ShingleIndex {
     */
   def qNgramJaccardPairsStored(spark: SparkSession, sfDir: String): DataFrame =
     allPairs(spark, ensure(spark, sfDir))
+
+  /** Catalog form of [[probePairs]]: the store holds the corpus as it stood
+    * BEFORE the batch (doc_id % 5 ≠ 0), and the % 5 = 0 documents arrive as
+    * the new batch probing it — the streaming-admission timeline under the
+    * oracle gate, stale-vocabulary semantics and all (the oracle restates
+    * the over-cap rule from the pre-batch corpus independently).
+    */
+  def qJaccardAdmissionProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ensured.synchronized {
+      ensured.getOrElseUpdate(
+        (s"$sfDir#admission", DedupOps.RawDfCap, corpusFingerprint(spark, sfDir)), {
+          val dir = java.nio.file.Files.createTempDirectory("graft_shingleidx_adm").toString
+          materializeDocs(spark,
+            graft.Tables.documents(spark, sfDir)
+              .filter(col("doc_id") % 5 =!= 0).select(col("doc_id"), col("text")),
+            dir)
+          dir
+        })
+    }
+    probePairs(spark, path,
+      graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")))
+  }
+
+  /** DuckDB twin of [[qJaccardAdmissionProbe]]: an independent restatement
+    * (no posting lists) of the same split — corpus = doc_id % 5 ≠ 0 with its
+    * own df cap, batch = % 5 = 0 sized under the corpus's over-cap set.
+    */
+  def jaccardAdmissionProbeSql(
+      threshold: Double = 0.6, cap: Int = DedupOps.RawDfCap): String = {
+    val k = DedupOps.ShingleK
+    val sh = DedupOps.shinglesSql("text")
+    s"""WITH corpus0 AS (
+       |  SELECT doc_id, unnest($sh) AS s
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $k AND doc_id % 5 <> 0),
+       |cdf AS (SELECT s, count(*) AS df FROM corpus0 GROUP BY 1),
+       |kept_c AS (
+       |  SELECT doc_id, s FROM corpus0
+       |  WHERE s IN (SELECT s FROM cdf WHERE df <= $cap)),
+       |sizes_c AS (SELECT doc_id, count(*) AS n_index FROM kept_c GROUP BY 1),
+       |batch0 AS (
+       |  SELECT doc_id, unnest($sh) AS s
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $k AND doc_id % 5 = 0),
+       |kept_b AS (
+       |  SELECT doc_id, s FROM batch0
+       |  WHERE s NOT IN (SELECT s FROM cdf WHERE df > $cap)),
+       |sizes_b AS (SELECT doc_id, count(*) AS n_probe FROM kept_b GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS probe_id, b.doc_id AS index_id, count(*) AS inter
+       |  FROM kept_b a JOIN kept_c b ON a.s = b.s GROUP BY 1, 2)
+       |SELECT probe_id, index_id, inter, sb.n_probe AS n_probe,
+       |       sc.n_index AS n_index,
+       |       inter / (sb.n_probe + sc.n_index - inter) AS jaccard
+       |FROM inter
+       |JOIN sizes_b sb ON inter.probe_id = sb.doc_id
+       |JOIN sizes_c sc ON inter.index_id = sc.doc_id
+       |WHERE inter / (sb.n_probe + sc.n_index - inter) >= $threshold
+       |ORDER BY probe_id, index_id""".stripMargin
+  }
 }

@@ -94,6 +94,72 @@ class ShingleIndexSpec extends AnyFunSuite with SharedSpark {
       s"full pair serving must stay a join-free single scan:\n$plan")
   }
 
+  test("admission probe: over-cap vocabulary drops both sides, unseen shingles count toward size") {
+    import spark.implicits._
+    // corpus (exactly-5/6-token texts → 1-2 shingles each), built at cap=2:
+    //   d1/d2 share shingle "p q r s t" (df 2 — survives)
+    //   d3/d4/d5 are the boilerplate "z1..z5" (df 3 > 2 — OVER-CAP, dropped)
+    val corpus = Seq(
+      (1L, "p q r s t u"), (2L, "p q r s t v"),
+      (3L, "z1 z2 z3 z4 z5"), (4L, "z1 z2 z3 z4 z5"), (5L, "z1 z2 z3 z4 z5"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shidx_probe").toString
+    ShingleIndex.materializeDocs(spark, corpus, dir, cap = 2)
+    val batch = Seq(
+      (101L, "p q r s t u"),        // = d1: both shingles match
+      (102L, "z1 z2 z3 z4 z5 w"),   // boilerplate (capped) + unseen: NO pair
+      (103L, "p q r s t u w"))      // 2 matching + 1 unseen (counts in size)
+      .toDF("doc_id", "text")
+    val got = ShingleIndex.probePairs(spark, dir, batch)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), math.round(r.getDouble(5) * 1000)))
+      .toSet
+    // 101↔d1: inter 2, sizes 2/2 → jaccard 1.0
+    // 103↔d1: inter 2, n_probe 3 (the unseen shingle counts) → 2/3
+    // 101↔d2 (1/3) and 103↔d2 (0.25) fall under the threshold;
+    // 102 matches NOTHING — its boilerplate shingle is capped vocabulary on
+    // both sides, exactly as it was for the stored d3-d5
+    assert(got == Set(
+      (101L, 1L, 2L, 2L, 2L, 1000L),
+      (103L, 1L, 2L, 3L, 2L, 667L)), s"got: $got")
+  }
+
+  test("streaming admission: micro-batches probe the store and absorb into a PairStore with labels") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "p q r s t u"), (2L, "p q r s t v"),
+      (3L, "z1 z2 z3 z4 z5"), (4L, "z1 z2 z3 z4 z5"), (5L, "z1 z2 z3 z4 z5"))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("shidx_stream").toString
+    val (idx, ps, ckpt) = (s"$base/idx", s"$base/pairs", s"$base/ckpt")
+    ShingleIndex.materializeDocs(spark, corpus, idx, cap = 2)
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = ShingleIndex.streamingAdmission(
+      stream.toDF().toDF("doc_id", "text"), idx, ps, ckpt, refreshEvery = 1).start()
+    try {
+      stream.addData(Seq((101L, "p q r s t u"), (102L, "z1 z2 z3 z4 z5 w")))
+      q.processAllAvailable()
+      stream.addData(Seq((103L, "p q r s t u w")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // each segment holds exactly its batch's probe pairs, oriented id_a < id_b
+    val seg0 = PairStore.readPairs(spark, ps, asOf = Some(PairStore.StreamingSegmentBase))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(seg0 == Set((1L, 101L)),
+      s"batch 0 must admit only the 101↔1 near-dup (102 is capped boilerplate): $seg0")
+    val all = PairStore.readPairs(spark, ps)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((1L, 101L), (1L, 103L)), s"got: $all")
+    // the cadenced refresh published labels reaching the cross-batch fixpoint:
+    // 1, 101 and 103 share one component, rooted at the min id
+    val labels = PairStore.readLabels(spark, ps, requireFresh = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 101L -> 1L, 103L -> 1L), s"got: $labels")
+  }
+
   test("ensure memoizes per corpus content and the catalog row serves from it") {
     val p1 = ShingleIndex.ensure(spark, sfDir)
     val p2 = ShingleIndex.ensure(spark, sfDir)
