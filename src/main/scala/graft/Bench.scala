@@ -567,10 +567,13 @@ object Bench {
             // CellPairSubThreshold, where the clamp does not bind on this
             // corpus — evaluate the ledger at the timed plan's threshold too
             // so the saturation evidence cannot be misread as describing the
-            // measured query (ADVICE r13)
+            // measured query (ADVICE r13). Over-clamp at a HIGHER threshold
+            // is a subset of the 64-row ledger (occ > 64·t), so the timed
+            // reading derives driver-side from the ONE collect instead of
+            // re-running the assignment pipeline (review r14) — ledger_sec
+            // is then one honest evaluation.
             val timedThreshold = graft.ann.SimilarityOps.CellPairSubThreshold
-            val ledTimed = graft.ann.SimilarityOps
-              .overClampCells(assigns, timedThreshold).collect()
+            val ledTimed = led.filter(_.getLong(1) > 64L * timedThreshold)
             val ledgerSec = (System.nanoTime() - t0) / 1e9
             val maxBlock = if (led.isEmpty) 0L else led.map(_.getLong(3)).max
             s""","clamp_ledger":{"threshold":64,"threshold_is_hotslice_fixture":true,""" +
@@ -822,6 +825,10 @@ object Bench {
         val per = embs10Rows.length / nBatches
         def feed(budget: Option[Long], tag: String): (Seq[Double], Double, Long, Int, String) = {
           val d = java.nio.file.Files.createTempDirectory(s"graft_autogrowk_$tag").toString
+          try feedIn(d, budget)
+          finally cleanup(d) // also on failure — the 10× index must not orphan (review r14)
+        }
+        def feedIn(d: String, budget: Option[Long]): (Seq[Double], Double, Long, Int, String) = {
           implicit val sc = spark.sqlContext
           val stream = MemoryStream[(Long, Seq[Float])]
           val q = graft.ann.IvfIndex.streamingAbsorb(
@@ -852,7 +859,6 @@ object Bench {
                   s""""k_before":${r.getAs[Int]("k_before")},""" +
                   s""""k_after":${r.getAs[Int]("k_after")}}"""
               }.mkString("[", ",", "]")
-          cleanup(d)
           (secs, probeSec, candRows, kAfter, ledgerJson)
         }
         val (offSecs, offProbe, offCand, offK, _) = feed(None, "off")

@@ -362,22 +362,24 @@ object FingerprintIndex {
     */
   def occupancyLedger(
       fps: DataFrame, occupancyCap: Int, shape: FpShape = FpShape.Fp64): DataFrame =
-    bandTable(fps, shape)
-      .groupBy("band_idx", "band_val")
-      .agg(count(lit(1)).as("occupancy"))
-      .filter(col("occupancy") > occupancyCap)
-      .withColumn("dropped_candidate_pairs",
-        expr("occupancy * (occupancy - 1) DIV 2"))
-      .select("band_idx", "band_val", "occupancy", "dropped_candidate_pairs")
-      .orderBy("band_idx", "band_val")
+    ledgerOfBands(bandTable(fps, shape), occupancyCap)
 
   /** [[occupancyLedger]] over the STORED index — what a maintenance cadence
-    * queries next to [[occupancySkew]].
+    * queries next to [[occupancySkew]]. The stored band table already
+    * carries the shape it was built with (band_idx/band_val columns), so no
+    * shape parameter exists here: passing one could silently disagree with
+    * the store's banding.
     */
   def occupancyLedgerOf(
-      spark: SparkSession, indexPath: String, occupancyCap: Int,
-      shape: FpShape = FpShape.Fp64): DataFrame =
-    read(spark, indexPath)
+      spark: SparkSession, indexPath: String, occupancyCap: Int): DataFrame =
+    ledgerOfBands(read(spark, indexPath), occupancyCap)
+
+  /** Shared ledger derivation over any band-rows frame — one place for the
+    * over-cap rule and the suppressed-candidate formula, so the relation and
+    * stored-index forms can never drift.
+    */
+  private def ledgerOfBands(bands: DataFrame, occupancyCap: Int): DataFrame =
+    bands
       .groupBy("band_idx", "band_val")
       .agg(count(lit(1)).as("occupancy"))
       .filter(col("occupancy") > occupancyCap)

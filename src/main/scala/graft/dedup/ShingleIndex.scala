@@ -76,7 +76,22 @@ object ShingleIndex {
   def materializeDocs(
       spark: SparkSession, docs: DataFrame, indexPath: String,
       cap: Int = DedupOps.RawDfCap): Unit = {
-    DedupOps.shinglesWithSizeOf(docs, cap)
+    // ONE derivation order: the over-cap set (tiny) writes first from the
+    // df aggregate, then the postings job re-derives occurrences and drops
+    // over-cap shingles by anti-joining the WRITTEN side relation — the
+    // second pass pays no df re-aggregate and no df join (two write actions
+    // can never share an exchange, so the heavy tokenize pipeline runs once
+    // per job either way; what this saves is job 2's second full groupBy(s)
+    // + join, review r14)
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    DedupOps.shingleOccurrencesOf(docs)
+      .groupBy("s").agg(sum("c").as("df"))
+      .filter(col("df") > cap)
+      .select("s")
+      .write.mode("overwrite").parquet(s"$indexPath/_overcap")
+    DedupOps.shingleOccurrencesOf(docs)
+      .join(broadcast(spark.read.parquet(s"$indexPath/_overcap")), Seq("s"), "left_anti")
+      .withColumn("n_shingles", sum("c").over(wDoc))
       .groupBy("s")
       .agg(collect_list(struct(col("doc_id"), col("c"), col("n_shingles"))).as("postings"))
       .withColumn("sb", pmod(hash(col("s")), lit(NumBuckets)))
@@ -84,11 +99,26 @@ object ShingleIndex {
       .write.mode("overwrite")
       .partitionBy("sb")
       .parquet(s"$indexPath/batch=0")
-    DedupOps.shingleOccurrencesOf(docs)
-      .groupBy("s").agg(sum("c").as("df"))
-      .filter(col("df") > cap)
-      .select("s")
-      .write.mode("overwrite").parquet(s"$indexPath/_overcap")
+    // zero-row refusal, judged from the WRITTEN segment (the IvfIndex
+    // requireSegmentNonEmpty discipline, added in the same round): a build
+    // whose every document is under ShingleK tokens — or whose every
+    // shingle is over-cap — writes a dataless partitioned dir every later
+    // read dies on with a schema-inference error. Delete the store whole
+    // and fail with the diagnostic instead.
+    val seg = new org.apache.hadoop.fs.Path(s"$indexPath/batch=0")
+    val fs = seg.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var hasData = false
+    if (fs.exists(seg)) {
+      val it = fs.listFiles(seg, true)
+      while (!hasData && it.hasNext)
+        hasData = it.next().getPath.getName.endsWith(".parquet")
+    }
+    if (!hasData) {
+      fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
+      throw new IllegalArgumentException(
+        s"materializeDocs: no capped postings to store (zero rows) — " +
+          s"refusing to leave an empty (unreadable) store at $indexPath")
+    }
   }
 
   def read(spark: SparkSession, indexPath: String): DataFrame =
@@ -162,23 +192,29 @@ object ShingleIndex {
     * Plan shape: batch postings broadcast onto ONE stored scan (match by
     * shingle), matched rows explode their bounded postings (≤ cap), and only
     * candidates shuffle into the per-pair aggregation — O(store columns)
-    * read, O(batch-touching postings) work, any batch size.
+    * read, O(batch-touching postings) work. The broadcast bounds the BATCH
+    * (a micro-batch is small relative to the corpus — the
+    * [[LshIndex.candidates]] assumption); a rebuild-catch-up batch too big
+    * to broadcast passes `broadcastBatch = false` for a shuffled equi-join
+    * already co-keyed with the store's (sb, s) layout.
     */
   def probePairs(
       spark: SparkSession,
       indexPath: String,
       batchDocs: DataFrame,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6,
+      broadcastBatch: Boolean = true): DataFrame = {
     val over = spark.read.parquet(s"$indexPath/_overcap")
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val batch = DedupOps.shingleOccurrencesOf(batchDocs)
+    val batch0 = DedupOps.shingleOccurrencesOf(batchDocs)
       .join(over, Seq("s"), "left_anti")
       .withColumn("n_probe", sum("c").over(wDoc))
       .withColumn("sb", pmod(hash(col("s")), lit(NumBuckets)))
       .select(col("sb"), col("s"), col("doc_id").as("probe_id"),
         col("c").as("pc"), col("n_probe"))
+    val batch = if (broadcastBatch) broadcast(batch0) else batch0
     read(spark, indexPath)
-      .join(broadcast(batch), Seq("sb", "s"))
+      .join(batch, Seq("sb", "s"))
       .select(col("probe_id"), col("pc"), col("n_probe"),
         explode(col("postings")).as("e"))
       .select(col("probe_id"), col("pc"), col("n_probe"),
@@ -276,18 +312,39 @@ object ShingleIndex {
 
   private val ensured = scala.collection.mutable.Map.empty[(String, Int, String), String]
 
+  /** Memo insert with SUPERSEDED-GENERATION eviction (the hotBucketCache
+    * putHotRows rule, review r14): a corpus rewritten in place N times must
+    * not leave N map entries and N orphaned full-corpus store directories —
+    * on building a fresh generation for the same (label, cap), the stale
+    * generations' entries are dropped and their temp dirs deleted (they
+    * describe data that no longer exists; a reader still holding a frame
+    * over one was already serving a vanished corpus). Callers hold the
+    * `ensured` lock.
+    */
+  private def ensureEvicting(
+      label: String, cap: Int, fingerprint: String)(build: => String): String =
+    ensured.getOrElseUpdate((label, cap, fingerprint), {
+      ensured.keys.filter(k => k._1 == label && k._2 == cap).toSeq.foreach { stale =>
+        ensured.remove(stale).foreach { dir =>
+          new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+        }
+      }
+      build
+    })
+
   /** Build (once per JVM per corpus fingerprint + cap) the postings store
     * for `sfDir`'s documents and return its path. A corpus rewritten in
     * place fingerprints differently and triggers a fresh build instead of
-    * serving postings of data that no longer exists.
+    * serving postings of data that no longer exists (and evicts the stale
+    * generation's store — see [[ensureEvicting]]).
     */
   def ensure(spark: SparkSession, sfDir: String, cap: Int = DedupOps.RawDfCap): String =
     ensured.synchronized {
-      ensured.getOrElseUpdate((sfDir, cap, corpusFingerprint(spark, sfDir)), {
+      ensureEvicting(sfDir, cap, corpusFingerprint(spark, sfDir)) {
         val dir = java.nio.file.Files.createTempDirectory("graft_shingleidx").toString
         materialize(spark, sfDir, dir, cap)
         dir
-      })
+      }
     }
 
   private def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
@@ -321,15 +378,15 @@ object ShingleIndex {
     */
   def qJaccardAdmissionProbe(spark: SparkSession, sfDir: String): DataFrame = {
     val path = ensured.synchronized {
-      ensured.getOrElseUpdate(
-        (s"$sfDir#admission", DedupOps.RawDfCap, corpusFingerprint(spark, sfDir)), {
-          val dir = java.nio.file.Files.createTempDirectory("graft_shingleidx_adm").toString
-          materializeDocs(spark,
-            graft.Tables.documents(spark, sfDir)
-              .filter(col("doc_id") % 5 =!= 0).select(col("doc_id"), col("text")),
-            dir)
-          dir
-        })
+      ensureEvicting(
+        s"$sfDir#admission", DedupOps.RawDfCap, corpusFingerprint(spark, sfDir)) {
+        val dir = java.nio.file.Files.createTempDirectory("graft_shingleidx_adm").toString
+        materializeDocs(spark,
+          graft.Tables.documents(spark, sfDir)
+            .filter(col("doc_id") % 5 =!= 0).select(col("doc_id"), col("text")),
+          dir)
+        dir
+      }
     }
     probePairs(spark, path,
       graft.Tables.documents(spark, sfDir)

@@ -160,6 +160,21 @@ class ShingleIndexSpec extends AnyFunSuite with SharedSpark {
     assert(labels == Map(1L -> 1L, 101L -> 1L, 103L -> 1L), s"got: $labels")
   }
 
+  test("an empty build fails loudly and leaves no unreadable store behind") {
+    import spark.implicits._
+    // every text under ShingleK tokens → zero capped postings
+    val tiny = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shidx_empty").toString + "/idx"
+    val e = intercept[IllegalArgumentException](
+      ShingleIndex.materializeDocs(spark, tiny, dir))
+    assert(e.getMessage.contains("zero rows"), e.getMessage)
+    assert(!new java.io.File(dir).exists(),
+      "refusal must delete the dataless store whole")
+    // a real build on the same path succeeds afterwards
+    ShingleIndex.materializeDocs(spark, Seq((1L, "p q r s t u")).toDF("doc_id", "text"), dir)
+    assert(ShingleIndex.read(spark, dir).count() == 2) // two shingles of the 6-token doc
+  }
+
   test("ensure memoizes per corpus content and the catalog row serves from it") {
     val p1 = ShingleIndex.ensure(spark, sfDir)
     val p2 = ShingleIndex.ensure(spark, sfDir)
