@@ -427,6 +427,18 @@ object IvfIndex {
     // zero-row appendBatches stay legal (an idle micro-batch).
     (codebook, codebookRaw) match {
       case (None, None) =>
+        // re-materializing onto an index that already holds segments must
+        // refuse BEFORE the overwrite: the post-write check would otherwise
+        // let an accidentally-empty frame destroy the existing batch=0
+        // (mode overwrite deletes the old files first) and then "refuse" —
+        // review r14. The pre-write isEmpty probe costs one extra plan-head
+        // job, acceptable on the rare rebuild-in-place path; FRESH builds
+        // (the common case) keep the job-free post-write check.
+        if (hasSegments(spark, indexPath)) {
+          require(!embeddings.isEmpty,
+            s"materialize: embeddings frame holds zero rows — refusing to " +
+              s"overwrite the existing index at $indexPath")
+        }
         appendBatch(spark, indexPath, embeddings, batchId = 0L)
         requireSegmentNonEmpty(spark, indexPath, batchId = 0L)
         recordBaseline(spark, indexPath)
@@ -488,23 +500,15 @@ object IvfIndex {
     * build or read could trip on.
     */
   private def requireSegmentNonEmpty(
-      spark: SparkSession, indexPath: String, batchId: Long): Unit = {
-    val seg = new org.apache.hadoop.fs.Path(s"$indexPath/batch=$batchId")
-    val fs = seg.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var hasData = false
-    if (fs.exists(seg)) {
-      val it = fs.listFiles(seg, true)
-      while (!hasData && it.hasNext)
-        hasData = it.next().getPath.getName.endsWith(".parquet")
-    }
-    if (!hasData) {
-      fs.delete(seg, true)
+      spark: SparkSession, indexPath: String, batchId: Long): Unit =
+    if (!graft.sources.Segments.hasParquetData(spark, s"$indexPath/batch=$batchId")) {
+      val seg = new org.apache.hadoop.fs.Path(s"$indexPath/batch=$batchId")
+      seg.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(seg, true)
       invalidateMetaCaches(indexPath)
       throw new IllegalArgumentException(
         s"materialize: embeddings frame holds zero rows — refusing to build " +
           s"an empty (unreadable) index at $indexPath")
     }
-  }
 
   /** Assign ONLY `embeddings` (vec_id, embedding) under the index's current
     * centroid set and absorb them as the `batch=<id>` segment — overwritten
@@ -899,11 +903,11 @@ object IvfIndex {
             recordBaseline(spark, indexPath, driftSamplePpm)
           val ratio = driftRatio(spark, indexPath, driftSamplePpm)
           // occupancy skew over the SAME md5 sample (max/mean is invariant
-          // under uniform sampling) — the in-stream trip wire for the
-          // batch-side [[maintainCellBudget]] grow-K policy, like
-          // drift_ratio is for [[maintainIfDrifted]]: the stream itself
-          // cannot re-fit (the rewrite requires a quiesced index), so it
-          // publishes the signal an operator watches
+          // under uniform sampling) — the grow-K trip wire, like drift_ratio
+          // is for [[maintainIfDrifted]]. With `cellBudget` unset the stream
+          // only PUBLISHES the signal for an operator; with it set, the
+          // policy block below acts on the breach itself (between triggers,
+          // where this single-writer stream is quiesced — see the scaladoc)
           val occ = sampled(read(spark, indexPath).select("vec_id", "centroid_id"),
             driftSamplePpm)
             .groupBy("centroid_id").agg(count(lit(1)).as("n"))

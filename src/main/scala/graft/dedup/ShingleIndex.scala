@@ -76,13 +76,23 @@ object ShingleIndex {
   def materializeDocs(
       spark: SparkSession, docs: DataFrame, indexPath: String,
       cap: Int = DedupOps.RawDfCap): Unit = {
-    // ONE derivation order: the over-cap set (tiny) writes first from the
-    // df aggregate, then the postings job re-derives occurrences and drops
-    // over-cap shingles by anti-joining the WRITTEN side relation — the
-    // second pass pays no df re-aggregate and no df join (two write actions
-    // can never share an exchange, so the heavy tokenize pipeline runs once
-    // per job either way; what this saves is job 2's second full groupBy(s)
-    // + join, review r14)
+    // Stores are PER-GENERATION (df caps and per-doc sizes are corpus-global
+    // — see [[probePairs]]), so a rebuild targets a FRESH path, never an
+    // in-place overwrite: refusing here means the zero-row check below can
+    // never "refuse" by destroying a previous generation that was serving
+    // probes (review r14), and it keeps the [[ensure]] discipline honest
+    // (one directory per corpus fingerprint, stale generations evicted).
+    require(!graft.sources.Segments.hasParquetData(spark, s"$indexPath/batch=0"),
+      s"$indexPath already holds a posting store — stores rebuild into a " +
+        "fresh path per corpus generation, never in place")
+    // ONE derivation order: the over-cap set (tiny in practice, but bounded
+    // only by occurrences/cap — no broadcast hint, Spark sizes the join;
+    // review r14) writes first from the df aggregate, then the postings job
+    // re-derives occurrences and drops over-cap shingles by anti-joining the
+    // WRITTEN side relation — the second pass pays no df re-aggregate and
+    // no df join (two write actions can never share an exchange, so the
+    // heavy tokenize pipeline runs once per job either way; what this saves
+    // is job 2's second full groupBy(s) + join, review r14)
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     DedupOps.shingleOccurrencesOf(docs)
       .groupBy("s").agg(sum("c").as("df"))
@@ -90,7 +100,7 @@ object ShingleIndex {
       .select("s")
       .write.mode("overwrite").parquet(s"$indexPath/_overcap")
     DedupOps.shingleOccurrencesOf(docs)
-      .join(broadcast(spark.read.parquet(s"$indexPath/_overcap")), Seq("s"), "left_anti")
+      .join(spark.read.parquet(s"$indexPath/_overcap"), Seq("s"), "left_anti")
       .withColumn("n_shingles", sum("c").over(wDoc))
       .groupBy("s")
       .agg(collect_list(struct(col("doc_id"), col("c"), col("n_shingles"))).as("postings"))
@@ -99,22 +109,15 @@ object ShingleIndex {
       .write.mode("overwrite")
       .partitionBy("sb")
       .parquet(s"$indexPath/batch=0")
-    // zero-row refusal, judged from the WRITTEN segment (the IvfIndex
-    // requireSegmentNonEmpty discipline, added in the same round): a build
-    // whose every document is under ShingleK tokens — or whose every
-    // shingle is over-cap — writes a dataless partitioned dir every later
-    // read dies on with a schema-inference error. Delete the store whole
-    // and fail with the diagnostic instead.
-    val seg = new org.apache.hadoop.fs.Path(s"$indexPath/batch=0")
-    val fs = seg.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var hasData = false
-    if (fs.exists(seg)) {
-      val it = fs.listFiles(seg, true)
-      while (!hasData && it.hasNext)
-        hasData = it.next().getPath.getName.endsWith(".parquet")
-    }
-    if (!hasData) {
-      fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
+    // zero-row refusal, judged from the WRITTEN output (the shared
+    // Segments.hasParquetData detector): a build whose every document is
+    // under ShingleK tokens — or whose every shingle is over-cap — writes a
+    // dataless partitioned dir every later read dies on with a
+    // schema-inference error. The path was fresh (guard above), so deleting
+    // this build's own artifacts can never destroy served data.
+    if (!graft.sources.Segments.hasParquetData(spark, s"$indexPath/batch=0")) {
+      val root = new org.apache.hadoop.fs.Path(indexPath)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
       throw new IllegalArgumentException(
         s"materializeDocs: no capped postings to store (zero rows) — " +
           s"refusing to leave an empty (unreadable) store at $indexPath")
@@ -237,13 +240,24 @@ object ShingleIndex {
     * documents probes the stored posting lists ([[probePairs]] — stale-df
     * vocabulary, candidates only where the batch genuinely near-duplicates
     * the corpus) and absorbs the oriented pairs into a [[PairStore]] as a
-    * replay-idempotent segment, with the store's cadenced label refresh —
-    * [[LshIndex.streamingAbsorb]]'s probe-then-absorb discipline with the
-    * EXACT pair generator instead of the recall-bounded LSH one. The posting
-    * store itself stays fixed across the stream (it is a global-fixpoint
-    * artifact — see [[probePairs]]); a rebuild at the next corpus generation
-    * is the refresh step, exactly like [[PairStore.refreshLabels]] recomputes
-    * its fixpoint.
+    * replay-idempotent segment, with the store's cadenced label refresh.
+    * The posting store itself stays fixed across the stream (it is a
+    * global-fixpoint artifact — see [[probePairs]]); a rebuild at the next
+    * corpus generation is the refresh step, exactly like
+    * [[PairStore.refreshLabels]] recomputes its fixpoint.
+    *
+    * '''Guarantee — and its boundary (review r14)''': the probe answers the
+    * admission question "does this new document near-duplicate the CORPUS?"
+    * exactly. Pairs among STREAMED documents — same batch or across batches
+    * within one rebuild window — are NOT generated here: the posting store
+    * cannot absorb a batch (df caps are corpus-global), so unlike
+    * [[LshIndex.streamingAbsorb]] (per-doc signatures, absorbable per
+    * batch), a duplicate flood arriving within the window pairs up only at
+    * the next rebuild, whose full/incremental pair set covers every
+    * stream-vs-stream pair and reaches the same [[PairStore]] fixpoint. A
+    * pipeline that must catch in-window floods runs the LSH index's
+    * absorbable probe BESIDE this one (recall-bounded in-window, exact at
+    * rebuild) — the standard two-tier admission.
     */
   def streamingAdmission(
       docsStream: DataFrame, indexPath: String, pairStorePath: String,

@@ -19,6 +19,26 @@ object Segments {
     */
   private val Manifest = "_ABSORBED"
 
+  /** Whether `path` holds at least one parquet DATA file (recursively) — the
+    * zero-row-write detector the per-store empty-build refusals share: a
+    * dynamic-partition overwrite of an empty frame leaves a dataless dir
+    * (markers only) that every later read dies on with an unhelpful
+    * schema-inference error, so builders check the WRITTEN output instead of
+    * pre-executing the input plan. What to DELETE and how to word the
+    * refusal is per-store policy and stays at the call sites.
+    */
+  def hasParquetData(spark: SparkSession, path: String): Boolean = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var hasData = false
+    if (fs.exists(root)) {
+      val it = fs.listFiles(root, true)
+      while (!hasData && it.hasNext)
+        hasData = it.next().getPath.getName.endsWith(".parquet")
+    }
+    hasData
+  }
+
   /** Ids of the live `batch=<id>` segments, ascending. Empty for a missing
     * or segment-less table.
     */

@@ -948,6 +948,15 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     // refusal left nothing a real build trips on
     IvfIndex.materialize(spark, embs.limit(5), dir)
     assert(IvfIndex.read(spark, dir).count() == 5)
+    // re-materializing ONTO the now-populated index with an empty frame
+    // refuses BEFORE the overwrite (review r14: the post-write check alone
+    // would delete the existing batch=0's files first and then "refuse") —
+    // the stored rows must survive the refusal
+    val e2 = intercept[IllegalArgumentException](
+      IvfIndex.materialize(spark, embs.limit(0), dir))
+    assert(e2.getMessage.contains("zero rows"), e2.getMessage)
+    assert(IvfIndex.read(spark, dir).count() == 5,
+      "empty re-materialize must leave the existing index untouched")
   }
 
   test("consecutive searchAdc constructions run no footer-merge job on an all-coded index (r11 verdict #2)") {

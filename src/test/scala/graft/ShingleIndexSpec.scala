@@ -173,6 +173,14 @@ class ShingleIndexSpec extends AnyFunSuite with SharedSpark {
     // a real build on the same path succeeds afterwards
     ShingleIndex.materializeDocs(spark, Seq((1L, "p q r s t u")).toDF("doc_id", "text"), dir)
     assert(ShingleIndex.read(spark, dir).count() == 2) // two shingles of the 6-token doc
+    // ...and a rebuild ONTO the now-populated path refuses UP FRONT — the
+    // refusal can never destroy a generation that was serving probes
+    // (stores rebuild into fresh paths per corpus generation)
+    val e2 = intercept[IllegalArgumentException](
+      ShingleIndex.materializeDocs(spark, tiny, dir))
+    assert(e2.getMessage.contains("fresh path"), e2.getMessage)
+    assert(ShingleIndex.read(spark, dir).count() == 2,
+      "the up-front refusal must leave the existing store untouched")
   }
 
   test("ensure memoizes per corpus content and the catalog row serves from it") {
