@@ -160,6 +160,41 @@ class ShingleIndexSpec extends AnyFunSuite with SharedSpark {
     assert(labels == Map(1L -> 1L, 101L -> 1L, 103L -> 1L), s"got: $labels")
   }
 
+  test("two-tier admission: the LSH tier catches the in-window flood the exact tier defers to rebuild") {
+    import spark.implicits._
+    // the exact tier's documented boundary: stream-vs-stream pairs within
+    // one rebuild window are NOT generated by probePairs (the store cannot
+    // absorb); the LSH tier (per-doc signatures, absorbable per batch) is
+    // the in-window companion, and the rebuild closes the gap exactly
+    val corpus = Seq(
+      (1L, "p q r s t u"), (2L, "p q r s t v"), (3L, "w1 w2 w3 w4 w5 w6"))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("shidx_twotier").toString
+    ShingleIndex.materializeDocs(spark, corpus, s"$base/exact")
+    graft.dedup.LshIndex.materialize(spark, corpus, s"$base/lsh")
+    // window batch 1: a NEW doc X; batch 2: its near-duplicate X'
+    val batch1 = Seq((201L, "m n o p q r")).toDF("doc_id", "text")
+    val batch2 = Seq((202L, "m n o p q r")).toDF("doc_id", "text")
+    // exact tier sees neither X-vs-corpus nor X'-vs-X: X matches no corpus
+    // doc, and X is not in the store when X' arrives
+    assert(ShingleIndex.probePairs(spark, s"$base/exact", batch1).count() == 0)
+    graft.dedup.LshIndex.appendBatch(spark, s"$base/lsh", batch1, batchId = 1L)
+    assert(ShingleIndex.probePairs(spark, s"$base/exact", batch2).count() == 0,
+      "the exact tier must NOT see the in-window pair — that is its boundary")
+    // the LSH tier, having absorbed batch 1, catches X' ↔ X in-window
+    val lshHits = graft.dedup.LshIndex.candidates(spark, s"$base/lsh", batch2)
+      .filter(col("index_id") === 201L).collect()
+    assert(lshHits.length == 1 && lshHits.head.getAs[Double]("est_sim") == 1.0,
+      s"the LSH tier must catch the in-window duplicate: ${lshHits.toSeq}")
+    // the next-generation rebuild covers the stream-vs-stream pair EXACTLY
+    ShingleIndex.materializeDocs(spark,
+      corpus.union(batch1).union(batch2), s"$base/exact_gen2")
+    val rebuilt = ShingleIndex.allPairs(spark, s"$base/exact_gen2")
+      .filter(col("id_a") === 201L && col("id_b") === 202L).collect()
+    assert(rebuilt.length == 1 && rebuilt.head.getAs[Double]("jaccard") == 1.0,
+      "the rebuild's full pair set must close the in-window gap exactly")
+  }
+
   test("an empty build fails loudly and leaves no unreadable store behind") {
     import spark.implicits._
     // every text under ShingleK tokens → zero capped postings
