@@ -319,6 +319,38 @@ object ShingleIndex {
       .orderBy("id_a", "id_b")
   }
 
+  /** Directional CONTAINMENT pairs from the stored posting lists — the same
+    * rows as [[DedupOps.containmentPairs]] (one oracle gates both): the
+    * candidate statistics are identical to [[allPairs]]' (same store, same
+    * bounded per-shingle expansion, same per-pair aggregation); only the
+    * scoring tail differs (inter/|A| and inter/|B| against the asymmetric
+    * threshold instead of Jaccard). Serving the short-page-quoted-inside-
+    * long-page detector from the store costs one scan, like every other
+    * consumer of the pair family.
+    */
+  def containmentPairsStored(
+      spark: SparkSession, indexPath: String, threshold: Double = 0.8): DataFrame = {
+    val pairsOf = flatten(transform(
+      col("postings"),
+      a => transform(
+        filter(col("postings"), b => a.getField("doc_id") < b.getField("doc_id")),
+        b => struct(a.as("a"), b.as("b")))))
+    read(spark, indexPath)
+      .select(explode(pairsOf).as("p"))
+      .select(
+        col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
+        (col("p.a.c") * col("p.b.c")).as("cc"),
+        col("p.a.n_shingles").as("na"), col("p.b.n_shingles").as("nb"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("cc")).as("inter"),
+        first(col("na")).as("n_a"), first(col("nb")).as("n_b"))
+      .withColumn("cont_a", col("inter") / col("n_a"))
+      .withColumn("cont_b", col("inter") / col("n_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("id_a", "id_b", "inter", "n_a", "n_b", "cont_a", "cont_b")
+      .orderBy("id_a", "id_b")
+  }
+
   // ---------------------------------------------------------------------
   // Memoized corpus store (the PairStore.ensure discipline): build once per
   // JVM per corpus CONTENT + cap, probe thereafter.
@@ -383,6 +415,12 @@ object ShingleIndex {
     */
   def qNgramJaccardPairsStored(spark: SparkSession, sfDir: String): DataFrame =
     allPairs(spark, ensure(spark, sfDir))
+
+  /** Catalog form of [[containmentPairsStored]] — same rows as
+    * `q_containment_pairs` (one oracle serves both).
+    */
+  def qContainmentPairsStored(spark: SparkSession, sfDir: String): DataFrame =
+    containmentPairsStored(spark, ensure(spark, sfDir))
 
   /** Catalog form of [[probePairs]]: the store holds the corpus as it stood
     * BEFORE the batch (doc_id % 5 ≠ 0), and the % 5 = 0 documents arrive as

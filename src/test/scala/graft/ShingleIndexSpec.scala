@@ -94,6 +94,25 @@ class ShingleIndexSpec extends AnyFunSuite with SharedSpark {
       s"full pair serving must stay a join-free single scan:\n$plan")
   }
 
+  test("served containment pairs equal the live derivation, join-free") {
+    val dir = java.nio.file.Files.createTempDirectory("shidx_cont").toString
+    ShingleIndex.materializeDocs(spark,
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")), dir)
+    def contRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        math.round(r.getDouble(5) * 1e9), math.round(r.getDouble(6) * 1e9)))
+        .sorted.toSeq
+    val served = contRows(ShingleIndex.containmentPairsStored(spark, dir))
+    val live = contRows(DedupOps.containmentPairs(spark, sfDir))
+    assert(served.nonEmpty && served == live,
+      "served containment pairs diverged from the live derivation")
+    val plan = ShingleIndex.containmentPairsStored(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && plan.split("Scan parquet").length - 1 == 1,
+      s"containment serving must stay a join-free single scan:\n$plan")
+  }
+
   test("admission probe: over-cap vocabulary drops both sides, unseen shingles count toward size") {
     import spark.implicits._
     // corpus (exactly-5/6-token texts → 1-2 shingles each), built at cap=2:
