@@ -861,6 +861,18 @@ object IvfIndex {
     * what the policy did and why. A checkpoint-replayed batch re-checks and
     * finds the budget met (the re-fit already ran), so replays never
     * double-rewrite.
+    *
+    * `driftRefitThreshold` (optional) is the DRIFT sibling of `cellBudget`
+    * — the second published signal made actionable: after each absorb, if
+    * [[driftRatio]] is at/past the threshold, [[maintainIfDriftedRetrain]]
+    * runs right there (re-fit + codebook retrain + whole-index re-encode,
+    * one atomic commit under the recluster lease), emitting its own ledger
+    * row to `driftLedgerOut/batch=<segment>` — (segment, drift_ratio,
+    * threshold, k). Both policies share the cooldown state: any in-stream
+    * whole-index rewrite spaces the next rewrite attempt, which is the
+    * point of the cooldown. The check is one sampled aggregate per batch
+    * (exactly what `driftMetricsOut` already pays); a healthy stream never
+    * rewrites, and a replayed batch finds the drift healed and skips.
     */
   def streamingAbsorb(
       embStream: DataFrame, indexPath: String, neighborsOut: String, checkpoint: String,
@@ -871,7 +883,9 @@ object IvfIndex {
       maintainCooldownBatches: Int = 10,
       maintainLedgerOut: Option[String] = None,
       maintainMaxIter: Int = 5,
-      maintainMaxK: Int = 4096)
+      maintainMaxK: Int = 4096,
+      driftRefitThreshold: Option[Double] = None,
+      driftLedgerOut: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val probeFn: (SparkSession, DataFrame, Long) => DataFrame = probe match {
       case "float" => (s, b, seg) => search(s, indexPath, b, k, nprobe, Some(seg))
@@ -919,10 +933,32 @@ object IvfIndex {
             .toDF("segment", "drift_ratio", "occupancy_skew")
             .write.mode("overwrite").parquet(s"$metricsPath/batch=$segment")
         }
-        cellBudget.foreach { target =>
+        def coolingDown: Boolean = {
           val lastRan = lastMaintainedBatch.get(indexPath)
-          val coolingDown = lastRan != null &&
-            batchId - lastRan.longValue() < maintainCooldownBatches
+          lastRan != null && batchId - lastRan.longValue() < maintainCooldownBatches
+        }
+        driftRefitThreshold.foreach { thr =>
+          if (!coolingDown) {
+            // a stream that bootstrapped an empty index has no fit-time
+            // baseline yet — record one (the driftMetricsOut branch's rule)
+            // so the ratio is measurable from the first absorbed batch
+            if (baselineResidual(spark, indexPath).isEmpty)
+              recordBaseline(spark, indexPath, driftSamplePpm)
+            val kBefore = currentCentroids(spark, indexPath).size
+            val (ratio, ran) = maintainIfDriftedRetrain(
+              spark, indexPath, threshold = thr, samplePpm = driftSamplePpm)
+            if (ran) {
+              lastMaintainedBatch.put(indexPath, batchId)
+              driftLedgerOut.foreach { ledgerPath =>
+                import spark.implicits._
+                Seq((segment, ratio, thr, kBefore))
+                  .toDF("segment", "drift_ratio", "threshold", "k")
+                  .write.mode("overwrite").parquet(s"$ledgerPath/batch=$segment")
+              }
+            }
+          }
+        }
+        cellBudget.foreach { target =>
           if (!coolingDown) {
             val kBefore = currentCentroids(spark, indexPath).size
             val (maxCellBefore, ran) = maintainCellBudget(

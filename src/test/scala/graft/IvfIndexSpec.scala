@@ -1050,6 +1050,50 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
       s"pushed plan needs no DPP — the partition filter is static:\n$plan")
   }
 
+  test("in-stream drift policy: a shifted batch re-fits in-stream with a ledger row; a stable stream never rewrites") {
+    import java.nio.file.Files
+    // --- stable: the same-distribution second half arrives — drift stays
+    // under the threshold, no rewrite, no ledger
+    val okBase = Files.createTempDirectory("ivf_drift_ok").toString
+    IvfIndex.materialize(spark, embs.filter(col("vec_id") % 2 === 0), s"$okBase/idx")
+    docsToSrc(embs.filter(col("vec_id") % 2 === 1), s"$okBase/src")
+    val schema = spark.read.parquet(s"$okBase/src").schema
+    val kSeed = IvfIndex.currentCentroids(spark, s"$okBase/idx").size
+    val qOk = IvfIndex.streamingAbsorb(
+      spark.readStream.schema(schema).parquet(s"$okBase/src"),
+      s"$okBase/idx", s"$okBase/out", s"$okBase/ckpt",
+      driftRefitThreshold = Some(1.5),
+      driftLedgerOut = Some(s"$okBase/driftledger")).start()
+    qOk.processAllAvailable(); qOk.stop()
+    assert(!new java.io.File(s"$okBase/driftledger").exists(),
+      "a stable stream must emit no drift-refit ledger rows")
+    // --- drifted: a +3.0-shifted batch lands; the in-stream policy must
+    // re-fit (retrain path) right there and record it
+    val base = Files.createTempDirectory("ivf_drift_auto").toString
+    IvfIndex.materialize(spark, embs, s"$base/idx")
+    docsToSrc(embs.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => (x + lit(3.0)).cast("float")).as("embedding")),
+      s"$base/src")
+    def start() = IvfIndex.streamingAbsorb(
+      spark.readStream.schema(schema).parquet(s"$base/src"),
+      s"$base/idx", s"$base/out", s"$base/ckpt",
+      driftRefitThreshold = Some(1.5),
+      driftLedgerOut = Some(s"$base/driftledger")).start()
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val led = spark.read.option("basePath", s"$base/driftledger")
+      .parquet(s"$base/driftledger").drop("batch").collect()
+    assert(led.length == 1, s"the shifted batch must trip exactly one re-fit, got ${led.length}")
+    assert(led.head.getAs[Double]("drift_ratio") >= 1.5,
+      "the ledger must record the tripping ratio")
+    // the re-fit healed the drift: the post-stream ratio sits under the gate
+    val healed = IvfIndex.driftRatio(spark, s"$base/idx")
+    assert(healed < 1.5, s"in-stream re-fit must restore the fit, ratio $healed")
+    // every absorbed row survived the mid-stream rewrite
+    assert(IvfIndex.read(spark, s"$base/idx").count() == 2 * embs.count())
+    assert(kSeed == SimilarityOps.NumCentroids) // fixture sanity
+  }
+
   test("in-stream grow-K policy: a healthy stream never rewrites; a breach re-fits exactly once with a ledger row") {
     import java.nio.file.Files
     // --- healthy: an unreachable budget — the policy's per-batch check runs
