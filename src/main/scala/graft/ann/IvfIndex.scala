@@ -1217,15 +1217,31 @@ object IvfIndex {
     * `adc_pushed_vs_float`). Results are bit-identical to the plain tail
     * (the IN filters are a superset condition of the join; spec-pinned).
     */
+  /** Pushed-pool budget for [[adcPoolRerankPushed]] (ADVICE r14): the pool
+    * is rerank × |queries| rows, and unlike [[probedCells]] nothing upstream
+    * bounds |queries| — an oversized pool would inflate the plan with
+    * thousands of static `In(vec_id, …)` literals (planning cost is O(ids),
+    * paid before a single row moves) and grow the driver collect without
+    * bound. Past the cap the call falls back to [[adcPoolRerank]]'s plain
+    * DPP tail — bit-identical results, no pushed page filter — so the
+    * opt-in flag degrades to the measured-parity path instead of degrading
+    * planning.
+    */
+  private[ann] val PushedPoolIdCap = 8192
+
   private def adcPoolRerankPushed(
       spark: SparkSession, index: DataFrame, adc: DataFrame, q: DataFrame,
       k: Int, rerank: Int): DataFrame = {
     val wAdc = Window.partitionBy("qid").orderBy(asc_nulls_last("adc"), asc("cid"))
-    val poolRows = adc
+    val poolDf = adc
       .withColumn("prn", row_number().over(wAdc))
       .filter(col("prn") <= rerank)
       .select(col("qid"), col("cid"), col("cell"))
-      .collect()
+    // the limit bounds the collect itself: an over-budget pool surfaces as
+    // cap+1 rows, never as an unbounded driver array
+    val poolRows = poolDf.limit(PushedPoolIdCap + 1).collect()
+    if (poolRows.length > PushedPoolIdCap)
+      return adcPoolRerank(index, adc, q, k, rerank)
     import spark.implicits._
     val pool = broadcast(
       poolRows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq

@@ -217,24 +217,19 @@ object PairStore {
 
   private val ensured = scala.collection.mutable.Map.empty[(String, Double, String), String]
 
-  /** Fingerprint of the corpus the store derives from: every
-    * `documents.parquet` data file's (name, length, mtime). Any normal
-    * rewrite changes it (parquet part files carry fresh UUID names), so a
-    * memoized store stops serving pairs/labels of the OLD corpus
-    * (ADVICE r8: the ensure cache had no staleness guard). Best-effort by
-    * construction — a byte-identical-length, name-preserving, mtime-
-    * preserving copy-in is indistinguishable; a caller doing that kind of
-    * replacement must call [[invalidate]] explicitly.
+  /** Fingerprint of the corpus the store derives from — the ONE shared
+    * definition, [[ShingleIndex.corpusFingerprint]]: every
+    * `documents.parquet` data file's (name, length, mtime, footer-tail
+    * CRC32). Any normal rewrite changes it (parquet part files carry fresh
+    * UUID names), and the content checksum catches even a same-named
+    * same-length in-place rewrite within mtime granularity (ADVICE r14), so
+    * a memoized store stops serving pairs/labels of the OLD corpus
+    * (ADVICE r8: the ensure cache had no staleness guard). A caller that
+    * wants the stale temp dirs unreferenced immediately still calls
+    * [[invalidate]] explicitly.
     */
-  private def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
-    val root = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(root)
-      .filter(_.isFile)
-      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      .sorted
-    java.util.UUID.nameUUIDFromBytes(parts.mkString("\n").getBytes("UTF-8")).toString
-  }
+  private def corpusFingerprint(spark: SparkSession, sfDir: String): String =
+    ShingleIndex.corpusFingerprint(spark, sfDir)
 
   /** Build (once per JVM per corpus-CONTENT + threshold) the corpus pair
     * store: segment 0 = [[DedupOps.ngramJaccardPairs]], labels refreshed to

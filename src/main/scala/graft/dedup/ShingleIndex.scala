@@ -113,11 +113,17 @@ object ShingleIndex {
     // Segments.hasParquetData detector): a build whose every document is
     // under ShingleK tokens — or whose every shingle is over-cap — writes a
     // dataless partitioned dir every later read dies on with a
-    // schema-inference error. The path was fresh (guard above), so deleting
-    // this build's own artifacts can never destroy served data.
+    // schema-inference error. Deletion targets ONLY this build's own
+    // artifacts (batch=0 and _overcap), never the indexPath root: the
+    // fresh-path guard above asserts batch=0 held no parquet data, not that
+    // the directory was empty, so a root delete could destroy unrelated
+    // content living beside the store — logs, a sibling store, a parent dir
+    // passed by mistake (ADVICE r14).
     if (!graft.sources.Segments.hasParquetData(spark, s"$indexPath/batch=0")) {
-      val root = new org.apache.hadoop.fs.Path(indexPath)
-      root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
+      val fs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/batch=0"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/_overcap"), true)
       throw new IllegalArgumentException(
         s"materializeDocs: no capped postings to store (zero rows) — " +
           s"refusing to leave an empty (unreadable) store at $indexPath")
@@ -362,18 +368,30 @@ object ShingleIndex {
     * putHotRows rule, review r14): a corpus rewritten in place N times must
     * not leave N map entries and N orphaned full-corpus store directories —
     * on building a fresh generation for the same (label, cap), the stale
-    * generations' entries are dropped and their temp dirs deleted (they
-    * describe data that no longer exists; a reader still holding a frame
-    * over one was already serving a vanished corpus). Callers hold the
-    * `ensured` lock.
+    * generations' entries are dropped and their temp dirs queued for
+    * DEFERRED deletion at JVM exit (ADVICE r14: an eager delete raced a
+    * concurrent thread's in-flight DataFrame over the old path — e.g. a
+    * catalog query racing a corpus rewrite — into a mid-query
+    * FileNotFoundException; deferred, such a reader completes on stale data,
+    * the honest lagging-view failure mode, and the bytes are reclaimed when
+    * the process ends). Bounded: one stale dir per superseded corpus
+    * generation this JVM actually built. Callers hold the `ensured` lock.
     */
+  private val staleDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val staleDirReaper: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var d = staleDirs.poll()
+      while (d != null) {
+        new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
+        d = staleDirs.poll()
+      }
+    }))
+
   private def ensureEvicting(
       label: String, cap: Int, fingerprint: String)(build: => String): String =
     ensured.getOrElseUpdate((label, cap, fingerprint), {
       ensured.keys.filter(k => k._1 == label && k._2 == cap).toSeq.foreach { stale =>
-        ensured.remove(stale).foreach { dir =>
-          new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
-        }
+        ensured.remove(stale).foreach { dir => staleDirReaper; staleDirs.add(dir) }
       }
       build
     })
@@ -393,12 +411,30 @@ object ShingleIndex {
       }
     }
 
-  private def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
+  /** Fingerprint of the corpus a memoized store derives from. Per data file:
+    * (name, length, mtime) PLUS a CRC32 of the file's tail — the parquet
+    * FOOTER region, whose row-group metadata and column statistics change
+    * with any content change. The tail checksum closes the mtime-granularity
+    * hole (ADVICE r14): an in-place rewrite producing same-named same-length
+    * files within the filesystem's timestamp granularity (1 s on some
+    * filesystems) otherwise fingerprints identically and the memo keeps
+    * serving postings of the vanished corpus. IO is bounded: ≤ 64 KiB read
+    * per part file per call, against files the very next action scans whole.
+    */
+  private[dedup] def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
     val root = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(root)
       .filter(_.isFile)
-      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .map { s =>
+        val crc = new java.util.zip.CRC32()
+        val tail = math.min(s.getLen, 65536L)
+        val buf = new Array[Byte](tail.toInt)
+        val in = fs.open(s.getPath)
+        try { in.readFully(s.getLen - tail, buf) } finally in.close()
+        crc.update(buf)
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}:${crc.getValue}"
+      }
       .sorted
     java.util.UUID.nameUUIDFromBytes(parts.mkString("\n").getBytes("UTF-8")).toString
   }

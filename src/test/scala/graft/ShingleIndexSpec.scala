@@ -219,11 +219,22 @@ class ShingleIndexSpec extends AnyFunSuite with SharedSpark {
     // every text under ShingleK tokens → zero capped postings
     val tiny = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("shidx_empty").toString + "/idx"
+    // unrelated content beside the store-to-be: the refusal must only remove
+    // the build's OWN artifacts, never the directory root (ADVICE r14 —
+    // pointing indexPath at a dir holding logs/a sibling store and building
+    // from an all-short-doc corpus must not destroy that data)
+    new java.io.File(dir).mkdirs()
+    val bystander = new java.io.File(dir, "unrelated.txt")
+    java.nio.file.Files.write(bystander.toPath, "keep me".getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](
       ShingleIndex.materializeDocs(spark, tiny, dir))
     assert(e.getMessage.contains("zero rows"), e.getMessage)
-    assert(!new java.io.File(dir).exists(),
-      "refusal must delete the dataless store whole")
+    assert(!new java.io.File(dir, "batch=0").exists() &&
+      !new java.io.File(dir, "_overcap").exists(),
+      "refusal must delete the build's own dataless artifacts")
+    assert(bystander.exists() &&
+      new String(java.nio.file.Files.readAllBytes(bystander.toPath), "UTF-8") == "keep me",
+      "refusal must leave unrelated content beside the store untouched")
     // a real build on the same path succeeds afterwards
     ShingleIndex.materializeDocs(spark, Seq((1L, "p q r s t u")).toDF("doc_id", "text"), dir)
     assert(ShingleIndex.read(spark, dir).count() == 2) // two shingles of the 6-token doc
