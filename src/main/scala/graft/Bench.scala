@@ -124,10 +124,29 @@ object Bench {
     // could not be attributed stall-vs-superlinear without the builder's
     // local /tmp runs — the worst row's name, retry flag and row-local
     // sentinel must survive in the summary object itself).
+    // raw attempt timings of a probe plan (-1.0 on failure) — kept
+    // individually so a flagged row can publish its per-attempt spread
+    // (VERDICT r14 #1: the r14 driver artifact read worst_skew 13.14 with a
+    // FRESH base while six clean runs read ≤9.03, and nothing in the
+    // artifact could say whether the SCALED leg was slow once, twice, or
+    // consistently — a twice-slow scaled leg was indistinguishable from
+    // genuine superlinearity)
+    def timedAttempts(fn: (SparkSession, String) => DataFrame, dir: String): Seq[Double] = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }
+      Seq(once(), once())
+    }
+    def jsonArr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.4f").mkString("[", ",", "]")
     def probeRowVs(name: String, b: Double, dir: String,
         fn: (SparkSession, String) => DataFrame, extra: String = "",
         fresh: Option[((SparkSession, String) => DataFrame, String)] = None): (Double, String, String) = {
-      val first = timed(fn, dir)
+      val attempts0 = timedAttempts(fn, dir)
+      val first =
+        if (attempts0.exists(_ < 0)) -1.0 else attempts0.min
       // stall defense (applies to EVERY probeRow caller — uniform AND skew
       // sections): a ratio past the superlinear flag threshold gets ONE
       // re-measurement before it is believed — a single GC pause or page-
@@ -137,18 +156,32 @@ object Bench {
       // superlinear plan still reads > 10 on the retry; the retry itself is
       // min-of-two, so this cannot HIDE a real regression, only a stall.
       val retried = b > 0 && first >= 0 && first / b > 10.0
+      // sentinels ADJACENT to the scaled attempts (VERDICT r14 #1): the
+      // fixed-cost CPU sentinel fires immediately after the flagged first
+      // attempt pair and again after the retry pair — a slow sentinel beside
+      // slow attempts proves box contention AT the scaled leg, which the
+      // run-start samples and the row-level post-hoc sentinel could not
+      val sentinel0 = if (retried) sentinelSec() else -1.0
+      val attempts1 = if (retried) timedAttempts(fn, dir) else Seq.empty[Double]
+      val sentinel1 = if (retried) sentinelSec() else -1.0
+      val again =
+        if (attempts1.isEmpty || attempts1.exists(_ < 0)) -1.0 else attempts1.min
+      // published scaled number = min over EVERY attempt taken (the best-of-N
+      // rule the streaming gate follows) — a stall can only inflate an
+      // attempt, never deflate it, so min is the plan-cost reading
       val scaled =
-        if (retried) {
-          val again = timed(fn, dir)
-          if (again >= 0) math.min(first, again) else first
-        } else first
+        if (retried && again >= 0) math.min(first, again) else first
       val staleRatio = if (scaled < 0 || b <= 0) -1.0 else scaled / b
       // a row that survives the retry still > 10 carries its own contention
       // witness: the fixed-cost sentinel re-measured AT THE ROW (historical
       // quiet-box value ~0.1-0.17 s) — the r10 driver run published
       // worst_skew_ratio 11.34 with only run-START contention samples, so
       // the stall-vs-superlinear call could not be made from the artifact
-      val rowSentinel = if (staleRatio > 10.0) sentinelSec() else -1.0
+      val rowSentinel = sentinel1
+      val attemptsJson =
+        if (!retried) ""
+        else s""","scaled_attempt_secs":${jsonArr(attempts0 ++ attempts1)},""" +
+          s""""scaled_adjacent_sentinel_secs":${jsonArr(Seq(sentinel0, sentinel1))}"""
       // FRESH-BASE re-measurement (VERDICT r12 #1, the final attribution
       // hole): the base above was timed during the catalog pass, minutes
       // earlier under DIFFERENT load — a run-wide contention shift inflates
@@ -180,12 +213,12 @@ object Bench {
         else ""
       val attribution =
         if (staleRatio > 10.0)
-          s""","retried":$retried,"stall_sentinel_sec":$rowSentinel$freshJson"""
-        else if (retried) s""","retried":true"""
+          s""","retried":$retried,"stall_sentinel_sec":$rowSentinel$attemptsJson$freshJson"""
+        else if (retried) s""","retried":true$attemptsJson"""
         else ""
       (ratio,
         s""""$name":{"base":$pubBase,"scaled":$scaled,"ratio":$ratio$attribution$extra}""",
-        s"""{"query":"$name","ratio":$ratio,"retried":$retried,"row_sentinel_sec":$rowSentinel""" +
+        s"""{"query":"$name","ratio":$ratio,"retried":$retried,"row_sentinel_sec":$rowSentinel$attemptsJson""" +
           (if (freshBase > 0) s""","stale_ratio":$staleRatio,"fresh_base_sec":$freshBase}"""
           else if (freshAttempted) s""","fresh_base_failed":true}"""
           else "}"))

@@ -275,16 +275,7 @@ object ShingleIndex {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val pairs = probePairs(spark, indexPath, batch, threshold)
-          .select(
-            least(col("probe_id"), col("index_id")).as("id_a"),
-            greatest(col("probe_id"), col("index_id")).as("id_b"),
-            col("inter"),
-            when(col("probe_id") < col("index_id"), col("n_probe"))
-              .otherwise(col("n_index")).as("n_a"),
-            when(col("probe_id") < col("index_id"), col("n_index"))
-              .otherwise(col("n_probe")).as("n_b"),
-            col("jaccard"))
+        val pairs = orientProbePairs(probePairs(spark, indexPath, batch, threshold))
         PairStore.appendPairs(spark, pairStorePath, pairs,
           PairStore.StreamingSegmentBase + batchId)
         if (batchId % refreshEvery == refreshEvery - 1) {
@@ -356,6 +347,138 @@ object ShingleIndex {
       .select("id_a", "id_b", "inter", "n_a", "n_b", "cont_a", "cont_b")
       .orderBy("id_a", "id_b")
   }
+
+  // ---------------------------------------------------------------------
+  // Generational root (VERDICT r14 #2): posting stores are per-generation
+  // global-fixpoint artifacts (df caps and per-doc sizes are corpus-global),
+  // so a governed stream that REBUILDS needs a durable layout to flip —
+  // `<root>/gen=<n>/` each holding one complete store. "Current" is derived,
+  // never pointed at: the highest generation whose postings write committed
+  // its `_SUCCESS` marker (the PairStore.completeLabelIds discipline), so a
+  // crash mid-rebuild leaves readers on the old generation, a restart
+  // numbers past the debris, and no pointer file can be torn.
+  // ---------------------------------------------------------------------
+
+  def generationPath(root: String, gen: Long): String = s"$root/gen=$gen"
+
+  /** Every gen=<n> dir under the root, complete or not — rebuild numbering
+    * must skip debris a crashed build left behind (its batch=0 would make
+    * [[materializeDocs]]' fresh-path guard refuse forever).
+    */
+  private def allGenerationIds(spark: SparkSession, root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .map(_.getPath.getName.stripPrefix("gen=").toLong)
+  }
+
+  /** Generations whose postings committed whole (batch=0/_SUCCESS). */
+  private def completeGenerationIds(spark: SparkSession, root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    allGenerationIds(spark, root).filter(g => fs.exists(
+      new org.apache.hadoop.fs.Path(s"${generationPath(root, g)}/batch=0/_SUCCESS")))
+  }
+
+  /** The serving generation: highest COMPLETE one. */
+  def currentGeneration(spark: SparkSession, root: String): Long = {
+    val ids = completeGenerationIds(spark, root)
+    require(ids.nonEmpty, s"no complete posting-store generation under $root — " +
+      "run initGenerations first")
+    ids.max
+  }
+
+  def currentGenerationPath(spark: SparkSession, root: String): String =
+    generationPath(root, currentGeneration(spark, root))
+
+  /** Bootstrap a generational root: the corpus into gen=0. */
+  def initGenerations(
+      spark: SparkSession, root: String, docs: DataFrame,
+      cap: Int = DedupOps.RawDfCap): Unit =
+    materializeDocs(spark, docs, generationPath(root, 0L), cap)
+
+  /** Build the NEXT generation from `docs` and make it current by
+    * completion (the `_SUCCESS` rule above) — the old generation stays on
+    * disk so concurrent readers finish on it; [[pruneGenerations]] reclaims
+    * history. Returns the new generation id.
+    */
+  def rebuildGeneration(
+      spark: SparkSession, root: String, docs: DataFrame,
+      cap: Int = DedupOps.RawDfCap): Long = {
+    val next = (allGenerationIds(spark, root) :+ -1L).max + 1
+    materializeDocs(spark, docs, generationPath(root, next), cap)
+    next
+  }
+
+  /** Keep the newest `keep` complete generations, delete the rest (and any
+    * incomplete debris older than the newest complete one). Returns the
+    * number of generation dirs deleted.
+    */
+  def pruneGenerations(spark: SparkSession, root: String, keep: Int = 2): Int = {
+    require(keep >= 1, "must keep at least the current generation")
+    val complete = completeGenerationIds(spark, root).sorted
+    val keepSet = complete.takeRight(keep).toSet
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val drop = allGenerationIds(spark, root)
+      .filter(g => !keepSet.contains(g) && complete.nonEmpty && g < complete.max)
+    drop.foreach(g =>
+      fs.delete(new org.apache.hadoop.fs.Path(generationPath(root, g)), true))
+    drop.length
+  }
+
+  /** Per-batch STALENESS SIGNAL of the admission path (VERDICT r14 #2) —
+    * the shingle store's analogue of the IVF index's drift ratio, one
+    * aggregate per batch: of the batch's distinct shingles,
+    *
+    *  - `unseen_frac`: the fraction in NEITHER the postings nor the stored
+    *    `_overcap` set. Unseen shingles count toward probe sizes but can
+    *    match nothing, so the exact tier's in-window blind spot grows
+    *    exactly with this number — it is the signal a rebuild threshold
+    *    watches.
+    *  - `overcap_frac`: the fraction the stored vocabulary capped. High
+    *    values mean the batch is mostly boilerplate the store already
+    *    judged — NOT staleness (those shingles are correctly dropped on
+    *    both sides), published so an operator can tell the two apart.
+    *
+    * Returns (n_batch_shingles, unseen_frac, overcap_frac).
+    */
+  def admissionStaleness(
+      spark: SparkSession, indexPath: String, batchDocs: DataFrame): (Long, Double, Double) = {
+    val batchSh = DedupOps.shingleOccurrencesOf(batchDocs).select("s").distinct()
+    val stored = read(spark, indexPath).select("s")
+      .withColumn("in_store", lit(1))
+    val over = spark.read.parquet(s"$indexPath/_overcap")
+      .withColumn("in_over", lit(1))
+    val row = batchSh
+      .join(stored, Seq("s"), "left")
+      .join(over, Seq("s"), "left")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("in_store").isNull && col("in_over").isNull, 1L).otherwise(0L))
+          .as("unseen"),
+        sum(when(col("in_over").isNotNull, 1L).otherwise(0L)).as("over"))
+      .head()
+    val n = row.getLong(0)
+    if (n == 0L) (0L, 0.0, 0.0)
+    else (n, row.getLong(1).toDouble / n, row.getLong(2).toDouble / n)
+  }
+
+  /** Orient a [[probePairs]] result into the [[PairStore]] pair contract
+    * (id_a < id_b, sizes re-labeled to match).
+    */
+  private[dedup] def orientProbePairs(pairs: DataFrame): DataFrame =
+    pairs.select(
+      least(col("probe_id"), col("index_id")).as("id_a"),
+      greatest(col("probe_id"), col("index_id")).as("id_b"),
+      col("inter"),
+      when(col("probe_id") < col("index_id"), col("n_probe"))
+        .otherwise(col("n_index")).as("n_a"),
+      when(col("probe_id") < col("index_id"), col("n_index"))
+        .otherwise(col("n_probe")).as("n_b"),
+      col("jaccard"))
 
   // ---------------------------------------------------------------------
   // Memoized corpus store (the PairStore.ensure discipline): build once per
