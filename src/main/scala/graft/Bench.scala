@@ -426,6 +426,33 @@ object Bench {
         // regime below). candidate_phase < float is the decode/byte win
         // made visible at bench scale.
         val adcCand = t2(graft.ann.IvfIndex.adcCandidates(spark, idx, qs, 2).count())
+        // Recall-vs-rerank curve (VERDICT r14 #6): the serving tables price
+        // the candidate phase in bytes and wall-clock; this prices the OTHER
+        // axis — how much exact rerank buys back the recall the coded
+        // ranking loses, so the "candidate phase cheap + rerank floor" trade
+        // is quantified in both dimensions. Ground truth = the float search
+        // over the SAME probed cells (what ADC approximates); recall@3 =
+        // matched (qid, cid) slots / (3 × |queries|).
+        val recallCurveJson = {
+          val tRows = graft.ann.IvfIndex.search(spark, idx, qs, 3, 2)
+            .select(col("qid").as("tq"), col("cid").as("tc"))
+          tRows.cache()
+          val slots = tRows.count().toDouble
+          def hitsAt(mode: String, r: Int): Long = {
+            val ap =
+              (if (mode == "radc")
+                graft.ann.IvfIndex.searchRadc(spark, idx, qs, 3, 2, rerank = r)
+              else graft.ann.IvfIndex.searchAdc(spark, idx, qs, 3, 2, rerank = r))
+                .select(col("qid"), col("cid"))
+            tRows.join(ap, col("qid") === col("tq") && col("cid") === col("tc")).count()
+          }
+          val curve = Seq(1, 10, 30, 100).map { r =>
+            s"""{"rerank":$r,"adc_recall3":${hitsAt("adc", r) / slots},""" +
+              s""""radc_recall3":${hitsAt("radc", r) / slots}}"""
+          }.mkString("[", ",", "]")
+          tRows.unpersist()
+          curve
+        }
         // candidate-scan bytes over the probed cells: the float probe ranks
         // from the stored vectors + norms; the ADC probes rank from the code
         // column alone. (The bounded exact rerank re-reads v/nn for
@@ -440,6 +467,7 @@ object Bench {
         s""","ivf_index_scale":{"corpus_factor":$factor,"float_probe_sec":$fl,""" +
           s""""adc_probe_sec":$adc,"radc_probe_sec":$radc,""" +
           s""""adc_candidate_phase_sec":$adcCand,""" +
+          s""""adc_recall_vs_rerank":$recallCurveJson,""" +
           s""""adc_candidate_vs_float":${if (fl > 0) adcCand / fl else -1.0},""" +
           s""""adc_vs_float":${if (fl > 0) adc / fl else -1.0},""" +
           s""""adc_pushed_probe_sec":$adcPushed,""" +
@@ -1007,6 +1035,112 @@ object Bench {
         s""""fp_suppressed_candidate_pairs":$fpSuppressed}""" + autoGrowkJson
     } catch { case t: Throwable => s""","index_serving":{"error":"${jsonErr(t)}"}""" }
 
+    // Shingle-store rebuild governance (VERDICT r14 #2 + #3): the COMPOSED
+    // two-tier admission pipeline over the real corpus. 90% of documents
+    // bootstrap the generational posting store; the held-out 10% stream in
+    // as two STABLE batches (same-distribution docs — the staleness signal
+    // reads its natural level, which is high in shingle space because
+    // 5-gram shingles are near-unique per doc, and the generation must not
+    // move), then two DRIFTED batches (every token rewritten — a new
+    // vocabulary): the first breaches the threshold — derived RELATIVE to
+    // the measured natural level, never a fixed literal — and rebuilds the
+    // next generation with its exact catch-up segment; the second lands
+    // inside the cooldown and publishes signal only. The per-batch signal,
+    // the rebuild ledger, the catch-up size, and the composed pipeline's
+    // docs/s all land in the artifact.
+    val shingleGovernanceJson = try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_shingle_gov").toString
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val corpusDocs = corpus.count()
+      val tInit = System.nanoTime()
+      graft.dedup.ShingleIndex.initGenerations(spark, s"$base/gen", corpus)
+      val initSec = (System.nanoTime() - tInit) / 1e9
+      val heldOut = docs.filter(col("doc_id") % 10 === 0)
+      // natural staleness of held-out SAME-DISTRIBUTION docs, measured up
+      // front PER PLANNED STABLE BATCH (the worse half sets the floor —
+      // run 1 of r15 measured the second half at 0.9398 against a
+      // whole-set-derived threshold of 0.9501, a margin thin enough for
+      // batch composition noise to flip), so the trip threshold separates
+      // "new documents" (healthy, high in shingle space — 5-gram shingles
+      // are near-unique per doc) from "new vocabulary" (drift ≈ 1.0) at
+      // any sf: threshold = halfway between the worst stable batch's level
+      // and 1.0
+      val genPath0 = graft.dedup.ShingleIndex.currentGenerationPath(spark, s"$base/gen")
+      val stableBatches = Seq(
+        heldOut.filter(col("doc_id") % 20 === 0),
+        heldOut.filter(col("doc_id") % 20 =!= 0))
+      val naturalUnseen = stableBatches.map(b =>
+        graft.dedup.ShingleIndex.admissionStaleness(spark, genPath0, b)._2).max
+      val threshold = naturalUnseen + (1.0 - naturalUnseen) / 2
+      val driftRows = heldOut
+        .withColumn("doc_id", col("doc_id") + lit(100000000L))
+        .withColumn("text",
+          regexp_replace(col("text"), lit("(\\S+)"), lit("gx_$1")))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      implicit val sc = spark.sqlContext
+      val stream = MemoryStream[(Long, String)]
+      val q = graft.dedup.AdmissionPipeline.streamingTwoTier(
+        stream.toDF().toDF("doc_id", "text"),
+        s"$base/gen", s"$base/lsh", s"$base/docs", s"$base/pairs", s"$base/ckpt",
+        baseDocs = corpus, refreshEvery = 2,
+        stalenessThreshold = Some(threshold), rebuildCooldownBatches = 5,
+        ledgerOut = Some(s"$base/ledger")).start()
+      val dHalf = driftRows.length / 2
+      val batches = stableBatches.map(
+        _.collect().map(r => (r.getLong(0), r.getString(1))).toSeq) ++ Seq(
+        driftRows.take(dHalf).toSeq, driftRows.drop(dHalf).toSeq)
+      val batchSecs = try {
+        batches.map { rows =>
+          val t0 = System.nanoTime()
+          stream.addData(rows)
+          q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        }
+      } finally q.stop()
+      val nDocs = batches.map(_.length.toLong).sum
+      val ledgerJson = spark.read.option("basePath", s"$base/ledger")
+        .parquet(s"$base/ledger").orderBy("segment").collect().map { r =>
+          s"""{"gen":${r.getAs[Long]("gen")},""" +
+            s""""unseen_frac":${f"${r.getAs[Double]("unseen_frac")}%.4f"},""" +
+            s""""rebuilt":${r.getAs[Boolean]("rebuilt")},""" +
+            s""""gen_after":${r.getAs[Long]("gen_after")},""" +
+            s""""catchup_pairs":${r.getAs[Long]("catchup_pairs")}}"""
+        }.mkString("[", ",", "]")
+      val genFinal = graft.dedup.ShingleIndex.currentGeneration(spark, s"$base/gen")
+      // catch-up convergence, priced honestly: the exact tiers' distinct
+      // pair set is a SUPERSET of the rebuilt generation's fixpoint (pairs
+      // judged under the pre-rebuild vocabulary are append-only — the
+      // documented lagging-view trade); the surplus is published, not
+      // hidden behind an equality claim
+      val exactPairs = graft.dedup.AdmissionPipeline
+        .readPairsExact(spark, s"$base/pairs")
+        .select("id_a", "id_b").distinct().count()
+      val lshTierPairs = graft.dedup.AdmissionPipeline
+        .readPairsTiered(spark, s"$base/pairs")
+        .filter(col("tier") === "lsh").count()
+      val fixpointPairs = graft.dedup.ShingleIndex.allPairs(
+        spark, graft.dedup.ShingleIndex.currentGenerationPath(spark, s"$base/gen"))
+        .count()
+      cleanup(base)
+      s""","shingle_governance":{"corpus_docs":$corpusDocs,"stream_docs":$nDocs,""" +
+        s""""gen_build_sec":$initSec,""" +
+        s""""natural_unseen_frac":${f"$naturalUnseen%.4f"},""" +
+        s""""staleness_threshold":${f"$threshold%.4f"},""" +
+        s""""batch_secs":${batchSecs.map(s => f"$s%.3f").mkString("[", ",", "]")},""" +
+        s""""two_tier_docs_per_sec":${(nDocs / batchSecs.sum).toLong},""" +
+        s""""final_generation":$genFinal,""" +
+        s""""exact_tier_distinct_pairs":$exactPairs,""" +
+        s""""fixpoint_pairs":$fixpointPairs,""" +
+        s""""stale_surplus_pairs":${exactPairs - fixpointPairs},""" +
+        s""""lsh_tier_pairs":$lshTierPairs,""" +
+        s""""ledger":$ledgerJson}"""
+    } catch { case t: Throwable =>
+      s""","shingle_governance":{"error":"${jsonErr(t)}"}""" }
+
     // PairStore streaming absorb under skew (VERDICT r8 #8): micro-batch
     // pair absorbs with the cadenced in-stream label refresh, once over
     // uniform pairs (disjoint 2-node components) and once with 30% of every
@@ -1185,6 +1319,17 @@ object Bench {
           StreamingDutyCycle.plan(_, paneCfg))
         val rpsPanePre = throughput("graft_duty_pane25_prerolled", dir,
           StreamingDutyCycle.planPrerolled(_, paneCfg))
+        // High-pane leg (VERDICT r14 #4): the 25-pane ratio measures ≈1 on
+        // clean runs (0.94–1.06 across r14's six), so the crossover evidence
+        // needs a point where the expansion asymmetry must dominate — a 60 s
+        // window on a 1 s slide (60 panes: plain copies every RAW row 60×
+        // into the stateful shuffle, the pre-roll copies per-SECOND rows).
+        // The threshold planAuto uses is re-derived from this curve.
+        val paneCfg60 = GridConfig(windowMin = 24, slideOverrideSec = Some(1))
+        val rpsPane60 = throughput("graft_duty_pane60", dir,
+          StreamingDutyCycle.plan(_, paneCfg60))
+        val rpsPane60Pre = throughput("graft_duty_pane60_prerolled", dir,
+          StreamingDutyCycle.planPrerolled(_, paneCfg60))
         val rpsHot = throughput("graft_duty_bench_hot", hotDir,
           StreamingDutyCycle.plan(_, GridConfig()))
         val hotRatio = if (rpsHot > 0) rps.toDouble / rpsHot else -1.0
@@ -1234,6 +1379,10 @@ object Bench {
           s""""duty_cycle_25pane_prerolled_rows_per_sec":$rpsPanePre,""" +
           s""""preroll_crossover_25pane":${
             if (rpsPane > 0) rpsPanePre.toDouble / rpsPane else -1.0},""" +
+          s""""duty_cycle_60pane_rows_per_sec":$rpsPane60,""" +
+          s""""duty_cycle_60pane_prerolled_rows_per_sec":$rpsPane60Pre,""" +
+          s""""preroll_crossover_60pane":${
+            if (rpsPane60 > 0) rpsPane60Pre.toDouble / rpsPane60 else -1.0},""" +
           s""""duty_cycle_hot_key_rows_per_sec":$rpsHot,""" +
           s""""hot_key_frac":0.6,"hot_key_slowdown":$hotRatio,""" +
           s""""rollup_full_sketch_rows_per_sec":$rpsRollupFull,""" +
@@ -1273,7 +1422,7 @@ object Bench {
       s""""streaming_rows_per_sec":$streamingRps,""" +
       s""""load_avg_start":$loadAvgStart,"sentinel_start_sec":$sentinelStartSec}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-      s"""$summary$contentionJson$streamingJson$rollupServingJson$indexServingJson$pairStreamingJson$longDocJson$probeJson$skewJson$errJson,"queries":$qs,$summary}""")
+      s"""$summary$contentionJson$streamingJson$rollupServingJson$indexServingJson$shingleGovernanceJson$pairStreamingJson$longDocJson$probeJson$skewJson$errJson,"queries":$qs,$summary}""")
     spark.stop()
   }
 }

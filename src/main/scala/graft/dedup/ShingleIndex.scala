@@ -447,23 +447,33 @@ object ShingleIndex {
     */
   def admissionStaleness(
       spark: SparkSession, indexPath: String, batchDocs: DataFrame): (Long, Double, Double) = {
+    val row = admissionStalenessCounts(spark, indexPath, batchDocs).head()
+    val n = row.getLong(0)
+    if (n == 0L) (0L, 0.0, 0.0)
+    else (n, row.getLong(1).toDouble / n, row.getLong(2).toDouble / n)
+  }
+
+  /** Column form of [[admissionStaleness]] — INTEGER-exact counts (one row:
+    * n_shingles, n_unseen, n_overcap), so the governance signal itself is
+    * oracle-gateable (a DuckDB twin restates the split from the raw tables;
+    * fractions would hash-compare on float rendering).
+    */
+  def admissionStalenessCounts(
+      spark: SparkSession, indexPath: String, batchDocs: DataFrame): DataFrame = {
     val batchSh = DedupOps.shingleOccurrencesOf(batchDocs).select("s").distinct()
     val stored = read(spark, indexPath).select("s")
       .withColumn("in_store", lit(1))
     val over = spark.read.parquet(s"$indexPath/_overcap")
       .withColumn("in_over", lit(1))
-    val row = batchSh
+    batchSh
       .join(stored, Seq("s"), "left")
       .join(over, Seq("s"), "left")
       .agg(
-        count(lit(1)).as("n"),
-        sum(when(col("in_store").isNull && col("in_over").isNull, 1L).otherwise(0L))
-          .as("unseen"),
-        sum(when(col("in_over").isNotNull, 1L).otherwise(0L)).as("over"))
-      .head()
-    val n = row.getLong(0)
-    if (n == 0L) (0L, 0.0, 0.0)
-    else (n, row.getLong(1).toDouble / n, row.getLong(2).toDouble / n)
+        count(lit(1)).as("n_shingles"),
+        coalesce(sum(when(col("in_store").isNull && col("in_over").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_unseen"),
+        coalesce(sum(when(col("in_over").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_overcap"))
   }
 
   /** Orient a [[probePairs]] result into the [[PairStore]] pair contract
@@ -587,8 +597,12 @@ object ShingleIndex {
     * oracle gate, stale-vocabulary semantics and all (the oracle restates
     * the over-cap rule from the pre-batch corpus independently).
     */
-  def qJaccardAdmissionProbe(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = ensured.synchronized {
+  /** The pre-batch (doc_id % 5 ≠ 0) admission store, built once per corpus
+    * generation — shared fixture of [[qJaccardAdmissionProbe]] and
+    * [[qAdmissionStaleness]].
+    */
+  private def ensureAdmissionStore(spark: SparkSession, sfDir: String): String =
+    ensured.synchronized {
       ensureEvicting(
         s"$sfDir#admission", DedupOps.RawDfCap, corpusFingerprint(spark, sfDir)) {
         val dir = java.nio.file.Files.createTempDirectory("graft_shingleidx_adm").toString
@@ -599,9 +613,43 @@ object ShingleIndex {
         dir
       }
     }
-    probePairs(spark, path,
+
+  def qJaccardAdmissionProbe(spark: SparkSession, sfDir: String): DataFrame =
+    probePairs(spark, ensureAdmissionStore(spark, sfDir),
       graft.Tables.documents(spark, sfDir)
         .filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")))
+
+  /** Catalog form of [[admissionStalenessCounts]] on the same pre-batch
+    * split as [[qJaccardAdmissionProbe]]: the % 5 = 0 documents arrive as
+    * the new batch, and the governance signal the two-tier pipeline watches
+    * — the batch's distinct shingles partitioned into stored / over-cap /
+    * unseen — is stated as integer counts the oracle restates independently
+    * from the raw tables.
+    */
+  def qAdmissionStaleness(spark: SparkSession, sfDir: String): DataFrame =
+    admissionStalenessCounts(spark, ensureAdmissionStore(spark, sfDir),
+      graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")))
+
+  /** DuckDB twin of [[qAdmissionStaleness]]: the same split with its own df
+    * cap — a batch shingle is unseen iff it appears in NO pre-batch doc,
+    * over-cap iff its pre-batch doc frequency exceeds the cap.
+    */
+  def admissionStalenessSql(cap: Int = DedupOps.RawDfCap): String = {
+    val k = DedupOps.ShingleK
+    val sh = DedupOps.shinglesSql("text")
+    s"""WITH corpus0 AS (
+       |  SELECT doc_id, unnest($sh) AS s
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $k AND doc_id % 5 <> 0),
+       |cdf AS (SELECT s, count(*) AS df FROM corpus0 GROUP BY 1),
+       |batch_sh AS (
+       |  SELECT DISTINCT s FROM (
+       |    SELECT unnest($sh) AS s
+       |    FROM documents WHERE len(string_split(text, ' ')) >= $k AND doc_id % 5 = 0))
+       |SELECT count(*) AS n_shingles,
+       |       CAST(coalesce(sum(CASE WHEN df IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_unseen,
+       |       CAST(coalesce(sum(CASE WHEN df > $cap THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_overcap
+       |FROM batch_sh LEFT JOIN cdf USING (s)""".stripMargin
   }
 
   /** DuckDB twin of [[qJaccardAdmissionProbe]]: an independent restatement

@@ -86,17 +86,27 @@ object StreamingDutyCycle {
       .withColumn("time_end", col("window.end"))
       .drop("window", "c_all", "c_duty")
 
-  /** Pane-count threshold at which [[planPrerolled]] overtakes [[plan]].
-    * Measured (r13, 2M rows, 250 keys, local[32]): plain wins while panes
-    * are few (prerolled/plain 0.73 at 5 panes, 0.77 at 8, 0.86 at 12 — the
-    * pre-roll's second stateful exchange buys nothing the map-side partial
-    * agg doesn't already do), then plain COLLAPSES at 25 panes (ratio 3.9:
-    * every raw row is copied once per pane AND the state store holds
-    * panes× more open windows per key). The crossover sits between 12 and
-    * 25; 16 splits the bracket. Rows-per-key density does NOT move the
-    * choice — partial aggregation absorbs it on both plans.
+  /** Pane-count threshold at which [[planAuto]] switches to
+    * [[planPrerolled]]. The measured curve (1M-row file source, local[32];
+    * prerolled/plain rows-per-second ratio): plain wins while panes are few
+    * — 0.73 at 5 panes, 0.77 at 8, 0.86 at 12 (the pre-roll's second
+    * stateful exchange buys nothing the map-side partial agg doesn't
+    * already do) — the two plans are PARITY at 25 panes (0.85–1.06 across
+    * r14's six clean runs and r15; r13's 3.9 reading there was a contended
+    * box, retired), and the pre-roll decisively wins by 60 panes (1.85 —
+    * the expansion asymmetry finally dominates: plain copies every RAW row
+    * once per pane into the stateful shuffle, the pre-roll only per-second
+    * rows). The crossover therefore sits in (25, 60]; the threshold sits
+    * just ABOVE the measured parity band's top: parity at 25 means
+    * switching there costs only noise, and plain's per-pane copy cost is
+    * monotone in the pane count while the pre-roll's is flat, so past the
+    * last point where plain ever measured ahead the pre-roll is the safe
+    * choice — collapse protection engages well before the measured 60-pane
+    * win. Between 26 and 59 panes either plan is within ~2× and the choice
+    * is cost-tilted, not correctness-relevant. Rows-per-key density does
+    * NOT move the choice — partial aggregation absorbs it on both plans.
     */
-  val PrerollPaneThreshold = 16
+  val PrerollPaneThreshold = 26
 
   /** [[plan]] or [[planPrerolled]], chosen by the measured pane-count rule —
     * the crossover evidence as an operational policy instead of a bench
@@ -209,8 +219,9 @@ case class GridConfig(
   // decides plan() vs planPrerolled() — plain expands every RAW row once
   // per pane, the 1 s pre-roll expands only per-second rows, so the
   // pre-roll's second stateful exchange pays for itself once panes are
-  // plentiful (bench-measured crossover at 25 panes; the pre-roll's
-  // exactness needs slide ≥ 1 s so 1 s buckets stay window-aligned).
+  // plentiful (bench-measured: parity at 25 panes, decisive pre-roll win
+  // at 60 — see PrerollPaneThreshold; the pre-roll's exactness needs
+  // slide ≥ 1 s so 1 s buckets stay window-aligned).
   val slideSec: Int = slideOverrideSec.getOrElse(windowSec / 5)
   require(slideSec >= 1, s"slide must be >= 1 s, got $slideSec")
 }

@@ -109,7 +109,9 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       df.queryExecution.analyzed.collect { case a: Aggregate => a }.length
     val readings = spark.createDataFrame(Seq.empty[PowerReading])
     val fewPanes = GridConfig() // 25 s / 5 s = 5 panes
-    val manyPanes = GridConfig(slideOverrideSec = Some(1)) // 25 panes
+    // 25 panes sits in the measured PARITY band (0.85–1.06), below the
+    // threshold — the decisive pre-roll win is the 60-pane point (r15)
+    val manyPanes = GridConfig(windowMin = 24, slideOverrideSec = Some(1)) // 60 panes
     assert(fewPanes.windowSec / fewPanes.slideSec < StreamingDutyCycle.PrerollPaneThreshold)
     assert(manyPanes.windowSec / manyPanes.slideSec >= StreamingDutyCycle.PrerollPaneThreshold)
     assert(aggLevels(StreamingDutyCycle.planAuto(readings, fewPanes)) ==
