@@ -1227,7 +1227,7 @@ object IvfIndex {
     * opt-in flag degrades to the measured-parity path instead of degrading
     * planning.
     */
-  private[ann] val PushedPoolIdCap = 8192
+  private[graft] val PushedPoolIdCap = 8192
 
   private def adcPoolRerankPushed(
       spark: SparkSession, index: DataFrame, adc: DataFrame, q: DataFrame,

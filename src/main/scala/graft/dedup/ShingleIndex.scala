@@ -457,23 +457,34 @@ object ShingleIndex {
     * n_shingles, n_unseen, n_overcap), so the governance signal itself is
     * oracle-gateable (a DuckDB twin restates the split from the raw tables;
     * fractions would hash-compare on float rendering).
+    *
+    * Plan shape is the [[probePairs]] rule: the BATCH broadcasts and the
+    * store streams — the store relations are scanned once, column-pruned to
+    * `s`, with the tiny batch set as the hash side, so no store bytes ever
+    * shuffle (a left join keyed the other way would hash-or-shuffle the
+    * corpus vocabulary per batch). The store's postings and `_overcap` sets
+    * are DISJOINT by construction (df ≤ cap vs > cap), so unseen derives as
+    * n − in_store − over from the one marked scan; the two 1-row aggregates
+    * compose by the driver-less broadcast crossJoin pattern.
     */
   def admissionStalenessCounts(
       spark: SparkSession, indexPath: String, batchDocs: DataFrame): DataFrame = {
     val batchSh = DedupOps.shingleOccurrencesOf(batchDocs).select("s").distinct()
-    val stored = read(spark, indexPath).select("s")
-      .withColumn("in_store", lit(1))
-    val over = spark.read.parquet(s"$indexPath/_overcap")
-      .withColumn("in_over", lit(1))
-    batchSh
-      .join(stored, Seq("s"), "left")
-      .join(over, Seq("s"), "left")
+    val marked = read(spark, indexPath).select(col("s"), lit("store").as("src"))
+      .unionByName(spark.read.parquet(s"$indexPath/_overcap")
+        .select(col("s"), lit("over").as("src")))
+      .join(broadcast(batchSh), Seq("s"))
       .agg(
-        count(lit(1)).as("n_shingles"),
-        coalesce(sum(when(col("in_store").isNull && col("in_over").isNull, 1L)
-          .otherwise(0L)), lit(0L)).as("n_unseen"),
-        coalesce(sum(when(col("in_over").isNotNull, 1L).otherwise(0L)), lit(0L))
+        coalesce(sum(when(col("src") === "store", 1L).otherwise(0L)), lit(0L))
+          .as("n_in_store"),
+        coalesce(sum(when(col("src") === "over", 1L).otherwise(0L)), lit(0L))
           .as("n_overcap"))
+    batchSh.agg(count(lit(1)).as("n_shingles"))
+      .crossJoin(broadcast(marked))
+      .select(
+        col("n_shingles"),
+        (col("n_shingles") - col("n_in_store") - col("n_overcap")).as("n_unseen"),
+        col("n_overcap"))
   }
 
   /** Orient a [[probePairs]] result into the [[PairStore]] pair contract

@@ -57,6 +57,12 @@ class AdmissionPipelineSpec extends AnyFunSuite with SharedSpark {
     val (n0, u0, o0) = ShingleIndex.admissionStaleness(
       spark, dir, Seq((104L, "a b")).toDF("doc_id", "text"))
     assert(n0 == 0L && u0 == 0.0 && o0 == 0.0)
+    // plan shape: the BATCH broadcasts, the store streams (one column-pruned
+    // scan, no store bytes shuffled per batch — the probePairs rule)
+    val plan = ShingleIndex.admissionStalenessCounts(spark, dir, batch)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"the staleness aggregate must broadcast the batch, never shuffle the store:\n$plan")
   }
 
   test("two-tier pipeline: LSH tier catches the in-window flood, breach rebuilds once, exact tiers converge") {

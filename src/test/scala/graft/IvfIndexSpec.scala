@@ -1050,6 +1050,27 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
       s"pushed plan needs no DPP — the partition filter is static:\n$plan")
   }
 
+  test("pushed-rerank pool past the id budget falls back to the plain DPP tail (ADVICE r14)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_pushed_cap").toString
+    IvfIndex.materialize(spark, embs, dir)
+    // every vector queries with rerank = corpus size: the pool is the whole
+    // per-query candidate set (~nprobe/K of the corpus × 500 queries), far
+    // past PushedPoolIdCap — the collect must stay bounded (limit-guarded)
+    // and the tail must degrade to the plain rerank, bit-identically
+    val qs = queries(500)
+    val nCand = IvfIndex.candidateRows(spark, dir, qs, 2)
+    assert(nCand > IvfIndex.PushedPoolIdCap,
+      s"fixture must overflow the pool budget: $nCand candidates vs cap ${IvfIndex.PushedPoolIdCap}")
+    val plain = rows(IvfIndex.searchAdc(spark, dir, qs, k = 3, nprobe = 2, rerank = 500))
+    val fell = IvfIndex.searchAdc(spark, dir, qs, k = 3, nprobe = 2, rerank = 500,
+      pushRerankIds = true)
+    assert(rows(fell).sameElements(plain),
+      "over-budget pushed rerank must degrade to the plain tail's exact results")
+    val plan = fell.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedFilters: [In(vec_id"),
+      s"an over-budget pool must NOT inflate the plan with pushed id literals:\n$plan")
+  }
+
   test("in-stream drift policy: a shifted batch re-fits in-stream with a ledger row; a stable stream never rewrites") {
     import java.nio.file.Files
     // --- stable: the same-distribution second half arrives — drift stays
