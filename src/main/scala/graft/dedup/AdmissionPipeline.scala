@@ -116,6 +116,15 @@ object AdmissionPipeline {
     *        rebuild fires (None = signal-only: the ledger still publishes
     *        staleness every batch, the generation never moves)
     * @param lshSimThreshold minhash-estimate floor for LSH-tier pair rows
+    * @param pruneGenerationsKeep generations kept after a rebuild (the
+    *        newest K complete — keeping ≥ 2 leaves the superseded one for
+    *        in-flight readers, the deferred-eviction rule); 0 = never prune
+    *
+    * The LSH tier's `batch=` segments accrete one per micro-batch; a
+    * long-running stream pairs this with [[LshIndex.compactSegments]] as an
+    * operator step BETWEEN triggers (compaction inside the loop would
+    * absorb a replayed batch's own segment and defeat the
+    * exclude-own-segment replay determinism).
     */
   def streamingTwoTier(
       docsStream: DataFrame,
@@ -131,7 +140,8 @@ object AdmissionPipeline {
       cap: Int = DedupOps.RawDfCap,
       stalenessThreshold: Option[Double] = None,
       rebuildCooldownBatches: Int = 5,
-      ledgerOut: Option[String] = None)
+      ledgerOut: Option[String] = None,
+      pruneGenerationsKeep: Int = 2)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     require(refreshEvery >= 1, "refreshEvery must be >= 1")
     docsStream.writeStream
@@ -215,6 +225,8 @@ object AdmissionPipeline {
             catchUpPairs = spark.read
               .parquet(s"$pairStorePath/pairs/batch=$rebuildSeg").count()
             PairStore.refreshLabels(spark, pairStorePath)
+            if (pruneGenerationsKeep > 0)
+              ShingleIndex.pruneGenerations(spark, genRoot, pruneGenerationsKeep)
             next
           }
         if (!rebuilt && batchId % refreshEvery == refreshEvery - 1) {

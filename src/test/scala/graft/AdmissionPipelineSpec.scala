@@ -99,6 +99,10 @@ class AdmissionPipelineSpec extends AnyFunSuite with SharedSpark {
       assert(ShingleIndex.currentGeneration(spark, genRoot) == 1L,
         "the cooldown must suppress a second in-window rebuild")
     } finally q.stop()
+    // default prune (keep 2) leaves the superseded generation on disk for
+    // in-flight readers — deferred eviction, never an eager delete
+    assert(new java.io.File(ShingleIndex.generationPath(genRoot, 0L)).exists(),
+      "the superseded generation must survive the rebuild's prune window")
 
     val tiered = AdmissionPipeline.readPairsTiered(spark, ps)
       .select("id_a", "id_b", "tier", "jaccard")
