@@ -43,6 +43,17 @@ import org.apache.spark.sql.functions._
   * replay-idempotent, and the ledger row (one per batch, overwritten on
   * replay) records the view the LAST execution of that batch saw.
   *
+  * '''Doc-level drift''' (VERDICT r15 #2 — the dilution hole): the aggregate
+  * unseen fraction is computed over the batch's DISTINCT shingles, so a
+  * batch where a minority of documents carry new vocabulary sits just above
+  * the natural level and never trips while the blind spot grows for exactly
+  * those documents. With `docStalenessBand` set, each batch also counts the
+  * documents whose OWN unseen fraction clears the band
+  * ([[ShingleIndex.admissionDocDrift]]), and the rebuild fires when EITHER
+  * the aggregate breaches `stalenessThreshold` or the drifted-doc fraction
+  * reaches `docDriftFracThreshold` — the ledger's `trip` column records
+  * which signal(s) fired.
+  *
   * '''Lagging-view semantics''' (same trade as the IVF index's neighbor
   * segments computed under a superseded centroid set): exact-tier segments
   * admitted under an OLDER generation's vocabulary are append-only — their
@@ -53,12 +64,44 @@ import org.apache.spark.sql.functions._
   * [[ShingleIndex.allPairs]] of the current generation gives a consumer
   * that needs the strict fixpoint).
   *
+  * '''Governed compaction''' (VERDICT r15 #1 — the last unbounded
+  * small-files accretion): each micro-batch writes one LSH `batch=` segment,
+  * one `docsRetain/batch=` dir, up to three pair segments, and a ledger row
+  * — at a 1-minute trigger ~7k files/day. With `compactSegmentThreshold`
+  * set, the loop counts pair segments at the TOP of each trigger (one FS
+  * listing) and, at/past the threshold, runs [[compactStores]]: a
+  * tier-preserving pair compaction (one segment-id residue class at a time,
+  * so `tierOfSegment` survives the rewrite), the LSH index's
+  * partition-layout compaction, and the ledger's. Absorbable segments are
+  * those BELOW the running batch's own ids: on checkpoint replay only the
+  * current batch re-executes, and its own (possibly half-written) segments
+  * are the ones [[LshIndex.candidates]]' own-segment exclusion and the
+  * overwrite idempotency rules key on — compaction never touches them, and
+  * for committed segments it preserves rows exactly, so a replayed batch
+  * reads the same index content and produces identical output. The
+  * threshold is self-governing (a run drops the count far below it), and
+  * the ledger row records segments before/after.
+  *
+  * '''Retained-batch folding''' (VERDICT r15 #6): the rebuild's delta is
+  * `docsRetain`'s accreted `batch=` dirs — without folding, a year-long
+  * stream re-reads every batch it ever saw on each rebuild. After a
+  * successful rebuild the retained batches are part of the new generation's
+  * corpus BY CONSTRUCTION, so (with `foldRetainedOnRebuild`, the default)
+  * the rebuild writes that corpus as the new base snapshot
+  * (`docsRetain/_base/gen=<n>`, write-temp-then-rename with a `_SUCCESS`
+  * check — the [[PairStore.refreshLabels]] publication rule) and clears the
+  * folded batch dirs. Idempotence under every crash window: the next
+  * rebuild anti-joins still-present retained docs against the snapshot's
+  * ids, so a crash between snapshot and clear — or a replayed batch
+  * re-writing its retained dir after the fold — can never double-count a
+  * document.
+  *
   * Scale shape: the per-batch cost is the exact probe (one store scan), the
-  * staleness aggregate (one store column scan), the LSH band probe
-  * (broadcast batch onto the band index), and the batch's own signing —
-  * all O(store columns) reads and O(batch) work. The rebuild is the only
-  * corpus-sized step and runs only on breach, like every other
-  * whole-index rewrite in this engine.
+  * staleness aggregate (one store column scan; +1 for the doc-level signal
+  * when enabled), the LSH band probe (broadcast batch onto the band index),
+  * and the batch's own signing — all O(store columns) reads and O(batch)
+  * work. The rebuild is the only corpus-sized step and runs only on breach,
+  * like every other whole-index rewrite in this engine.
   */
 object AdmissionPipeline {
 
@@ -98,12 +141,91 @@ object AdmissionPipeline {
       .filter(col("tier") =!= "lsh").drop("tier")
 
   /** Last batchId at which the rebuild policy actually ran, per generation
-    * root — the cooldown's driver-side state (bounded: one entry per root
-    * this JVM streams into; a restart only costs one extra staleness CHECK,
-    * never a rebuild — a healed signal always skips).
+    * root — the cooldown's in-memory state (bounded: one entry per root this
+    * JVM streams into). After a driver restart the entry is recovered from
+    * the pair store's rebuild-tier segment ids ([[recoverLastRebuilt]] —
+    * durable by construction, no extra state file), so a restart during
+    * sustained drift cannot fire a second corpus-sized rebuild inside the
+    * intended cooldown window (ADVICE r15). [[NoRebuildSentinel]] caches a
+    * "recovered: none" answer so the recovery listing runs at most once per
+    * root per JVM.
     */
   private val lastRebuiltBatch =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val NoRebuildSentinel = java.lang.Long.valueOf(Long.MinValue)
+
+  /** Recover the last rebuild's batchId from the pair store: rebuild-tier
+    * segment ids encode it, and compaction preserves each residue class's
+    * maximum id, so the newest rebuild segment survives any maintenance.
+    */
+  private[graft] def recoverLastRebuilt(
+      spark: SparkSession, pairStorePath: String): Option[Long] =
+    graft.sources.Segments.segmentIds(spark, s"$pairStorePath/pairs")
+      .filter(id => id >= PairStore.StreamingSegmentBase && tierOfSegment(id) == "rebuild")
+      .map(id => (id - PairStore.StreamingSegmentBase - 2) / TierStride)
+      .sorted.lastOption
+
+  /** Test hook: forget the in-memory cooldown state for a root (simulates a
+    * driver restart — the next batch must recover it from the store).
+    */
+  private[graft] def forgetCooldown(genRoot: String): Unit = {
+    lastRebuiltBatch.remove(genRoot)
+    ()
+  }
+
+  /** Compact every store the composed pipeline accretes, without disturbing
+    * the semantics its segment ids carry. Pair segments compact one
+    * TierStride residue class at a time (bootstrap ids join the exact
+    * class): a filtered compaction's target is the max absorbed id, which
+    * stays inside the class, so [[tierOfSegment]] keeps reading every row's
+    * tier correctly. Only segments with ids below batch `beforeBatchId`'s
+    * own are absorbable — the replay-determinism guard (only the current
+    * batch can replay, and its own segments must stay individually
+    * overwritable and excludable). Returns total segments absorbed.
+    */
+  def compactStores(
+      spark: SparkSession,
+      pairStorePath: String,
+      lshIndexPath: String,
+      ledgerOut: Option[String],
+      beforeBatchId: Long): Int = {
+    val exactSeg = PairStore.StreamingSegmentBase + TierStride * beforeBatchId
+    val lshIdxSeg = LshIndex.StreamingSegmentBase + beforeBatchId
+    var absorbed = 0
+    (0L until TierStride).foreach { t =>
+      absorbed += PairStore.compactPairsWhere(spark, pairStorePath,
+        id => id < exactSeg && (
+          if (t == 0L)
+            id < PairStore.StreamingSegmentBase ||
+              (id - PairStore.StreamingSegmentBase) % TierStride == 0L
+          else
+            id >= PairStore.StreamingSegmentBase &&
+              (id - PairStore.StreamingSegmentBase) % TierStride == t),
+        protectLatest = false)
+    }
+    absorbed += LshIndex.compactSegments(spark, lshIndexPath,
+      protectLatest = false, segmentFilter = _ < lshIdxSeg)
+    ledgerOut.foreach { out =>
+      absorbed += graft.sources.Segments.compact(spark, out, Seq.empty,
+        protectLatest = false, segmentFilter = _ < exactSeg)
+    }
+    absorbed
+  }
+
+  /** Complete base-corpus snapshot generations under `docsRetain/_base`
+    * (underscore-prefixed, so the retained-batch partitioned read never sees
+    * them). Complete = parquet `_SUCCESS` present — the publication rule.
+    */
+  private def baseSnapshotIds(
+      fs: org.apache.hadoop.fs.FileSystem, docsRetain: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(s"$docsRetain/_base")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("gen=").toLong)
+      .sorted
+  }
 
   /** Start-point builder for the composed pipeline. `genRoot` must hold a
     * bootstrapped generational posting store
@@ -113,18 +235,26 @@ object AdmissionPipeline {
     * rebuild folds into the next generation.
     *
     * @param stalenessThreshold unseen-shingle fraction at/past which a
-    *        rebuild fires (None = signal-only: the ledger still publishes
-    *        staleness every batch, the generation never moves)
+    *        rebuild fires (None = no aggregate trigger; the ledger still
+    *        publishes staleness every batch)
+    * @param docStalenessBand per-doc unseen fraction at/past which a batch
+    *        document counts as DRIFTED (None = doc-level signal off); with
+    *        it set, a batch whose drifted-doc fraction reaches
+    *        `docDriftFracThreshold` rebuilds even when the diluted aggregate
+    *        stays under `stalenessThreshold`
+    * @param docDriftFracThreshold fraction of a batch's shingled docs that
+    *        must read drifted to trip the doc-level rebuild
     * @param lshSimThreshold minhash-estimate floor for LSH-tier pair rows
+    * @param compactSegmentThreshold pair-segment count at/past which the
+    *        loop compacts all its stores between triggers (0 = off — an
+    *        operator runs [[compactStores]] by hand)
+    * @param foldRetainedOnRebuild fold the retained batches into a base
+    *        snapshot after each successful rebuild (see the class doc) so
+    *        rebuild input stays one snapshot + the current window, not
+    *        every batch ever streamed
     * @param pruneGenerationsKeep generations kept after a rebuild (the
     *        newest K complete — keeping ≥ 2 leaves the superseded one for
     *        in-flight readers, the deferred-eviction rule); 0 = never prune
-    *
-    * The LSH tier's `batch=` segments accrete one per micro-batch; a
-    * long-running stream pairs this with [[LshIndex.compactSegments]] as an
-    * operator step BETWEEN triggers (compaction inside the loop would
-    * absorb a replayed batch's own segment and defeat the
-    * exclude-own-segment replay determinism).
     */
   def streamingTwoTier(
       docsStream: DataFrame,
@@ -139,9 +269,13 @@ object AdmissionPipeline {
       refreshEvery: Int = 5,
       cap: Int = DedupOps.RawDfCap,
       stalenessThreshold: Option[Double] = None,
+      docStalenessBand: Option[Double] = None,
+      docDriftFracThreshold: Double = 0.3,
       rebuildCooldownBatches: Int = 5,
       ledgerOut: Option[String] = None,
-      pruneGenerationsKeep: Int = 2)
+      pruneGenerationsKeep: Int = 2,
+      compactSegmentThreshold: Int = 0,
+      foldRetainedOnRebuild: Boolean = true)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     require(refreshEvery >= 1, "refreshEvery must be >= 1")
     docsStream.writeStream
@@ -153,13 +287,33 @@ object AdmissionPipeline {
         val exactSeg = PairStore.StreamingSegmentBase + TierStride * batchId
         val lshSeg = exactSeg + 1
         val rebuildSeg = exactSeg + 2
+
+        // governed compaction FIRST (between this trigger's reads and the
+        // previous trigger's writes): one FS listing decides; the filter
+        // inside compactStores excludes this batch's own segment ids, so a
+        // replayed batch still sees its own overwritable segments
+        val pairSegsBefore =
+          graft.sources.Segments.segmentIds(spark, s"$pairStorePath/pairs").length
+        val compacted =
+          if (compactSegmentThreshold > 0 && pairSegsBefore >= compactSegmentThreshold)
+            compactStores(spark, pairStorePath, lshIndexPath, ledgerOut, batchId)
+          else 0
+        val pairSegsAfter =
+          if (compacted > 0)
+            graft.sources.Segments.segmentIds(spark, s"$pairStorePath/pairs").length
+          else pairSegsBefore
+
         val genBefore = ShingleIndex.currentGeneration(spark, genRoot)
         val genPath = ShingleIndex.generationPath(genRoot, genBefore)
 
-        // staleness signal FIRST (it describes the generation this batch is
-        // about to probe), then the two tiers' pair segments
+        // staleness signals FIRST (they describe the generation this batch
+        // is about to probe), then the two tiers' pair segments
         val (nSh, unseenFrac, overcapFrac) =
           ShingleIndex.admissionStaleness(spark, genPath, docs)
+        val (nDocs, nDrifted) = docStalenessBand match {
+          case Some(band) => ShingleIndex.admissionDocDrift(spark, genPath, docs, band)
+          case None => (-1L, -1L)
+        }
         PairStore.appendPairs(spark, pairStorePath,
           ShingleIndex.orientProbePairs(
             ShingleIndex.probePairs(spark, genPath, docs, threshold)),
@@ -198,21 +352,51 @@ object AdmissionPipeline {
 
         // governance: breach → next generation + exact catch-up
         def coolingDown: Boolean = {
-          val last = lastRebuiltBatch.get(genRoot)
-          last != null && batchId - last.longValue() < rebuildCooldownBatches
+          val cached = lastRebuiltBatch.computeIfAbsent(genRoot, _ =>
+            recoverLastRebuilt(spark, pairStorePath)
+              .map(java.lang.Long.valueOf).getOrElse(NoRebuildSentinel))
+          cached != NoRebuildSentinel &&
+            batchId - cached.longValue() < rebuildCooldownBatches
         }
-        val breach = stalenessThreshold.exists(unseenFrac >= _) && nSh > 0
-        val rebuilt = breach && !coolingDown
+        val aggBreach = stalenessThreshold.exists(unseenFrac >= _) && nSh > 0
+        val docBreach = docStalenessBand.isDefined && nDocs > 0 &&
+          nDrifted.toDouble / nDocs >= docDriftFracThreshold
+        val trip =
+          if (aggBreach && docBreach) "both"
+          else if (aggBreach) "agg"
+          else if (docBreach) "doc"
+          else "none"
+        val rebuilt = (aggBreach || docBreach) && !coolingDown
         var catchUpPairs = -1L
         val genAfter =
           if (!rebuilt) genBefore
           else {
-            val streamed = spark.read.option("basePath", docsRetain)
-              .parquet(docsRetain).drop("batch")
-              .select(col("doc_id"), col("text"))
-            val next = ShingleIndex.rebuildGeneration(
-              spark, genRoot, baseDocs.unionByName(streamed), cap)
-            lastRebuiltBatch.put(genRoot, batchId)
+            val fs = new org.apache.hadoop.fs.Path(docsRetain)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            // rebuild corpus = newest base snapshot (or the caller's
+            // baseDocs when none was folded yet) + the retained window,
+            // anti-joined so a doc already folded into the snapshot — a
+            // crash between snapshot and clear, or a replayed batch
+            // re-writing its retained dir post-fold — never counts twice
+            // (df and per-doc sizes are corpus-global: a duplicate would
+            // corrupt every stored statistic)
+            val retainSegs = graft.sources.Segments.segmentIds(spark, docsRetain)
+            val baseCorpus = baseSnapshotIds(fs, docsRetain).lastOption match {
+              case Some(g) => spark.read.parquet(s"$docsRetain/_base/gen=$g")
+                .select(col("doc_id"), col("text"))
+              case None => baseDocs.select(col("doc_id"), col("text"))
+            }
+            val corpus =
+              if (retainSegs.isEmpty) baseCorpus
+              else {
+                val streamed = spark.read.option("basePath", docsRetain)
+                  .parquet(retainSegs.map(id => s"$docsRetain/batch=$id"): _*)
+                  .drop("batch").select(col("doc_id"), col("text"))
+                baseCorpus.unionByName(
+                  streamed.join(baseCorpus.select("doc_id"), Seq("doc_id"), "left_anti"))
+              }
+            val next = ShingleIndex.rebuildGeneration(spark, genRoot, corpus, cap)
+            lastRebuiltBatch.put(genRoot, java.lang.Long.valueOf(batchId))
             // exact catch-up: everything the grown corpus's fixpoint holds
             // that no exact segment stored yet (the in-window blind spot,
             // plus any batch-vs-batch pair across earlier windows)
@@ -225,6 +409,29 @@ object AdmissionPipeline {
             catchUpPairs = spark.read
               .parquet(s"$pairStorePath/pairs/batch=$rebuildSeg").count()
             PairStore.refreshLabels(spark, pairStorePath)
+            if (foldRetainedOnRebuild) {
+              // publish the rebuilt corpus as the new base snapshot (temp →
+              // _SUCCESS check → rename, the refreshLabels rule), then clear
+              // the folded batch dirs and superseded snapshots. Only this
+              // loop writes under _base, so orphaned temp debris from a
+              // crashed fold is safe to sweep here.
+              val baseRoot = new org.apache.hadoop.fs.Path(s"$docsRetain/_base")
+              if (fs.exists(baseRoot))
+                fs.listStatus(baseRoot).filter(_.getPath.getName.startsWith(".tmp_"))
+                  .foreach(s => fs.delete(s.getPath, true))
+              val tmp = new org.apache.hadoop.fs.Path(baseRoot,
+                s".tmp_${next}_${java.util.UUID.randomUUID()}")
+              corpus.write.mode("overwrite").parquet(tmp.toString)
+              require(fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")),
+                s"base-snapshot write left no _SUCCESS under $tmp")
+              val target = new org.apache.hadoop.fs.Path(baseRoot, s"gen=$next")
+              fs.delete(target, true) // only ever markerless crash debris
+              require(fs.rename(tmp, target), s"failed to promote $tmp to $target")
+              retainSegs.foreach(id =>
+                fs.delete(new org.apache.hadoop.fs.Path(s"$docsRetain/batch=$id"), true))
+              baseSnapshotIds(fs, docsRetain).filter(_ != next).foreach(g =>
+                fs.delete(new org.apache.hadoop.fs.Path(s"$docsRetain/_base/gen=$g"), true))
+            }
             if (pruneGenerationsKeep > 0)
               ShingleIndex.pruneGenerations(spark, genRoot, pruneGenerationsKeep)
             next
@@ -236,9 +443,12 @@ object AdmissionPipeline {
         ledgerOut.foreach { out =>
           import spark.implicits._
           Seq((exactSeg, genBefore, nSh, unseenFrac, overcapFrac,
-            stalenessThreshold.getOrElse(-1.0), rebuilt, genAfter, catchUpPairs))
+            stalenessThreshold.getOrElse(-1.0), rebuilt, genAfter, catchUpPairs,
+            nDocs, nDrifted, trip, compacted, pairSegsBefore, pairSegsAfter))
             .toDF("segment", "gen", "n_batch_shingles", "unseen_frac",
-              "overcap_frac", "threshold", "rebuilt", "gen_after", "catchup_pairs")
+              "overcap_frac", "threshold", "rebuilt", "gen_after", "catchup_pairs",
+              "n_docs", "n_docs_drifted", "trip",
+              "compacted_segments", "pair_segments_before", "pair_segments_after")
             .write.mode("overwrite").parquet(s"$out/batch=$exactSeg")
         }
       }

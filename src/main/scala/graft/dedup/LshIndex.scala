@@ -100,8 +100,10 @@ object LshIndex {
     * same crash-safe protocol as the rollup's compactor.
     */
   def compactSegments(
-      spark: SparkSession, indexPath: String, protectLatest: Boolean = true): Int =
-    graft.sources.Segments.compact(spark, indexPath, Seq("band_idx"), protectLatest)
+      spark: SparkSession, indexPath: String, protectLatest: Boolean = true,
+      segmentFilter: Long => Boolean = _ => true): Int =
+    graft.sources.Segments.compact(spark, indexPath, Seq("band_idx"), protectLatest,
+      segmentFilter = segmentFilter)
 
   def read(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.option("basePath", indexPath).parquet(indexPath).drop("batch")

@@ -79,6 +79,18 @@ object PairStore {
   def compactPairs(spark: SparkSession, path: String, protectLatest: Boolean = true): Int =
     Segments.compact(spark, pairsPath(path), Seq.empty, protectLatest)
 
+  /** [[compactPairs]] restricted to the segment ids `segmentFilter` accepts —
+    * the tier-preserving form [[AdmissionPipeline]] uses: its tiers live in
+    * the segment id's residue class, and a filtered compaction's target (max
+    * absorbed id) stays inside the class, so `tierOfSegment` keeps reading
+    * every row's tier correctly after the rewrite.
+    */
+  def compactPairsWhere(
+      spark: SparkSession, path: String, segmentFilter: Long => Boolean,
+      protectLatest: Boolean = true): Int =
+    Segments.compact(spark, pairsPath(path), Seq.empty, protectLatest,
+      segmentFilter = segmentFilter)
+
   /** Recompute the connected-component labels over ALL live pairs and
     * publish the snapshot under the current pair watermark. Returns the
     * watermark. One distributed CC run. Publication is write-temp-then-

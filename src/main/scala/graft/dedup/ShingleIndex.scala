@@ -487,6 +487,62 @@ object ShingleIndex {
         col("n_overcap"))
   }
 
+  /** Per-DOCUMENT staleness split (VERDICT r15 #2 — the dilution hole of the
+    * per-batch aggregate): [[admissionStalenessCounts]] is one aggregate over
+    * the batch's DISTINCT shingles, so a batch where 30% of documents carry
+    * new vocabulary reads ≈ natural + 0.03 and never trips while the exact
+    * tier's blind spot grows for exactly those documents. This is the same
+    * split stated per document — one row per batch doc that produced
+    * shingles: (doc_id, n_shingles, n_unseen, n_overcap), integer-exact so
+    * the signal is oracle-gateable — and the doc-level policy input: a doc
+    * whose OWN unseen fraction clears the drift band is drifted no matter
+    * how its batch-mates dilute the aggregate.
+    *
+    * Plan shape is the [[probePairs]] rule: the batch's (doc_id, s) set
+    * broadcasts onto ONE store scan (postings ∪ `_overcap`, column-pruned to
+    * `s`), so no store bytes shuffle; the per-doc counts and the per-doc
+    * totals are both batch-bounded aggregates and join broadcast.
+    */
+  def admissionStalenessByDoc(
+      spark: SparkSession, indexPath: String, batchDocs: DataFrame): DataFrame = {
+    val batchSh = DedupOps.shingleOccurrencesOf(batchDocs).select("doc_id", "s")
+    val marked = read(spark, indexPath).select(col("s"), lit("store").as("src"))
+      .unionByName(spark.read.parquet(s"$indexPath/_overcap")
+        .select(col("s"), lit("over").as("src")))
+      .join(broadcast(batchSh), Seq("s"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("src") === "store", 1L).otherwise(0L)).as("n_in_store"),
+        sum(when(col("src") === "over", 1L).otherwise(0L)).as("n_over"))
+    batchSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(broadcast(marked), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        (col("n_shingles") - coalesce(col("n_in_store"), lit(0L))
+          - coalesce(col("n_over"), lit(0L))).as("n_unseen"),
+        coalesce(col("n_over"), lit(0L)).as("n_overcap"))
+      .orderBy("doc_id")
+  }
+
+  /** Doc-level drift counter the governed pipeline trips on: of the batch
+    * docs that produced shingles, how many have an own unseen fraction
+    * ≥ `band`. Returns (n_docs, n_drifted) from one action over the
+    * batch-bounded [[admissionStalenessByDoc]] frame.
+    */
+  def admissionDocDrift(
+      spark: SparkSession, indexPath: String, batchDocs: DataFrame,
+      band: Double): (Long, Long) = {
+    val r = admissionStalenessByDoc(spark, indexPath, batchDocs)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(when(
+          col("n_unseen") >= col("n_shingles") * band, 1L).otherwise(0L)),
+          lit(0L)).as("n_drifted"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Orient a [[probePairs]] result into the [[PairStore]] pair contract
     * (id_a < id_b, sizes re-labeled to match).
     */
@@ -661,6 +717,41 @@ object ShingleIndex {
        |       CAST(coalesce(sum(CASE WHEN df IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_unseen,
        |       CAST(coalesce(sum(CASE WHEN df > $cap THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_overcap
        |FROM batch_sh LEFT JOIN cdf USING (s)""".stripMargin
+  }
+
+  /** Catalog form of [[admissionStalenessByDoc]] on the same pre-batch split
+    * as [[qAdmissionStaleness]] — the per-document signal the doc-level
+    * drift policy reads, as an integer-exact relation the oracle restates
+    * independently from the raw tables.
+    */
+  def qAdmissionStalenessByDoc(spark: SparkSession, sfDir: String): DataFrame =
+    admissionStalenessByDoc(spark, ensureAdmissionStore(spark, sfDir),
+      graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")))
+
+  /** DuckDB twin of [[qAdmissionStalenessByDoc]]: the per-doc restatement of
+    * [[admissionStalenessSql]] — a batch doc's shingle is unseen iff it
+    * appears in NO pre-batch doc, over-cap iff its pre-batch doc frequency
+    * exceeds the cap; docs under ShingleK tokens produce no shingles and no
+    * row, on both engines.
+    */
+  def admissionStalenessByDocSql(cap: Int = DedupOps.RawDfCap): String = {
+    val k = DedupOps.ShingleK
+    val sh = DedupOps.shinglesSql("text")
+    s"""WITH corpus0 AS (
+       |  SELECT doc_id, unnest($sh) AS s
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $k AND doc_id % 5 <> 0),
+       |cdf AS (SELECT s, count(*) AS df FROM corpus0 GROUP BY 1),
+       |batch_sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest($sh) AS s
+       |    FROM documents WHERE len(string_split(text, ' ')) >= $k AND doc_id % 5 = 0))
+       |SELECT doc_id, count(*) AS n_shingles,
+       |       CAST(coalesce(sum(CASE WHEN df IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_unseen,
+       |       CAST(coalesce(sum(CASE WHEN df > $cap THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_overcap
+       |FROM batch_sh LEFT JOIN cdf USING (s)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB twin of [[qJaccardAdmissionProbe]]: an independent restatement

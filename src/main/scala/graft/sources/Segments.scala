@@ -151,6 +151,13 @@ object Segments {
     * read) or fails fast while we hold it.
     * `force` runs the rewrite even for a single source segment (a no-op for
     * plain compaction, required when `transform`/`meta` change content).
+    * `segmentFilter` restricts which segment IDS are absorbable: only ids it
+    * accepts are read, deleted, or targeted — segments it rejects survive
+    * the run untouched, like any segment landing after the entry snapshot.
+    * A caller whose segment-id NAMESPACE carries meaning (e.g. the pair
+    * store's tier-by-modulus layout) compacts one id class at a time: the
+    * compacted rows land at the max absorbed id, which stays inside the
+    * class, so the id-derived semantics survive compaction.
     *
     * @return number of source segments absorbed (0 = nothing to do).
     */
@@ -162,7 +169,8 @@ object Segments {
       leaseTtlMs: Long = 15L * 60 * 1000,
       transform: DataFrame => DataFrame = identity,
       meta: => Map[String, String] = Map.empty,
-      force: Boolean = false): Int = {
+      force: Boolean = false,
+      segmentFilter: Long => Boolean = _ => true): Int = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withLease(fs, root, leaseTtlMs) { (holder, assertOwned) =>
@@ -181,7 +189,8 @@ object Segments {
       // in-flight segment simply survives the run untouched, like any
       // segment landing after the entry snapshot.
       def segments() = listed().filter(p =>
-        p.getName.startsWith("batch=") && fs.exists(new Path(p, "_SUCCESS")))
+        p.getName.startsWith("batch=") && segmentFilter(segId(p)) &&
+          fs.exists(new Path(p, "_SUCCESS")))
 
       // recovery: manifest + _SUCCESS ⇒ that temp dir is a COMPLETE copy of
       // exactly the manifest's segments, written by a holder that still
