@@ -85,7 +85,77 @@ object Tables {
 
   // LLM-pipeline tables
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
+
+  // embeddings deliberately NOT fanned (r16, measured): the whole ANN/PQ
+  // family reads 2 000 × 64-float vectors against broadcast queries or
+  // centroids — ~10⁷ FLOPs, trivial next to one extra exchange + 32-task
+  // stage. Interleaved A/B (AbFanout, min-of-3): fan-out LOST on all 11
+  // embeddings queries tried (on/off 1.06–2.05, e.g. q_cosine_pairs 2.05,
+  // q_ann_topk 1.66, q_kmeans_iter 1.24). Fan-out pays only where per-row
+  // derivation dominates (5-gram shingles, md5 chains, media decode).
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** Total bytes of a table's parquet (file or directory); `Long.MaxValue`
+    * when the size cannot be determined, so an unknown input is never
+    * treated as "small" by [[deriveFanOut]].
+    */
+  private def tableBytes(spark: SparkSession, sfDir: String, name: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength
+    } catch { case _: Throwable => Long.MaxValue }
+
+  /** Size-gated fan-out for CPU-heavy derivation stages (explode → shingle /
+    * md5 / levenshtein chains, ~10²–10³ CPU per input byte vs a plain scan).
+    *
+    * A scan parallelizes at `maxPartitionBytes` splits and a parquet file
+    * never splits below one row group, so a small table (locally: one tiny
+    * single-row-group file) feeds its ENTIRE derivation chain — until the
+    * first exchange — to a single task while the rest of the box idles.
+    * When the scan's natural split count cannot fill even a quarter of the
+    * session's cores, repartition to `defaultParallelism` before deriving:
+    * the repartition moves only the small raw table (cheap by the same gate
+    * that fired it), and every downstream consumer reuses the one exchange.
+    * At cluster scale (bytes ≫ cores × maxPartitionBytes) the gate makes
+    * this a NO-OP — the scan's own splits carry the parallelism, and a
+    * corpus-sized repartition (a full shuffle of the payload) is never paid.
+    * The driver's lower-core bench runs keep their meaning: the fan-out
+    * width follows `defaultParallelism`, not a constant.
+    *
+    * `keys` chooses hash partitioning (e.g. `doc_id` when a groupBy(doc_id)
+    * immediately follows — the exchange then ALSO satisfies the aggregate's
+    * distribution, saving the post-agg shuffle, the [[graft.dedup.DedupOps]]
+    * simhash precedent); empty = round-robin, which preserves every
+    * downstream exchange exactly as unfanned plans had them.
+    */
+  def deriveFanOut(
+      spark: SparkSession,
+      sfDir: String,
+      name: String,
+      df: DataFrame,
+      keys: Seq[Column] = Nil): DataFrame = {
+    // plan-time kill-switch: lets one binary A/B the fan-out in a single
+    // session (and gives operators an escape hatch); default ON
+    if (!spark.conf.get("spark.graft.derive.fanout", "true").toBoolean) return df
+    val p = spark.sparkContext.defaultParallelism
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m").stripSuffix("b"))
+    val bytes = tableBytes(spark, sfDir, name)
+    val naturalTasks = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    if (naturalTasks * 4 <= p) {
+      if (keys.nonEmpty) df.repartition(p, keys: _*) else df.repartition(p)
+    } else df
+  }
+
+  /** [[documents]] projected to (doc_id, text) — the derivation payload —
+    * and fanned out for derivation-heavy consumers (project BEFORE the
+    * exchange, guide §2.3; consumers needing more columns call
+    * [[deriveFanOut]] with their own projection).
+    */
+  def documentsDerive(s: SparkSession, d: String, keys: Seq[Column] = Nil): DataFrame =
+    deriveFanOut(s, d, "documents",
+      documents(s, d).select(col("doc_id"), col("text")), keys)
 
   val AllTables: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",

@@ -43,9 +43,16 @@ object DedupOps {
         sequence(lit(1), size(tokens) - (k - 1)),
         i => concat_ws(" ", slice(tokens, i, lit(k)))))
 
-  /** Documents with ≥ k tokens, tokens materialized: (doc_id, toks). */
+  /** Documents with ≥ k tokens, tokens materialized: (doc_id, toks).
+    * Fanned out on doc_id when the scan cannot fill the cores (r16,
+    * size-gated — see [[graft.Tables.deriveFanOut]]): the hash-on-doc_id
+    * exchange doubles as the distribution for the per-doc aggregate every
+    * consumer ends in, so no second shuffle appears (the simhash precedent).
+    */
   private def tokenized(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.deriveFanOut(spark, sfDir, "documents",
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+        Seq(col("doc_id")))
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .filter(size(col("toks")) >= ShingleK)
 
@@ -137,8 +144,12 @@ object DedupOps {
     * keep every consumer on the ONE s-partitioned exchange.
     */
   private[dedup] def shinglesWithSize(spark: SparkSession, sfDir: String, cap: Int): DataFrame =
-    shinglesWithSizeOf(
-      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")), cap)
+    // size-gated fan-out (r16, guide §2.5/§6): the tokenize→shingle explode
+    // below otherwise runs in the scan's task count — ONE task on a small
+    // single-row-group file. Round-robin (no key): every downstream exchange
+    // — (doc_id, s) compression, df join, self-join — keeps its measured
+    // shape, the fan-out only parallelizes the explode stage feeding it.
+    shinglesWithSizeOf(Tables.documentsDerive(spark, sfDir), cap)
 
   /** [[shinglesWithSize]] over an arbitrary (doc_id, text) relation — the
     * form [[ShingleIndex]] builds stores from (possibly a corpus subset:
@@ -671,7 +682,10 @@ object DedupOps {
     // lineage per consumer; compression is what changes the verdict, per
     // the sharedShingles measurement.)
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val perDoc = canon
+    // size-gated fan-out (r16): the canon window's exchange is AQE-coalesced
+    // back to ~1 partition at small scale (its payload is the raw text), so
+    // the explode below would still run single-task without this.
+    val perDoc = Tables.deriveFanOut(spark, sfDir, "documents", canon)
       .select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s"))
       .groupBy("doc_id", "s")
       .agg(count(lit(1)).as("c"))
@@ -766,7 +780,9 @@ object DedupOps {
     // a hot boilerplate window spreads over every partition and partial
     // aggs compress it map-side; every downstream consumer (the df branch
     // and both self-join sides) then reuses the one compact exchange.
-    substrDupPairsFrom(substrWindows(Tables.documents(spark, sfDir)), cap)
+    // size-gated fan-out (r16): the stride-window md5 explode is the
+    // dominant CPU and otherwise runs in the scan's single local task
+    substrDupPairsFrom(substrWindows(Tables.documentsDerive(spark, sfDir)), cap)
   }
 
   /** Compressed (doc_id, w, c) window relation over any (doc_id, text)
@@ -801,7 +817,7 @@ object DedupOps {
     * recall cost before raising the cap.
     */
   def substrDropped(spark: SparkSession, sfDir: String, cap: Int = RawDfCap): DataFrame =
-    substrDroppedFrom(substrWindows(Tables.documents(spark, sfDir)), cap)
+    substrDroppedFrom(substrWindows(Tables.documentsDerive(spark, sfDir)), cap)
 
   private def substrDroppedFrom(wins0: DataFrame, cap: Int): DataFrame =
     wins0.groupBy("w").agg(count(lit(1)).as("df"))
@@ -820,10 +836,12 @@ object DedupOps {
   private lazy val HotSliceLongText: String = Seq.fill(3)(HotSliceText).mkString(" ")
 
   private def hotSliceLongDocs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select(
-      col("doc_id"),
-      when(pmod(col("doc_id"), lit(10L)) < 3, lit(HotSliceLongText))
-        .otherwise(col("text")).as("text"))
+    // fan-out (r16): same dominant window-md5 chain as substrDupPairs
+    Tables.deriveFanOut(spark, sfDir, "documents",
+      Tables.documents(spark, sfDir).select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(10L)) < 3, lit(HotSliceLongText))
+          .otherwise(col("text")).as("text")))
 
   private def hotSliceLongDocsSql: String =
     s"""(SELECT doc_id,
@@ -891,7 +909,14 @@ object DedupOps {
     * partition, not shingles).
     */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    minhashSignaturesOf(Tables.documents(spark, sfDir))
+    // size-gated doc_id fan-out (r16): the explode→md5→16-perm-min chain is
+    // the dominant CPU and otherwise runs in the scan's single local task;
+    // hashing on doc_id lets the groupBy(doc_id) reuse the exchange.
+    minhashSignaturesOf(Tables.documentsDerive(spark, sfDir, Seq(col("doc_id"))))
+
+  /** [[minhashSignatures]]' corpus read shared with [[lshBands]]. */
+  private def docsForSigning(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documentsDerive(spark, sfDir, Seq(col("doc_id")))
 
   /** [[minhashSignatures]] over an arbitrary (doc_id, text) frame — the form
     * [[LshIndex]] uses to sign an incoming batch without touching the corpus
@@ -918,7 +943,8 @@ object DedupOps {
     * the raw struct beats hashing it).
     */
   private def lshBands(spark: SparkSession, sfDir: String): DataFrame =
-    lshBandsOf(Tables.documents(spark, sfDir))
+    // size-gated doc_id fan-out (r16) — same rationale as minhashSignatures
+    lshBandsOf(docsForSigning(spark, sfDir))
 
   private def lshBandsOf(docs: DataFrame): DataFrame = {
     // explicit doc_id null-filter: the candidate self-join infers
@@ -1126,10 +1152,14 @@ object DedupOps {
     * both engines drop the SAME buckets and emit the SAME surviving pairs.
     */
   private def hotSliceDocs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select(
-      col("doc_id"),
-      when(pmod(col("doc_id"), lit(10L)) < 3, lit(HotSliceText))
-        .otherwise(col("text")).as("text"))
+    // doc_id fan-out (r16): the hot-slice twins run the same dominant
+    // signing chain as their base queries — same size gate, same key
+    Tables.deriveFanOut(spark, sfDir, "documents",
+      Tables.documents(spark, sfDir).select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(10L)) < 3, lit(HotSliceText))
+          .otherwise(col("text")).as("text")),
+      Seq(col("doc_id")))
 
   private def hotSliceDocsSql: String =
     s"""(SELECT doc_id,
@@ -1198,16 +1228,13 @@ object DedupOps {
     val fpTerms = (0 until SimHashBits).map { j =>
       when(col(s"c_$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
     }
-    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // the shingle explode + 57-column aggregate spread comes from
+    // [[tokenized]]'s size-gated doc_id fan-out (r16): hash on doc_id so the
+    // groupBy below REUSES the exchange — each doc aggregates wholly in its
+    // own partition, no second shuffle. The former unconditional
+    // repartition(width) here would have been a full corpus shuffle at
+    // cluster scale; the gate makes it a no-op exactly there.
     tokenized(spark, sfDir)
-      // spread the shingle explode + 57-column aggregate: the doc table is
-      // one small parquet file locally, and the md5 + bit-count work (~56
-      // shift-ands per shingle) otherwise runs in that single scan task —
-      // at cluster scale many input splits do this naturally. Hash on
-      // doc_id (not round-robin): the groupBy below REUSES the exchange
-      // (same key), so each doc aggregates wholly in its own partition and
-      // no second shuffle or cross-partition partial rows appear.
-      .repartition(width, col("doc_id"))
       .select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s"))
       .select(col("doc_id"), conv(substring(md5(col("s")), 1, 14), 16, 10).cast("long").as("h"))
       .groupBy("doc_id")
@@ -1315,7 +1342,8 @@ object DedupOps {
     * cross-engine compare cannot hash).
     */
   def qLshBandIndex(spark: SparkSession, sfDir: String): DataFrame =
-    LshIndex.bandTable(Tables.documents(spark, sfDir).select("doc_id", "text"))
+    // doc_id fan-out (r16): bandTable runs the minhash signing chain
+    LshIndex.bandTable(Tables.documentsDerive(spark, sfDir, Seq(col("doc_id"))))
       .select("doc_id", "band_idx", "k0", "k1", "k2", "k3")
       .orderBy("doc_id", "band_idx")
 

@@ -681,10 +681,18 @@ object ShingleIndex {
       }
     }
 
+  /** The % 5 = 0 admission batch. NOT fanned (r16, measured): the batch
+    * is a 20% slice, small enough that the fan-out exchange costs more than
+    * the single-task explode it spreads — interleaved A/B on/off = 1.30
+    * (q_admission_staleness) / 1.26 (by_doc); the probe's 0.96 is noise.
+    */
+  private def admissionBatch(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text"))
+
   def qJaccardAdmissionProbe(spark: SparkSession, sfDir: String): DataFrame =
     probePairs(spark, ensureAdmissionStore(spark, sfDir),
-      graft.Tables.documents(spark, sfDir)
-        .filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")))
+      admissionBatch(spark, sfDir))
 
   /** Catalog form of [[admissionStalenessCounts]] on the same pre-batch
     * split as [[qJaccardAdmissionProbe]]: the % 5 = 0 documents arrive as
@@ -695,8 +703,7 @@ object ShingleIndex {
     */
   def qAdmissionStaleness(spark: SparkSession, sfDir: String): DataFrame =
     admissionStalenessCounts(spark, ensureAdmissionStore(spark, sfDir),
-      graft.Tables.documents(spark, sfDir)
-        .filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")))
+      admissionBatch(spark, sfDir))
 
   /** DuckDB twin of [[qAdmissionStaleness]]: the same split with its own df
     * cap — a batch shingle is unseen iff it appears in NO pre-batch doc,
@@ -726,8 +733,7 @@ object ShingleIndex {
     */
   def qAdmissionStalenessByDoc(spark: SparkSession, sfDir: String): DataFrame =
     admissionStalenessByDoc(spark, ensureAdmissionStore(spark, sfDir),
-      graft.Tables.documents(spark, sfDir)
-        .filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")))
+      admissionBatch(spark, sfDir))
 
   /** DuckDB twin of [[qAdmissionStalenessByDoc]]: the per-doc restatement of
     * [[admissionStalenessSql]] — a batch doc's shingle is unseen iff it

@@ -36,6 +36,9 @@ object MediaOps {
     */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
+    // NOT fanned (r16, measured): the decode cost sits in memoized index
+    // builds, not the per-query probe — interleaved A/B on/off = 1.26
+    // (q_image_neardup) / 1.20 (q_audio_neardup); the exchange only adds
     Tables.documents(spark, sfDir)
       .select(
         col("doc_id"),

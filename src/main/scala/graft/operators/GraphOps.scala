@@ -32,6 +32,8 @@ object GraphOps {
 
   /** Weighted directed bigram edges: (src, dst, w). */
   private def edges(spark: SparkSession, sfDir: String): DataFrame =
+    // NOT fanned (r16, measured): bigram struct explode is cheap per byte —
+    // A/B on/off = 1.19 (q_pagerank_step); exchange overhead dominates
     Tables.documents(spark, sfDir)
       .select(tokens(col("text")).as("t"))
       // sequence(1, 0) would run DESCENDING in Spark; single-token docs must
@@ -176,7 +178,9 @@ object GraphOps {
     * the same two aggregates a real count-LM pipeline runs.
     */
   def bigramLmScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val docBigrams = Tables.documents(spark, sfDir)
+    // doc_id fan-out (r16): the per-doc bigram explode parallelizes and the
+    // groupBy(doc_id) after the broadcast model join reuses the exchange
+    val docBigrams = Tables.documentsDerive(spark, sfDir, Seq(col("doc_id")))
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(

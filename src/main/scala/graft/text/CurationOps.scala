@@ -88,6 +88,8 @@ object CurationOps {
     * combine; docs with fewer than 2 tokens are out of domain.
     */
   def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    // NOT fanned (r16, measured): unigram+bigram explode is the cheap
+    // class — interleaved A/B on/off = 1.29; exchange overhead dominates
     val toksDf = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -158,7 +160,7 @@ object CurationOps {
     // skew-splittable on a hot shingle). Measured vs the uncompressed
     // two-scan form at sf0.1: 1.7 s vs 1.9 s base, 8.1 s vs 11.3 s with a
     // planted hot shingle in 30% of a 10× corpus.
-    val perDoc = Tables.documents(spark, sfDir)
+    val perDoc = Tables.documentsDerive(spark, sfDir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= ShingleK)
       .select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s"))
@@ -197,7 +199,7 @@ object CurationOps {
     * broadcast, so the corpus side never shuffles.
     */
   def contamination(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
+    val sh = Tables.documentsDerive(spark, sfDir) // fan-out (r16)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= ShingleK)
       .select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s"))
@@ -582,7 +584,7 @@ object CurationOps {
     * stream against it. Rates are ppm integers (determinism contract).
     */
   def oovRate(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
+    val toks = Tables.documents(spark, sfDir) // NOT fanned (r16): A/B 1.43
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
     val vocab = toks.groupBy("t").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc("t"))
@@ -633,7 +635,7 @@ object CurationOps {
   def dedupLines(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val firstSeen = Window.partitionBy("doc_id", "chunk").orderBy("chunk_idx")
-    Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir) // NOT fanned (r16): A/B 1.24
       .select(
         col("doc_id"),
         col("text"),
@@ -696,7 +698,7 @@ object CurationOps {
     */
   def lineDedupCross(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    val chunks = Tables.documents(spark, sfDir)
+    val chunks = Tables.documentsDerive(spark, sfDir) // fan-out (r16)
       .select(
         col("doc_id"),
         col("text"),
@@ -931,7 +933,7 @@ object CurationOps {
     * are ppm integers.
     */
   def noveltyScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val perDoc = Tables.documents(spark, sfDir)
+    val perDoc = Tables.documentsDerive(spark, sfDir) // fan-out (r16)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= ShingleK)
       .select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s"))

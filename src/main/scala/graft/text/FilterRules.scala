@@ -224,7 +224,8 @@ object FilterRules {
     * long-lived scoring stream can broadcast per micro-batch.
     */
   def lmModel(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = bigramsOf(Tables.documents(spark, sfDir).select("doc_id", "text"))
+    // fan-out (r16): the bigram explode otherwise runs single-task locally
+    val base = bigramsOf(Tables.documentsDerive(spark, sfDir))
     // pairCnt is VOCABULARY-sized (bigram types) and feeds three consumers
     // (head counts, vocab size, the model join) — materialize it once
     // rather than re-deriving the corpus-sized explode per consumer
@@ -255,7 +256,7 @@ object FilterRules {
         col("score_ppm").cast("long").as("score_ppm"))
 
   def lmTransitionScore(spark: SparkSession, sfDir: String): DataFrame =
-    lmScore(Tables.documents(spark, sfDir), lmModel(spark, sfDir))
+    lmScore(Tables.documentsDerive(spark, sfDir, Seq(col("doc_id"))), lmModel(spark, sfDir))
       .orderBy("doc_id")
 
   /** Streaming inference with the frozen transition model — the

@@ -73,8 +73,9 @@ object QualityClassifier {
   }
 
   def distillAndScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val labeled = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
+    // fan-out (r16): the unigram+bigram explode with per-feature md5 is the
+    // dominant CPU; both union branches reuse the one fan-out exchange
+    val labeled = Tables.documentsDerive(spark, sfDir)
       .withColumn("hi", weakLabel)
     val feats = featuresWith(labeled, Seq("hi"))
 

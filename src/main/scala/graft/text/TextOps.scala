@@ -302,6 +302,8 @@ object TextOps {
     * vocabulary on BOTH engines.
     */
   private def bpeWords0(spark: SparkSession, sfDir: String): DataFrame =
+    // NOT fanned (r16, measured): unigram explode — same class as
+    // q_bpe_encode's A/B loss (on/off 1.17); exchange overhead dominates
     Tables.documents(spark, sfDir)
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 2 && !col("w").contains("[") && !col("w").contains("]"))
@@ -411,6 +413,8 @@ object TextOps {
       bpeTrainBatchedLoop(spark, sfDir, BpeBatchRounds, BpeBatchSize)._1.select("w", "s"))
 
   private def bpeEncodeWith(spark: SparkSession, sfDir: String, vocab: DataFrame): DataFrame = {
+    // NOT fanned (r16, measured): unigram posexplode + broadcast join is
+    // cheap per byte — A/B on/off = 1.17 (encode) / 1.21 (fertility)
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
     docs.join(vocab, Seq("w"), "left")
@@ -616,6 +620,8 @@ object TextOps {
     * vocabulary-sized (millions), broadcast-able after the grouped count.
     */
   def tokenRarity(spark: SparkSession, sfDir: String): DataFrame = {
+    // NOT fanned (r16, measured): unigram explode is cheap per byte —
+    // A/B on/off = 1.89 against the fan-out; the exchange is pure overhead
     val docs = Tables.documents(spark, sfDir)
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
     val df = toks.groupBy("t").agg(countDistinct("doc_id").as("df"))
@@ -697,7 +703,7 @@ object TextOps {
     * probe join.
     */
   def cmsTopK(spark: SparkSession, sfDir: String, k: Int = 15): DataFrame = {
-    val exact = Tables.documents(spark, sfDir)
+    val exact = Tables.documents(spark, sfDir) // NOT fanned (r16): A/B 1.26
       .select(explode(tokens(col("text"))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("exact"))
     def colAt(j: Int, tok: Column): Column =
@@ -758,7 +764,7 @@ object TextOps {
     */
   def tfidfTopTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir) // NOT fanned (r16): A/B 1.33
     val total = docs.agg(count(lit(1)).as("n_total"))
     val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
