@@ -26,7 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g): the bench's stateful-streaming sections run with
+  // 32 executor threads in one JVM and sat within one GC cycle of the 8g
+  // ceiling on EVERY observed run (dozens of "Failed to allocate a page"
+  // warnings per run; one run died at stage ~7961 with heap OOM). The
+  // sandbox has 128 GiB; 16g removes the cliff without changing any plan.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // deep-but-legal Catalyst plans (PQ encode = 72 derived columns feeding
   // joins) recurse in the planner; the default 1M thread stack is tight
   "-Xss32m",
