@@ -149,15 +149,31 @@ object DedupOps {
     // single-row-group file. Round-robin (no key): every downstream exchange
     // — (doc_id, s) compression, df join, self-join — keeps its measured
     // shape, the fan-out only parallelizes the explode stage feeding it.
-    shinglesWithSizeOf(Tables.documentsDerive(spark, sfDir), cap)
+    shinglesWithSizeOf(Tables.documentsDerive(spark, sfDir), cap,
+      key = if (shingleHashKeyOn(spark)) Some(xxhash64(_)) else None)
+
+  /** Shuffle-key narrowing for the LIVE shingle family (guide §2.3): when on,
+    * every exchange/aggregation of the live pair queries keys on
+    * `xxhash64(shingle)` (8 bytes) instead of the ~30-byte 5-gram string —
+    * the shingle only ever serves as a grouping/join key, never an output
+    * column. Results are identical up to a 64-bit hash collision
+    * (~n²/2⁶⁵ — the same accepted trade as the substr family's truncated-md5
+    * window keys and the minhash chain's 48-bit shingle hash; the oracle,
+    * which keeps the string form, pins equality at every test SF). The
+    * STORED posting index keeps string keys: its `_overcap` set and probe
+    * path match batch shingles textually across generations.
+    */
+  private[graft] def shingleHashKeyOn(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.shingle.hashkey", "true").toBoolean
 
   /** [[shinglesWithSize]] over an arbitrary (doc_id, text) relation — the
     * form [[ShingleIndex]] builds stores from (possibly a corpus subset:
     * the admission-probe fixture's "corpus before the batch arrived").
     */
-  private[dedup] def shinglesWithSizeOf(docs: DataFrame, cap: Int): DataFrame = {
+  private[dedup] def shinglesWithSizeOf(
+      docs: DataFrame, cap: Int, key: Option[Column => Column] = None): DataFrame = {
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val perDoc = shingleOccurrencesOf(docs)
+    val perDoc = shingleOccurrencesOf(docs, key)
     val dfRel = perDoc.groupBy("s").agg(sum("c").as("df")).filter(col("df") <= cap)
     perDoc.join(dfRel, "s")
       .withColumn("n_shingles", sum("c").over(wDoc))
@@ -165,36 +181,89 @@ object DedupOps {
 
   /** Per-(doc, shingle) occurrence groups of a (doc_id, text) relation —
     * compressed map-side (see [[shinglesWithSize]]'s discipline note).
+    * `key`, when given, transforms the shingle BEFORE the first exchange
+    * (the (doc_id, s) compression), so a narrowing key (see
+    * [[shingleHashKeyOn]]) shrinks every downstream shuffle byte; `None`
+    * keeps the string — the stored-index contract, plan-identical to the
+    * pre-r16 form.
     */
-  private[dedup] def shingleOccurrencesOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), toks(col("text")).as("toks"))
+  private[dedup] def shingleOccurrencesOf(
+      docs: DataFrame, key: Option[Column => Column] = None): DataFrame = {
+    val toked = docs.select(col("doc_id"), toks(col("text")).as("toks"))
       .filter(size(col("toks")) >= ShingleK)
-      .select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s"))
-      .groupBy("doc_id", "s")
-      .agg(count(lit(1)).as("c"))
+    val occ = key match {
+      case Some(k) =>
+        toked.select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s0"))
+          .select(col("doc_id"), k(col("s0")).as("s"))
+      case None =>
+        toked.select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s"))
+    }
+    occ.groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+  }
+
+  /** Pair-candidate statistics `(id_a < id_b, inter, n_a, n_b)` from a capped
+    * shingle relation `(s, doc_id, c, n_shingles)`. Two plan shapes, chosen
+    * by `spark.graft.shingle.postings` (plan-time, default on):
+    *
+    *   - '''postings''' (r16, guide §2.4): group the relation into
+    *     per-shingle posting arrays — bounded at `cap` entries by the df
+    *     filter already applied — and expand ordered pairs IN-ROW, exactly
+    *     the [[ShingleIndex.allPairs]] serving shape, storeless. The shingle
+    *     relation crosses ONE exchange (the groupBy(s), reusing the df
+    *     join's s-distribution) and is read once; the self-join's second
+    *     read, both SMJ sorts, and the join operator vanish. The in-row
+    *     expansion is ≤ cap² bounded struct emissions per shingle — the same
+    *     bound the join's per-key fanout had.
+    *   - '''self-join''' (the pre-r16 form, kept as the A/B off-arm): the
+    *     aliased equi-join on s; sides are identical subplans so their
+    *     exchange dedups via ReuseExchange, but each SMJ side still sorts.
+    *
+    * Both shapes aggregate the identical multiset of (a-posting, b-posting)
+    * matches — the occurrence-pair count Σ c_a·c_b and first(n) per side —
+    * so rows are bit-identical (one oracle gates all callers).
+    */
+  private def pairStats(docs: DataFrame): DataFrame =
+    if (docs.sparkSession.conf.get("spark.graft.shingle.postings", "true").toBoolean) {
+      val pairsOf = flatten(transform(
+        col("postings"),
+        a => transform(
+          filter(col("postings"), b => a.getField("doc_id") < b.getField("doc_id")),
+          b => struct(a.as("a"), b.as("b")))))
+      docs
+        .groupBy("s")
+        .agg(collect_list(struct(col("doc_id"), col("c"), col("n_shingles"))).as("postings"))
+        .select(explode(pairsOf).as("p"))
+        .select(
+          col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
+          (col("p.a.c") * col("p.b.c")).as("cc"),
+          col("p.a.n_shingles").as("na"), col("p.b.n_shingles").as("nb"))
+        .groupBy("id_a", "id_b")
+        .agg(sum(col("cc")).as("inter"),
+          first(col("na")).as("n_a"), first(col("nb")).as("n_b"))
+    } else {
+      val a = docs.as("a")
+      val b = docs.as("b")
+      a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(
+          // occurrence-pair count over the compressed relation: each side
+          // carries its within-doc multiplicity, so Σ c_a·c_b equals the
+          // uncompressed join's count(*) exactly
+          sum(col("a.c") * col("b.c")).as("inter"),
+          first(col("a.n_shingles")).as("n_a"),
+          first(col("b.n_shingles")).as("n_b"))
+    }
 
   def ngramJaccardPairs(
       spark: SparkSession,
       sfDir: String,
       threshold: Double = 0.6,
-      cap: Int = RawDfCap): DataFrame = {
-    val docs = shinglesWithSize(spark, sfDir, cap)
-    val a = docs.as("a")
-    val b = docs.as("b")
-    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(
-        // occurrence-pair count over the compressed relation: each side
-        // carries its within-doc multiplicity, so Σ c_a·c_b equals the
-        // uncompressed join's count(*) exactly
-        sum(col("a.c") * col("b.c")).as("inter"),
-        first(col("a.n_shingles")).as("n_a"),
-        first(col("b.n_shingles")).as("n_b"))
+      cap: Int = RawDfCap): DataFrame =
+    pairStats(shinglesWithSize(spark, sfDir, cap))
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
       .orderBy("id_a", "id_b")
-  }
 
   /** Shared oracle CTEs up to the candidate intersection: exploded capped
     * shingles, per-doc sizes, and `inter(id_a, id_b, inter)` — reused by the
@@ -257,25 +326,48 @@ object DedupOps {
       batchPred: Column => Column,
       threshold: Double = 0.6,
       cap: Int = RawDfCap): DataFrame = {
-    // NOT localCheckpointed: the batch filter on side a breaks subtree
-    // identity with side b, so the shingle pipeline does run twice — but
-    // materializing it was measured SLOWER at sf0.1 (block-manager write of
-    // the full shingle relation outweighs the re-computation; negative
-    // result, do not retry at this scale). The corpus-scale form is
-    // [[ShingleIndex.incrementalPairs]]: both sides read the STORED
-    // postings relation, so neither recompute nor rescan happens — this
-    // live-derivation form remains the store-less bootstrap (and the
-    // independent twin its spec compares the stored path against).
     val docs = shinglesWithSize(spark, sfDir, cap)
-    val a = docs.filter(batchPred(col("doc_id"))).as("a")
-    val b = docs.as("b")
-    a.join(b, col("a.s") === col("b.s") &&
-        (col("a.doc_id") < col("b.doc_id") || !batchPred(col("b.doc_id"))))
-      .groupBy(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
-      .agg(
-        sum(col("a.c") * col("b.c")).as("inter"),
-        first(col("a.n_shingles")).as("n_x"),
-        first(col("b.n_shingles")).as("n_y"))
+    val stats =
+      if (spark.conf.get("spark.graft.shingle.postings", "true").toBoolean) {
+        // postings shape (r16 — see [[pairStats]]): ONE derivation serves
+        // both sides of the incremental join — the batch filter runs inside
+        // the bounded posting array (the [[ShingleIndex.incrementalPairs]]
+        // lambda, storeless), where the self-join form paid the whole
+        // tokenize→shingle→df pipeline TWICE because the batch filter on
+        // side a broke subtree identity with side b (and materializing the
+        // shared relation was measured slower at sf0.1 — r15 negative
+        // result, superseded by this shape rather than retried).
+        val pairsOf = flatten(transform(
+          filter(col("postings"), a => batchPred(a.getField("doc_id"))),
+          a => transform(
+            filter(col("postings"), b =>
+              a.getField("doc_id") < b.getField("doc_id") ||
+                (b.getField("doc_id") < a.getField("doc_id") &&
+                  !batchPred(b.getField("doc_id")))),
+            b => struct(a.as("a"), b.as("b")))))
+        docs
+          .groupBy("s")
+          .agg(collect_list(struct(col("doc_id"), col("c"), col("n_shingles"))).as("postings"))
+          .select(explode(pairsOf).as("p"))
+          .select(
+            col("p.a.doc_id").as("x"), col("p.b.doc_id").as("y"),
+            (col("p.a.c") * col("p.b.c")).as("cc"),
+            col("p.a.n_shingles").as("nx"), col("p.b.n_shingles").as("ny"))
+          .groupBy("x", "y")
+          .agg(sum(col("cc")).as("inter"),
+            first(col("nx")).as("n_x"), first(col("ny")).as("n_y"))
+      } else {
+        val a = docs.filter(batchPred(col("doc_id"))).as("a")
+        val b = docs.as("b")
+        a.join(b, col("a.s") === col("b.s") &&
+            (col("a.doc_id") < col("b.doc_id") || !batchPred(col("b.doc_id"))))
+          .groupBy(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+          .agg(
+            sum(col("a.c") * col("b.c")).as("inter"),
+            first(col("a.n_shingles")).as("n_x"),
+            first(col("b.n_shingles")).as("n_y"))
+      }
+    stats
       .select(
         least(col("x"), col("y")).as("id_a"),
         greatest(col("x"), col("y")).as("id_b"),
@@ -318,22 +410,13 @@ object DedupOps {
       spark: SparkSession,
       sfDir: String,
       threshold: Double = 0.8,
-      cap: Int = RawDfCap): DataFrame = {
-    val docs = shinglesWithSize(spark, sfDir, cap)
-    val a = docs.as("a")
-    val b = docs.as("b")
-    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(
-        sum(col("a.c") * col("b.c")).as("inter"),
-        first(col("a.n_shingles")).as("n_a"),
-        first(col("b.n_shingles")).as("n_b"))
+      cap: Int = RawDfCap): DataFrame =
+    pairStats(shinglesWithSize(spark, sfDir, cap))
       .withColumn("cont_a", col("inter") / col("n_a"))
       .withColumn("cont_b", col("inter") / col("n_b"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
       .select("id_a", "id_b", "inter", "n_a", "n_b", "cont_a", "cont_b")
       .orderBy("id_a", "id_b")
-  }
 
   def containmentPairsSql(threshold: Double = 0.8, cap: Int = RawDfCap): String =
     s"""WITH ${candidateCtes(cap)}
@@ -685,21 +768,20 @@ object DedupOps {
     // size-gated fan-out (r16): the canon window's exchange is AQE-coalesced
     // back to ~1 partition at small scale (its payload is the raw text), so
     // the explode below would still run single-task without this.
-    val perDoc = Tables.deriveFanOut(spark, sfDir, "documents", canon)
-      .select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s"))
-      .groupBy("doc_id", "s")
-      .agg(count(lit(1)).as("c"))
+    val fanned = Tables.deriveFanOut(spark, sfDir, "documents", canon)
+    val exploded =
+      if (shingleHashKeyOn(spark))
+        // key narrowing (guide §2.3, see [[shingleHashKeyOn]]): hash before
+        // the first exchange so every shuffle carries 8 bytes, not the string
+        fanned.select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s0"))
+          .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+      else
+        fanned.select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s"))
+    val perDoc = exploded.groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
     val dfRel = perDoc.groupBy("s").agg(sum("c").as("df")).filter(col("df") <= cap)
     val coldDocs = perDoc.join(dfRel, "s")
       .withColumn("n_shingles", sum("c").over(wDoc))
-    val a = coldDocs.as("a")
-    val b = coldDocs.as("b")
-    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(
-        sum(col("a.c") * col("b.c")).as("inter"),
-        first(col("a.n_shingles")).as("n_a"),
-        first(col("b.n_shingles")).as("n_b"))
+    pairStats(coldDocs)
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")

@@ -142,6 +142,25 @@ object CurationOps {
   // Cross-document duplication signal (CCNet-style)
   // -------------------------------------------------------------------------
 
+  /** Exploded (doc_id, s) shingle stream of a (doc_id, text) relation, with
+    * the r16 shuffle-key narrowing applied (guide §2.3, the
+    * [[graft.dedup.DedupOps.shingleHashKeyOn]] trade): every consumer here
+    * uses the shingle ONLY as a grouping/join key — never as output — so
+    * keying on `xxhash64(s)` (8 bytes vs the ~30-byte 5-gram) shrinks every
+    * downstream exchange, identical results up to a 64-bit collision (the
+    * oracle keeps the string form and pins equality at every test SF).
+    */
+  private def shingleKeyed(docs: DataFrame): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleK)
+    if (graft.dedup.DedupOps.shingleHashKeyOn(docs.sparkSession))
+      ex.select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s0"))
+        .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    else
+      ex.select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s"))
+  }
+
   /** Per-document count of shingles shared with ANY other document — the
     * cross-doc duplication signal CCNet computes per paragraph. Shingle
     * document-frequency is one grouped count; the per-doc rollup joins back
@@ -160,10 +179,7 @@ object CurationOps {
     // skew-splittable on a hot shingle). Measured vs the uncompressed
     // two-scan form at sf0.1: 1.7 s vs 1.9 s base, 8.1 s vs 11.3 s with a
     // planted hot shingle in 30% of a 10× corpus.
-    val perDoc = Tables.documentsDerive(spark, sfDir)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= ShingleK)
-      .select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s"))
+    val perDoc = shingleKeyed(Tables.documentsDerive(spark, sfDir))
       .groupBy(col("doc_id"), col("s"))
       .agg(count(lit(1)).as("c"))
     val df = perDoc.groupBy("s").agg(sum("c").as("doc_freq"))
@@ -199,6 +215,10 @@ object CurationOps {
     * broadcast, so the corpus side never shuffles.
     */
   def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    // NOT shingleKeyed (r16, measured): the corpus side here joins a
+    // BROADCAST bench side — no shuffle ever carries the shingle, so the
+    // narrowing has no exchange bytes to save and its xxhash64 per shingle
+    // is pure cost (interleaved A/B on/off = 1.19).
     val sh = Tables.documentsDerive(spark, sfDir) // fan-out (r16)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= ShingleK)
@@ -933,10 +953,7 @@ object CurationOps {
     * are ppm integers.
     */
   def noveltyScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val perDoc = Tables.documentsDerive(spark, sfDir) // fan-out (r16)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= ShingleK)
-      .select(col("doc_id"), explode(shinglesFromToks(col("toks"))).as("s"))
+    val perDoc = shingleKeyed(Tables.documentsDerive(spark, sfDir)) // fan-out (r16)
       .groupBy("doc_id", "s")
       .agg(count(lit(1)).as("c"))
     val firstDoc = perDoc.groupBy("s").agg(min("doc_id").as("first_doc"))
