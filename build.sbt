@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench contract is ONE machine-parseable JSON line on stdout. With
+// fork:=true sbt routes the child's stdout through its logger, prefixing
+// every line with "[info] " — which makes `json.loads(line)` fail for any
+// line-based consumer. StdoutOutput hands the child the real stdout instead
+// (sbt's own [success]/[error] framing lines are unaffected).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

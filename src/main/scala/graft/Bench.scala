@@ -8,11 +8,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * initialization — the per-query numbers then reflect plan cost, which is
   * what BASELINE comparison needs.
   *
-  * Output layout is truncation-proof: the headline numbers (total, worst
-  * probe ratios, streaming rows/s) appear FIRST on the line, and are repeated
-  * as a compact `"summary"` object as the LAST key — a capture that keeps
-  * only the head or only the tail of the line still parses the totals (the
-  * r3 harness captured a tail and lost the total plus most per-query times).
+  * Output layout is truncation-proof by keeping the stdout line SMALL
+  * (~5.5 KB: contract fields + compact summary + contention + the full
+  * per-query map at 4-decimal precision) so a bounded tail capture holds the
+  * whole line; the full-precision detail document (probe/skew/streaming/
+  * serving legs, attribution objects) is written to /tmp/bench_last.json and
+  * /tmp/bench_last_c$cpus.json (per-leg, so a 32- and an 8-core run in the
+  * same session don't clobber each other).
   */
 object Bench {
 
@@ -1417,14 +1419,12 @@ object Bench {
         s""""load_avg_end":$loadAvgEnd,"sentinel_start_sec":$sentinelStartSec,""" +
         s""""sentinel_end_sec":$sentinelEndSec}"""
 
-    // headline numbers first, per-query detail in the middle, and the same
-    // headline repeated as the final key — see the class doc
     // worst_probe_ratio covers the UNIFORM 10× rows only; the two-sided
     // (100× work) probe is normalized per unit of expected work and emitted
     // under its own key so the headline never conflates the two scales
-    // the worst uniform/skew rows' attribution objects ride IN the summary
-    // (VERDICT r11 #5): the driver's tail-truncated capture keeps only this
-    // object, and stall-vs-superlinear must be decidable from it alone —
+    // the worst uniform/skew rows' attribution objects ride in THIS (file)
+    // summary (VERDICT r11 #5): stall-vs-superlinear must be decidable from
+    // the artifact alone —
     // "query" names the plan, "retried" says the >10× reading survived a
     // re-measurement, "row_sentinel_sec" is the fixed-cost CPU sentinel
     // sampled AT the row (≫ ~0.17 s ⇒ the box, not the plan)
@@ -1436,19 +1436,45 @@ object Bench {
       s""""worst_uniform_attrib":$probeWorstAttrib,"worst_skew_attrib":$skewWorstAttrib,""" +
       s""""streaming_rows_per_sec":$streamingRps,""" +
       s""""load_avg_start":$loadAvgStart,"sentinel_start_sec":$sentinelStartSec}"""
-    val jsonLine =
+    // VERDICT r16 #1: the stdout line must survive the driver's bounded tail
+    // capture AND parse as one JSON document; four straight rounds of ~17 KB
+    // lines were truncated to an unparseable tail. Two changes vs r16:
+    // (a) the COMPLETE detail document (probe/skew/streaming/serving legs,
+    //     the worst-row attribution objects, full-precision timings) lives in
+    //     /tmp/bench_last.json PLUS a per-leg /tmp/bench_last_c$cpus.json so
+    //     the 32- and 8-core legs stop clobbering each other;
+    // (b) the stdout line keeps ONLY the contract fields (metric/value/unit/
+    //     sf), a compact summary (attribution blobs moved to the file), the
+    //     contention sample, any errors, and the FULL "queries" map (all
+    //     entries, none removed or renamed) at 4-decimal precision — 0.1 ms,
+    //     two orders below query noise. ~5.5 KB instead of ~17 KB. No timed
+    //     path changed; same timing methodology, reduced print precision on
+    //     the stdout copy only (the file keeps full precision).
+    def r4(v: Double): String = {
+      val r = math.rint(v * 10000) / 10000
+      if (r == math.floor(r) && math.abs(r) < 1e15) s"${r.toLong}.0" else r.toString
+    }
+    val summaryCompact = s""""summary":{"total_sec":${r4(total)},"n_queries":${results.size},""" +
+      s""""n_errors":${errors.size},""" +
+      s""""worst_probe_ratio":${r4(probeWorst)},"worst_uniform_ratio":${r4(probeWorst)},""" +
+      s""""worst_twosided_per_unit":${r4(probeTwoSidedPerUnit)},"worst_skew_ratio":${r4(skewWorst)},""" +
+      s""""worst_uniform_query":$probeWorstQuery,"worst_skew_query":$skewWorstQuery,""" +
+      s""""streaming_rows_per_sec":$streamingRps,""" +
+      s""""load_avg_start":$loadAvgStart,"sentinel_start_sec":$sentinelStartSec}"""
+    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }
+      .mkString("{", ",", "}")
+    val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-        s"""$summary$contentionJson$streamingJson$rollupServingJson$indexServingJson$shingleGovernanceJson$pairStreamingJson$longDocJson$probeJson$skewJson$errJson,"queries":$qs,$summary}"""
-    // VERDICT r15 #5: the driver's stdout capture has truncated this single
-    // giant line in three straight rounds (only the duplicated tail summary
-    // survived). Write the COMPLETE json to a file as well, and say so on
-    // stdout BEFORE the big line so the path survives any head-capture.
+        s"""$summary$contentionJson$streamingJson$rollupServingJson$indexServingJson$shingleGovernanceJson$pairStreamingJson$longDocJson$probeJson$skewJson$errJson,"queries":$qs}"""
+    val stdoutLine =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir",""" +
+        s"""$summaryCompact$contentionJson$errJson,"queries":$qsCompact}"""
     try {
-      val out = java.nio.file.Paths.get("/tmp/bench_last.json")
-      java.nio.file.Files.write(out, jsonLine.getBytes("UTF-8"))
-      println(s"""{"bench_json_file":"$out"}""")
+      for (p <- Seq("/tmp/bench_last.json", s"/tmp/bench_last_c$cpus.json"))
+        java.nio.file.Files.write(java.nio.file.Paths.get(p), fullJson.getBytes("UTF-8"))
+      println(s"""{"bench_json_file":"/tmp/bench_last.json","bench_json_file_leg":"/tmp/bench_last_c$cpus.json"}""")
     } catch { case _: Throwable => () }
-    println(jsonLine)
+    println(stdoutLine)
     spark.stop()
   }
 }

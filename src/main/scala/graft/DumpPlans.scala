@@ -6,7 +6,9 @@ package graft
   * formatted plan is the pre-execution adaptive plan, same as an `explain`
   * call before the first action).
   * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, OUT_DIR (default plans/r16),
-  * SUFFIX (default `_after`); args = query names (empty = whole catalog).
+  * SUFFIX (default `_after`), CONFS (comma-separated `key=value` session
+  * confs set before planning — dump `_before` plans by flipping the
+  * plan-time graft confs off); args = query names (empty = whole catalog).
   */
 object DumpPlans {
   def main(args: Array[String]): Unit = {
@@ -22,8 +24,16 @@ object DumpPlans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.tune(spark)
+    sys.env.get("CONFS").foreach(_.split(',').filter(_.nonEmpty).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     new java.io.File(outDir).mkdirs()
     val names = if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
+    // fail fast on unknown names BEFORE writing any file (ADVICE r16 #3: a
+    // raw NoSuchElementException mid-loop left a partial dump)
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     names.foreach { n =>
       val plan = SparkEntry.queries(n)(spark, sfDir)
         .queryExecution

@@ -99,7 +99,7 @@ object Tables {
     * when the size cannot be determined, so an unknown input is never
     * treated as "small" by [[deriveFanOut]].
     */
-  private def tableBytes(spark: SparkSession, sfDir: String, name: String): Long =
+  def tableBytes(spark: SparkSession, sfDir: String, name: String): Long =
     try {
       val p = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -129,6 +129,21 @@ object Tables {
     * simhash precedent); empty = round-robin, which preserves every
     * downstream exchange exactly as unfanned plans had them.
     */
+  /** True when `name`'s scan cannot fill even a quarter of the session's
+    * cores from its natural splits — the size gate [[deriveFanOut]] fires on,
+    * and the regime where parallel duplicate subtrees are cheaper than a
+    * shared (serializing) derivation. At cluster scale
+    * (bytes ≫ cores × maxPartitionBytes) this is always false.
+    */
+  def scanIsTiny(spark: SparkSession, sfDir: String, name: String): Boolean = {
+    val p = spark.sparkContext.defaultParallelism
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m").stripSuffix("b"))
+    val bytes = tableBytes(spark, sfDir, name)
+    val naturalTasks = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    naturalTasks * 4 <= p
+  }
+
   def deriveFanOut(
       spark: SparkSession,
       sfDir: String,
@@ -138,12 +153,8 @@ object Tables {
     // plan-time kill-switch: lets one binary A/B the fan-out in a single
     // session (and gives operators an escape hatch); default ON
     if (!spark.conf.get("spark.graft.derive.fanout", "true").toBoolean) return df
-    val p = spark.sparkContext.defaultParallelism
-    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m").stripSuffix("b"))
-    val bytes = tableBytes(spark, sfDir, name)
-    val naturalTasks = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
-    if (naturalTasks * 4 <= p) {
+    if (scanIsTiny(spark, sfDir, name)) {
+      val p = spark.sparkContext.defaultParallelism
       if (keys.nonEmpty) df.repartition(p, keys: _*) else df.repartition(p)
     } else df
   }

@@ -442,12 +442,20 @@ object DedupOps {
       .select("id_a", "id_b")
       .join(texts.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
       .join(texts.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
+      // one levenshtein projection; rel_dist derives from the materialized
+      // column instead of restating the O(len²) expression (r16 VERDICT #4 —
+      // don't lean on codegen subexpression elimination for the most
+      // expensive expression in the dedup family)
       .select(
         col("id_a"),
         col("id_b"),
         levenshtein(col("text_a"), col("text_b")).as("edit_dist"),
-        (levenshtein(col("text_a"), col("text_b")).cast("double") /
-          greatest(length(col("text_a")), length(col("text_b"))).cast("double"))
+        greatest(length(col("text_a")), length(col("text_b"))).as("max_len"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        col("edit_dist"),
+        (col("edit_dist").cast("double") / col("max_len").cast("double"))
           .as("rel_dist"))
       .orderBy("id_a", "id_b")
   }

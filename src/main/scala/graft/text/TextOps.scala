@@ -290,7 +290,16 @@ object TextOps {
       // alter the expression (it is data, not syntax)
       words = words
         .withColumn("s", call_function("replace", col("s"), lit(pair), lit(fused)))
-        .localCheckpoint()
+      // r17 (guide §5 driver / §2.6 fewer barrier jobs): no per-round eager
+      // localCheckpoint — it cost one extra materialization JOB per merge
+      // round (k+1 jobs of pure scheduling overhead per train, and the LAST
+      // round's words table was materialized even when only the ladder is
+      // consumed). The replace chain over the checkpointed bpeWords0 grows
+      // LINEARLY (one narrow map per round, k=6), so each round's argmax
+      // recomputes at most k cheap vocab-sized string maps — no exponential
+      // lineage, which is what the checkpoint was guarding against.
+      if (!spark.conf.get("spark.graft.bpe.nockpt", "true").toBoolean)
+        words = words.localCheckpoint()
     }
     (words, merges.result())
   }
@@ -379,10 +388,16 @@ object TextOps {
         val fused = p.replace("][", "")
         merges += ((iter, r, p, fused.substring(1, fused.length - 1), c))
       }
-      if (accepted.nonEmpty)
+      if (accepted.nonEmpty) {
         words = words.withColumn("s", accepted.foldLeft(col("s")) { case (cc, (p, _)) =>
           call_function("replace", cc, lit(p), lit(p.replace("][", "")))
-        }).localCheckpoint()
+        })
+        // same rationale as the sequential trainer: rounds are FIXED (3), so
+        // the accumulated replace chain is bounded and the per-round eager
+        // checkpoint job is pure overhead
+        if (!spark.conf.get("spark.graft.bpe.nockpt", "true").toBoolean)
+          words = words.localCheckpoint()
+      }
     }
     (words, merges.result())
   }
@@ -711,19 +726,46 @@ object TextOps {
         % CmsWidth).as(s"c_$j")
     val withCols = exact.select(
       (col("t") +: col("exact") +: (0 until CmsRows).map(j => colAt(j, col("t")))): _*)
-    val cells = (0 until CmsRows).map { j =>
-      withCols.groupBy(col(s"c_$j")).agg(sum("exact").as(s"cell_$j"))
+    if (spark.conf.get("spark.graft.cms.onemap", "true").toBoolean) {
+      // r17 (guide §2.4 remove shuffles / §2.6 fewer barrier jobs): the 4×16
+      // cell table is ONE grouped aggregate over the (row, col, weight)
+      // triples and ONE single-row broadcast map, instead of CmsRows separate
+      // groupBy jobs each building its own broadcast relation (4 broadcast
+      // builds = 4 extra jobs; the vocab-sized final agg ran 5× under
+      // ReuseExchange). est is an in-row map lookup; cell sums are keyed
+      // (j*CmsWidth + c_j) — bit-identical to the per-row groupBys.
+      val cells = withCols
+        .select(explode(array((0 until CmsRows).map(j =>
+          struct(lit(j).as("r"), col(s"c_$j").as("c"), col("exact").as("x"))): _*)).as("e"))
+        .groupBy(col("e.r").as("r"), col("e.c").as("c"))
+        .agg(sum(col("e.x")).as("cell"))
+      val cellMap = cells.agg(
+        map_from_arrays(
+          collect_list(col("r") * CmsWidth + col("c")),
+          collect_list(col("cell"))).as("m"))
+      withCols.crossJoin(broadcast(cellMap))
+        .select(
+          col("t").as("token"), col("exact"),
+          least((0 until CmsRows).map(j =>
+            element_at(col("m"), lit(j * CmsWidth) + col(s"c_$j"))): _*).as("est"))
+        .withColumn("overcount", col("est") - col("exact"))
+        .orderBy(desc("exact"), asc("token"))
+        .limit(k)
+    } else {
+      val cells = (0 until CmsRows).map { j =>
+        withCols.groupBy(col(s"c_$j")).agg(sum("exact").as(s"cell_$j"))
+      }
+      val probed = cells.zipWithIndex.foldLeft(withCols) { case (df, (cellDf, j)) =>
+        df.join(broadcast(cellDf), s"c_$j")
+      }
+      probed
+        .select(
+          col("t").as("token"), col("exact"),
+          least((0 until CmsRows).map(j => col(s"cell_$j")): _*).as("est"))
+        .withColumn("overcount", col("est") - col("exact"))
+        .orderBy(desc("exact"), asc("token"))
+        .limit(k)
     }
-    val probed = cells.zipWithIndex.foldLeft(withCols) { case (df, (cellDf, j)) =>
-      df.join(broadcast(cellDf), s"c_$j")
-    }
-    probed
-      .select(
-        col("t").as("token"), col("exact"),
-        least((0 until CmsRows).map(j => col(s"cell_$j")): _*).as("est"))
-      .withColumn("overcount", col("est") - col("exact"))
-      .orderBy(desc("exact"), asc("token"))
-      .limit(k)
   }
 
   def cmsTopKSql(k: Int = 15): String = {
@@ -768,7 +810,23 @@ object TextOps {
     val total = docs.agg(count(lit(1)).as("n_total"))
     val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val idf = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    // r17 (guide §2.4 share one exchange), SIZE-GATED: df(term) = number of
+    // distinct docs carrying the term = number of tf ROWS per term — derive
+    // it FROM tf so the tokenize→explode pass and its exchange run once
+    // (ReuseExchange on the (doc_id, term) aggregate) instead of a second
+    // explode feeding a separate two-exchange countDistinct. Identical
+    // values by construction: tf has exactly one row per (doc_id, term).
+    // Gate: on a TINY scan the two subtrees run as overlapping parallel
+    // stages and the shared form's stage serialization costs more than the
+    // duplicated explode (interleaved A/B on/off 1.05–1.06 at sf0.1, min-of-
+    // 4/6) — so locally the old shape stays; at any real corpus size the
+    // duplicate full-corpus tokenize pass dominates and the shared form wins.
+    val shareTf = spark.conf.getOption("spark.graft.tfidf.dffromtf")
+      .map(_.toBoolean)
+      .getOrElse(!Tables.scanIsTiny(spark, sfDir, "documents"))
+    val idf =
+      if (shareTf) tf.groupBy("term").agg(count(lit(1)).as("df"))
+      else terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
     tf.join(idf, "term")
       .crossJoin(broadcast(total))
