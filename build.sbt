@@ -11,6 +11,46 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Run the test suites in a FEW FORKED JVMS CONCURRENTLY instead of one
+// sequential forked JVM (VERDICT r16 #2: the full sequential suite outran
+// the verification window — 21.6 min on a quiet 32-core box; the longest
+// pole, StreamingSpec, was cut off mid-run and read as a failure).
+// Parallelism INSIDE one JVM is unsafe here — suites share one SparkSession
+// and several mutate global session confs (autoBroadcastJoinThreshold, AQE
+// skew thresholds, the streaming state-store provider) around their tests —
+// but separate JVMs each get their own session, so groups are isolated by
+// construction. Suites are bin-packed greedily by measured wall-clock so the
+// groups finish together (~3x wall-clock reduction at 3 groups).
+val testGroupCount = sys.env.getOrElse("TEST_GROUPS", "3").toInt
+Test / testGrouping := {
+  // measured seconds on a quiet 32-core box (2026-08, r17); unknown → 15
+  val weight = Map(
+    "graft.ScaleSpec" -> 235, "graft.IvfIndexSpec" -> 220,
+    "graft.AdmissionPipelineSpec" -> 135, "graft.StreamingSpec" -> 90,
+    "graft.IngestSpec" -> 90, "graft.ExtensionsSpec" -> 89,
+    "graft.RollupRewriteSpec" -> 53, "graft.ShingleIndexSpec" -> 34,
+    "graft.DedupSpec" -> 32, "graft.SimilaritySpec" -> 31,
+    "graft.TextAndMediaSpec" -> 31, "graft.PairStoreSpec" -> 28,
+    "graft.CurationSpec" -> 28, "graft.RecoverySpec" -> 23,
+    "graft.FingerprintIndexSpec" -> 20, "graft.LshIndexSpec" -> 19)
+  val forkOpts = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector)
+  val buckets = Array.fill(testGroupCount)(
+    (scala.collection.mutable.ListBuffer.empty[TestDefinition], Array(0L)))
+  (Test / definedTests).value
+    .sortBy(t => -weight.getOrElse(t.name, 15))
+    .foreach { t =>
+      val (buf, w) = buckets.minBy(_._2(0))
+      buf += t; w(0) += weight.getOrElse(t.name, 15)
+    }
+  buckets.toSeq.zipWithIndex.map { case ((buf, _), i) =>
+    Tests.Group(s"g$i", buf.toSeq, Tests.SubProcess(forkOpts))
+  }
+}
+// sbt's defaults cap concurrent forked test groups at 1; lift it to the
+// group count (and keep the global task-parallelism cap).
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(java.lang.Runtime.getRuntime.availableProcessors()),
+  Tags.limit(Tags.ForkedTestGroup, testGroupCount))
 // The bench contract is ONE machine-parseable JSON line on stdout. With
 // fork:=true sbt routes the child's stdout through its logger, prefixing
 // every line with "[info] " — which makes `json.loads(line)` fail for any

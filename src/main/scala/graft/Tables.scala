@@ -100,8 +100,14 @@ object Tables {
     * treated as "small" by [[deriveFanOut]].
     */
   def tableBytes(spark: SparkSession, sfDir: String, name: String): Long =
+    pathBytes(spark, s"$sfDir/$name.parquet")
+
+  /** Total bytes under an arbitrary file/directory path; `Long.MaxValue`
+    * when the size cannot be determined (same never-assume-small rule).
+    */
+  def pathBytes(spark: SparkSession, path: String): Long =
     try {
-      val p = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+      val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.getContentSummary(p).getLength
     } catch { case _: Throwable => Long.MaxValue }
@@ -135,11 +141,15 @@ object Tables {
     * shared (serializing) derivation. At cluster scale
     * (bytes ≫ cores × maxPartitionBytes) this is always false.
     */
-  def scanIsTiny(spark: SparkSession, sfDir: String, name: String): Boolean = {
+  def scanIsTiny(spark: SparkSession, sfDir: String, name: String): Boolean =
+    pathScanIsTiny(spark, s"$sfDir/$name.parquet")
+
+  /** [[scanIsTiny]] for an arbitrary path (e.g. a posting-store directory). */
+  def pathScanIsTiny(spark: SparkSession, path: String): Boolean = {
     val p = spark.sparkContext.defaultParallelism
     val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128m").stripSuffix("b"))
-    val bytes = tableBytes(spark, sfDir, name)
+    val bytes = pathBytes(spark, path)
     val naturalTasks = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
     naturalTasks * 4 <= p
   }

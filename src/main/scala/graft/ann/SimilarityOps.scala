@@ -35,6 +35,31 @@ object SimilarityOps {
 
   private[ann] def dot(a: String, b: String): Column = expr(s"dot_arrays($a, $b)")
 
+  /** Literal double-array column as ONE `Literal(ArrayData)` node
+    * (`typedLit`) instead of a `CreateArray` over Dim individual literals.
+    *
+    * r17 (guide §7.3 "very large plans — planning time itself becomes the
+    * bottleneck"): the IVF/PQ family's codebook expressions built ~10⁴
+    * literal NODES per query (16 centroids × 64 dims, 8×8 PQ codebooks ×
+    * 8 dims, replicated across probe/LUT/encode stages), and every optimizer
+    * rule walks every node — per-stage attribution (graft.ann.AdcProfile)
+    * measured ~0.8 s of q_ivf_adc_topk's ~1.8 s warm cost as pure Catalyst
+    * PLANNING. A typedLit array evaluates identically (same values, same
+    * ArrayType(Double, containsNull=false) — CreateArray of foldable
+    * literals constant-folds to exactly this) but costs one node. Conf
+    * `spark.graft.ann.typedlit` (plan-time, default on) for interleaved A/B.
+    */
+  private[ann] def typedLitOn: Boolean =
+    org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.ann.typedlit", "true").toBoolean
+
+  private[ann] def litArr(xs: Seq[Double]): Column =
+    if (typedLitOn) typedLit(xs.toSeq) else array(xs.map(lit(_)): _*)
+
+  private[ann] def litMat(m: Seq[Seq[Double]]): Column =
+    if (typedLitOn) typedLit(m.map(_.toSeq).toSeq)
+    else array(m.map(r => array(r.map(lit(_)): _*)): _*)
+
   /** Grid size for [[gridPairs]]. 8×8 = 64 cells saturates local[32]; on a
     * real cluster B scales with √cores so per-task memory stays O(n/B).
     */
@@ -284,7 +309,7 @@ object SimilarityOps {
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     // one literal coef array column per hyperplane, then the packed bucket
     val withPlanes = (0 until NumHyperplanes).foldLeft(e) { (df, j) =>
-      df.withColumn(s"h_$j", array(hyperplanes(j).toIndexedSeq.map(lit(_)): _*))
+      df.withColumn(s"h_$j", litArr(hyperplanes(j).toIndexedSeq))
     }
     val bits = (0 until NumHyperplanes).map { j =>
       when(expr(s"dot_arrays(v, h_$j)") >= 0, lit(1L << j)).otherwise(lit(0L))
@@ -401,7 +426,7 @@ object SimilarityOps {
       vecCol: Column, cb: IndexedSeq[Array[Double]]): (Column, Column) = {
     val dists = array(cb.map { c =>
       lit(selfDot(c)) - lit(2.0) *
-        call_function("dot_arrays", vecCol, array(c.toIndexedSeq.map(lit(_)): _*))
+        call_function("dot_arrays", vecCol, litArr(c.toIndexedSeq))
     }: _*)
     ((array_position(dists, array_min(dists)) - 1).cast("int"), array_min(dists))
   }
@@ -667,7 +692,7 @@ object SimilarityOps {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val withC = (0 until NumCentroids).foldLeft(e) { (df, c) =>
-      df.withColumn(s"c_$c", array(centroids(c).toIndexedSeq.map(lit(_)): _*))
+      df.withColumn(s"c_$c", litArr(centroids(c).toIndexedSeq))
     }
     val scored = (0 until NumCentroids).foldLeft(withC) { (df, c) =>
       df.withColumn(s"d_$c", lit(selfDot(centroids(c))) - lit(2.0) * expr(s"dot_arrays(v, c_$c)"))
@@ -1137,7 +1162,7 @@ object SimilarityOps {
       q0: DataFrame, nprobe: Int,
       cents: IndexedSeq[Array[Double]] = centroids): DataFrame = {
     val withC = cents.indices.foldLeft(q0) { (df, c) =>
-      df.withColumn(s"c_$c", array(cents(c).toIndexedSeq.map(lit(_)): _*))
+      df.withColumn(s"c_$c", litArr(cents(c).toIndexedSeq))
     }
     val qd = cents.indices.foldLeft(withC) { (df, c) =>
       df.withColumn(s"d_$c", lit(selfDot(cents(c))) - lit(2.0) * expr(s"dot_arrays(qv, c_$c)"))
@@ -1257,7 +1282,7 @@ object SimilarityOps {
       val c = pqCodebook(m)(k)
       // literal array via lit() — an inline SQL `array(0.44, …)` would
       // parse its literals as DecimalType and fail dot_arrays' type check
-      val cArr = array(c.toIndexedSeq.map(lit(_)): _*)
+      val cArr = litArr(c.toIndexedSeq)
       (lit(selfDot(c)) - lit(2.0) * call_function("dot_arrays", col(s"v_$m"), cArr))
         .as(s"d_${m}_$k")
     }
@@ -1378,7 +1403,7 @@ object SimilarityOps {
     import org.apache.spark.sql.types.DecimalType
     val lutRows = (for (m <- 0 until PqM; kk <- 0 until PqK) yield {
       val c = pqCodebook(m)(kk)
-      val cArr = array(c.toIndexedSeq.map(lit(_)): _*)
+      val cArr = litArr(c.toIndexedSeq)
       struct(lit(m).as("m"), lit(kk).as("k"),
         (lit(selfDot(c)) - lit(2.0) * call_function("dot_arrays", col(s"v_$m"), cArr))
           .cast(DecimalType(18, 6)).as("l"))
@@ -1418,7 +1443,7 @@ object SimilarityOps {
     import org.apache.spark.sql.types.DecimalType
     val entries = for (m <- 0 until PqM; kk <- 0 until PqK) yield {
       val c = cb(m)(kk)
-      val cArr = array(c.toIndexedSeq.map(lit(_)): _*)
+      val cArr = litArr(c.toIndexedSeq)
       ((lit(selfDot(c)) - lit(2.0) * call_function(
         "dot_arrays", slice(col(vCol), m * PqSubDim + 1, PqSubDim), cArr))
         .cast(DecimalType(18, 6)) * lit(1000000L)).cast("long")
@@ -1652,7 +1677,7 @@ object SimilarityOps {
   // -------------------------------------------------------------------------
 
   private def centroidMatrix(cents: IndexedSeq[Array[Double]]): Column =
-    array(cents.map(c => array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+    litMat(cents.map(_.toIndexedSeq))
 
   /** `vCol − cents(centIdCol)`, elementwise — the residual a cell's PQ codes
     * quantize. One zip_with against a literal centroid matrix lookup, so the
@@ -1677,7 +1702,7 @@ object SimilarityOps {
     val withR = probes.withColumn("qr", residualCol("qv", "probe", cents))
     val entries = for (m <- 0 until PqM; kk <- 0 until PqK) yield {
       val c = cb(m)(kk)
-      val cArr = array(c.toIndexedSeq.map(lit(_)): _*)
+      val cArr = litArr(c.toIndexedSeq)
       ((lit(selfDot(c)) - lit(2.0) * call_function(
         "dot_arrays", slice(col("qr"), m * PqSubDim + 1, PqSubDim), cArr))
         .cast(DecimalType(18, 6)) * lit(1000000L)).cast("long")
@@ -1907,8 +1932,7 @@ object SimilarityOps {
     */
   private def pqAssignCol(cb: IndexedSeq[IndexedSeq[Array[Double]]]): Column = {
     val c2Mat = array(cb.map(ks => array(ks.map(c => lit(selfDot(c))): _*)): _*)
-    val cbMat = array(cb.map(ks =>
-      array(ks.map(c => array(c.toIndexedSeq.map(lit(_)): _*)): _*)): _*)
+    val cbMat = array(cb.map(ks => litMat(ks.map(_.toIndexedSeq))): _*)
     val dists = array((0 until PqK).map { k =>
       element_at(element_at(c2Mat, col("m") + 1), k + 1) -
         lit(2.0) * call_function("dot_arrays", col("vm"),

@@ -77,6 +77,13 @@ object QualityClassifier {
     // dominant CPU; both union branches reuse the one fan-out exchange
     val labeled = Tables.documentsDerive(spark, sfDir)
       .withColumn("hi", weakLabel)
+    // r17: tried and REVERTED (measured) — a within-query localCheckpoint of
+    // `feats` to collapse its three differently-shaped consumers (prior,
+    // model aggregate, scoring join) into one evaluation of the explode→md5
+    // chain. Interleaved A/B on/off = 1.10 (min-of-4, sf0.1): materializing
+    // ~2M feature rows to executor storage costs more than the two saved
+    // re-derivations at any scale where the rows outweigh the chain — and
+    // the chain is cheap per row (one md5), unlike the shingle family.
     val feats = featuresWith(labeled, Seq("hi"))
 
     val prior = feats.agg(expr("(1000000 * sum(hi)) div count(*)").as("p0_ppm"))

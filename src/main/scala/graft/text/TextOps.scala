@@ -810,23 +810,19 @@ object TextOps {
     val total = docs.agg(count(lit(1)).as("n_total"))
     val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // r17 (guide §2.4 share one exchange), SIZE-GATED: df(term) = number of
-    // distinct docs carrying the term = number of tf ROWS per term — derive
-    // it FROM tf so the tokenize→explode pass and its exchange run once
-    // (ReuseExchange on the (doc_id, term) aggregate) instead of a second
-    // explode feeding a separate two-exchange countDistinct. Identical
-    // values by construction: tf has exactly one row per (doc_id, term).
-    // Gate: on a TINY scan the two subtrees run as overlapping parallel
-    // stages and the shared form's stage serialization costs more than the
-    // duplicated explode (interleaved A/B on/off 1.05–1.06 at sf0.1, min-of-
-    // 4/6) — so locally the old shape stays; at any real corpus size the
-    // duplicate full-corpus tokenize pass dominates and the shared form wins.
-    val shareTf = spark.conf.getOption("spark.graft.tfidf.dffromtf")
-      .map(_.toBoolean)
-      .getOrElse(!Tables.scanIsTiny(spark, sfDir, "documents"))
-    val idf =
-      if (shareTf) tf.groupBy("term").agg(count(lit(1)).as("df"))
-      else terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    // r17: tried and REVERTED (measured) — deriving df FROM tf
+    // (`tf.groupBy("term").agg(count(*))`, value-identical since tf has one
+    // row per (doc_id, term)) to share the tokenize→explode pass. The shared
+    // exchange NEVER materializes: column pruning strips the unused `tf`
+    // count from the df-side aggregate, so the two tf subtrees are not
+    // canonically equal and AQE stage reuse cannot fire (an explicit
+    // isnotnull(term) on both sides — the r11 minhash fix — did not help;
+    // the pruned aggregate list is the blocker). Without reuse the shared
+    // form runs the explode twice PLUS a stage dependency: interleaved A/B
+    // on/off 1.05 / 1.06 / 1.09 (min-of-4/6/6, sf0.1). The countDistinct
+    // form keeps the same pass count with independent (overlappable)
+    // subtrees.
+    val idf = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
     tf.join(idf, "term")
       .crossJoin(broadcast(total))

@@ -422,7 +422,7 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     * regression fails EVERY attempt, scheduler noise doesn't — so the gate
     * passes if ANY of up to `attempts` measurements sustains the rate.
     */
-  private def sustains(label: String, minRate: Double, attempts: Int = 3)(
+  private def sustains(label: String, minRate: Double, attempts: Int = 4)(
       measure: Int => Double): Unit = {
     val tried = scala.collection.mutable.ArrayBuffer[Double]()
     while (tried.size < attempts && !tried.lastOption.exists(_ > minRate))
