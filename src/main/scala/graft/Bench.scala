@@ -1466,9 +1466,13 @@ object Bench {
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
         s"""$summary$contentionJson$streamingJson$rollupServingJson$indexServingJson$shingleGovernanceJson$pairStreamingJson$longDocJson$probeJson$skewJson$errJson,"queries":$qs}"""
+    // key order: queries FIRST, summary LAST — if a capture still truncates
+    // to a tail despite the 5.5 KB line, the tail ends with the summary +
+    // contention (the pre-r17 artifacts' only readable content), not with an
+    // uninterpretable mid-queries fragment
     val stdoutLine =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir",""" +
-        s"""$summaryCompact$contentionJson$errJson,"queries":$qsCompact}"""
+        s""""queries":$qsCompact$errJson,$summaryCompact$contentionJson}"""
     try {
       for (p <- Seq("/tmp/bench_last.json", s"/tmp/bench_last_c$cpus.json"))
         java.nio.file.Files.write(java.nio.file.Paths.get(p), fullJson.getBytes("UTF-8"))

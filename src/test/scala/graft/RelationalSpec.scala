@@ -151,4 +151,16 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     assert(got == expected)
   }
 
+
+  test("star join pre-aggregated form equals the join-then-aggregate form (r17)") {
+    def rows(preagg: Boolean) = {
+      val prev = spark.conf.getOption("spark.graft.starjoin.preagg")
+      spark.conf.set("spark.graft.starjoin.preagg", preagg.toString)
+      try Relational.starJoin(spark, sfDir).collect().map(_.toSeq).toSeq
+      finally prev.fold(spark.conf.unset("spark.graft.starjoin.preagg"))(
+        spark.conf.set("spark.graft.starjoin.preagg", _))
+    }
+    assert(rows(preagg = true) == rows(preagg = false))
+  }
+
 }
