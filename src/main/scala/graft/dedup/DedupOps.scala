@@ -755,6 +755,14 @@ object DedupOps {
       sfDir: String,
       threshold: Double = 0.6,
       cap: Int = HotShingleCap): DataFrame = {
+    // r17: tried and REVERTED (measured) — replacing this canon window
+    // (exchange of full text by md5(text) + per-hash sort) with a narrow
+    // groupBy(md5(text)).min(doc_id) winner set + left-semi join back
+    // (value-identical tie rule). A/B on/off = 1.04 (min-of-5, sf0.1): the
+    // winner broadcast build adds a job locally, and at scale the semi join
+    // degenerates to an SMJ that exchanges AND sorts the text by doc_id
+    // anyway — strictly more work than the window's one exchange + sort.
+    // The window form IS the right payload-moves-once shape here.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("text"))).orderBy("doc_id")
     val canon = Tables.documents(spark, sfDir)
